@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.Point
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** (D,M)-outlier detection: exact and grid-approximate.
+  *
+  * Reference semantics (`HWK_1/G029HW1.py`):
+  *  - Exact (`ExactOutliers`, lines 16-49): for each point, count the
+  *    points at distance ≤ D (the point itself counts, init 1); a
+  *    (D,M)-outlier has count ≤ M. Output the outlier count and the
+  *    first K outliers by non-decreasing neighbor count.
+  *  - Approximate (`MRApproxOutliers`, lines 96-120): on the
+  *    side = D/(2√2) grid, a cell's points are *sure* outliers when
+  *    N7 ≤ M, *uncertain* when N3 ≤ M < N7; also report the K
+  *    smallest non-empty cells.
+  *
+  * The reference's exact path is a driver-side O(N²) loop capped at
+  * N ≤ 200 000 (`HWK_1/G029HW1.py:18-32,155`). Here the all-pairs
+  * distance theta-join is rewritten as a grid-bucketed EQUI-join
+  * (side = D, 3×3 neighbor buckets): each point is joined only with
+  * points of the 9 surrounding buckets, then the exact distance
+  * predicate filters. Catalyst plans a shuffled hash / sort-merge join
+  * on the bucket key, so the same query runs on 60 k points locally
+  * and on 10⁹ points on a cluster — no driver collect anywhere.
+  */
+object Outliers {
+
+  private def distSqCol(x1: Column, y1: Column, x2: Column, y2: Column): Column = {
+    val dx = x1 - x2; val dy = y1 - y2
+    dx * dx + dy * dy
+  }
+
+  /** Per-point neighbor counts within distance D.
+    *
+    * Input: points with unique `id`, coords `x`, `y`.
+    * Output: `id, cnt` where cnt includes the point itself (reference
+    * init `counter = 1`, `HWK_1/G029HW1.py:24`).
+    *
+    * Self-join is bucketed on a side-D grid: a disc of radius D around
+    * any point only intersects the 3×3 neighborhood of its bucket, so
+    * exploding 9 offsets on the probe side makes the join an equi-join
+    * on (bi, bj) with an exact distance post-filter.
+    */
+  def neighborCounts(points: DataFrame, d: Double): DataFrame = {
+    val bucketed = points
+      .withColumn("bi", floor(col("x") / lit(d)))
+      .withColumn("bj", floor(col("y") / lit(d)))
+    val offs = array((for { di <- -1 to 1; dj <- -1 to 1 }
+      yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
+    val probe = bucketed.select(
+      col("id"), col("x"), col("y"),
+      explode(offs).as("off"), col("bi"), col("bj"))
+      .select(col("id"), col("x"), col("y"),
+        (col("bi") + col("off.di")).as("bi"),
+        (col("bj") + col("off.dj")).as("bj"))
+    val build = bucketed.select(
+      col("bi"), col("bj"), col("x").as("x2"), col("y").as("y2"))
+    probe
+      .join(build, Seq("bi", "bj"))
+      .where(distSqCol(col("x"), col("y"), col("x2"), col("y2")) <= lit(d * d))
+      .groupBy("id")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact (D,M)-outliers: points with ≤ M neighbors (self included),
+    * first K by (cnt, id) — the id tiebreak replaces the reference's
+    * input-order-dependent stable sort (`HWK_1/G029HW1.py:45-49`). */
+  def exactOutliers(points: DataFrame, d: Double, m: Int, k: Int): DataFrame =
+    neighborCounts(points, d)
+      .where(col("cnt") <= lit(m))
+      .orderBy(col("cnt"), col("id"))
+      .limit(k)
+
+  /** Driver-side O(N²) twin of the reference's `ExactOutliers`
+    * (`HWK_1/G029HW1.py:16-49`) — used in tests to cross-validate the
+    * distributed formulation on small inputs. */
+  def exactOutliersLocal(pts: Array[Point], d: Double, m: Int): Array[(Int, Int)] = {
+    val n = pts.length
+    val counts = Array.fill(n)(1)
+    val d2 = d * d
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (Point.distSq(pts(i), pts(j)) <= d2) { counts(i) += 1; counts(j) += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    (0 until n).filter(counts(_) <= m).map(i => (i, counts(i))).sortBy(t => (t._2, t._1)).toArray
+  }
+
+  /** Cell-level stats of MRApproxOutliers: `ci, cj, sz, n3, n7`. */
+  def cellStats(points: DataFrame, d: Double): DataFrame =
+    Grid.n3n7(Grid.cellHistogram(points, Grid.sideFor(d)))
+
+  /** The two scalars of MRApproxOutliers (`HWK_1/G029HW1.py:112-113`):
+    * sure = Σ sz where N7 ≤ M; uncertain = Σ sz where N3 ≤ M < N7. */
+  def approxOutlierCounts(points: DataFrame, d: Double, m: Int): DataFrame =
+    cellStats(points, d).agg(
+      coalesce(sum(when(col("n7") <= m, col("sz"))), lit(0L)).as("sure"),
+      coalesce(sum(when(col("n3") <= m && col("n7") > m, col("sz"))), lit(0L)).as("uncertain"))
+
+  /** First K non-empty cells by non-decreasing size
+    * (`HWK_1/G029HW1.py:114-120`), (ci,cj) tiebreak for determinism. */
+  def smallestCells(points: DataFrame, d: Double, k: Int): DataFrame =
+    Grid.cellHistogram(points, Grid.sideFor(d))
+      .orderBy(col("sz"), col("ci"), col("cj"))
+      .limit(k)
+}

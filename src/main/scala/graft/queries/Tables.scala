@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access + the deterministic point projection shared by every
+  * outlier/clustering query and its DuckDB oracle.
+  *
+  * The reference reads 2-D points from CSV (`HWK_1/G029HW1.py:142-145`);
+  * the driver harness supplies TPC-H-ish parquet instead, so points are
+  * DERIVED from `lineitem`: x = l_extendedprice/1000, y = l_quantity,
+  * id = l_orderkey*8 + l_linenumber (unique: l_linenumber ≤ 7).
+  * The projection is stated in SQL in every oracle so both engines see
+  * bit-identical doubles.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Points with unique id: `id, x, y`. Column pruning reaches the scan
+    * (only 4 of 11 lineitem columns are read). */
+  def points(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      (col("l_extendedprice") / 1000.0).as("x"),
+      col("l_quantity").as("y"))
+
+  /** The same projection as a SQL CTE body (DuckDB oracle side). */
+  val pointsSql: String =
+    "SELECT l_orderkey*8 + l_linenumber AS id, l_extendedprice/1000.0 AS x, l_quantity AS y FROM lineitem"
+}
+
+/** A domain registry: each ops area contributes queries + oracles. */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
