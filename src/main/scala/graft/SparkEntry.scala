@@ -12,6 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     OutlierQueries,
+    FftQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
