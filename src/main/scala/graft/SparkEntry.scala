@@ -13,6 +13,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     OutlierQueries,
     FftQueries,
+    FreqQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

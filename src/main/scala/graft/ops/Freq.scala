@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Frequent-items over a bounded stream — exact histogram, Reservoir
+  * Sampling, Sticky Sampling (HW3, `HWK_3/G029HW3.py`).
+  *
+  * The reference keeps ALL algorithmic state on the driver (a Python
+  * dict / list mutated per micro-batch, `HWK_3/G029HW3.py:53-63,87-90`)
+  * — a non-starter at 100 TB. Here each algorithm is re-expressed as a
+  * distributed, deterministic dataflow:
+  *
+  *  - Exact histogram / frequent items: `groupBy(item).count()` +
+  *    threshold filter (`count ≥ φ·n`, line 117).
+  *  - Reservoir Sampling (Algorithm R, lines 10-19): Algorithm R's
+  *    output is a uniform random m-subset of the stream. The
+  *    distributed twin draws the SAME distribution shuffle-free: key
+  *    every arrival by a seeded 64-bit hash of its arrival index and
+  *    keep the m smallest keys (`TakeOrderedAndProject` — one pass,
+  *    partial top-m per partition, no full sort). Seeded → reproducible.
+  *  - Sticky Sampling (lines 22-29): the sequential rule "flip a coin
+  *    with prob r/n for each occurrence of an untracked item; once
+  *    tracked, count every occurrence" is equivalent to: per item, find
+  *    the FIRST occurrence whose independent coin succeeds, then count
+  *    that occurrence and all later ones. (Coins of already-tracked
+  *    occurrences are never consulted, so flipping them eagerly changes
+  *    nothing.) That is a groupBy(min) + self-join + groupBy(count) —
+  *    fully distributed, no sequential state.
+  *
+  * Reference-exact sequential folds are kept for parity tests; the
+  * contract between the two is distributional (SURVEY.md §2.7 St5/St6).
+  */
+object Freq {
+
+  /** A7 — exact frequency histogram: `item, cnt`. */
+  def histogram(items: DataFrame): DataFrame =
+    items.groupBy("item").agg(count(lit(1)).as("cnt"))
+
+  /** St3 — exact frequent items: cnt ≥ φ·n with n = stream length
+    * (`HWK_3/G029HW3.py:117`). */
+  def frequentItems(items: DataFrame, phi: Double): DataFrame = {
+    val n = items.count()
+    histogram(items).where(col("cnt") >= lit(phi * n))
+  }
+
+  /** J4 — membership annotation: estimated items flagged +/- against
+    * the true-frequent set (`HWK_3/G029HW3.py:140-143`). */
+  def annotate(estimated: DataFrame, trueFreq: DataFrame): DataFrame =
+    estimated
+      .join(trueFreq.select(col("item"), lit(true).as("is_true")), Seq("item"), "left")
+      .withColumn("is_true", coalesce(col("is_true"), lit(false)))
+
+  // ---------------------------------------------------------------
+  // St5 — Reservoir Sampling
+  // ---------------------------------------------------------------
+
+  /** Reference-exact Algorithm R (`HWK_3/G029HW3.py:10-19`): item t
+    * (1-based) enters a full reservoir with prob m/t, replacing a
+    * uniform random slot. Sequential by nature — parity/test twin. */
+  def reservoirLocal(items: Iterator[Long], m: Int, rnd: scala.util.Random): Array[Long] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](m)
+    var t = 0L
+    items.foreach { x =>
+      t += 1
+      if (buf.length < m) buf += x
+      else if (rnd.nextDouble() < m.toDouble / t) buf(rnd.nextInt(m)) = x
+    }
+    buf.toArray
+  }
+
+  /** Distributed twin: uniform m-subset as "m smallest seeded hashes of
+    * the arrival index". Input needs `ord` (arrival order, unique) and
+    * `item`. Output: `ord, item` (the sample, in arrival order). */
+  def reservoirSample(items: DataFrame, m: Int, seed: Long): DataFrame =
+    items
+      .withColumn("hkey", xxhash64(col("ord"), lit(seed)))
+      .orderBy("hkey")
+      .limit(m)
+      .select("ord", "item")
+
+  // ---------------------------------------------------------------
+  // St6 — Sticky Sampling
+  // ---------------------------------------------------------------
+
+  /** Reference-exact sequential fold (`HWK_3/G029HW3.py:22-29`):
+    * tracked items always counted; untracked inserted with prob p. */
+  def stickyLocal(items: Iterator[Long], p: Double, rnd: scala.util.Random): Map[Long, Long] = {
+    val tab = scala.collection.mutable.HashMap.empty[Long, Long]
+    items.foreach { x =>
+      tab.get(x) match {
+        case Some(c) => tab(x) = c + 1
+        case None    => if (rnd.nextDouble() < p) tab(x) = 1L
+      }
+    }
+    tab.toMap
+  }
+
+  /** Distributed twin: per-occurrence independent seeded coin; an item
+    * is tracked from its first successful coin onward. `p = r/n` with
+    * r = ln(1/(δφ))/ε (`HWK_3/G029HW3.py:84`). Input: `ord, item`.
+    * Output: `item, cnt` (the sticky hash table). */
+  def stickySample(items: DataFrame, p: Double, seed: Long): DataFrame = {
+    // coin ∈ [0,1): scale a seeded 64-bit hash into the unit interval
+    val coin = (pmod(xxhash64(col("ord"), lit(seed)), lit(1L << 40)).cast("double")
+      / lit((1L << 40).toDouble))
+    val coined = items.withColumn("succ", coin < lit(p))
+    val firstHit = coined.where(col("succ"))
+      .groupBy("item").agg(min(col("ord")).as("t0"))
+    coined
+      .join(firstHit, Seq("item"))
+      .where(col("ord") >= col("t0"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** St6 final answer: estimated frequent = sticky items with
+    * cnt ≥ (φ−ε)·n (`HWK_3/G029HW3.py:149`). */
+  def stickyFrequent(sticky: DataFrame, phi: Double, eps: Double, n: Long): DataFrame =
+    sticky.where(col("cnt") >= lit((phi - eps) * n))
+
+  /** r = ln(1/(δφ))/ε (`HWK_3/G029HW3.py:84`). */
+  def stickyRate(phi: Double, eps: Double, delta: Double): Double =
+    math.log(1.0 / (delta * phi)) / eps
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.Freq
+import org.apache.spark.sql.functions._
+
+class FreqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def streamDF(xs: Seq[Long]) =
+    xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("ord", "item")
+
+  test("histogram + frequentItems threshold semantics") {
+    val xs = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L)
+    val freq = Freq.frequentItems(streamDF(xs), 0.25).as[(Long, Long)].collect().toMap
+    assert(freq == Map(1L -> 60L, 2L -> 30L)) // 3 has 10 < 25
+  }
+
+  test("annotate flags true-frequent membership") {
+    val est = Seq((1L, 5L), (9L, 4L)).toDF("item", "cnt")
+    val tf  = Seq(Tuple1(1L)).toDF("item")
+    val ann = Freq.annotate(est, tf).select("item", "is_true")
+      .as[(Long, Boolean)].collect().toMap
+    assert(ann == Map(1L -> true, 9L -> false))
+  }
+
+  test("reservoirLocal: size == min(m, n), subset of stream") {
+    val rnd = new scala.util.Random(1)
+    val xs = (1L to 100L)
+    val r = Freq.reservoirLocal(xs.iterator, 15, rnd)
+    assert(r.length == 15 && r.forall(xs.contains))
+    assert(Freq.reservoirLocal((1L to 5L).iterator, 15, rnd).length == 5)
+  }
+
+  test("reservoirSample: deterministic uniform m-subset") {
+    val xs = (0L until 500L).map(i => i % 37)
+    val df = streamDF(xs)
+    val s1 = Freq.reservoirSample(df, 20, 42L).as[(Long, Long)].collect().sortBy(_._1)
+    val s2 = Freq.reservoirSample(df, 20, 42L).as[(Long, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq)          // deterministic under a seed
+    assert(s1.length == 20)
+    assert(s1.forall { case (ord, item) => xs(ord.toInt) == item })
+    val s3 = Freq.reservoirSample(df, 20, 43L).as[(Long, Long)].collect().sortBy(_._1)
+    assert(s3.toSeq != s1.toSeq)          // seed changes the draw
+  }
+
+  test("reservoirSample distribution: element inclusion ~ m/n over seeds") {
+    val df = streamDF((0L until 200L))
+    val hits = Array.fill(200)(0)
+    (0 until 60).foreach { seed =>
+      Freq.reservoirSample(df, 20, seed.toLong).select("ord")
+        .as[Long].collect().foreach(o => hits(o.toInt) += 1)
+    }
+    // E[hits] = 60 * 20/200 = 6; loose 3-sigma-ish band
+    val mean = hits.sum.toDouble / hits.length
+    assert(math.abs(mean - 6.0) < 0.5, s"mean inclusion $mean")
+    assert(hits.max <= 20 && hits.min >= 0)
+  }
+
+  test("stickyLocal: tracked items count every later occurrence") {
+    // p = 1 => every item tracked from first occurrence => exact histogram
+    val rnd = new scala.util.Random(2)
+    val xs = Seq(5L, 5L, 7L, 5L, 7L, 9L)
+    val tab = Freq.stickyLocal(xs.iterator, 1.0, rnd)
+    assert(tab == Map(5L -> 3L, 7L -> 2L, 9L -> 1L))
+    // p = 0 => nothing ever tracked
+    assert(Freq.stickyLocal(xs.iterator, 0.0, rnd).isEmpty)
+  }
+
+  test("stickySample: p=1 equals exact histogram; p=0 empty; deterministic") {
+    val xs = (0L until 300L).map(i => i % 7)
+    val df = streamDF(xs)
+    val full = Freq.stickySample(df, 1.0, 42L).as[(Long, Long)].collect().toMap
+    val hist = Freq.histogram(df).as[(Long, Long)].collect().toMap
+    assert(full == hist)
+    assert(Freq.stickySample(df, 0.0, 42L).count() == 0)
+    val a = Freq.stickySample(df, 0.3, 7L).as[(Long, Long)].collect().toSet
+    val b = Freq.stickySample(df, 0.3, 7L).as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("stickySample counts suffix after first successful coin") {
+    // with any 0<p<1 and a single item, cnt must be n - t0 where t0 is
+    // the first successful ord; verify internal consistency: cnt <= n and
+    // the sticky guarantee: items with true freq >= phi*n appear with
+    // high prob when p is large enough
+    val n = 400
+    val xs = Seq.fill(n)(1L)
+    val df = streamDF(xs)
+    val res = Freq.stickySample(df, 0.2, 5L).as[(Long, Long)].collect()
+    assert(res.length == 1)
+    assert(res(0)._2 >= 1 && res(0)._2 <= n)
+  }
+
+  test("sticky guarantee (distributional): all phi-frequent found at eps, delta") {
+    val phi = 0.2; val eps = 0.1; val delta = 0.1
+    // stream: item 1 x 300, item 2 x 250, tail 450 distinct singletons
+    val xs = Seq.fill(300)(1L) ++ Seq.fill(250)(2L) ++ (100L until 550L)
+    val n = xs.length
+    val p = math.min(1.0, Freq.stickyRate(phi, eps, delta) / n)
+    var ok = 0
+    (0 until 20).foreach { seed =>
+      val est = Freq.stickyFrequent(
+        Freq.stickySample(streamDF(xs), p, seed.toLong), phi, eps, n)
+        .select("item").as[Long].collect().toSet
+      if (Set(1L, 2L).subsetOf(est)) ok += 1
+    }
+    assert(ok >= 18, s"sticky recovered heavy hitters in $ok/20 runs") // >= 1-delta
+  }
+}
