@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: hash-groupBy on a content digest — one shuffle on the
+  *    digest, no comparisons. The canonical-doc choice (min doc_id per
+  *    digest group) is a window over the digest partition.
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle-explode
+  *    equi-join — correct but O(Σ pairs-per-shingle); usable when
+  *    shingles are selective (word n-grams, not unigrams). This is the
+  *    verifier for the approximate variants.
+  *  - MinHash+LSH: per-doc signature of `numHashes` seeded min-hashes
+  *    over shingles (one explode + groupBy), banded into
+  *    `bands`; candidate pairs = docs sharing a band bucket (equi-join
+  *    on band hash — the ONLY join, on a highly selective key), then
+  *    exact-Jaccard verification of candidates only. At 100 TB this is
+  *    the scalable path: cost ∝ data + collisions, never all-pairs.
+  *  - SimHash: 64-bit signature per doc from token-hash bit votes;
+  *    near-dups = signatures within Hamming distance d (joined on
+  *    rotated bucket keys or verified on LSH candidates).
+  *
+  * All hashing is seeded `xxhash64` — deterministic across runs and
+  * cluster layouts.
+  */
+object Dedup {
+
+  /** Exact dedup via content digest: doc_id, canonical_id (min doc_id
+    * of the identical-text group), is_dup. */
+  def exactDupFlags(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("digest"))
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+      .select(col(idCol), col("canonical_id"), col("is_dup"))
+  }
+
+  /** Word n-gram shingles of a text column as a DISTINCT array. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = Text.tokens(c)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** doc_id → exploded distinct shingle rows: `id, sh`. */
+  private def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+
+  /** Exact n-gram Jaccard over all pairs sharing ≥1 shingle:
+    * `a, b, inter, na, nb, jac` with a < b, jac ≥ minJaccard.
+    * Set-similarity join via shingle equi-join (no cross join). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = shingleRows(docs, textCol, idCol, n).cache()
+    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = rows.as("l").join(rows.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jac") >= minJaccard)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jac"))
+  }
+
+  /** MinHash signature column: array of `numHashes` min over shingles
+    * of xxhash64(shingle, seed_i). Empty shingle set → nulls. */
+  def minhashSignature(sh: Column, numHashes: Int, seed: Long): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i + lit(seed)))))
+
+  /** LSH candidate pairs from banded minhash signatures, verified with
+    * exact Jaccard: `a, b, jac`. bands·rowsPerBand = numHashes. */
+  def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+                      minJaccard: Double, seed: Long = 42L,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    // band key = hash of the band's slice of the signature
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+            x => x.cast("string"))), b).as("bkey")))).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bkey"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sh").as("sha"), col("r.sh").as("shb"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .where(col("jac") >= minJaccard)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** 64-bit SimHash of the token multiset: bit i of the signature is 1
+    * iff Σ_tokens (bit i of xxhash64(token) ? +1 : −1) > 0. Computed
+    * as a higher-order fold — one pass, no explode, codegen-friendly. */
+  def simhash64(c: Column, seed: Long = 0L): Column = {
+    val votes = aggregate(
+      Text.tokens(c),
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t, lit(seed))
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (v, i) => v + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within Hamming distance maxDist, candidate
+    * generation by 4×16-bit band buckets (any pair within distance 3
+    * must agree on ≥1 of 4 bands — pigeonhole). */
+  def simhashPairs(docs: DataFrame, maxDist: Int, seed: Long = 0L,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol), seed).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bkey")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hamming64(col("l.sig"), col("r.sig")).as("dist"))
+      .dropDuplicates("a", "b")
+      .where(col("dist") <= maxDist)
+  }
+}

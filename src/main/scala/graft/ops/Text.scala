@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID
+  * (lexicon heuristic), and document fingerprinting (rolling hash).
+  *
+  * All operators are pure Catalyst column expressions (no UDFs): they
+  * stay inside whole-stage codegen and are reproducible in ANSI-ish
+  * SQL for the DuckDB oracle. Careful parity notes: tokenization is
+  * `lower` + split on `[^a-z0-9]+` + drop empties — identical
+  * semantics in Spark `split`/`filter` and DuckDB
+  * `regexp_split_to_array`/`list_filter`.
+  */
+object Text {
+
+  /** Tokens of a text column: lowercase, split on non-alphanumeric
+    * runs, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** English-ish stopword list (fixed, tiny — parity with oracle). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isInCollection(stopwords)))
+
+  /** Quality signals per document, all exact-arithmetic or
+    * deterministic double ops:
+    *  n_chars_txt, n_tokens, n_stopwords, n_digits, n_punct,
+    *  avg_token_len (double), stopword_ratio (double).
+    */
+  def qualitySignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    docs
+      .withColumn("n_chars_txt", length(c))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stopwords", stopwordCount(c))
+      .withColumn("n_digits", length(c) - length(regexp_replace(c, "[0-9]", "")))
+      .withColumn("n_punct", length(c) - length(regexp_replace(c, "[.,;:!?]", "")))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0,
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+            .cast("double") / size(toks).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0,
+          stopwordCount(c).cast("double") / size(toks).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Tiny per-language lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: first language in `langs`
+    * order wins (scores compared with >=). */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"),
+  )
+
+  /** Language-ID: argmax of lexicon hit-counts over the token list. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = langLexicons.map { case (l, lex) =>
+      l -> size(filter(toks, t => t.isInCollection(lex)))
+    }
+    // first max wins: lang i is chosen iff it strictly beats every
+    // earlier lang and ties-or-beats every later one
+    val caseChain = scores.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((l, s), i)) =>
+        val isMax = scores.zipWithIndex.filter(_._2 != i).map {
+          case ((_, s2), j) => if (j < i) s > s2 else s >= s2
+        }.reduce(_ && _)
+        acc match {
+          case None      => Some(when(isMax, lit(l)))
+          case Some(col) => Some(col.when(isMax, lit(l)))
+        }
+    }
+    caseChain.get.otherwise(lit(scores.head._1))
+  }
+
+  /** Rolling polynomial fingerprint over the characters of the text:
+    * fp = fold(chars, 0, (acc, ch) -> (acc*31 + codepoint(ch)) mod
+    * 2147483647). Exact 64-bit integer arithmetic — bit-identical in
+    * any engine; acc < 2^31 keeps acc*31+c < 2^36 (no overflow). */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      // filter: Spark split keeps a trailing "" (limit -1) that
+      // DuckDB string_split drops — drop empties on both sides
+      transform(filter(split(c, ""), ch => ch =!= lit("")),
+        ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, v) => pmod(acc * 31 + v, lit(2147483647L)))
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.ops.{Dedup, Similarity, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries over `documents` and `embeddings`:
+  * text analysis, deduplication, similarity search.
+  *
+  * Oracle parity notes: tokenization is mirrored as
+  * `list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), t -> t != '')`;
+  * doubles that come from per-row sequential folds are bit-identical
+  * across engines (same IEEE op order), rounded to 6 decimals as a
+  * hedge anyway.
+  */
+object DocQueries extends QueryPack {
+  private val NGRAM = 3
+  private val MINJAC = 0.1
+  private val SEED = 42L
+
+  private val tokSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + quality scoring (ratios, punct/digit counts)
+    "text_quality" -> ((s, d) =>
+      Text.qualitySignals(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars_txt"), col("n_tokens"),
+          col("n_stopwords"), col("n_digits"), col("n_punct"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))),
+    // corpus-level token histogram, top 30
+    "text_tokens_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(30)),
+    // language-ID heuristic (lexicon argmax)
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // rolling-hash document fingerprint
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    // exact dedup: canonical doc per identical-content group
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactDupFlags(Tables.documents(s, d))),
+    // exact n-gram Jaccard near-dup pairs (the verifier path)
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), NGRAM, MINJAC)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+          round(col("jac"), 6).as("jac"))),
+    // MinHash+LSH near-dup pairs (the scale path; seeded)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), NGRAM,
+        numHashes = 32, bands = 8, minJaccard = 0.3, seed = SEED)
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))),
+    // SimHash near-dup pairs within Hamming distance 3
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3, seed = SEED)),
+    // exact nearest neighbor by cosine (brute force)
+    "ann_cosine_nn" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), 1)
+        .select(col("vec_id"), col("nn_id"))),
+    // approximate NN via random-hyperplane buckets (scale path)
+    "ann_bucketed" -> ((s, d) =>
+      Similarity.annBucketed(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  length(text) AS n_chars_txt,
+         |  len(tk) AS n_tokens,
+         |  len(list_filter(tk, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS n_stopwords,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |  round(CASE WHEN len(tk) > 0 THEN
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b)::DOUBLE / len(tk)
+         |    ELSE 0.0 END, 6) AS avg_token_len,
+         |  round(CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, t -> t IN ('the','a','an','and','of','to','in','is','it','that')))::DOUBLE / len(tk)
+         |    ELSE 0.0 END, 6) AS stopword_ratio
+         |FROM t""".stripMargin,
+    "text_tokens_topk" ->
+      s"""WITH t AS (SELECT $tokSql AS tk FROM documents)
+         |SELECT token, count(*) AS cnt
+         |FROM (SELECT unnest(tk) AS token FROM t)
+         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tk, t -> t IN ('the','a','and','of','is'))) AS s_en,
+         |  len(list_filter(tk, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |  len(list_filter(tk, t -> t IN ('el','la','de','que','es'))) AS s_es,
+         |  len(list_filter(tk, t -> t IN ('le','la','et','les','est'))) AS s_fr,
+         |  len(list_filter(tk, t -> t IN ('de','shi','le','wo','ni'))) AS s_zh
+         |FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+         |  ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |                     c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a*31 + b) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(tk)-$NGRAM+1),
+         |    i -> array_to_string(tk[i:i+$NGRAM-1], ' '))) AS shs
+         |  FROM toks WHERE len(tk) >= $NGRAM),
+         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.inter, za.sz AS na, zb.sz AS nb,
+         |  round(p.inter::DOUBLE / (za.sz + zb.sz - p.inter), 6) AS jac
+         |FROM pairs p
+         |JOIN sz za ON za.doc_id = p.a
+         |JOIN sz zb ON zb.doc_id = p.b
+         |WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC""".stripMargin,
+    "ann_cosine_nn" ->
+      """SELECT vec_id, nn_id FROM (
+        |  SELECT l.vec_id, r.vec_id AS nn_id,
+        |    row_number() OVER (PARTITION BY l.vec_id
+        |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC, r.vec_id) AS rn
+        |  FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id)
+        |WHERE rn = 1""".stripMargin,
+  )
+}
