@@ -15,6 +15,8 @@ object SparkEntry {
     FftQueries,
     FreqQueries,
     DocQueries,
+    StreamQueries,
+    RelationalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

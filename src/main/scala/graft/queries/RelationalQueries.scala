@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational breadth of the engine (SURVEY.md §2.8: capabilities the
+  * reference lacks but a complete engine ships "for free" on Spark
+  * SQL): aggregations, equi/semi/anti joins, window functions, set
+  * ops, rollup, date functions — all DuckDB-oracle-backed.
+  *
+  * Float-determinism convention: money sums are computed as
+  * `cast(round(x*100) as bigint)` cents so every aggregate is an
+  * order-independent exact integer; quantity sums are integral doubles
+  * (exact in IEEE up to 2^53). Averages divide two exact values.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def centsCol(c: String) = round(col(c) * 100).cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary
+    "tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(centsCol("l_extendedprice")).as("sum_price_cents"),
+          count(lit(1)).as("count_order"),
+          round(sum("l_quantity") / count(lit(1)), 6).as("avg_qty"))),
+    // broadcast equi-join + agg: revenue by market segment
+    "join_mktsegment_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // 3-way join: order count by part brand and supplier nation
+    "join_brand_nation" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+    // window: top-3 orders per customer by value
+    "window_top_orders" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    }),
+    // set op: nations present among both customers and suppliers
+    "setop_common_nations" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())),
+    // anti join: customers who never ordered
+    "anti_customers_no_orders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")),
+    // semi join: parts that appear in some lineitem, count by type
+    "semi_parts_used" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_type").agg(count(lit(1)).as("n"))),
+    // rollup: order counts by (status, priority) with subtotals
+    "rollup_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
+    // date functions: orders per calendar year
+    "orders_by_year" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(centsCol("o_totalprice")).as("revenue_cents"))),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+        |  count(*) AS count_order,
+        |  round(sum(l_quantity)/count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "join_mktsegment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "join_brand_nation" ->
+      """SELECT p_brand, n_name, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "setop_common_nations" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "anti_customers_no_orders" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "semi_parts_used" ->
+      """SELECT p_type, count(*) AS n FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY 1""".stripMargin,
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "orders_by_year" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+  )
+}
