@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Single-file scans are one task; fan compute out first (see
+    * graft.queries.Tables.parallelize). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup via content digest: doc_id, canonical_id (min doc_id
     * of the identical-text group), is_dup. */
   def exactDupFlags(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -57,8 +62,9 @@ object Dedup {
   /** Exact n-gram Jaccard over all pairs sharing ≥1 shingle:
     * `a, b, inter, na, nb, jac` with a < b, jac ≥ minJaccard.
     * Set-similarity join via shingle equi-join (no cross join). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+  def ngramJaccardPairs(docs0: DataFrame, n: Int, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docs = spread(docs0)
     val rows = shingleRows(docs, textCol, idCol, n).cache()
     val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = rows.as("l").join(rows.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
@@ -73,39 +79,59 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jac"))
   }
 
-  /** MinHash signature column: array of `numHashes` min over shingles
-    * of xxhash64(shingle, seed_i). Empty shingle set → nulls. */
-  def minhashSignature(sh: Column, numHashes: Int, seed: Long): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i + lit(seed)))))
+  /** MinHash signatures as `numHashes` codegen'd min-aggregates over
+    * the exploded shingle rows (one shuffle on doc id; each hash is a
+    * plain `min(xxhash64(sh, seed+i))` with map-side partial agg —
+    * no interpreted higher-order lambdas on the hot path).
+    * Output: `id, h0 … h{numHashes-1}`. */
+  def minhashSignatures(docs0: DataFrame, n: Int, numHashes: Int, seed: Long,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashFromSets(spread(docs0)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")), numHashes, seed)
+
+  /** Signatures from a precomputed `id, sh` shingle-set table. */
+  private def minhashFromSets(sets: DataFrame, numHashes: Int, seed: Long): DataFrame = {
+    // hash the (variable-length) shingle string ONCE, then derive the
+    // numHashes family from the 8-byte digest — 32x less string hashing
+    val rows = sets
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("hs"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(col("hs"), lit(seed + i))).as(s"h$i"))
+    rows.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH candidate pairs from banded minhash signatures, verified with
-    * exact Jaccard: `a, b, jac`. bands·rowsPerBand = numHashes. */
+    * exact Jaccard: `a, b, jac`. bands·rowsPerBand = numHashes.
+    * Candidates join only on (band, bandkey) — cost ∝ collisions, not
+    * all-pairs; shingle sets are re-attached to the (few) candidates
+    * for exact verification. */
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       minJaccard: Double, seed: Long = 42L,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = docs
+    // shingle sets feed BOTH the signature path and the verification
+    // join — cache so tokenization/shingling runs once
+    val sets = spread(docs)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    // band key = hash of the band's slice of the signature
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",", transform(
-            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-            x => x.cast("string"))), b).as("bkey")))).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bkey"))
+      .cache()
+    val sig = minhashFromSets(sets, numHashes, seed)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bkey"))
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.sh").as("sha"), col("r.sh").as("shb"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
     cand
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
@@ -134,12 +160,33 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures via exploded tokens + 64 codegen'd vote
+    * aggregates (the scale path: one shuffle on doc id, map-side
+    * partial aggregation; same bits as the per-row [[simhash64]]
+    * fold). Output: `id, sig`. */
+  def simhashSignatures(docs0: DataFrame, seed: Long = 0L,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docs = spread(docs0)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t"), lit(seed)).as("h"))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val votes = toks.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    votes.select(col("id"), sig.as("sig"))
+  }
+
   /** SimHash near-dup pairs within Hamming distance maxDist, candidate
     * generation by 4×16-bit band buckets (any pair within distance 3
     * must agree on ≥1 of 4 bands — pigeonhole). */
   def simhashPairs(docs: DataFrame, maxDist: Int, seed: Long = 0L,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol), seed).as("sig"))
+    val sigs = simhashSignatures(docs, seed, textCol, idCol)
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),

@@ -77,29 +77,31 @@ object Fft {
       .collect()
   }
 
-  /** Squared min-distance of (x,y) to a literal center set — a
-    * higher-order array expression, fully codegen'd, no join. */
-  def minDistSqCol(centers: Array[Point], x: Column, y: Column): Column = {
-    val arr = array(centers.map(c => struct(lit(c.x).as("cx"), lit(c.y).as("cy"))): _*)
-    array_min(transform(arr, c => {
-      val dx = x - c.getField("cx"); val dy = y - c.getField("cy")
-      dx * dx + dy * dy
-    }))
-  }
+  /** Squared min-distance of (x,y) to a literal center set — the
+    * codegen'd [[graft.functions.MinDistSq]] loop over the centers
+    * packed flat as an array<double> literal (broadcast by value in
+    * the plan; no join, no shuffle). */
+  def minDistSqCol(points: DataFrame, centers: Array[Point], x: Column, y: Column): Column =
+    graft.functions.Native.minDistSqNative(points.sparkSession, x, y,
+      lit(centers.flatMap(c => Array(c.x, c.y))))
+
+  /** C1+C2+C3 — centers only (coreset + driver FFT), no radius scan. */
+  def centers(points: DataFrame, k: Int, l: Int): Array[Point] =
+    seqFFT(coreset(points, k, l), k)
 
   /** C4 — Round 3: R = max_p min_c dist(p,c), one scan, no shuffle
     * beyond the final scalar reduce. */
-  def radius(points: DataFrame, centers: Array[Point]): Double = {
+  def radius(points: DataFrame, centerArr: Array[Point]): Double = {
     val row = points
-      .agg(max(minDistSqCol(centers, col("x"), col("y"))).as("r2"))
+      .agg(max(minDistSqCol(points, centerArr, col("x"), col("y"))).as("r2"))
       .head()
     math.sqrt(row.getDouble(0))
   }
 
   /** C1+C2+C3+C4 — full MRFFT: (K centers, radius R). */
   def mrfft(points: DataFrame, k: Int, l: Int): (Array[Point], Double) = {
-    val centers = seqFFT(coreset(points, k, l), k) // C3: driver FFT on coreset
-    (centers, radius(points, centers))
+    val cs = centers(points, k, l)
+    (cs, radius(points, cs))
   }
 
   /** C5 — HW2 composition: cluster, then grid-approximate outliers

@@ -57,7 +57,9 @@ object Multimodal {
   def extractFeatures(media: DataFrame, dim: Int): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "payload").as[(Long, Array[Byte])]
+    media.select("media_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // <- real decoder/model initialization would go here, once
         it.map { case (id, bytes) => MediaFeature(id, dim, fakeDecode(bytes, dim)) }

@@ -43,25 +43,46 @@ object Outliers {
     * exploding 9 offsets on the probe side makes the join an equi-join
     * on (bi, bj) with an exact distance post-filter.
     */
-  def neighborCounts(points: DataFrame, d: Double): DataFrame = {
+  def neighborCounts(points0: DataFrame, d: Double): DataFrame = {
+    // single-file scans are one task — fan the pair-generation out
+    // (the reference's explicit repartition(L), HWK_1/G029HW1.py:148)
+    val points = points0.repartition(
+      points0.sparkSession.sparkContext.defaultParallelism)
     val bucketed = points
       .withColumn("bi", floor(col("x") / lit(d)))
       .withColumn("bj", floor(col("y") / lit(d)))
-    val offs = array((for { di <- -1 to 1; dj <- -1 to 1 }
-      yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
-    val probe = bucketed.select(
-      col("id"), col("x"), col("y"),
-      explode(offs).as("off"), col("bi"), col("bj"))
+    val rhs = bucketed.select(col("bi"), col("bj"), col("id").as("id2"),
+      col("x").as("x2"), col("y").as("y2"))
+    // each unordered pair is generated exactly ONCE (half-plane trick,
+    // 2x fewer candidates than the full 3x3 probe):
+    //  - same cell: id < id2
+    //  - adjacent cells: the 4 offsets {(1,0),(1,1),(0,1),(-1,1)}
+    //    cover each unordered cell adjacency once
+    val sameCell = bucketed
+      .join(rhs, Seq("bi", "bj"))
+      .where(col("id") < col("id2"))
+    val offs4 = array(Seq((1, 0), (1, 1), (0, 1), (-1, 1)).map { case (di, dj) =>
+      struct(lit(di).as("di"), lit(dj).as("dj"))
+    }: _*)
+    val crossCell = bucketed
+      .select(col("id"), col("x"), col("y"), explode(offs4).as("off"),
+        col("bi"), col("bj"))
       .select(col("id"), col("x"), col("y"),
         (col("bi") + col("off.di")).as("bi"),
         (col("bj") + col("off.dj")).as("bj"))
-    val build = bucketed.select(
-      col("bi"), col("bj"), col("x").as("x2"), col("y").as("y2"))
-    probe
-      .join(build, Seq("bi", "bj"))
+      .join(rhs, Seq("bi", "bj"))
+    val cols = Seq("id", "id2", "x", "y", "x2", "y2").map(col)
+    val pairs = sameCell.select(cols: _*).union(crossCell.select(cols: _*))
       .where(distSqCol(col("x"), col("y"), col("x2"), col("y2")) <= lit(d * d))
+    // scatter each surviving pair to both endpoints, count, then +1
+    // for the self-pair; points with no neighbor re-enter via left join
+    val counts = pairs
+      .select(explode(array(col("id"), col("id2"))).as("id"))
       .groupBy("id")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("npairs"))
+    points.select(col("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("npairs"), lit(0L)) + 1L).as("cnt"))
   }
 
   /** Exact (D,M)-outliers: points with ≤ M neighbors (self included),

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float-array columns, in double. */
+  /** Σ aᵢ·bᵢ over two float-array columns, in double (higher-order
+    * formulation — kept for per-row use; the N² hot path uses the
+    * codegen'd [[graft.functions.DotProduct]] instead). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -28,19 +30,46 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** id + unit-normalized double vector: normalization runs ONCE per
+    * vector (O(N·dim)), so the N² pair stage is a bare dot product. */
+  private def normalized(embs: DataFrame, idCol: String, vecCol: String,
+                         outId: String, outVec: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    embs.select(col(idCol).as(outId),
+      transform(vd, x => x / sqrt(aggregate(
+        transform(vd, y => y.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))).as(outVec))
+  }
+
   /** Exact top-k cosine neighbors per vector (brute force, id-ordered
-    * tie-break): `vec_id, nn_id, rank`. */
+    * tie-break): `vec_id, nn_id, rank`.
+    *
+    * k=1 plans as groupBy + max(struct) — partial aggregation runs
+    * map-side inside the same codegen stage as the join, so the N²
+    * candidate rows never shuffle. k>1 falls back to a rank window. */
   def cosineTopK(embs: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val l = embs.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
-    val r = embs.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    l.join(r, col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("nn_id"), col("rank"))
+    val spark = embs.sparkSession
+    // probe side repartitioned: the scan is a single task otherwise,
+    // and with a broadcast build the join inherits probe parallelism
+    val l = normalized(embs, idCol, vecCol, "vec_id", "va")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val r = normalized(embs, idCol, vecCol, "nn_id", "vb")
+    val scored = l.join(r, col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+    if (k == 1) {
+      scored
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("nn_id")).as("negid"))).as("best"))
+        .select(col("vec_id"), (-col("best.negid")).as("nn_id"), lit(1).as("rank"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("vec_id"), col("nn_id"), col("rank"))
+    }
   }
 
   /** Random-hyperplane bucket id: `nBits` sign bits of projections
@@ -68,13 +97,15 @@ object Similarity {
   def annBucketed(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      rpBucket(col(vecCol), dim, nBits, seed).as("bucket"))
+    val spark = embs.sparkSession
+    val b = normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("bucket", rpBucket(col("v"), dim, nBits, seed))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
     b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("vec_id"), col("r.id").as("nn_id"),
-        cosine(col("l.v"), col("r.v")).as("cos"))
+        graft.functions.Native.dotNative(spark, col("l.v"), col("r.v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("vec_id"), col("nn_id"), col("rank"))

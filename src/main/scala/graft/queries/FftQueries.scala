@@ -16,9 +16,10 @@ object FftQueries extends QueryPack {
   private val M = 10
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // C1–C3: the K centers themselves (deterministic: id-hash coreset)
+    // C1–C3: the K centers themselves (deterministic coreset; no
+    // radius scan — that's fft_radius's job)
     "fft_centers" -> ((s, d) => {
-      val (centers, _) = Fft.mrfft(Tables.points(s, d), K, L)
+      val centers = Fft.centers(Tables.points(s, d), K, L)
       import s.implicits._
       centers.toSeq.toDF("x", "y").orderBy("x", "y")
     }),

@@ -28,6 +28,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** Spread a single-file scan across the cluster: the driver's
+    * parquet files are one row group each, so the scan is one task —
+    * every compute-heavy pipeline repartitions to default parallelism
+    * first (the reference's explicit `repartition(L)`,
+    * `HWK_1/G029HW1.py:148`). */
+  def parallelize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Points with unique id: `id, x, y`. Column pruning reaches the scan
     * (only 4 of 11 lineitem columns are read). */
   def points(s: SparkSession, d: String): DataFrame =
