@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{Fft, Freq, Outliers}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven invariants (SURVEY.md §5): bracket
+  * property of the grid approximation, FFT 2-approximation /
+  * monotonicity, sampling-size laws. Draws are seeded explicitly (no
+  * scalatestplus bridge in the offline dep set), 8 cases per law.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val pointsGen: Gen[List[Point]] = for {
+    n <- Gen.choose(5, 120)
+    pts <- Gen.listOfN(n, for {
+      x <- Gen.choose(0.0, 10.0); y <- Gen.choose(0.0, 10.0)
+    } yield Point(x, y))
+  } yield pts
+
+  test("property: sure <= exact <= sure + uncertain for random point sets") {
+    for (s <- 1 to 8) {
+      val pts = draw(pointsGen, s)
+      val d = draw(Gen.choose(0.3, 2.0), s + 100)
+      val m = draw(Gen.choose(1, 5), s + 200)
+      val exact = Outliers.exactOutliersLocal(pts.toArray, d, m).length
+      val row = Outliers.approxOutlierCounts(
+        pts.map(p => (p.x, p.y)).toDF("x", "y"), d, m).head()
+      val (sure, unc) = (row.getLong(0), row.getLong(1))
+      assert(sure <= exact && exact <= sure + unc,
+        s"seed=$s d=$d m=$m sure=$sure exact=$exact unc=$unc")
+    }
+  }
+
+  test("property: FFT radius is monotone non-increasing in k") {
+    for (s <- 1 to 8) {
+      val arr = draw(pointsGen, s + 300).toArray
+      def radius(k: Int): Double = {
+        val cs = Fft.seqFFT(arr, k)
+        arr.map(p => cs.map(c => Point.distSq(p, c)).min).max
+      }
+      val rs = Seq(1, 2, 4, 8).map(radius)
+      assert(rs.zip(rs.tail).forall { case (a, b) => b <= a + 1e-12 }, s"seed=$s radii $rs")
+    }
+  }
+
+  test("property: FFT anchor spacing — the k+1 FFT picks are pairwise >= r_k apart") {
+    // implies OPT_k >= r_k/2 (two anchors share a center by pigeonhole),
+    // i.e. the Gonzalez 2-approximation bound
+    for (s <- 1 to 8) {
+      val arr = draw(pointsGen.suchThat(_.length >= 10), s + 400).toArray
+      val k = draw(Gen.choose(2, 6), s + 500)
+      val anchors = Fft.seqFFT(arr, k + 1)
+      val rk = {
+        val cs = anchors.take(k)
+        arr.map(p => cs.map(c => Point.distSq(p, c)).min).max
+      }
+      val minAnchorDistSq = (for {
+        i <- anchors.indices; j <- anchors.indices if i < j
+      } yield Point.distSq(anchors(i), anchors(j))).min
+      assert(minAnchorDistSq >= rk - 1e-9,
+        s"seed=$s anchor spacing ${math.sqrt(minAnchorDistSq)} < r_k ${math.sqrt(rk)}")
+    }
+  }
+
+  test("property: reservoir size law |sample| == min(m, n)") {
+    for (s <- 1 to 8) {
+      val n = draw(Gen.choose(1L, 300L), s + 600)
+      val m = draw(Gen.choose(1, 40), s + 700)
+      val df = (0L until n).map(i => (i, i % 13)).toDF("ord", "item")
+      assert(Freq.reservoirSample(df, m, s.toLong).count() == math.min(m.toLong, n))
+    }
+  }
+
+  test("property: sticky table is a sub-histogram (1 <= cnt <= true frequency)") {
+    for (s <- 1 to 8) {
+      val n = draw(Gen.choose(50, 400), s + 800)
+      val p = draw(Gen.choose(0.05, 0.9), s + 900)
+      val xs = (0 until n).map(i => (i % 9).toLong)
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("ord", "item")
+      val hist = xs.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      Freq.stickySample(df, p, s.toLong).as[(Long, Long)].collect().foreach {
+        case (item, cnt) =>
+          assert(cnt >= 1 && cnt <= hist(item), s"seed=$s item=$item cnt=$cnt true=${hist(item)}")
+      }
+    }
+  }
+}
