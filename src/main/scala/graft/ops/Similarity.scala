@@ -59,10 +59,12 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"),
         graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
     if (k == 1) {
+      // max_by is a DeclarativeAggregate -> HashAggregate (a plain
+      // max(struct) would force SortAggregate + sort of the N² rows)
       scored
         .groupBy("vec_id")
-        .agg(max(struct(col("cos"), (-col("nn_id")).as("negid"))).as("best"))
-        .select(col("vec_id"), (-col("best.negid")).as("nn_id"), lit(1).as("rank"))
+        .agg(max_by(col("nn_id"), struct(col("cos"), (-col("nn_id")).as("negid"))).as("nn_id"))
+        .select(col("vec_id"), col("nn_id"), lit(1).as("rank"))
     } else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
@@ -70,6 +72,25 @@ object Similarity {
         .where(col("rank") <= k)
         .select(col("vec_id"), col("nn_id"), col("rank"))
     }
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with
+    * cosine ≥ minCosine — the exact verifier for embedding dedup
+    * (approximate scale path = [[annBucketed]] buckets). */
+  def cosineNearDupPairs(embs: DataFrame, minCosine: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val prepped = embs.select(col(idCol).as("id"), vd.as("v"))
+      .withColumn("nrm", sqrt(graft.functions.Native.dotNative(spark, col("v"), col("v"))))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val l = prepped.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val r = prepped.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (graft.functions.Native.dotNative(spark, col("va"), col("vb"))
+          / (col("na") * col("nb"))).as("csim"))
+      .where(col("csim") >= minCosine)
   }
 
   /** Random-hyperplane bucket id: `nBits` sign bits of projections

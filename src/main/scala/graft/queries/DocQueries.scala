@@ -66,6 +66,10 @@ object DocQueries extends QueryPack {
     // approximate NN via random-hyperplane buckets (scale path)
     "ann_bucketed" -> ((s, d) =>
       Similarity.annBucketed(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
+    // embedding-cosine near-duplicate pairs (exact verifier)
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
+        .select(col("a"), col("b"), round(col("csim"), 6).as("csim"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -136,6 +140,16 @@ object DocQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = p.a
          |JOIN sz zb ON zb.doc_id = p.b
          |WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC""".stripMargin,
+    // NB: list_cosine_similarity computes in float32 — mirror the
+    // engine's double-precision dot/(|a||b|) op order instead
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    list_dot_product(l.v, r.v)
+        |      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS c
+        |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |SELECT a, b, round(c, 6) AS csim FROM p WHERE c >= 0.45""".stripMargin,
     "ann_cosine_nn" ->
       """SELECT vec_id, nn_id FROM (
         |  SELECT l.vec_id, r.vec_id AS nn_id,

@@ -105,6 +105,41 @@ object Bounded {
       .option("latestFirst", "false")
       .parquet(dir)
 
+  /** S2 — live socket source (the reference's
+    * `ssc.socketTextStream(host, port)`, `HWK_3/G029HW3.py:103`):
+    * one integer per line. No ordering column exists on a socket — the
+    * arrival order is the TCP byte order, exactly like the reference. */
+  def socketStream(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(col("value").cast("long").as("item"))
+
+  /** Run the bounded pipeline over an UNORDERED streaming `item`
+    * DataFrame (socket). The query is stopped from a monitor loop once
+    * n items are seen — the reference's Event.wait + graceful stop
+    * (St2, `HWK_3/G029HW3.py:111-114`). Within-batch order follows the
+    * source's partition layout (the socket source round-robins rows
+    * over partitions), exactly as nondeterministic as the reference's
+    * `batch.take(remaining)` over a partitioned RDD (SURVEY.md §2.5
+    * T4); item MULTISETS are exact, order-sensitive state is
+    * distribution-level. Use [[run]] with an `ord` column when the
+    * source carries arrival order. */
+  def runUnordered(stream: DataFrame, n: Long, m: Int, stickyP: Double, seed: Long,
+                   checkpointDir: String): StreamState = {
+    val state = new StreamState(n, m, stickyP, seed)
+    val query = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!state.done)
+          state.update(df.collect().iterator.map(_.getLong(0)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    while (!state.done && query.isActive) Thread.sleep(50)
+    query.stop()
+    query.awaitTermination()
+    state
+  }
+
   /** Batch twin: the same fold over a static ordered DataFrame —
     * used by golden/parity tests and the DuckDB-checkable surface. */
   def batchTwin(items: DataFrame, n: Long, m: Int, stickyP: Double, seed: Long): StreamState = {

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-shape checks: the optimizations the engine depends on must be
+  * visible in the physical plan (column pruning to the scan, filter
+  * pushdown, partial aggregation before shuffle, broadcast for small
+  * dims, codegen'd native kernels). Guards against regressions that
+  * correctness tests can't see. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("points projection prunes the lineitem scan to 4 columns") {
+    val p = plan(Tables.points(spark, sf001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf001).where(col("l_quantity") > 10)
+      .select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"), p)
+  }
+
+  test("cell histogram plans partial+final HashAggregate (map-side combine)") {
+    val p = plan(graft.ops.Grid.cellHistogram(Tables.points(spark, sf001), 0.7))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_count"), s"no partial aggregation:\n$p")
+  }
+
+  test("3-way dim join broadcasts the small sides") {
+    val p = plan(SparkEntry.queries("join_brand_nation")(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim joins must not sort-merge")
+  }
+
+  test("native dot product present; partial aggregation precedes the shuffle") {
+    val df = SparkEntry.queries("ann_cosine_nn")(spark, sf001)
+    val p = plan(df)
+    assert(p.contains("graft_dot"), p.take(800))
+    // map-side partial agg before Exchange: the N² candidate rows are
+    // reduced to one row per vec_id before any shuffle
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l => l.contains("SortAggregate") || l.contains("HashAggregate"))
+    assert(aggIdx >= 0)
+    df.collect() // execute THIS queryExecution (count() would plan its own)
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Op" in the executed tree
+    assert(executed.contains("*("), executed.take(800))
+  }
+}
