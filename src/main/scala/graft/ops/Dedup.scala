@@ -170,15 +170,8 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t"), lit(seed)).as("h"))
-    val voteAggs = (0 until 64).map { b =>
-      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val votes = toks.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    votes.select(col("id"), sig.as("sig"))
+    val simhash = udaf(new graft.functions.SimhashAgg())
+    toks.groupBy("id").agg(simhash(col("h")).as("sig"))
   }
 
   /** SimHash near-dup pairs within Hamming distance maxDist, candidate

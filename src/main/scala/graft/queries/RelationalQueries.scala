@@ -78,6 +78,20 @@ object RelationalQueries extends QueryPack {
         .groupBy(year(col("o_orderdate")).as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // json functions: extract + aggregate over the props payload
+    "json_props_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+    // string functions: case/substring/length over part names
+    "string_part_stats" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy(upper(substring(col("p_type"), 1, 5)).as("type_prefix"))
+        .agg(count(lit(1)).as("n"),
+          max(length(col("p_name"))).as("max_name_len"),
+          min(col("p_brand")).as("first_brand"))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -124,5 +138,16 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "json_props_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "string_part_stats" ->
+      """SELECT upper(substr(p_type, 1, 5)) AS type_prefix, count(*) AS n,
+        |  max(length(p_name)) AS max_name_len,
+        |  min(p_brand) AS first_brand
+        |FROM part GROUP BY 1""".stripMargin,
   )
 }
