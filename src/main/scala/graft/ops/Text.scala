@@ -86,6 +86,16 @@ object Text {
     caseChain.get.otherwise(lit(scores.head._1))
   }
 
+  /** BPE-ish subword segmentation count: a GPT-2-style pretokenizer
+    * regex (space-prefixed letter runs, digit runs, punctuation runs)
+    * — the standard pre-merge segmentation; real BPE would then merge
+    * within each piece, so this counts an upper bound on merged
+    * tokens and is the usual cheap proxy for token budgeting. */
+  val bpeishPattern: String = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(bpeishPattern), lit(0)))
+
   /** Rolling polynomial fingerprint over the characters of the text:
     * fp = fold(chars, 0, (acc, ch) -> (acc*31 + codepoint(ch)) mod
     * 2147483647). Exact 64-bit integer arithmetic — bit-identical in

@@ -35,6 +35,11 @@ object DocQueries extends QueryPack {
         .select(explode(Text.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(30)),
+    // BPE-style subword segmentation counts (token budgeting)
+    "text_token_bpe" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_ws_tokens"),
+        Text.bpeishTokenCount(col("text")).as("n_bpe_pieces"))),
     // language-ID heuristic (lexicon argmax)
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -93,6 +98,11 @@ object DocQueries extends QueryPack {
          |SELECT token, count(*) AS cnt
          |FROM (SELECT unnest(tk) AS token FROM t)
          |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+    "text_token_bpe" ->
+      s"""SELECT doc_id,
+         |  len($tokSql) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_pieces
+         |FROM documents""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |s AS (SELECT doc_id,
