@@ -17,7 +17,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear stale results from renamed/removed queries on re-runs
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) outRoot.listFiles().foreach(rmTree)
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -86,6 +86,19 @@ object RelationalQueries extends QueryPack {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+    // exact distinct counting (the relational verifier; the sketch
+    // path is approx_count_distinct, demonstrated in tests)
+    "distinct_users_by_type" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+    // exact interpolated quantiles over integral quantities
+    "quantiles_quantity" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.9)).as("q90"))),
     // string functions: case/substring/length over part names
     "string_part_stats" -> ((s, d) =>
       Tables.part(s, d)
@@ -145,6 +158,13 @@ object RelationalQueries extends QueryPack {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+    "distinct_users_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "quantiles_quantity" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.9) AS q90
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "string_part_stats" ->
       """SELECT upper(substr(p_type, 1, 5)) AS type_prefix, count(*) AS n,
         |  max(length(p_name)) AS max_name_len,
