@@ -111,10 +111,44 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Multi-probe bucket ids: the vector's own bucket plus every
+    * bucket at Hamming distance 1 (flip each of the nBits sign bits).
+    * Fixes the singleton-bucket recall hole of plain LSH at the cost
+    * of (nBits+1)x probe rows — still ∝ collisions, never all-pairs. */
+  def rpBucketsMultiProbe(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val own = rpBucket(vec, dim, nBits, seed)
+    array((own +: (0 until nBits).map(b => own.bitwiseXOR(lit(1L << b)))): _*)
+  }
+
+  /** Approximate NN with multi-probe: probe side explodes its
+    * (nBits+1) candidate buckets, build side keeps its own bucket;
+    * every pair within Hamming distance 1 of each other's buckets is
+    * scored. `vec_id, nn_id, rank`. */
+  def annMultiProbe(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embs.sparkSession
+    val base = normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val probe = base.select(col("id"), col("v"),
+      explode(rpBucketsMultiProbe(col("v"), dim, nBits, seed)).as("bucket"))
+    val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
+      rpBucket(col("v"), dim, nBits, seed).as("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    probe.join(build, Seq("bucket"))
+      .where(col("id") =!= col("nn_id"))
+      .select(col("id").as("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("v"), col("vb")).as("cos"))
+      .dropDuplicates("vec_id", "nn_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rank"))
+  }
+
   /** Approximate NN via random-hyperplane buckets: joins only within
     * buckets; `vec_id, nn_id, rank` (rank within bucket). Vectors in
     * singleton buckets produce no rows (trade-off of the scale path —
-    * standard for LSH without multi-probe). */
+    * [[annMultiProbe]] closes that hole). */
   def annBucketed(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

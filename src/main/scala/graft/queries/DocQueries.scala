@@ -71,6 +71,9 @@ object DocQueries extends QueryPack {
     // approximate NN via random-hyperplane buckets (scale path)
     "ann_bucketed" -> ((s, d) =>
       Similarity.annBucketed(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
+    // multi-probe ANN: full coverage (no singleton-bucket holes)
+    "ann_multiprobe" -> ((s, d) =>
+      Similarity.annMultiProbe(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
     // embedding-cosine near-duplicate pairs (exact verifier)
     "dedup_embedding" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)

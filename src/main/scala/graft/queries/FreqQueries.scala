@@ -34,6 +34,10 @@ object FreqQueries extends QueryPack {
     // St5: seeded distributed reservoir (m = ceil(1/phi) capped small)
     "freq_reservoir" -> ((s, d) =>
       Freq.reservoirSample(items(s, d), 50, SEED)),
+    // skew path: salted two-stage aggregation — same result as the
+    // direct groupBy (same oracle as freq_hist), hot keys split 16 ways
+    "freq_hist_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedCount(items(s, d), "item", salts = 16)),
     // St6: seeded distributed sticky table + final threshold
     "freq_sticky" -> ((s, d) => {
       val it = items(s, d)
@@ -45,6 +49,9 @@ object FreqQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "freq_hist" ->
+      "SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1",
+    // salted aggregation must equal the direct groupBy
+    "freq_hist_salted" ->
       "SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1",
     "freq_exact" ->
       s"""SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Similarity, Skew}
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: multi-probe ANN recall, salted aggregation
+  * equivalence, bucketed co-located joins. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("annMultiProbe: full coverage (every vector gets a neighbor) and high recall@1") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val n = embs.count()
+    val exact = Similarity.cosineTopK(embs, 1)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val multi = Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val plain = Similarity.annBucketed(embs, 1, dim = 64, nBits = 4)
+      .select("vec_id").distinct().count()
+    assert(multi.size == n, s"multi-probe covered ${multi.size} of $n (plain: $plain)")
+    val recall = multi.count { case (v, nn) => exact(v) == nn }.toDouble / n
+    assert(recall >= 0.5, s"recall@1 $recall") // 4-bit probe-1 on random vectors
+  }
+
+  test("salted aggregation == direct groupBy on a skewed key") {
+    // 90% of rows share one key
+    val rows = (0L until 10000L).map(i => (if (i % 10 == 0) i % 7 + 10 else 1L, 1.0 + (i % 3)))
+    val df = rows.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k").agg(count(lit(1)).as("cnt")).as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, "k", salts = 16).as[(Long, Long)].collect().toMap
+    assert(salted == direct)
+    val directSum = df.groupBy("k").agg(sum("v").as("sum")).as[(Long, Double)].collect().toMap
+    val saltedSum = Skew.saltedSum(df, "k", "v", 16).as[(Long, Double)].collect().toMap
+    // v values are small integers -> sums exact in IEEE, orders irrelevant
+    assert(saltedSum == directSum)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // external table paths in /tmp (warehouse.dir is a static conf);
+    // the in-memory catalog only records the metadata
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf0001)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    // force SortMergeJoin (tiny test tables would auto-broadcast and
+    // hide the bucketing): bucketed SMJ must need NO exchange
+    val joined = spark.table("b_lineitem").hint("merge")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    joined.collect()
+    // bucketed-on-key join: SortMergeJoin with NO Exchange feeding it
+    assert(plan.contains("SortMergeJoin"), plan.take(600))
+    val exchangeBeforeJoin = plan.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin"))
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchangeBeforeJoin == 0, s"join still shuffles:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
