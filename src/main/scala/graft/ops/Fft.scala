@@ -60,6 +60,38 @@ object Fft {
     centers
   }
 
+  /** n-dimensional Gonzalez FFT over dense vectors (the 2-D kernel
+    * generalized; used as the IVF coarse quantizer and for embedding
+    * k-center clustering). Deterministic given input order. */
+  def seqFFTVec(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = pts.length
+    if (n == 0 || k <= 0) return Array.empty
+    @inline def dSq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val kk = math.min(k, n)
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = pts(0)
+    val minD = Array.tabulate(n)(i => dSq(pts(i), centers(0)))
+    var c = 1
+    while (c < kk) {
+      var best = 0; var bestD = -1.0
+      var j = 0
+      while (j < n) { if (minD(j) > bestD) { bestD = minD(j); best = j }; j += 1 }
+      centers(c) = pts(best)
+      j = 0
+      while (j < n) {
+        val d = dSq(pts(j), centers(c))
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
+      c += 1
+    }
+    centers
+  }
+
   /** C2 — Round 1: per-partition FFT coreset, L·K points to the driver.
     * Partitioning is made deterministic by hash-repartitioning on the
     * coordinates and sorting within partitions (the reference's

@@ -74,6 +74,71 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer — k-center centroids
+    * from farthest-first traversal over a driver-sized sample — maps
+    * every vector to its nearest list; queries probe their `nprobe`
+    * nearest lists. The classic FAISS-style IVF layout expressed as
+    * dataflow: centroid assignment is a broadcast-literal scan (no
+    * join), candidate generation an equi-join on `list`. No training
+    * iteration (FFT is one pass), deterministic given the sample.
+    *
+    * Cost ∝ Σ_list |probe(list)|·|list| — at 1000 executors both sides
+    * shuffle on the list id and each list's pairs stay co-located. */
+  def annIvf(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
+             sampleSize: Int = 2048,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embs.sparkSession
+    val base = normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+    // coarse centroids: FFT over a deterministic sample (sorted by id)
+    val sample = base.orderBy("id").limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = graft.ops.Fft.seqFFTVec(sample, nlist)
+    // distance of v to centroid c as a codegen'd dot (unit vectors:
+    // argmin distance == argmax dot)
+    val cLit = centroids.map(c => lit(c))
+    val scored = base.select(col("id"), col("v"),
+      posexplode(array(cLit: _*)).as(Seq("list", "cv")))
+      .select(col("id"), col("v"), col("list"),
+        graft.functions.Native.dotNative(spark, col("v"), col("cv")).as("cdot"))
+    val wAssign = Window.partitionBy("id").orderBy(col("cdot").desc, col("list"))
+    val ranked = scored.withColumn("crank", row_number().over(wAssign))
+    val build = ranked.where(col("crank") === 1)
+      .select(col("id").as("nn_id"), col("v").as("vb"), col("list"))
+    val probe = ranked.where(col("crank") <= nprobe)
+      .select(col("id").as("vec_id"), col("v").as("va"), col("list"))
+    val wTop = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    probe.join(build, Seq("list"))
+      .where(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+      .dropDuplicates("vec_id", "nn_id")
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nn_id"), col("rank"))
+  }
+
+  /** Embedding k-center clustering: FFT centroids over a sample, every
+    * vector assigned to its nearest centroid: `vec_id, cluster, cdist`. */
+  def kcenterAssign(embs: DataFrame, k: Int, sampleSize: Int = 2048,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embs.sparkSession
+    val base = normalized(embs, idCol, vecCol, "id", "v")
+    val sample = base.orderBy("id").limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = graft.ops.Fft.seqFFTVec(sample, k)
+    val scored = base.select(col("id"), col("v"),
+      posexplode(array(centroids.map(c => lit(c)): _*)).as(Seq("cluster", "cv")))
+      .select(col("id").as("vec_id"), col("cluster"),
+        graft.functions.Native.dotNative(spark, col("v"), col("cv")).as("cdot"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cluster"))
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("vec_id"), col("cluster"),
+        round(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("cdot"))), 6).as("cdist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine ≥ minCosine — the exact verifier for embedding dedup
     * (approximate scale path = [[annBucketed]] buckets). */

@@ -71,6 +71,12 @@ object DocQueries extends QueryPack {
     // approximate NN via random-hyperplane buckets (scale path)
     "ann_bucketed" -> ((s, d) =>
       Similarity.annBucketed(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
+    // IVF ANN: FFT coarse quantizer + nprobe list search
+    "ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d), 1, nlist = 16, nprobe = 4)),
+    // embedding k-center clustering (FFT centroids, sampled)
+    "embed_kcenter" -> ((s, d) =>
+      Similarity.kcenterAssign(Tables.embeddings(s, d), k = 8)),
     // multi-probe ANN: full coverage (no singleton-bucket holes)
     "ann_multiprobe" -> ((s, d) =>
       Similarity.annMultiProbe(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),

@@ -23,6 +23,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@1 $recall") // 4-bit probe-1 on random vectors
   }
 
+  test("annIvf: nprobe=nlist degenerates to exact brute force; nprobe=4 has coverage+recall") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val n = embs.count()
+    val exact = Similarity.cosineTopK(embs, 1)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val full = Similarity.annIvf(embs, 1, nlist = 8, nprobe = 8)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(full == exact, "nprobe=nlist must equal brute force")
+    val partial = Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(partial.size == n) // every query probes >=1 non-empty list (its own)
+    val recall = partial.count { case (v, nn) => exact(v) == nn }.toDouble / n
+    assert(recall >= 0.4, s"IVF recall@1 $recall")
+  }
+
+  test("kcenterAssign: every vector assigned, <=k clusters, distances in [0,2]") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val got = Similarity.kcenterAssign(embs, k = 8)
+      .as[(Long, Int, Double)].collect()
+    assert(got.length == embs.count())
+    assert(got.map(_._2).distinct.length <= 8)
+    assert(got.forall { case (_, _, d) => d >= 0.0 && d <= 2.0 })
+  }
+
   test("salted aggregation == direct groupBy on a skewed key") {
     // 90% of rows share one key
     val rows = (0L until 10000L).map(i => (if (i % 10 == 0) i % 7 + 10 else 1L, 1.0 + (i % 3)))
