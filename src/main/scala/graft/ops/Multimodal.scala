@@ -21,7 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaRecord(media_id: Long, mime: String, n_bytes: Long, payload: Array[Byte])
   case class MediaFeature(media_id: Long, dim: Int, feature: Array[Float])
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
