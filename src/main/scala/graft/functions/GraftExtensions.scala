@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Library packaging for external users: inject graft's native
+  * functions into every session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`); SQL then resolves
+  * `graft_dot` / `graft_min_dist_sq` directly. In-library code paths
+  * use [[Native.register]], which installs the same builders into an
+  * already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_min_dist_sq"),
+      new ExpressionInfo(classOf[MinDistSq].getName, "graft_min_dist_sq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinDistSq(exprs(0), exprs(1), exprs(2))))
+  }
+}

@@ -47,7 +47,8 @@ object Native {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(DoubleType))
+    def isDA(dt: DataType) = dt match { case ArrayType(DoubleType, _) => true; case _ => false }
+    val ok = Seq(left, right).forall(e => isDA(e.dataType))
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_dot expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
@@ -87,7 +88,7 @@ case class MinDistSq(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
-      third.dataType == ArrayType(DoubleType)
+      (third.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_min_dist_sq expects (double, double, array<double>)")

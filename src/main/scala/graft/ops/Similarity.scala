@@ -103,7 +103,9 @@ object Similarity {
       .select(col("id"), col("v"), col("list"),
         graft.functions.Native.dotNative(spark, col("v"), col("cv")).as("cdot"))
     val wAssign = Window.partitionBy("id").orderBy(col("cdot").desc, col("list"))
-    val ranked = scored.withColumn("crank", row_number().over(wAssign))
+    // both the probe and build sides read the ranked assignment —
+    // cache so the centroid scan + window run once
+    val ranked = scored.withColumn("crank", row_number().over(wAssign)).cache()
     val build = ranked.where(col("crank") === 1)
       .select(col("id").as("nn_id"), col("v").as("vb"), col("list"))
     val probe = ranked.where(col("crank") <= nprobe)
