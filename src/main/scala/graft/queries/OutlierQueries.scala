@@ -37,8 +37,9 @@ object OutlierQueries extends QueryPack {
     "outlier_cells_topk" -> ((s, d) =>
       Outliers.smallestCells(pts(s, d), D, K)),
     // J1 + A8 + T1: exact outliers via grid-bucketed distance join
+    // (unique-id projection: the join and count are per point)
     "outlier_exact" -> ((s, d) =>
-      Outliers.exactOutliers(pts(s, d), DX, M, K)),
+      Outliers.exactOutliers(Tables.pointsWithId(s, d), DX, M, K)),
   )
 
   override def oracles: Map[String, String] = {
@@ -98,7 +99,7 @@ object OutlierQueries extends QueryPack {
            |FROM pts GROUP BY 1, 2
            |ORDER BY sz, ci, cj LIMIT $K""".stripMargin,
       "outlier_exact" ->
-        s"""WITH pts AS (${Tables.pointsSql}),
+        s"""WITH pts AS (${Tables.pointsWithIdSql}),
            |b AS (SELECT id, x, y,
            |             CAST(floor(x/$DX) AS BIGINT) AS bi,
            |             CAST(floor(y/$DX) AS BIGINT) AS bj

@@ -36,17 +36,40 @@ object Tables {
   def parallelize(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Points with unique id: `id, x, y`. Column pruning reaches the scan
-    * (only 4 of 11 lineitem columns are read). */
+  /** Point cloud `x, y` (no id — grid/FFT operators are id-free, and
+    * the pruned scan reads only 2 of 11 lineitem columns). */
   def points(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(
-      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
       (col("l_extendedprice") / 1000.0).as("x"),
       col("l_quantity").as("y"))
 
-  /** The same projection as a SQL CTE body (DuckDB oracle side). */
+  /** Points with a UNIQUE id for the exact-outlier join. The synthetic
+    * lineitem has duplicate (l_orderkey, l_linenumber) pairs, so the
+    * natural key is deduplicated with a per-key window (partitioned —
+    * no global sort; ties have identical coords so the surviving row
+    * set is deterministic). */
+  def pointsWithId(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = lineitem(s, d).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      (col("l_extendedprice") / 1000.0).as("x"),
+      col("l_quantity").as("y"))
+    val w = Window.partitionBy("id").orderBy("x", "y")
+    raw.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** SQL CTE bodies mirroring the two projections (DuckDB oracle). */
   val pointsSql: String =
-    "SELECT l_orderkey*8 + l_linenumber AS id, l_extendedprice/1000.0 AS x, l_quantity AS y FROM lineitem"
+    "SELECT l_extendedprice/1000.0 AS x, l_quantity AS y FROM lineitem"
+  val pointsWithIdSql: String =
+    """SELECT id, x, y FROM (
+      |  SELECT l_orderkey*8 + l_linenumber AS id,
+      |         l_extendedprice/1000.0 AS x, l_quantity AS y,
+      |         row_number() OVER (PARTITION BY l_orderkey*8 + l_linenumber
+      |                            ORDER BY l_extendedprice/1000.0, l_quantity) AS rn
+      |  FROM lineitem) WHERE rn = 1""".stripMargin
 }
 
 /** A domain registry: each ops area contributes queries + oracles. */

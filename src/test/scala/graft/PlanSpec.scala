@@ -14,11 +14,11 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
-  test("points projection prunes the lineitem scan to 4 columns") {
+  test("points projection prunes the lineitem scan to 2 columns") {
     val p = plan(Tables.points(spark, sf001))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
-    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
-    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
       s"scan not pruned: $readSchema")
   }
 
