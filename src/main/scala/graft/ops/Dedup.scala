@@ -47,13 +47,8 @@ object Dedup {
   }
 
   /** Word n-gram shingles of a text column as a DISTINCT array. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = Text.tokens(c)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
-  }
+  def shingles(c: Column, n: Int): Column =
+    array_distinct(Text.wordNgrams(c, n))
 
   /** doc_id → exploded distinct shingle rows: `id, sh`. */
   private def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =

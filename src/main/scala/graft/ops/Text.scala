@@ -86,6 +86,41 @@ object Text {
     caseChain.get.otherwise(lit(scores.head._1))
   }
 
+  /** Word n-gram MULTISET (order kept, duplicates kept — the
+    * repetition signal needs counts; [[Dedup.shingles]] wraps this
+    * with array_distinct for set semantics). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document repetition ratio: count of the most frequent word
+    * n-gram over total n-grams — the standard boilerplate/spam signal.
+    * Input docs need `doc_id`; docs with < n tokens are dropped.
+    * Output: `doc_id, rep_ratio`. */
+  def repetitionRatio(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(wordNgrams(col(textCol), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("rep_ratio"))
+
+  /** Junk filter verdict: `doc_id, keep, reason` — first failing rule
+    * wins ('too_short' | 'too_numeric' | 'ok'). */
+  def junkFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val nTok = tokenCount(c)
+    val digitRatio = (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+    val reason = when(nTok < 5, lit("too_short"))
+      .when(digitRatio > 0.3, lit("too_numeric"))
+      .otherwise(lit("ok"))
+    docs.select(col("doc_id"), (reason === "ok").as("keep"), reason.as("reason"))
+  }
+
   /** BPE-ish subword segmentation count: a GPT-2-style pretokenizer
     * regex (space-prefixed letter runs, digit runs, punctuation runs)
     * — the standard pre-merge segmentation; real BPE would then merge

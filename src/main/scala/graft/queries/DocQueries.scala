@@ -48,6 +48,20 @@ object DocQueries extends QueryPack {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    // boilerplate/spam repetition signal (top n-gram share)
+    "text_repetition" -> ((s, d) =>
+      Text.repetitionRatio(Tables.documents(s, d), 2)
+        .select(col("doc_id"), round(col("rep_ratio"), 6).as("rep_ratio"))),
+    // junk filter verdicts (first failing rule wins)
+    "text_filter" -> ((s, d) =>
+      Text.junkFilter(Tables.documents(s, d))),
+    // corpus rollup: per (lang, source) document stats
+    "corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))),
     // exact dedup: canonical doc per identical-content group
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDupFlags(Tables.documents(s, d))),
@@ -136,6 +150,34 @@ object DocQueries extends QueryPack {
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a*31 + b) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(generate_series(1, len(tk)-1),
+         |          i -> array_to_string(tk[i:i+1], ' ')) AS gs
+         |      FROM toks WHERE len(tk) >= 2),
+         |ex AS (SELECT doc_id, unnest(gs) AS s FROM g),
+         |cnt AS (SELECT doc_id, s, count(*) AS c FROM ex GROUP BY 1, 2)
+         |SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
+         |FROM cnt GROUP BY doc_id""".stripMargin,
+    "text_filter" ->
+      """SELECT doc_id,
+        |  (CASE
+        |    WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) < 5 THEN 'too_short'
+        |    WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |         / greatest(length(text), 1)::DOUBLE > 0.3 THEN 'too_numeric'
+        |    ELSE 'ok' END) = 'ok' AS keep,
+        |  CASE
+        |    WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) < 5 THEN 'too_short'
+        |    WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |         / greatest(length(text), 1)::DOUBLE > 0.3 THEN 'too_numeric'
+        |    ELSE 'ok' END AS reason
+        |FROM documents""".stripMargin,
+    "corpus_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  sum(len($tokSql)) AS sum_tokens,
+         |  sum(n_chars) AS sum_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
