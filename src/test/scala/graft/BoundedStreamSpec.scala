@@ -32,6 +32,25 @@ class BoundedStreamSpec extends SparkSpec {
     assert(s1.sticky == s2.sticky)
   }
 
+  test("streaming groupBy(item).count in complete mode == batch histogram (A7 streaming twin)") {
+    val tmp = Files.createTempDirectory("graft_sfreq").toString
+    val rnd = new scala.util.Random(23)
+    val xs = (0L until 1200L).map(i => (i, (rnd.nextInt(25) + 1).toLong))
+    writeChunks(s"$tmp/in", xs, 4)
+    val agg = Bounded.fileStream(spark, s"$tmp/in/chunk_*")
+      .groupBy("item").count()
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("freq_stream_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("freq_stream_out")
+      .as[(Long, Long)].collect().toMap
+    val batch = xs.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    assert(streamed == batch)
+  }
+
   test("n-cap: only first n items processed (St2/St4)") {
     val xs = (0L until 100L).map(i => (i, i % 7))
     val s = Bounded.batchTwin(xs.toDF("ord", "item"), 50L, 5, 1.0, 1L)
