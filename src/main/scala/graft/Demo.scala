@@ -32,7 +32,10 @@ object Demo {
     println("=== HW3: bounded-stream frequent items ===")
     val items = graft.queries.Tables.events(spark, sfDir)
       .select(col("event_id").as("ord"), col("user_id").as("item"))
-    graft.pipelines.Hw3.run(items, n = 1000L, phi = 0.05, eps = 0.02, delta = 0.1)
+    // phi just under the uniform share so the heavy tail qualifies at
+    // any SF (users are near-uniform; outlier params are tuned for the
+    // sf0.001 density — at larger SF expect zero outliers, not a bug)
+    graft.pipelines.Hw3.run(items, n = 1000L, phi = 0.008, eps = 0.004, delta = 0.1)
     spark.stop()
   }
 }
