@@ -31,14 +31,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** id + unit-normalized double vector: normalization runs ONCE per
-    * vector (O(N·dim)), so the N² pair stage is a bare dot product. */
+    * vector (O(N·dim)), so the N² pair stage is a bare dot product.
+    * The norm is materialized as its own column first — inlining it in
+    * the transform lambda would re-evaluate the fold per element. */
   private def normalized(embs: DataFrame, idCol: String, vecCol: String,
                          outId: String, outVec: String): DataFrame = {
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    embs.select(col(idCol).as(outId),
-      transform(vd, x => x / sqrt(aggregate(
-        transform(vd, y => y.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v))).as(outVec))
+    val spark = embs.sparkSession
+    embs
+      .select(col(idCol).as(outId),
+        transform(col(vecCol), x => x.cast("double")).as("_vd"))
+      .withColumn("_nrm", sqrt(graft.functions.Native.dotNative(spark, col("_vd"), col("_vd"))))
+      .select(col(outId), transform(col("_vd"), x => x / col("_nrm")).as(outVec))
   }
 
   /** Exact top-k cosine neighbors per vector (brute force, id-ordered
