@@ -1,0 +1,35 @@
+package graft
+
+/** Driver-contract guards: every registered query must ANALYZE against
+  * the real testdata (unresolved columns fail here in milliseconds,
+  * not in the driver's verify run), oracle keys must reference
+  * existing queries, and output schemas must be hash-compare-safe
+  * (no duplicate column names, no case collisions). */
+class ContractSpec extends SparkSpec {
+
+  test("every query analyzes at sf0.001 with a sane output schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val schema = fn(spark, sf0001).schema // analysis only, no execution
+      val names = schema.fieldNames.map(_.toLowerCase)
+      assert(names.nonEmpty, s"$name: empty schema")
+      assert(names.distinct.length == names.length,
+        s"$name: duplicate output columns ${names.mkString(",")}")
+    }
+  }
+
+  test("every oracle key has a query; flagship entry is registered") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    assert(qs.contains("outlier_n3n7")) // entry()'s query
+  }
+
+  test("oracle SQL mentions only real table names") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val lower = sql.toLowerCase
+      assert(tables.exists(lower.contains), s"$name references no known table")
+    }
+  }
+}

@@ -24,7 +24,7 @@ class SocketStreamSpec extends SparkSpec {
         val sock = server.accept()
         val out = new PrintWriter(sock.getOutputStream, true)
         xs.foreach(out.println(_))
-        Thread.sleep(10000) // keep open until the reader stops
+        Thread.sleep(30000) // keep open until the reader stops (daemon)
         sock.close()
       } catch { case _: Throwable => () }
     })
