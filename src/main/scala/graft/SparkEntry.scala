@@ -18,6 +18,7 @@ object SparkEntry {
     StreamQueries,
     RelationalQueries,
     MediaQueries,
+    CheckQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
