@@ -67,9 +67,12 @@ object CheckQueries extends QueryPack {
     // at the SAME (D, M)
     "check_outlier_bracket" -> ((s, d) => {
       val dD = 0.5; val m = 10
-      val exact = Outliers.neighborCounts(Tables.pointsWithId(s, d), dD)
+      // both paths over the SAME (deduplicated) point set — the
+      // bracket theorem assumes one multiset
+      val ptsU = Tables.pointsWithId(s, d)
+      val exact = Outliers.neighborCounts(ptsU, dD)
         .where(col("cnt") <= m).count()
-      val row = Outliers.approxOutlierCounts(Tables.points(s, d), dD, m).head()
+      val row = Outliers.approxOutlierCounts(ptsU.select("x", "y"), dD, m).head()
       val (sure, unc) = (row.getLong(0), row.getLong(1))
       val viol = if (sure <= exact && exact <= sure + unc) Seq.empty[String]
         else Seq(s"bracket sure=$sure exact=$exact unc=$unc")
