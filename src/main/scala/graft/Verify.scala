@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // some operators cache intermediates (shingle sets, IVF
+      // assignment) — drop them between queries so a 57-query run
+      // doesn't accumulate executor-memory blocks
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -21,13 +21,20 @@ import org.apache.spark.sql.types._
 object Native {
 
   /** Idempotent per-session registration (temp functions live in the
-    * session's FunctionRegistry). */
+    * session's FunctionRegistry). Guarded by functionExists so repeated
+    * Column construction doesn't churn createOrReplaceTempFunction
+    * (which logs a replace WARN per call). */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "internal")
-    reg.createOrReplaceTempFunction("graft_min_dist_sq",
-      exprs => MinDistSq(exprs(0), exprs(1), exprs(2)), "internal")
+    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
+      reg.createOrReplaceTempFunction("graft_dot",
+        exprs => DotProduct(exprs(0), exprs(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_min_dist_sq",
+        exprs => MinDistSq(exprs(0), exprs(1), exprs(2)), "internal")
+      reg.createOrReplaceTempFunction("graft_word_ngrams",
+        exprs => WordNgrams(exprs(0), exprs(1)), "internal")
+    }
   }
 
   /** Σ aᵢ·bᵢ over two array<double> columns — codegen'd. */
@@ -40,6 +47,16 @@ object Native {
   def minDistSqNative(spark: SparkSession, x: Column, y: Column, flatCenters: Column): Column = {
     register(spark)
     call_function("graft_min_dist_sq", x, y, flatCenters)
+  }
+
+  /** Word n-gram multiset of a token array (space-joined) — a single
+    * tight loop per row instead of the interpreted
+    * `transform(sequence, i -> concat_ws(slice(...)))` formulation.
+    * Uses SparkSession.active so pure-Column call sites (Text, Dedup)
+    * need no session parameter. */
+  def wordNgramsNative(tokens: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
   }
 }
 
@@ -129,4 +146,58 @@ case class MinDistSq(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** word_ngrams(array<string>, n) → array<string>: the m−n+1 space-
+  * joined n-grams of the token array in order (duplicates kept), empty
+  * when m < n. Identical strings to
+  * `transform(sequence(0, m−n), i -> concat_ws(' ', slice(toks, i+1, n)))`
+  * but built in one compiled loop per row — no per-position interpreted
+  * lambda, no slice allocation. Codegen delegates to [[doGrams]] via an
+  * object reference (one virtual call per row; the loop itself is
+  * compiled Scala, which is what matters at n-grams × rows scale). */
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match { case ArrayType(StringType, _) => true; case _ => false }
+    val okR = right.foldable && right.dataType == IntegerType
+    if (okL && okR) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_word_ngrams expects (array<string>, int literal), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
+  @transient private lazy val sep =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def doGrams(arrAny: Any): ArrayData = {
+    val arr = arrAny.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n || n <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m - n + 1)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = doGrams(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
+    nullSafeCodeGen(ctx, ev, (arr, _) =>
+      s"${ev.value} = $ref.doGrams($arr);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

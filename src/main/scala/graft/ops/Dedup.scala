@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   *
   * All hashing is seeded `xxhash64` — deterministic across runs and
   * cluster layouts.
+  *
+  * Cache contract: `ngramJaccardPairs` / `minhashLshPairs` cache the
+  * shingle tables (consumed by both the signature and verification
+  * branches of a LAZY result — unpersisting before the caller's action
+  * would defeat the cache). Long-lived sessions issuing many such
+  * queries should `spark.catalog.clearCache()` between them; Bench and
+  * Verify both do.
   */
 object Dedup {
 
@@ -174,6 +181,10 @@ object Dedup {
     * must agree on ≥1 of 4 bands — pigeonhole). */
   def simhashPairs(docs: DataFrame, maxDist: Int, seed: Long = 0L,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 4 fixed 16-bit bands are pigeonhole-complete only up to distance
+    // 3: a pair at distance ≥ 4 can differ in every band and would be
+    // silently missed — reject rather than under-report
+    require(maxDist <= 3, s"4-band SimHash candidate generation is complete only for maxDist <= 3 (got $maxDist)")
     val sigs = simhashSignatures(docs, seed, textCol, idCol)
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),

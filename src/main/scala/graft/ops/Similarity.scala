@@ -144,6 +144,30 @@ object Similarity {
         round(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("cdot"))), 6).as("cdist"))
   }
 
+  /** Driver-side twin of [[kcenterAssign]]'s sampling stage, for the
+    * invariant check: the deterministic sample ids (sorted by id, first
+    * `sampleSize`), plus the exact k-center radius of that sample under
+    * the same FFT centroids. Law: every SAMPLED vector's assignment
+    * distance is ≤ this radius (FFT's guarantee covers exactly the
+    * points it traversed; non-sample points carry no bound). */
+  def kcenterSampleRadius(embs: DataFrame, k: Int, sampleSize: Int = 2048,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): (Array[Long], Double) = {
+    val rows = normalized(embs, idCol, vecCol, "id", "v")
+      .orderBy("id").limit(sampleSize).select("id", "v").collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val centroids = graft.ops.Fft.seqFFTVec(vecs, k)
+    def dSq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val r2 = vecs.foldLeft(0.0) { (acc, v) =>
+      math.max(acc, centroids.map(c => dSq(v, c)).min)
+    }
+    (ids, math.sqrt(r2))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine ≥ minCosine — the exact verifier for embedding dedup
     * (approximate scale path = [[annBucketed]] buckets). */
@@ -163,19 +187,37 @@ object Similarity {
       .where(col("csim") >= minCosine)
   }
 
+  /** Hyperplane component h(i,b) ∈ [−0.5, 0.5): identical bits to the
+    * Column expression
+    * `pmod(xxhash64(i, b, seed), 2^32)/2^32 − 0.5` — xxhash64's chained
+    * seeding (seed 42 → hashInt(i) → hashInt(b) → hashLong(seed)) is
+    * reproduced via the same `XXH64` statics Spark's expression calls,
+    * and Pmod/cast/divide/subtract are re-done in the same IEEE order. */
+  private def hyperplane(dim: Int, bit: Int, seed: Long): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val m = 1L << 32
+    Array.tabulate(dim) { i =>
+      var h = XXH64.hashInt(i, 42L)
+      h = XXH64.hashInt(bit, h)
+      h = XXH64.hashLong(seed, h)
+      val r0 = h % m
+      val r = if (r0 < 0) r0 + m else r0
+      r.toDouble / m.toDouble - 0.5
+    }
+  }
+
   /** Random-hyperplane bucket id: `nBits` sign bits of projections
-    * onto seeded pseudo-random hyperplanes. The hyperplane components
-    * are derived from xxhash64(dim_index, bit, seed) — deterministic,
-    * no training, identical on every executor. */
+    * onto seeded pseudo-random hyperplanes — deterministic, no
+    * training, identical on every executor. The hyperplanes depend only
+    * on (dim, bit, seed), so they are materialized ONCE on the driver
+    * and shipped as literal arrays: the per-row work is one codegen'd
+    * [[graft.functions.DotProduct]] per bit, not an interpreted
+    * `aggregate(zip_with(...))` fold (bit-identical results — same
+    * hash bits, same IEEE accumulation order; pinned by NativeSpec). */
   def rpBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val bits = (0 until nBits).map { b =>
-      // projection = Σ_i v_i * h(i,b)  with h ∈ [-0.5, 0.5)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") *
-            (pmod(xxhash64(i, lit(b), lit(seed)), lit(1L << 32)).cast("double")
-              / lit((1L << 32).toDouble) - lit(0.5))),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.Native.dotNative(spark, vec, lit(hyperplane(dim, b, seed)))
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

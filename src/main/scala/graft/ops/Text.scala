@@ -88,14 +88,13 @@ object Text {
 
   /** Word n-gram MULTISET (order kept, duplicates kept — the
     * repetition signal needs counts; [[Dedup.shingles]] wraps this
-    * with array_distinct for set semantics). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+    * with array_distinct for set semantics). Built by the codegen'd
+    * [[graft.functions.WordNgrams]] — the previous
+    * `transform(sequence, i -> concat_ws(slice))` formulation ran an
+    * interpreted lambda + array slice per position (O(tokens·n) with a
+    * large constant) and dominated the shingle-path bench. */
+  def wordNgrams(c: Column, n: Int): Column =
+    graft.functions.Native.wordNgramsNative(tokens(c), n)
 
   /** Per-document repetition ratio: count of the most frequent word
     * n-gram over total n-grams — the standard boilerplate/spam signal.

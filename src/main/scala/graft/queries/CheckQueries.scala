@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Fft, Freq, Outliers}
+import graft.ops.{Dedup, Fft, Freq, Outliers, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,14 +54,93 @@ object CheckQueries extends QueryPack {
       lsh.join(exact, Seq("a", "b"), "left_anti")
         .select(lit("lsh_not_in_exact").as("violation"))
     }),
-    // FFT law: radius is non-increasing in K
+    // FFT law: radius is non-increasing in K. Checked on NESTED
+    // prefixes of ONE greedy run (Gonzalez centers are greedy-nested:
+    // seqFFT(c, 8) == seqFFT(c, 16).take(8) over the same coreset), so
+    // monotonicity is a theorem — centers(K=8) and centers(K=16) from
+    // separate per-partition corsets are NOT nested and could
+    // false-fail on unlucky data.
     "check_fft_monotone" -> ((s, d) => {
       val pts = Tables.points(s, d)
-      val r8 = Fft.radius(pts, Fft.centers(pts, 8, 16))
-      val r16 = Fft.radius(pts, Fft.centers(pts, 16, 16))
+      val cs16 = Fft.centers(pts, 16, 16)
+      val r8 = Fft.radius(pts, cs16.take(8))
+      val r16 = Fft.radius(pts, cs16)
       val viol = if (r16 <= r8 + 1e-12) Seq.empty[String] else Seq("radius_monotone")
       import s.implicits._
       viol.toDF("violation")
+    }),
+    // ANN laws (same parameters as the ann_* driver queries, k=1):
+    //  - coverage: multi-probe probes a superset of plain LSH's
+    //    buckets, so every vec_id with a bucketed answer has a
+    //    multi-probe answer;
+    //  - dominance: the multi-probe nn is chosen from a candidate
+    //    superset, so its cosine is ≥ the bucketed nn's cosine;
+    //  - sanity: no self-pairs.
+    "check_ann_recall" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val bk = Similarity.annBucketed(embs, 1, dim = 64, nBits = 4, seed = SEED)
+        .select(col("vec_id"), col("nn_id").as("nn_b"))
+      val mp = Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4, seed = SEED)
+        .select(col("vec_id"), col("nn_id").as("nn_m"))
+      val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+      val coverViol = bk.join(mp, Seq("vec_id"), "left_anti")
+        .select(lit("multiprobe_coverage").as("violation"))
+      val domViol = bk.join(mp, "vec_id")
+        .join(e.withColumnRenamed("eid", "vec_id").withColumnRenamed("v", "vq"), "vec_id")
+        .join(e.withColumnRenamed("eid", "nn_b").withColumnRenamed("v", "vb"), "nn_b")
+        .join(e.withColumnRenamed("eid", "nn_m").withColumnRenamed("v", "vm"), "nn_m")
+        .where(Similarity.cosine(col("vq"), col("vm"))
+          < Similarity.cosine(col("vq"), col("vb")) - 1e-9)
+        .select(lit("multiprobe_dominance").as("violation"))
+      val selfViol = bk.where(col("vec_id") === col("nn_b"))
+        .select(lit("self_pair").as("violation"))
+        .unionByName(mp.where(col("vec_id") === col("nn_m"))
+          .select(lit("self_pair").as("violation")))
+      coverViol.unionByName(domViol).unionByName(selfViol)
+    }),
+    // k-center law: for every SAMPLED vector (the FFT traversed exactly
+    // those), assignment distance ≤ the sample's k-center radius,
+    // recomputed independently on the driver; clusters are in [0, k);
+    // every sampled id is assigned.
+    "check_kcenter_assign" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val k = 8
+      val assign = Similarity.kcenterAssign(embs, k)
+      val (ids, r) = Similarity.kcenterSampleRadius(embs, k)
+      import s.implicits._
+      val idDf = ids.toSeq.toDF("vec_id")
+      val sampled = assign.join(broadcast(idDf), "vec_id")
+      val radiusViol = sampled
+        .where(col("cdist") > r + 2e-6) // 1e-6 rounding + FP slack
+        .select(lit("kcenter_radius").as("violation"))
+      val rangeViol = assign
+        .where(col("cluster") < 0 || col("cluster") >= k)
+        .select(lit("cluster_range").as("violation"))
+      val missViol = broadcast(idDf).join(assign, Seq("vec_id"), "left_anti")
+        .select(lit("sample_unassigned").as("violation"))
+      radiusViol.unionByName(rangeViol).unionByName(missViol)
+    }),
+    // SimHash laws: (1) the distributed 64-vote aggregate equals the
+    // per-row fold twin on a deterministic subset of docs (two
+    // independent formulations of the same bits); (2) every reported
+    // near-dup pair's Hamming distance, recomputed from signatures,
+    // matches the reported dist and is ≤ 3.
+    "check_simhash_sound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.simhashSignatures(docs, SEED)
+      val twin = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("id"), Dedup.simhash64(col("text"), SEED).as("sig2"))
+      val twinViol = twin.join(sigs, "id")
+        .where(col("sig") =!= col("sig2"))
+        .select(lit("simhash_twin").as("violation"))
+      val pairs = Dedup.simhashPairs(docs, maxDist = 3, seed = SEED)
+      val soundViol = pairs
+        .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+        .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+        .where(Dedup.hamming64(col("siga"), col("sigb")) =!= col("dist")
+          || col("dist") > 3)
+        .select(lit("simhash_sound").as("violation"))
+      twinViol.unionByName(soundViol)
     }),
     // HW1 cross-validation: sure ≤ exact-outlier count ≤ sure+uncertain
     // at the SAME (D, M)

@@ -175,8 +175,8 @@ object DocQueries extends QueryPack {
         |FROM documents""".stripMargin,
     "corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
-         |  sum(len($tokSql)) AS sum_tokens,
-         |  sum(n_chars) AS sum_chars
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,

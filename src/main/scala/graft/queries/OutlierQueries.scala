@@ -62,9 +62,9 @@ object OutlierQueries extends QueryPack {
            |         FROM generate_series(-3,3) t1(di)
            |         CROSS JOIN generate_series(-3,3) t2(dj))
            |SELECT c.ci, c.cj, c.sz,
-           |       sum(CASE WHEN abs(o.di) <= 1 AND abs(o.dj) <= 1
-           |                THEN n.sz ELSE 0 END) AS n3,
-           |       sum(n.sz) AS n7
+           |       CAST(sum(CASE WHEN abs(o.di) <= 1 AND abs(o.dj) <= 1
+           |                THEN n.sz ELSE 0 END) AS BIGINT) AS n3,
+           |       CAST(sum(n.sz) AS BIGINT) AS n7
            |FROM cells c
            |CROSS JOIN offs o
            |JOIN cells n ON n.ci = c.ci + o.di AND n.cj = c.cj + o.dj
@@ -88,8 +88,8 @@ object OutlierQueries extends QueryPack {
            |  CROSS JOIN offs o
            |  JOIN cells n ON n.ci = c.ci + o.di AND n.cj = c.cj + o.dj
            |  GROUP BY c.ci, c.cj, c.sz)
-           |SELECT coalesce(sum(CASE WHEN n7 <= $M THEN sz END), 0) AS sure,
-           |       coalesce(sum(CASE WHEN n3 <= $M AND n7 > $M THEN sz END), 0) AS uncertain
+           |SELECT CAST(coalesce(sum(CASE WHEN n7 <= $M THEN sz END), 0) AS BIGINT) AS sure,
+           |       CAST(coalesce(sum(CASE WHEN n3 <= $M AND n7 > $M THEN sz END), 0) AS BIGINT) AS uncertain
            |FROM stats""".stripMargin,
       "outlier_cells_topk" ->
         s"""WITH pts AS (${Tables.pointsSql})

@@ -112,13 +112,13 @@ object RelationalQueries extends QueryPack {
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  count(*) AS count_order,
         |  round(sum(l_quantity)/count(*), 6) AS avg_qty
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "join_mktsegment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
     "join_brand_nation" ->
@@ -150,11 +150,11 @@ object RelationalQueries extends QueryPack {
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "orders_by_year" ->
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,

@@ -39,6 +39,16 @@ object StreamQueries extends QueryPack {
       import s.implicits._
       state(s, d).stickyFrequent(0.008, 0.004).toDF("item")
     }),
+    // Streaming stateful dedup, exercised through its batch twin:
+    // flatMapGroupsWithState over a batch Dataset runs the SAME
+    // operator code with each key's rows as one group, so first-arrival
+    // = min(id) per key — SQL-expressible, unlike the incremental
+    // streaming run (which StatefulDedupSpec pins to this twin).
+    "dedup_first_seen" -> ((s, d) =>
+      graft.streaming.StatefulDedup.firstArrivals(
+        Tables.events(s, d)
+          .select(col("user_id").as("key"), col("event_id").as("id")))
+        .toDF()),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -46,5 +56,8 @@ object StreamQueries extends QueryPack {
       s"""SELECT user_id AS item, count(*) AS cnt
          |FROM (SELECT user_id FROM events ORDER BY event_id LIMIT $N)
          |GROUP BY 1""".stripMargin,
+    "dedup_first_seen" ->
+      """SELECT user_id AS key, min(event_id) AS first_id
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

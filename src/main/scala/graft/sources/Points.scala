@@ -27,10 +27,22 @@ object Points {
 
   /** Points with a unique id column for the exact-outlier join (the
     * reference identifies points by value; ids only disambiguate
-    * duplicates). Uses a deterministic rank over (x, y). */
+    * duplicates). Deterministic rank over (x, y), 1-based — but
+    * DISTRIBUTED: a range-partitioned sortBy + zipWithIndex, not a
+    * global `row_number()` window (a no-partition-key window funnels
+    * the whole dataset through ONE task — a scale-killer at 100 TB).
+    * Ties (duplicate coordinates) get distinct ids in both
+    * formulations; which duplicate gets which id is irrelevant since
+    * the rows are identical. */
   def withIds(points: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    points.withColumn("id",
-      row_number().over(Window.orderBy(col("x"), col("y"))).cast("long"))
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.select(col("x").cast("double"), col("y").cast("double"))
+      .as[(Double, Double)]
+      .rdd
+      .sortBy(identity)           // distributed range sort, keeps parallelism
+      .zipWithIndex()             // one tiny job for partition offsets, no shuffle
+      .map { case ((x, y), i) => (x, y, i + 1L) }
+      .toDF("x", "y", "id")
   }
 }

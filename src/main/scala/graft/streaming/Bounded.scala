@@ -45,7 +45,9 @@ object Bounded {
 
     /** Fold one batch (already in arrival order), honoring the n-cap. */
     def update(items: Iterator[Long]): Unit = {
-      val it = items.take(math.max(0L, remaining).toInt)
+      // clamp before toInt: remaining > Int.MaxValue would wrap
+      // negative and take(…) would silently process zero items
+      val it = items.take(math.min(math.max(0L, remaining), Int.MaxValue.toLong).toInt)
       it.foreach { x =>
         seen += 1
         histogram.updateWith(x) { c => Some(c.getOrElse(0L) + 1L) }
@@ -144,7 +146,7 @@ object Bounded {
     * used by golden/parity tests and the DuckDB-checkable surface. */
   def batchTwin(items: DataFrame, n: Long, m: Int, stickyP: Double, seed: Long): StreamState = {
     val state = new StreamState(n, m, stickyP, seed)
-    state.update(items.orderBy("ord").limit(n.toInt)
+    state.update(items.orderBy("ord").limit(math.min(n, Int.MaxValue.toLong).toInt)
       .select(col("item").cast("long"))
       .collect().iterator.map(_.getLong(0)))
     state

@@ -30,6 +30,51 @@ class NativeFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("WordNgrams matches the interpreted HOF formulation, including edges") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hof(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val edges = Seq("", "one", "a b", "a b c", "x,y;z x", "7 7 7 7").toDF("text")
+    val docs = queries.Tables.documents(spark, sf0001)
+      .select("text").limit(300).unionByName(edges)
+    for (n <- Seq(2, 3, 5)) {
+      val toks = graft.ops.Text.tokens(col("text"))
+      val bad = docs
+        .select(graft.ops.Text.wordNgrams(col("text"), n).as("a"), hof(toks, n).as("b"))
+        .where(!(col("a") <=> col("b")))
+        .count()
+      assert(bad == 0, s"n-gram mismatch at n=$n")
+    }
+  }
+
+  test("rpBucket literal hyperplanes are bit-identical to the seeded HOF formulation") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val dim = 64; val nBits = 4; val seed = 42L
+    def hofBucket(vec: Column): Column =
+      (0 until nBits).map { b =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)),
+            (x, i) => x.cast("double") *
+              (pmod(xxhash64(i, lit(b), lit(seed)), lit(1L << 32)).cast("double")
+                / lit((1L << 32).toDouble) - lit(0.5))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bad = queries.Tables.embeddings(spark, sf0001)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(graft.ops.Similarity.rpBucket(col("v"), dim, nBits, seed).as("a"),
+        hofBucket(col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+      .count()
+    assert(bad == 0, "bucket ids diverged from the seeded HOF reference")
+  }
+
   test("interpreted eval path (nullSafeEval) agrees with codegen results") {
     import graft.functions.{DotProduct, MinDistSq}
     import org.apache.spark.sql.catalyst.expressions.Literal

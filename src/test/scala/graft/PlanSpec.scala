@@ -41,6 +41,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dim joins must not sort-merge")
   }
 
+  test("Points.withIds is distributed: no global-sort Window, parallelism kept") {
+    import graft.sources.Points
+    val pts = Tables.points(spark, sf0001).repartition(8)
+    val withIds = Points.withIds(pts)
+    // the old formulation was row_number() over an un-partitioned
+    // Window — a single-task global sort; the rewrite must not plan one
+    assert(!withIds.queryExecution.executedPlan.toString.contains("Window"))
+    assert(withIds.rdd.getNumPartitions > 1, "id assignment collapsed to one partition")
+    // semantics unchanged: ids are exactly 1..N, ascending with (x, y)
+    import spark.implicits._
+    val rows = withIds.orderBy("id")
+      .select("x", "y", "id").as[(Double, Double, Long)].collect()
+    assert(rows.map(_._3).toSeq == (1L to rows.length.toLong).toSeq)
+    val coords = rows.map(r => (r._1, r._2)).toSeq
+    assert(coords == coords.sorted)
+  }
+
+  test("rpBucket plans codegen'd dot products, not interpreted HOF folds") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val df = graft.ops.Similarity.annBucketed(embs, 1, dim = 64, nBits = 4, seed = 42L)
+    val p = plan(df)
+    assert(p.contains("graft_dot"), p.take(800))
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF fold back in the bucket path")
+  }
+
   test("native dot product present; partial aggregation precedes the shuffle") {
     val df = SparkEntry.queries("ann_cosine_nn")(spark, sf001)
     val p = plan(df)

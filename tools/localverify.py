@@ -49,6 +49,15 @@ def main():
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); n_bad += 1; continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_bad += 1; continue
+        # dtype gate first: the driver hashes serialized values, so
+        # int64 vs float64/object (e.g. DuckDB HUGEINT sums) hash-differs
+        # even when numerically equal — a bare `a == b` would mask that.
+        dt_bad = [(c, str(s[c].dtype), str(o[c].dtype))
+                  for c in s.columns if s[c].dtype != o[c].dtype]
+        if dt_bad:
+            c, sd, od = dt_bad[0]
+            print(f"FAIL {name}: dtype col {c} spark={sd} oracle={od}")
+            n_bad += 1; continue
         # exact compare (driver hashes values); report first mismatch
         mismatch = None
         for c in s.columns:
