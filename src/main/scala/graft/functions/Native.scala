@@ -34,6 +34,8 @@ object Native {
         exprs => MinDistSq(exprs(0), exprs(1), exprs(2)), "internal")
       reg.createOrReplaceTempFunction("graft_word_ngrams",
         exprs => WordNgrams(exprs(0), exprs(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_top_dot",
+        exprs => TopDot(exprs(0), exprs(1), exprs(2)), "internal")
     }
   }
 
@@ -47,6 +49,18 @@ object Native {
   def minDistSqNative(spark: SparkSession, x: Column, y: Column, flatCenters: Column): Column = {
     register(spark)
     call_function("graft_min_dist_sq", x, y, flatCenters)
+  }
+
+  /** Top-k centroid assignment in one pass: the k best (list, dot)
+    * pairs of `vec` against `nlist` centroids packed flat as a literal
+    * array<double> — replaces the posexplode(centroids) × row_number
+    * window formulation (an nlist× row blowup + a rank shuffle +
+    * a cache of the exploded table) with a per-row loop that never
+    * leaves the scan stage. */
+  def topDotNative(spark: SparkSession, vec: Column, flatCentroids: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_top_dot", vec, flatCentroids,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Word n-gram multiset of a token array (space-joined) — a single
@@ -200,4 +214,77 @@ case class WordNgrams(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** graft_top_dot(vec, flatCentroids, k) →
+  * array<struct<list:int, dot:double>>: the k best centroids of `vec`
+  * against the `nlist = |flat| / |vec|` centroids packed row-major in
+  * `flatCentroids`, ordered by (dot desc, list asc) — IEEE summation
+  * order per dot identical to [[DotProduct]] over the same slice.
+  * One tight selection loop per row; codegen delegates via object
+  * reference (WordNgrams pattern — the loop is compiled Scala inside
+  * the whole-stage-generated consumer). */
+case class TopDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isDA(dt: DataType) = dt match { case ArrayType(DoubleType, _) => true; case _ => false }
+    val ok = isDA(first.dataType) && isDA(second.dataType) &&
+      third.foldable && third.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_top_dot expects (array<double>, array<double>, int literal), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("list", IntegerType, nullable = false),
+      StructField("dot", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_top_dot"
+
+  @transient private lazy val k: Int = third.eval().asInstanceOf[Int]
+
+  def doTopK(vecAny: Any, flatAny: Any): ArrayData = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val flat = flatAny.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val nlist = if (dim == 0) 0 else flat.numElements() / dim
+    val dots = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var s = 0.0; var i = 0; val off = c * dim
+      while (i < dim) { s += flat.getDouble(off + i) * vec.getDouble(i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    // selection of the top min(k, nlist) by (dot desc, list asc):
+    // k and nlist are both small (≤ tens), so k scans beat a heap
+    val kk = math.min(k, nlist)
+    val out = new Array[Any](math.max(kk, 0))
+    val used = new Array[Boolean](nlist)
+    var slot = 0
+    while (slot < kk) {
+      var best = -1
+      var j = 0
+      while (j < nlist) {
+        if (!used(j) && (best < 0 || dots(j) > dots(best))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(slot) = org.apache.spark.sql.catalyst.InternalRow(best, dots(best))
+      slot += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = doTopK(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topDot", this, classOf[TopDot].getName)
+    nullSafeCodeGen(ctx, ev, (vec, flat, _) =>
+      s"${ev.value} = $ref.doTopK($vec, $flat);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }

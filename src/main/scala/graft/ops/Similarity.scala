@@ -44,26 +44,19 @@ object Similarity {
       .select(col(outId), transform(col("_vd"), x => x / col("_nrm")).as(outVec))
   }
 
-  /** Exact top-k cosine neighbors per vector (brute force, id-ordered
-    * tie-break): `vec_id, nn_id, rank`.
+  /** Top-k `(vec_id, nn_id, rank)` from a scored candidate table
+    * `vec_id, nn_id, cos`, ranked by (cos desc, nn_id asc).
     *
-    * k=1 plans as groupBy + max(struct) — partial aggregation runs
-    * map-side inside the same codegen stage as the join, so the N²
-    * candidate rows never shuffle. k>1 falls back to a rank window. */
-  def cosineTopK(embs: DataFrame, k: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = embs.sparkSession
-    // probe side repartitioned: the scan is a single task otherwise,
-    // and with a broadcast build the join inherits probe parallelism
-    val l = normalized(embs, idCol, vecCol, "vec_id", "va")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val r = normalized(embs, idCol, vecCol, "nn_id", "vb")
-    val scored = l.join(r, col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
-        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+    * k=1 plans as groupBy + max_by — a DeclarativeAggregate →
+    * HashAggregate whose partial aggregation runs map-side inside the
+    * same codegen stage as the join, so the candidate rows never
+    * shuffle (a rank window would shuffle ALL of them, then sort).
+    * k>1 falls back to the rank window. Shared by every exact/ANN
+    * variant so they rank (and tie-break) identically. */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame =
     if (k == 1) {
-      // max_by is a DeclarativeAggregate -> HashAggregate (a plain
-      // max(struct) would force SortAggregate + sort of the N² rows)
+      // max_by of nn_id by (cos, -nn_id): highest cosine, lowest id on
+      // ties — same pair the rank-window formulation keeps at rank 1
       scored
         .groupBy("vec_id")
         .agg(max_by(col("nn_id"), struct(col("cos"), (-col("nn_id")).as("negid"))).as("nn_id"))
@@ -75,73 +68,101 @@ object Similarity {
         .where(col("rank") <= k)
         .select(col("vec_id"), col("nn_id"), col("rank"))
     }
+
+  /** Exact top-k cosine neighbors per vector (brute force, id-ordered
+    * tie-break): `vec_id, nn_id, rank`. */
+  def cosineTopK(embs: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    // probe side repartitioned: the scan is a single task otherwise,
+    // and with a broadcast build the join inherits probe parallelism
+    val l = normalized(embs, idCol, vecCol, "vec_id", "va")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val r = normalized(embs, idCol, vecCol, "nn_id", "vb")
+    val scored = l.join(r, col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+    topKByCos(scored, k)
+  }
+
+  /** Coarse quantizer shared by IVF and k-center: FFT centroids over a
+    * deterministic driver-sized sample (sorted by id) of the normalized
+    * vectors. Unit-length output (inputs are normalized), so
+    * argmin distance == argmax dot downstream. */
+  def ivfCentroids(embs: DataFrame, nlist: Int, sampleSize: Int = 2048,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = normalized(embs, idCol, vecCol, "id", "v")
+      .orderBy("id").limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    graft.ops.Fft.seqFFTVec(sample, nlist)
+  }
+
+  /** Per-vector probed list ids under the same quantizer as [[annIvf]]:
+    * `id, lists` with `lists(0)` the vector's own list — the invariant
+    * checks recompute probe membership from this. */
+  def ivfProbeLists(embs: DataFrame, nlist: Int, nprobe: Int, sampleSize: Int = 2048,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val flat = lit(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol).flatten)
+    normalized(embs, idCol, vecCol, "id", "v")
+      .select(col("id"),
+        graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+          .getField("list").as("lists"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer — k-center centroids
     * from farthest-first traversal over a driver-sized sample — maps
     * every vector to its nearest list; queries probe their `nprobe`
     * nearest lists. The classic FAISS-style IVF layout expressed as
-    * dataflow: centroid assignment is a broadcast-literal scan (no
-    * join), candidate generation an equi-join on `list`. No training
-    * iteration (FFT is one pass), deterministic given the sample.
+    * dataflow: centroid assignment is a codegen'd top-k-dot over the
+    * literal flat centroid array ([[graft.functions.TopDot]] — one
+    * per-row loop in the scan stage, no posexplode blowup, no rank
+    * window, no cache); candidate generation is an equi-join on
+    * `list`. No training iteration (FFT is one pass), deterministic
+    * given the sample.
+    *
+    * Each (vec, nn) candidate arises at most once — the build side
+    * keeps exactly one list per vector and the probed lists are
+    * distinct — so no dedup is needed before ranking.
     *
     * Cost ∝ Σ_list |probe(list)|·|list| — at 1000 executors both sides
     * shuffle on the list id and each list's pairs stay co-located. */
   def annIvf(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
              sampleSize: Int = 2048,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = embs.sparkSession
     val base = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
-    // coarse centroids: FFT over a deterministic sample (sorted by id)
-    val sample = base.orderBy("id").limit(sampleSize)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val centroids = graft.ops.Fft.seqFFTVec(sample, nlist)
-    // distance of v to centroid c as a codegen'd dot (unit vectors:
-    // argmin distance == argmax dot)
-    val cLit = centroids.map(c => lit(c))
-    val scored = base.select(col("id"), col("v"),
-      posexplode(array(cLit: _*)).as(Seq("list", "cv")))
-      .select(col("id"), col("v"), col("list"),
-        graft.functions.Native.dotNative(spark, col("v"), col("cv")).as("cdot"))
-    val wAssign = Window.partitionBy("id").orderBy(col("cdot").desc, col("list"))
-    // both the probe and build sides read the ranked assignment —
-    // cache so the centroid scan + window run once
-    val ranked = scored.withColumn("crank", row_number().over(wAssign)).cache()
-    val build = ranked.where(col("crank") === 1)
-      .select(col("id").as("nn_id"), col("v").as("vb"), col("list"))
-    val probe = ranked.where(col("crank") <= nprobe)
-      .select(col("id").as("vec_id"), col("v").as("va"), col("list"))
-    val wTop = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    probe.join(build, Seq("list"))
+    val flat = lit(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol).flatten)
+    val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
+      graft.functions.Native.topDotNative(spark, col("v"), flat, 1)
+        .getItem(0).getField("list").as("list"))
+    val probe = base.select(col("id").as("vec_id"), col("v").as("va"),
+      explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+        .getField("list")).as("list"))
+    val scored = probe.join(build, Seq("list"))
       .where(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
-      .dropDuplicates("vec_id", "nn_id")
-      .withColumn("rank", row_number().over(wTop))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("nn_id"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** Embedding k-center clustering: FFT centroids over a sample, every
-    * vector assigned to its nearest centroid: `vec_id, cluster, cdist`. */
+    * vector assigned to its nearest centroid in one codegen'd argmax
+    * pass (no explode, no window): `vec_id, cluster, cdist`. */
   def kcenterAssign(embs: DataFrame, k: Int, sampleSize: Int = 2048,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = embs.sparkSession
-    val base = normalized(embs, idCol, vecCol, "id", "v")
-    val sample = base.orderBy("id").limit(sampleSize)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    val centroids = graft.ops.Fft.seqFFTVec(sample, k)
-    val scored = base.select(col("id"), col("v"),
-      posexplode(array(centroids.map(c => lit(c)): _*)).as(Seq("cluster", "cv")))
-      .select(col("id").as("vec_id"), col("cluster"),
-        graft.functions.Native.dotNative(spark, col("v"), col("cv")).as("cdot"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cluster"))
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
-      .select(col("vec_id"), col("cluster"),
-        round(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("cdot"))), 6).as("cdist"))
+    val flat = lit(ivfCentroids(embs, k, sampleSize, idCol, vecCol).flatten)
+    normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("vec_id"),
+        graft.functions.Native.topDotNative(spark, col("v"), flat, 1)
+          .getItem(0).as("best"))
+      .select(col("vec_id"), col("best").getField("list").as("cluster"),
+        // unit vectors: ||v−c||² = 2 − 2⟨v,c⟩
+        round(sqrt(greatest(lit(0.0),
+          lit(2.0) - lit(2.0) * col("best").getField("dot"))), 6).as("cdist"))
   }
 
   /** Driver-side twin of [[kcenterAssign]]'s sampling stage, for the
@@ -235,10 +256,14 @@ object Similarity {
   /** Approximate NN with multi-probe: probe side explodes its
     * (nBits+1) candidate buckets, build side keeps its own bucket;
     * every pair within Hamming distance 1 of each other's buckets is
-    * scored. `vec_id, nn_id, rank`. */
+    * scored. `vec_id, nn_id, rank`.
+    *
+    * The probed buckets are pairwise distinct and the build side has
+    * exactly one bucket per vector, so each (vec, nn) pair is scored
+    * at most once — no dedup before ranking, and k=1 ranks via the
+    * map-side max_by aggregate (no wide shuffle of the candidates). */
   def annMultiProbe(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = embs.sparkSession
     val base = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -246,15 +271,11 @@ object Similarity {
       explode(rpBucketsMultiProbe(col("v"), dim, nBits, seed)).as("bucket"))
     val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
       rpBucket(col("v"), dim, nBits, seed).as("bucket"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    probe.join(build, Seq("bucket"))
+    val scored = probe.join(build, Seq("bucket"))
       .where(col("id") =!= col("nn_id"))
       .select(col("id").as("vec_id"), col("nn_id"),
         graft.functions.Native.dotNative(spark, col("v"), col("vb")).as("cos"))
-      .dropDuplicates("vec_id", "nn_id")
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("nn_id"), col("rank"))
+    topKByCos(scored, k)
   }
 
   /** Approximate NN via random-hyperplane buckets: joins only within
@@ -263,18 +284,14 @@ object Similarity {
     * [[annMultiProbe]] closes that hole). */
   def annBucketed(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = embs.sparkSession
     val b = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("bucket", rpBucket(col("v"), dim, nBits, seed))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    b.as("l").join(b.as("r"),
+    val scored = b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("vec_id"), col("r.id").as("nn_id"),
         graft.functions.Native.dotNative(spark, col("l.v"), col("r.v")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("nn_id"), col("rank"))
+    topKByCos(scored, k)
   }
 }

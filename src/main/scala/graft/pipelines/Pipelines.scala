@@ -31,9 +31,12 @@ object Hw1 {
       val outliers = Outliers.neighborCounts(withIds, d)
         .where(col("cnt") <= m)
       val nOut = outliers.count()
+      // re-sort driver-side: the join after limit(k) does not
+      // guarantee the orderBy survives into collect()
       val topK = outliers.orderBy(col("cnt"), col("id")).limit(k)
-        .join(withIds, "id").select(col("x"), col("y"), col("cnt"))
+        .join(withIds, "id").select(col("x"), col("y"), col("cnt"), col("id"))
         .collect()
+        .sortBy(r => (r.getLong(2), r.getLong(3)))
       out += s"Number of Outliers = $nOut"
       topK.foreach(r => out += s"Point: (${r.getDouble(0)}, ${r.getDouble(1)})")
       out += s"Running time of ExactOutliers = ${(System.nanoTime() - t0) / 1e6} ms"

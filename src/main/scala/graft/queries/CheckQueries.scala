@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Fft, Freq, Outliers, Similarity}
+import graft.ops.{Dedup, Fft, Freq, Multimodal, Outliers, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,11 +46,21 @@ object CheckQueries extends QueryPack {
         .select(lit("sub_histogram").as("violation"))
     }),
     // LSH soundness: every MinHash pair (jac ≥ 0.3) must appear among
-    // the exact n-gram pairs at the looser 0.1 threshold
+    // the exact n-gram pairs at the looser 0.1 threshold. The exact
+    // side is semi-joined to the docs the LSH pairs actually touch —
+    // pair Jaccard depends only on the two docs' shingles, so
+    // restricting the exact computation to candidate docs checks the
+    // same law without building the full corpus-wide pair table.
+    // (lsh feeds both the semi-join and the anti-join → cached; the
+    // session clearCache between queries reclaims it, same contract as
+    // Dedup's shingle caches.)
     "check_minhash_subset" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val lsh = Dedup.minhashLshPairs(docs, 3, 32, 8, 0.3, SEED).select("a", "b")
-      val exact = Dedup.ngramJaccardPairs(docs, 3, 0.1).select("a", "b")
+      val lsh = Dedup.minhashLshPairs(docs, 3, 32, 8, 0.3, SEED).select("a", "b").cache()
+      val candIds = lsh.select(col("a").as("doc_id"))
+        .union(lsh.select(col("b").as("doc_id"))).distinct()
+      val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+      val exact = Dedup.ngramJaccardPairs(candDocs, 3, 0.1).select("a", "b")
       lsh.join(exact, Seq("a", "b"), "left_anti")
         .select(lit("lsh_not_in_exact").as("violation"))
     }),
@@ -97,6 +107,84 @@ object CheckQueries extends QueryPack {
         .unionByName(mp.where(col("vec_id") === col("nn_m"))
           .select(lit("self_pair").as("violation")))
       coverViol.unionByName(domViol).unionByName(selfViol)
+    }),
+    // IVF laws (same parameters as the ann_ivf driver query, k=1):
+    //  - dominance: the IVF nn is drawn from a candidate subset, so
+    //    its cosine is ≤ the exact brute-force nn's cosine;
+    //  - shared list: both endpoints of every reported pair share a
+    //    probed list (the nn's OWN list is among the query's nprobe
+    //    lists — that is the only way the equi-join can emit the pair);
+    //  - sanity: no self-pairs.
+    "check_ivf" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val ivf = Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4)
+        .select(col("vec_id"), col("nn_id"))
+      val exact = Similarity.cosineTopK(embs, 1)
+        .select(col("vec_id"), col("nn_id").as("nn_e"))
+      val e = embs.select(col("vec_id").as("eid"), col("embedding").as("ev"))
+      val domViol = ivf.join(exact, "vec_id")
+        .join(e.withColumnRenamed("eid", "vec_id").withColumnRenamed("ev", "vq"), "vec_id")
+        .join(e.withColumnRenamed("eid", "nn_id").withColumnRenamed("ev", "vi"), "nn_id")
+        .join(e.withColumnRenamed("eid", "nn_e").withColumnRenamed("ev", "ve"), "nn_e")
+        .where(Similarity.cosine(col("vq"), col("vi"))
+          > Similarity.cosine(col("vq"), col("ve")) + 1e-9)
+        .select(lit("ivf_dominance").as("violation"))
+      val probes = Similarity.ivfProbeLists(embs, nlist = 16, nprobe = 4)
+      val shareViol = ivf
+        .join(probes.select(col("id").as("vec_id"), col("lists")), "vec_id")
+        .join(probes.select(col("id").as("nn_id"), col("lists").getItem(0).as("own")), "nn_id")
+        .where(!array_contains(col("lists"), col("own")))
+        .select(lit("ivf_shared_list").as("violation"))
+      val selfViol = ivf.where(col("vec_id") === col("nn_id"))
+        .select(lit("self_pair").as("violation"))
+      domViol.unionByName(shareViol).unionByName(selfViol)
+    }),
+    // Media-pipeline laws (same parameters as the media_* queries):
+    //  - frames: every non-empty payload yields exactly n frames with
+    //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty
+    //    payloads yield none;
+    //  - checksum: frameStats' checksum/n_bytes recompute from an
+    //    independent sampleFrames run's bytes (also pins the sampler's
+    //    determinism);
+    //  - features: two extractFeatures runs agree (decode-stub
+    //    determinism), dim is as requested, values in [-1, 1).
+    "check_media" -> ((s, d) => {
+      val media = Multimodal.packMedia(Tables.documents(s, d))
+      val n = 4
+      val frames = Multimodal.frameStats(Multimodal.sampleFrames(media, n))
+      val counts = frames.groupBy("media_id").agg(
+        count(lit(1)).as("nf"),
+        min("frame_no").as("fmin"), max("frame_no").as("fmax"),
+        countDistinct(col("frame_no")).as("nfd"),
+        min("n_bytes").as("minb"), max("n_bytes").as("maxb"))
+      val countViol = media.select(col("media_id"), col("n_bytes"))
+        .join(counts, Seq("media_id"), "left")
+        .where(
+          when(col("n_bytes") > 0,
+            coalesce(col("nf"), lit(0L)) =!= n || col("fmin") =!= 0 ||
+              col("fmax") =!= n - 1 || col("nfd") =!= n ||
+              col("minb") < 1 || col("maxb") > 16)
+            .otherwise(coalesce(col("nf"), lit(0L)) =!= 0))
+        .select(lit("frame_laws").as("violation"))
+      val rawFrames = Multimodal.sampleFrames(media, n).toDF()
+      val ckViol = frames.join(rawFrames, Seq("media_id", "frame_no"))
+        .where(col("checksum") =!= crc32(col("frame_bytes"))
+          || col("n_bytes") =!= length(col("frame_bytes")))
+        .select(lit("frame_checksum").as("violation"))
+      val f1 = Multimodal.extractFeatures(media, dim = 16).toDF()
+      val f2 = Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("dim").as("dim2"), col("feature").as("feature2"))
+      val twinViol = f1.join(f2, "media_id")
+        .where(col("feature") =!= col("feature2") || col("dim") =!= col("dim2"))
+        .select(lit("feature_determinism").as("violation"))
+      val dimViol = f1
+        .where(size(col("feature")) =!= col("dim") || col("dim") =!= 16)
+        .select(lit("feature_dim").as("violation"))
+      val rangeViol = f1
+        .where(exists(col("feature"), v => v < -1.0 || v >= 1.0))
+        .select(lit("feature_range").as("violation"))
+      countViol.unionByName(ckViol).unionByName(twinViol)
+        .unionByName(dimViol).unionByName(rangeViol)
     }),
     // k-center law: for every SAMPLED vector (the FFT traversed exactly
     // those), assignment distance ≤ the sample's k-center radius,
@@ -147,12 +235,18 @@ object CheckQueries extends QueryPack {
     "check_outlier_bracket" -> ((s, d) => {
       val dD = 0.5; val m = 10
       // both paths over the SAME (deduplicated) point set — the
-      // bracket theorem assumes one multiset
-      val ptsU = Tables.pointsWithId(s, d)
-      val exact = Outliers.neighborCounts(ptsU, dD)
-        .where(col("cnt") <= m).count()
-      val row = Outliers.approxOutlierCounts(ptsU.select("x", "y"), dD, m).head()
-      val (sure, unc) = (row.getLong(0), row.getLong(1))
+      // bracket theorem assumes one multiset. The window-dedup lineage
+      // feeds FOUR consumers (both sides of the bucketed self-join,
+      // the no-neighbor left join, and the approx path) — cache it so
+      // the scan + dedup window run once, and unpersist after the two
+      // eager actions (everything downstream is driver values).
+      val ptsU = Tables.pointsWithId(s, d).cache()
+      val (exact, sure, unc) = try {
+        val e = Outliers.neighborCounts(ptsU, dD)
+          .where(col("cnt") <= m).count()
+        val row = Outliers.approxOutlierCounts(ptsU.select("x", "y"), dD, m).head()
+        (e, row.getLong(0), row.getLong(1))
+      } finally ptsU.unpersist()
       val viol = if (sure <= exact && exact <= sure + unc) Seq.empty[String]
         else Seq(s"bracket sure=$sure exact=$exact unc=$unc")
       import s.implicits._

@@ -24,9 +24,15 @@ object DocQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + quality scoring (ratios, punct/digit counts)
     "text_quality" -> ((s, d) =>
+      // counts cast to long: DuckDB len()/length() yield BIGINT, and
+      // the localverify dtype gate (mirroring the driver's serialized-
+      // value hash) treats int32 vs int64 as a mismatch
       Text.qualitySignals(Tables.documents(s, d))
-        .select(col("doc_id"), col("n_chars_txt"), col("n_tokens"),
-          col("n_stopwords"), col("n_digits"), col("n_punct"),
+        .select(col("doc_id"), col("n_chars_txt").cast("long").as("n_chars_txt"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_stopwords").cast("long").as("n_stopwords"),
+          col("n_digits").cast("long").as("n_digits"),
+          col("n_punct").cast("long").as("n_punct"),
           round(col("avg_token_len"), 6).as("avg_token_len"),
           round(col("stopword_ratio"), 6).as("stopword_ratio"))),
     // corpus-level token histogram, top 30
@@ -38,8 +44,8 @@ object DocQueries extends QueryPack {
     // BPE-style subword segmentation counts (token budgeting)
     "text_token_bpe" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_ws_tokens"),
-        Text.bpeishTokenCount(col("text")).as("n_bpe_pieces"))),
+        Text.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        Text.bpeishTokenCount(col("text")).cast("long").as("n_bpe_pieces"))),
     // language-ID heuristic (lexicon argmax)
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)

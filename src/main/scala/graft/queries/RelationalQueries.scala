@@ -49,7 +49,7 @@ object RelationalQueries extends QueryPack {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "rk")
     }),
@@ -76,7 +76,7 @@ object RelationalQueries extends QueryPack {
     // date functions: orders per calendar year
     "orders_by_year" -> ((s, d) =>
       Tables.orders(s, d)
-        .groupBy(year(col("o_orderdate")).as("yr"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
     // json functions: extract + aggregate over the props payload
@@ -104,7 +104,7 @@ object RelationalQueries extends QueryPack {
       Tables.part(s, d)
         .groupBy(upper(substring(col("p_type"), 1, 5)).as("type_prefix"))
         .agg(count(lit(1)).as("n"),
-          max(length(col("p_name"))).as("max_name_len"),
+          max(length(col("p_name"))).cast("long").as("max_name_len"),
           min(col("p_brand")).as("first_brand"))),
   )
 

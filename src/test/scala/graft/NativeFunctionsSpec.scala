@@ -75,6 +75,44 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(bad == 0, "bucket ids diverged from the seeded HOF reference")
   }
 
+  test("TopDot: SQL surface, ordering, ties, and k > nlist") {
+    Native.register(spark)
+    // 2 centroids, k=3 > nlist → both, ordered by (dot desc, list asc)
+    val r = spark.sql(
+      "SELECT graft_top_dot(array(1.0D, 0.0D), array(0.0D, 1.0D, 1.0D, 0.0D), 3) AS t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getInt(0), x.getDouble(1))) == Seq((1, 1.0), (0, 0.0)))
+    // duplicate dots: lower list index wins the tie
+    val tie = spark.sql(
+      "SELECT graft_top_dot(array(1.0D), array(2.0D, 2.0D, 3.0D), 2) AS t")
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0))
+    assert(tie == Seq(2, 0))
+  }
+
+  test("TopDot matches a driver-side twin on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val embs = queries.Tables.embeddings(spark, sf0001)
+    val cents = graft.ops.Similarity.ivfCentroids(embs, 8)
+    val flat = lit(cents.flatten)
+    val rows = embs
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("t", Native.topDotNative(spark, col("v"), flat, 3))
+      .limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      // same i-ascending IEEE accumulation order as the expression
+      val dots = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += c(i) * v(i); i += 1 }
+        s
+      }
+      val exp = dots.zipWithIndex.sortBy { case (d, i) => (-d, i) }.take(3).map(_._2).toSeq
+      val got = r.getSeq[org.apache.spark.sql.Row](2).map(_.getInt(0))
+      assert(got == exp, s"top-3 lists diverged for vec ${r.getLong(0)}")
+    }
+  }
+
   test("interpreted eval path (nullSafeEval) agrees with codegen results") {
     import graft.functions.{DotProduct, MinDistSq}
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), "interpreted HOF fold back in the bucket path")
   }
 
+  test("IVF/k-center assignment is one codegen'd TopDot pass: no Window, no explode blowup, no cache") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val kc = plan(graft.ops.Similarity.kcenterAssign(embs, 8))
+    assert(kc.contains("graft_top_dot"), kc.take(800))
+    assert(!kc.contains("Window"), "centroid assignment must not rank via a window")
+    assert(!kc.contains("posexplode"), "centroid assignment must not explode the centroid array")
+    val ivf = plan(graft.ops.Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4))
+    assert(ivf.contains("graft_top_dot"), ivf.take(800))
+    assert(!ivf.contains("Window"), "k=1 IVF must rank via max_by, not a window")
+    assert(!ivf.contains("InMemoryRelation"), "IVF must not cache the assignment table")
+  }
+
+  test("multi-probe k=1 ranks via map-side max_by: no Window, no dedup") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val p = plan(graft.ops.Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4, seed = 42L))
+    assert(!p.contains("Window"), "k=1 multiprobe must not rank via a window")
+    assert(p.contains("max_by"), p.take(800))
+  }
+
   test("native dot product present; partial aggregation precedes the shuffle") {
     val df = SparkEntry.queries("ann_cosine_nn")(spark, sf001)
     val p = plan(df)

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Outliers
+import graft.pipelines.Hw1
+
+/** Value-level parity against the reference's OWN hand-checkable
+  * micro-dataset (`HWK_1/TestN15-input.txt`, read-only test fixture):
+  * the Hw1 façade must reproduce, on the actual reference file, the
+  * outlier count and top-K points the driver-side O(N²) twin of the
+  * reference's `ExactOutliers` (`HWK_1/G029HW1.py:16-49`) computes —
+  * closing the loop PipelineSpec's synthesized lookalike leaves open.
+  *
+  * Tie-break note: the engine orders outliers by (cnt, id) where id is
+  * the (x, y) rank (Points.withIds), so the twin is fed the points in
+  * the same sorted order — then twin index order == engine id order
+  * and the printed top-K sequences must agree exactly.
+  */
+class ReferenceParitySpec extends SparkSpec {
+
+  private val refPath = "/root/reference/HWK_1/TestN15-input.txt"
+
+  private lazy val refPoints: Array[Point] = {
+    val src = scala.io.Source.fromFile(refPath)
+    try src.getLines().filter(_.trim.nonEmpty).map { l =>
+      val Array(x, y) = l.split(",")
+      Point(x.trim.toDouble, y.trim.toDouble)
+    }.toArray
+    finally src.close()
+  }
+
+  test("Hw1 on TestN15-input.txt matches the O(N²) reference twin, two parameter sets") {
+    assert(refPoints.length == 15)
+    val sorted = refPoints.sortBy(p => (p.x, p.y))
+    for ((d, m, k) <- Seq((0.5, 2, 3), (1.0, 3, 5))) {
+      val expected = Outliers.exactOutliersLocal(sorted, d, m) // (idx, cnt) by (cnt, idx)
+      val lines = Hw1.run(spark, refPath, d = d, m = m, k = k, l = 2)
+      assert(lines.contains("Number of points = 15"))
+      assert(lines.contains(s"Number of Outliers = ${expected.length}"),
+        s"outlier count diverged at D=$d M=$m")
+      val expLines = expected.take(k).map { case (i, _) =>
+        s"Point: (${sorted(i).x}, ${sorted(i).y})"
+      }.toSeq
+      val gotLines = lines.filter(_.startsWith("Point: ("))
+      assert(gotLines == expLines, s"top-K points diverged at D=$d M=$m K=$k")
+      // HW1 cross-validation on the same run: sure ≤ exact ≤ sure+unc
+      val sure = lines.find(_.startsWith("Number of sure outliers= ")).get.split("= ")(1).toLong
+      val unc = lines.find(_.startsWith("Number of uncertain points= ")).get.split("= ")(1).toLong
+      assert(sure <= expected.length && expected.length <= sure + unc)
+    }
+  }
+}
