@@ -8,21 +8,30 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * functions into every session via
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`); SQL then resolves
-  * `graft_dot` / `graft_min_dist_sq` directly. In-library code paths
-  * use [[Native.register]], which installs the same builders into an
+  * `graft_dot` / `graft_min_dist_sq` / `graft_word_ngrams` /
+  * `graft_top_dot` directly. In-library code paths use
+  * [[Native.register]], which installs the same builders into an
   * already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      (exprs: Exprs) => DotProduct(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_min_dist_sq"),
       new ExpressionInfo(classOf[MinDistSq].getName, "graft_min_dist_sq"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinDistSq(exprs(0), exprs(1), exprs(2))))
+      (exprs: Exprs) => MinDistSq(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (exprs: Exprs) => WordNgrams(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_dot"),
+      new ExpressionInfo(classOf[TopDot].getName, "graft_top_dot"),
+      (exprs: Exprs) => TopDot(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -180,12 +180,17 @@ object Dedup {
     * generation by 4×16-bit band buckets (any pair within distance 3
     * must agree on ≥1 of 4 bands — pigeonhole). */
   def simhashPairs(docs: DataFrame, maxDist: Int, seed: Long = 0L,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs, seed, textCol, idCol), maxDist)
+
+  /** [[simhashPairs]] over a precomputed (possibly cached) `id, sig`
+    * signature table — callers that also consume the signatures
+    * elsewhere (the invariant checks) avoid recomputing them. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
     // 4 fixed 16-bit bands are pigeonhole-complete only up to distance
     // 3: a pair at distance ≥ 4 can differ in every band and would be
     // silently missed — reject rather than under-report
     require(maxDist <= 3, s"4-band SimHash candidate generation is complete only for maxDist <= 3 (got $maxDist)")
-    val sigs = simhashSignatures(docs, seed, textCol, idCol)
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),

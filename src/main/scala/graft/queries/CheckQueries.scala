@@ -215,13 +215,16 @@ object CheckQueries extends QueryPack {
     // matches the reported dist and is ≤ 3.
     "check_simhash_sound" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.simhashSignatures(docs, SEED)
+      // signatures feed the twin join, candidate generation, AND both
+      // soundness joins — cache (reclaimed by the session's clearCache
+      // between queries, same contract as Dedup's shingle caches)
+      val sigs = Dedup.simhashSignatures(docs, SEED).cache()
       val twin = docs.where(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("doc_id").as("id"), Dedup.simhash64(col("text"), SEED).as("sig2"))
       val twinViol = twin.join(sigs, "id")
         .where(col("sig") =!= col("sig2"))
         .select(lit("simhash_twin").as("violation"))
-      val pairs = Dedup.simhashPairs(docs, maxDist = 3, seed = SEED)
+      val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 3)
       val soundViol = pairs
         .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
         .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
@@ -235,12 +238,18 @@ object CheckQueries extends QueryPack {
     "check_outlier_bracket" -> ((s, d) => {
       val dD = 0.5; val m = 10
       // both paths over the SAME (deduplicated) point set — the
-      // bracket theorem assumes one multiset. The window-dedup lineage
-      // feeds FOUR consumers (both sides of the bucketed self-join,
-      // the no-neighbor left join, and the approx path) — cache it so
-      // the scan + dedup window run once, and unpersist after the two
-      // eager actions (everything downstream is driver values).
-      val ptsU = Tables.pointsWithId(s, d).cache()
+      // bracket theorem assumes one multiset, but holds for ANY
+      // multiset, so the harness checks it on a deterministic ¼-ids
+      // subset: the exact side is pair-quadratic and a cross-
+      // validation query should not pay the full corpus's pair count
+      // (at 100 TB one would bracket-check a slice, never the corpus).
+      // The window-dedup lineage feeds FOUR consumers (both sides of
+      // the bucketed self-join, the no-neighbor left join, and the
+      // approx path) — cache it so the scan + dedup window run once,
+      // and unpersist after the two eager actions (everything
+      // downstream is driver values).
+      val ptsU = Tables.pointsWithId(s, d)
+        .where(pmod(col("id"), lit(4)) === 0).cache()
       val (exact, sure, unc) = try {
         val e = Outliers.neighborCounts(ptsU, dD)
           .where(col("cnt") <= m).count()
