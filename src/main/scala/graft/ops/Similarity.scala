@@ -70,13 +70,20 @@ object Similarity {
     }
 
   /** Exact top-k cosine neighbors per vector (brute force, id-ordered
-    * tie-break): `vec_id, nn_id, rank`. */
+    * tie-break): `vec_id, nn_id, rank`.
+    *
+    * `queryPred` restricts the QUERY (probe) side while the corpus
+    * side stays full — the standard "NN for a query batch against the
+    * whole corpus" shape (also how the invariant checks keep the
+    * exact verifier's pair count proportional to the slice they
+    * audit, not the corpus²). */
   def cosineTopK(embs: DataFrame, k: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 queryPred: Column = lit(true)): DataFrame = {
     val spark = embs.sparkSession
     // probe side repartitioned: the scan is a single task otherwise,
     // and with a broadcast build the join inherits probe parallelism
-    val l = normalized(embs, idCol, vecCol, "vec_id", "va")
+    val l = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
       .repartition(spark.sparkContext.defaultParallelism)
     val r = normalized(embs, idCol, vecCol, "nn_id", "vb")
     val scored = l.join(r, col("vec_id") =!= col("nn_id"))

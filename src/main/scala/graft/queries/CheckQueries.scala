@@ -110,19 +110,24 @@ object CheckQueries extends QueryPack {
     }),
     // IVF laws (same parameters as the ann_ivf driver query, k=1):
     //  - dominance: the IVF nn is drawn from a candidate subset, so
-    //    its cosine is ≤ the exact brute-force nn's cosine;
+    //    its cosine is ≤ the exact brute-force nn's cosine — audited
+    //    on a deterministic ⅕-ids query slice (the exact side is
+    //    corpus×slice, not corpus², same harness-cost principle as
+    //    check_outlier_bracket; the cheap set-level laws below stay
+    //    full-corpus);
     //  - shared list: both endpoints of every reported pair share a
     //    probed list (the nn's OWN list is among the query's nprobe
     //    lists — that is the only way the equi-join can emit the pair);
     //  - sanity: no self-pairs.
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
+      val slice = pmod(col("vec_id"), lit(5)) === 0
       val ivf = Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4)
         .select(col("vec_id"), col("nn_id"))
-      val exact = Similarity.cosineTopK(embs, 1)
+      val exact = Similarity.cosineTopK(embs, 1, queryPred = slice)
         .select(col("vec_id"), col("nn_id").as("nn_e"))
       val e = embs.select(col("vec_id").as("eid"), col("embedding").as("ev"))
-      val domViol = ivf.join(exact, "vec_id")
+      val domViol = ivf.where(slice).join(exact, "vec_id")
         .join(e.withColumnRenamed("eid", "vec_id").withColumnRenamed("ev", "vq"), "vec_id")
         .join(e.withColumnRenamed("eid", "nn_id").withColumnRenamed("ev", "vi"), "nn_id")
         .join(e.withColumnRenamed("eid", "nn_e").withColumnRenamed("ev", "ve"), "nn_e")
@@ -232,6 +237,84 @@ object CheckQueries extends QueryPack {
           || col("dist") > 3)
         .select(lit("simhash_sound").as("violation"))
       twinViol.unionByName(soundViol)
+    }),
+    // St5/St6 state laws on the bounded-stream batch twin (same
+    // params as the stream_* queries; the prefix histogram it is
+    // checked against is itself oracle-verified via
+    // stream_hist_prefix): the reservoir holds exactly min(m, n')
+    // items, each occurring in the prefix; every sticky count is
+    // 1 ≤ cnt ≤ true prefix frequency.
+    "check_stream_state" -> ((s, d) => {
+      val items = Tables.events(s, d)
+        .select(col("event_id").as("ord"), col("user_id").as("item"))
+      val st = graft.streaming.Bounded.batchTwin(items, 5000L, 20, 0.05, SEED)
+      val viol = Seq.newBuilder[String]
+      if (st.reservoir.length != math.min(20L, st.seen))
+        viol += s"reservoir_size ${st.reservoir.length}"
+      if (!st.reservoir.forall(st.histogram.contains))
+        viol += "reservoir_membership"
+      st.sticky.foreach { case (k, c) =>
+        if (c < 1 || c > st.histogram.getOrElse(k, 0L))
+          viol += s"sticky_sub_histogram $k"
+      }
+      import s.implicits._
+      viol.result().toDF("violation")
+    }),
+    // Distributed reservoir Aggregator laws (same params as
+    // media_reservoir_agg): |sample| == min(m, n) and sample ⊆ input.
+    "check_reservoir_agg" -> ((s, d) => {
+      import s.implicits._
+      val itemsDs = Tables.events(s, d).select(col("user_id")).as[Long]
+      val m = 32
+      val n = itemsDs.count()
+      val sample = itemsDs
+        .select(new graft.functions.ReservoirAgg(m, SEED).toColumn.name("sample"))
+        .select(explode(col("sample")).as("item"))
+      val sizeViol = sample.agg(count(lit(1)).as("c"))
+        .where(col("c") =!= lit(math.min(m.toLong, n)))
+        .select(lit("size_law").as("violation"))
+      val memberViol = sample.join(
+          Tables.events(s, d).select(col("user_id").as("item")).distinct(),
+          Seq("item"), "left_anti")
+        .select(lit("membership").as("violation"))
+      sizeViol.union(memberViol)
+    }),
+    // Sketch laws — the approximate scale paths next to the exact
+    // relational verifiers (`distinct_users_by_type`,
+    // `quantiles_quantity`); both sketches are deterministic given the
+    // data, so these are stable gates, not flaky stochastic bounds:
+    //  - HLL++ (approx_count_distinct, rsd=0.05): estimate within 3×
+    //    the requested relative standard deviation of the exact count;
+    //  - GK/KLL (percentile_approx, accuracy=1000): the returned
+    //    p-quantile's RANK is within 1/accuracy of p — the sketch's
+    //    actual contract (value-distance would be data-dependent).
+    "check_sketches" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val row = ev.agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx")).head()
+      val (exactD, approxD) = (row.getLong(0), row.getLong(1))
+      val hllViol = if (math.abs(approxD - exactD) <= 0.15 * exactD) Seq.empty[String]
+        else Seq(s"hll_error approx=$approxD exact=$exactD")
+      val li = Tables.lineitem(s, d).select(col("l_quantity").as("v")).cache()
+      val (gkViol, _) = try {
+        val acc = 1000
+        val n = li.count().toDouble
+        val ps = Seq(0.5, 0.9)
+        val qs = li.agg(percentile_approx(col("v"),
+            array(ps.map(lit): _*), lit(acc)).as("q"))
+          .head().getSeq[Double](0)
+        val viols = ps.zip(qs).flatMap { case (p, q) =>
+          val below = li.where(col("v") < q).count() / n  // rank lower bound
+          val upto = li.where(col("v") <= q).count() / n  // rank upper bound
+          val eps = 1.0 / acc + 1e-9
+          if (below <= p + eps && upto >= p - eps) None
+          else Some(s"gk_rank p=$p q=$q below=$below upto=$upto")
+        }
+        (viols, ())
+      } finally li.unpersist()
+      import s.implicits._
+      (hllViol ++ gkViol).toDF("violation")
     }),
     // HW1 cross-validation: sure ≤ exact-outlier count ≤ sure+uncertain
     // at the SAME (D, M)
