@@ -136,7 +136,8 @@ object Similarity {
     * shuffle on the list id and each list's pairs stay co-located. */
   def annIvf(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
              sampleSize: Int = 2048,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryPred: Column = lit(true)): DataFrame = {
     val spark = embs.sparkSession
     val base = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -144,9 +145,13 @@ object Similarity {
     val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
       graft.functions.Native.topDotNative(spark, col("v"), flat, 1)
         .getItem(0).getField("list").as("list"))
-    val probe = base.select(col("id").as("vec_id"), col("v").as("va"),
-      explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
-        .getField("list")).as("list"))
+    // queryPred restricts the QUERY side against the full corpus
+    // (query-batch ANN); lit(true) folds away for the self-NN default
+    val probe = normalized(embs.where(queryPred), idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("vec_id"), col("v").as("va"),
+        explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+          .getField("list")).as("list"))
     val scored = probe.join(build, Seq("list"))
       .where(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
@@ -270,12 +275,15 @@ object Similarity {
     * at most once — no dedup before ranking, and k=1 ranks via the
     * map-side max_by aggregate (no wide shuffle of the candidates). */
   def annMultiProbe(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    queryPred: Column = lit(true)): DataFrame = {
     val spark = embs.sparkSession
     val base = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
-    val probe = base.select(col("id"), col("v"),
-      explode(rpBucketsMultiProbe(col("v"), dim, nBits, seed)).as("bucket"))
+    val probe = normalized(embs.where(queryPred), idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), col("v"),
+        explode(rpBucketsMultiProbe(col("v"), dim, nBits, seed)).as("bucket"))
     val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
       rpBucket(col("v"), dim, nBits, seed).as("bucket"))
     val scored = probe.join(build, Seq("bucket"))
@@ -290,12 +298,16 @@ object Similarity {
     * singleton buckets produce no rows (trade-off of the scale path —
     * [[annMultiProbe]] closes that hole). */
   def annBucketed(embs: DataFrame, k: Int, dim: Int, nBits: Int, seed: Long = 42L,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  queryPred: Column = lit(true)): DataFrame = {
     val spark = embs.sparkSession
-    val b = normalized(embs, idCol, vecCol, "id", "v")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("bucket", rpBucket(col("v"), dim, nBits, seed))
-    val scored = b.as("l").join(b.as("r"),
+    def prep(df: DataFrame): DataFrame =
+      normalized(df, idCol, vecCol, "id", "v")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", rpBucket(col("v"), dim, nBits, seed))
+    val probe = prep(embs.where(queryPred))
+    val build = prep(embs)
+    val scored = probe.as("l").join(build.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("vec_id"), col("r.id").as("nn_id"),
         graft.functions.Native.dotNative(spark, col("l.v"), col("r.v")).as("cos"))

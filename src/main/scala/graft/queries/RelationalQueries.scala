@@ -79,6 +79,38 @@ object RelationalQueries extends QueryPack {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // as-of join (operator Spark lacks — graft.ops.AsOf union-sort
+    // reformulation): for every event, the user's latest click at or
+    // before it; inner face (events with no prior click dropped)
+    "asof_last_click" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+      val right = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("ts").as("t"), col("event_id").as("rid"))
+      graft.ops.AsOf.asOfJoin(left, right)
+        .where(col("rid").isNotNull)
+        .select(col("event_id"), col("rid").as("last_click_id"))
+    }),
+    // event-time tumbling windows: Spark's window() operator (the
+    // same TimeWindow Structured Streaming aggregates over — the
+    // reference has no event-time processing, SURVEY.md §2.7 St7) on
+    // the batch surface. ts arrives as nanos-since-epoch long
+    // (parquet TIMESTAMP(NANOS) + nanosAsLong) or as a native
+    // timestamp; both normalize to micros. Window starts are emitted
+    // as epoch seconds (BIGINT) so the oracle compare is
+    // timezone-representation-free.
+    "window_tumbling_events" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tsc =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        else col("ts").cast("timestamp")
+      ev.groupBy(window(tsc, "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(centsCol("value")).as("sum_value_cents"))
+        .select(col("w.start").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("sum_value_cents"))
+    }),
     // json functions: extract + aggregate over the props payload
     "json_props_stats" -> ((s, d) =>
       Tables.events(s, d)
@@ -152,6 +184,26 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // the oracle is the naive per-event argmax over admissible clicks
+    // (an INDEPENDENT formulation of the as-of semantics — quadratic,
+    // fine at oracle scale)
+    "asof_last_click" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |j AS (SELECT e.event_id, c.click_id,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY c.ts DESC, c.click_id DESC) AS rn
+        |      FROM events e JOIN c
+        |        ON e.user_id = c.user_id AND c.ts <= e.ts)
+        |SELECT event_id, click_id AS last_click_id FROM j WHERE rn = 1""".stripMargin,
+    // time_bucket's default origin (2000-01-01) is itself 6-hour-
+    // aligned with the epoch (946684800 s = 43828 × 21600 s), so its
+    // buckets coincide with Spark's epoch-aligned tumbling windows
+    "window_tumbling_events" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

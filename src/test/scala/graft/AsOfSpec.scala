@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.AsOf
+import org.apache.spark.sql.functions._
+
+/** As-of join: hand-checkable cases + equivalence with the naive
+  * range-theta-join twin on seeded random data (inclusive and strict),
+  * and the no-quadratic-join plan shape. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(left: org.apache.spark.sql.DataFrame,
+                    right: org.apache.spark.sql.DataFrame,
+                    inclusive: Boolean): Map[Long, Long] = {
+    // independent formulation: theta-join + argmax by (t, rid)
+    val cond = if (inclusive) col("rt") <= col("t") else col("rt") < col("t")
+    left.join(right.select(col("k"), col("t").as("rt"), col("rid")), Seq("k"))
+      .where(cond)
+      .groupBy("lid")
+      .agg(max_by(col("rid"), struct(col("rt"), col("rid"))).as("rid"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("hand-checkable: latest prior row, tie on time -> max rid, strict excludes equal t") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 15L, 3L), (2L, 6L, 4L))
+      .toDF("k", "t", "rid")
+    val inc = AsOf.asOfJoin(left, right)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // lid 100 at t=10: inclusive ties at t=10 -> max rid 9
+    assert(inc(100L).contains(9L))
+    // lid 101 at t=20: latest right is t=15 -> rid 3
+    assert(inc(101L).contains(3L))
+    // lid 102 at t=5: no right row at or before 5 -> null (left outer)
+    assert(inc(102L).isEmpty)
+    val strict = AsOf.asOfJoin(left, right, inclusive = false)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // strict: t=10 right rows no longer admissible for lid 100
+    assert(strict(100L).isEmpty)
+    assert(strict(101L).contains(3L))
+  }
+
+  test("equivalence with the naive theta-join twin on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(500)(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid").repartition(8)
+    val right = Seq.tabulate(300)(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "rid").repartition(8)
+    for (inclusive <- Seq(true, false)) {
+      val got = AsOf.asOfJoin(left, right, inclusive)
+        .where(col("rid").isNotNull)
+        .select("lid", "rid").as[(Long, Long)].collect().toMap
+      assert(got == naive(left, right, inclusive), s"diverged at inclusive=$inclusive")
+    }
+  }
+
+  test("plan: one shuffle window, no join node (never per-key quadratic)") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 7L)).toDF("k", "t", "rid")
+    val p = AsOf.asOfJoin(left, right).queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.toLowerCase.contains("join"), s"as-of must not plan a join:\n${p.take(600)}")
+  }
+}

@@ -38,6 +38,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@1 $recall")
   }
 
+  test("queryPred: query-batch results equal the full run filtered to the batch") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val pred = pmod(col("vec_id"), lit(3)) === 0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_id", "nn_id").as[(Long, Long)].collect().toSet
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("cosineTopK",
+        Similarity.cosineTopK(embs, 1).where(pred),
+        Similarity.cosineTopK(embs, 1, queryPred = pred)),
+      ("annBucketed",
+        Similarity.annBucketed(embs, 1, dim = 64, nBits = 4).where(pred),
+        Similarity.annBucketed(embs, 1, dim = 64, nBits = 4, queryPred = pred)),
+      ("annMultiProbe",
+        Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4).where(pred),
+        Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4, queryPred = pred)),
+      ("annIvf",
+        Similarity.annIvf(embs, 1, nlist = 8, nprobe = 2).where(pred),
+        Similarity.annIvf(embs, 1, nlist = 8, nprobe = 2, queryPred = pred)))
+    cases.foreach { case (name, full, batch) =>
+      assert(pairs(full) == pairs(batch), s"$name: query-batch diverged from filtered full run")
+    }
+  }
+
   test("kcenterAssign: every vector assigned, <=k clusters, distances in [0,2]") {
     val embs = Tables.embeddings(spark, sf0001)
     val got = Similarity.kcenterAssign(embs, k = 8)
