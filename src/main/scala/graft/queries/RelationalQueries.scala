@@ -79,6 +79,18 @@ object RelationalQueries extends QueryPack {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // range join (operator Spark lacks a strategy for — graft.ops.
+    // RangeJoin grid bucketization): events binned into OVERLAPPING
+    // value bands (each value matches ≤ 2 bands), aggregated per band
+    "range_value_bands" -> ((s, d) => {
+      val bands = s.range(0, 100)
+        .select(col("id").as("band_id"),
+          (col("id") * 5.0).as("lo"), (col("id") * 5.0 + 10.0).as("hi"))
+      val pts = Tables.events(s, d).select(col("value").as("v"))
+      graft.ops.RangeJoin.pointInInterval(pts, bands, bucketWidth = 5.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), sum(centsCol("v")).as("sum_cents"))
+    }),
     // as-of join (operator Spark lacks — graft.ops.AsOf union-sort
     // reformulation): for every event, the user's latest click at or
     // before it; inner face (events with no prior click dropped)
@@ -184,6 +196,14 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // the oracle is the naive theta-join over the same generated bands
+    "range_value_bands" ->
+      """WITH bands AS (SELECT i AS band_id, i*5.0 AS lo, i*5.0 + 10.0 AS hi
+        |               FROM range(0, 100) t(i))
+        |SELECT band_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1""".stripMargin,
     // the oracle is the naive per-event argmax over admissible clicks
     // (an INDEPENDENT formulation of the as-of semantics — quadratic,
     // fine at oracle scale)
