@@ -286,6 +286,42 @@ object CheckQueries extends QueryPack {
         .select(lit("membership").as("violation"))
       sizeViol.union(memberViol)
     }),
+    // Misra-Gries laws (same k=64 as freq_spacesaving), against the
+    // oracle-verified exact histogram:
+    //  - undercount: est(x) ≤ true(x) ≤ est(x) + err for every
+    //    summarized item;
+    //  - coverage: any item with true(x) > err must be in the summary
+    //    (the heavy-hitter guarantee);
+    //  - space bound: err ≤ n/(k+1) and n equals the stream length.
+    "check_spacesaving" -> ((s, d) => {
+      import s.implicits._
+      val it = items(s, d).select(col("item")).as[Long]
+      val k = 64
+      val mg = it.select(new graft.functions.MisraGriesAgg(k).toColumn.name("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"), col("e.n").as("nn"))
+        .cache()
+      val hist = Freq.histogram(items(s, d))
+        .withColumnRenamed("cnt", "true_cnt")
+      val boundViol = {
+        val head = mg.select(max("err").as("err"), max("nn").as("nn"))
+          .head()
+        val (err, nn) = (head.getLong(0), head.getLong(1))
+        val total = it.count()
+        if (err <= nn / (k + 1) && nn == total) Seq.empty[String]
+        else Seq(s"mg_space_bound err=$err n=$nn total=$total")
+      }
+      val underViol = mg.join(hist, Seq("item"), "left")
+        .where(col("est") > coalesce(col("true_cnt"), lit(0L))
+          || coalesce(col("true_cnt"), lit(0L)) > col("est") + col("err"))
+        .select(lit("mg_undercount").as("violation"))
+      val coverViol = hist.join(mg.select(col("item"), col("est")), Seq("item"), "left")
+        .join(mg.select(max("err").as("err")).limit(1))
+        .where(col("true_cnt") > col("err") && col("est").isNull)
+        .select(lit("mg_coverage").as("violation"))
+      boundViol.toDF("violation").unionByName(underViol).unionByName(coverViol)
+    }),
     // Sketch laws — the approximate scale paths next to the exact
     // relational verifiers (`distinct_users_by_type`,
     // `quantiles_quantity`); both sketches are deterministic given the

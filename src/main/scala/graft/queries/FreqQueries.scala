@@ -45,6 +45,17 @@ object FreqQueries extends QueryPack {
       val p = math.min(1.0, Freq.stickyRate(PHI, EPS, 0.1) / n)
       Freq.stickyFrequent(Freq.stickySample(it, p, SEED), PHI, EPS, n)
     }),
+    // Misra-Gries mergeable heavy-hitters sketch (bounded memory, no
+    // RNG): item, undercount estimate, tracked error bound. Values
+    // are partitioning-dependent → laws verified by
+    // check_spacesaving, not a value oracle.
+    "freq_spacesaving" -> ((s, d) => {
+      import s.implicits._
+      val it = items(s, d).select(col("item")).as[Long]
+      it.select(new graft.functions.MisraGriesAgg(64).toColumn.name("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.est"), col("e.err"), col("e.n"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(

@@ -79,6 +79,21 @@ object RelationalQueries extends QueryPack {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // sessionization: Spark's session_window (30-min gap) on the
+    // batch surface; the oracle is the INDEPENDENT lag+cumsum
+    // formulation (new session iff gap ≥ 30 min), all-integer math so
+    // the compare is exact. Session starts as truncated epoch seconds.
+    "sessionize_events" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tsc =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        else col("ts").cast("timestamp")
+      ev.groupBy(col("user_id"), session_window(tsc, "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(centsCol("value")).as("sum_value_cents"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("n_events"), col("sum_value_cents"))
+    }),
     // range join (operator Spark lacks a strategy for — graft.ops.
     // RangeJoin grid bucketization): events binned into OVERLAPPING
     // value bands (each value matches ≤ 2 bands), aggregated per band
@@ -196,6 +211,24 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "sessionize_events" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the oracle is the naive theta-join over the same generated bands
     "range_value_bands" ->
       """WITH bands AS (SELECT i AS band_id, i*5.0 AS lo, i*5.0 + 10.0 AS hi
