@@ -28,6 +28,22 @@ class ReferenceParitySpec extends SparkSpec {
     finally src.close()
   }
 
+  test("Hw2 MRFFT on the reference's uber-10k.csv: structure + radius laws") {
+    // the reference's real 10k-point NYC dataset (read-only fixture);
+    // no published golden values exist for it, so assert structure +
+    // the radius laws the algorithm guarantees
+    val path = "/root/reference/HWK_1/uber-10k.csv"
+    val lines = graft.pipelines.Hw2.run(spark, path, m = 3, k = 16, l = 4)
+    assert(lines.contains("Number of points = 10000"))
+    val radius = lines.find(_.startsWith("Radius = ")).get.split("= ")(1).toDouble
+    // NYC lat/lon cloud spans ~1 degree; k-center radius must be
+    // positive and below the data diameter
+    assert(radius > 0.0 && radius < 2.0, s"radius $radius outside sane range")
+    val sure = lines.find(_.startsWith("Number of sure outliers= ")).get.split("= ")(1).toLong
+    val unc = lines.find(_.startsWith("Number of uncertain points= ")).get.split("= ")(1).toLong
+    assert(sure >= 0 && unc >= 0 && sure + unc <= 10000)
+  }
+
   test("Hw1 on TestN15-input.txt matches the O(N²) reference twin, two parameter sets") {
     assert(refPoints.length == 15)
     val sorted = refPoints.sortBy(p => (p.x, p.y))
