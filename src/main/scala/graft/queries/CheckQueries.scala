@@ -295,7 +295,10 @@ object CheckQueries extends QueryPack {
     //  - space bound: err ≤ n/(k+1) and n equals the stream length.
     "check_spacesaving" -> ((s, d) => {
       import s.implicits._
-      val it = items(s, d).select(col("item")).as[Long]
+      // same fan-out shape as freq_spacesaving: the laws must hold
+      // across the merge path, which is the distributed story
+      val it = items(s, d).select(col("item"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
       val k = 64
       val mg = it.select(new graft.functions.MisraGriesAgg(k).toColumn.name("mg"))
         .select(explode(col("mg")).as("e"))

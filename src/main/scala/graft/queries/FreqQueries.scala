@@ -51,7 +51,10 @@ object FreqQueries extends QueryPack {
     // check_spacesaving, not a value oracle.
     "freq_spacesaving" -> ((s, d) => {
       import s.implicits._
-      val it = items(s, d).select(col("item")).as[Long]
+      // fan the single-file scan out so the sketch's MERGE path (the
+      // distributed story) runs in production, not just in tests
+      val it = items(s, d).select(col("item"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
       it.select(new graft.functions.MisraGriesAgg(64).toColumn.name("mg"))
         .select(explode(col("mg")).as("e"))
         .select(col("e.item"), col("e.est"), col("e.err"), col("e.n"))
