@@ -55,6 +55,33 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("hot key: 20k x 20k rows on ONE key completes linearly (naive would be 400M pairs)") {
+    // expected answer from a driver-side two-pointer merge over the
+    // sorted arrays — O(n log n), independent of the operator
+    val rnd = new scala.util.Random(11)
+    val lts = Array.fill(20000)(rnd.nextInt(1000000).toLong).sorted
+    val rts = Array.fill(20000)(rnd.nextInt(1000000).toLong)
+    val rSorted = rts.zipWithIndex.map { case (t, i) => (t, (5000000 + i).toLong) }
+      .sortBy(x => (x._1, x._2))
+    val left = lts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }.toSeq
+      .toDF("k", "t", "lid").repartition(8)
+    val right = rSorted.map { case (t, rid) => (1L, t, rid) }.toSeq
+      .toDF("k", "t", "rid").repartition(8)
+    val got = AsOf.asOfJoin(left, right)
+      .select("lid", "rid").as[(Long, Option[Long])].collect()
+      .map { case (l, r) => l -> r }.toMap
+    // two-pointer: for each left t (ascending), advance over right
+    // rows with t' <= t keeping the (t', rid)-max — inclusive as-of
+    var j = 0
+    var best: Option[Long] = None
+    val expected = lts.zipWithIndex.map { case (t, i) =>
+      while (j < rSorted.length && rSorted(j)._1 <= t) { best = Some(rSorted(j)._2); j += 1 }
+      i.toLong -> best
+    }.toMap
+    assert(got.size == 20000)
+    assert(got == expected, "hot-key as-of diverged from the two-pointer twin")
+  }
+
   test("plan: one shuffle window, no join node (never per-key quadratic)") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 5L, 7L)).toDF("k", "t", "rid")
