@@ -34,12 +34,16 @@ object Bench {
       val two = Seq(once(), once())
       val times = if (two.min < 1.0) two :+ once() else two
       spark.sharedState.cacheManager.clearCache()
-      name -> times.min
+      (name, times.min, times.length)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    // "runs" reports the ACTUAL per-query run count (the protocol is
+    // adaptive: 2 runs, plus a 3rd when min < 1 s — see scaladoc)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // stdout line is the driver contract; ALSO write the bare JSON to a
     // file so the result survives sbt's [info]/WARN framing (round-1
     // BENCH parsed as null because the line was buried in log noise)

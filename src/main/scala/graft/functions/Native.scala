@@ -248,6 +248,12 @@ case class TopDot(first: Expression, second: Expression, third: Expression)
     val vec = vecAny.asInstanceOf[ArrayData]
     val flat = flatAny.asInstanceOf[ArrayData]
     val dim = vec.numElements()
+    // a dim mismatch between data and centroids must fail loudly — a
+    // truncating division would silently score against garbage slices
+    if (dim != 0 && flat.numElements() % dim != 0)
+      throw new IllegalArgumentException(
+        s"graft_top_dot: flat centroid length ${flat.numElements()} is not a " +
+          s"multiple of the row vector dimension $dim — data/centroid dim mismatch")
     val nlist = if (dim == 0) 0 else flat.numElements() / dim
     val dots = new Array[Double](nlist)
     var c = 0

@@ -47,6 +47,18 @@ object AsOf {
     require(right.columns.contains("rid"), "right side needs a unique `rid` tie-break column")
     require(leftPayload.intersect(rightPayload).isEmpty,
       s"payload name collision: ${leftPayload.intersect(rightPayload).mkString(",")}")
+    // the reformulation adds working columns — a payload column with one
+    // of these names would be silently clobbered by withColumn
+    val internal = Set("_side", "_tb", "_r", "_m")
+    val clash = (left.columns ++ right.columns).filter(internal).distinct
+    require(clash.isEmpty,
+      s"payload columns collide with asOfJoin internals: ${clash.mkString(",")} " +
+        s"(reserved: ${internal.mkString(",")})")
+    // rid is cast to long for the tie-break — a non-integral rid would
+    // cast to null silently and break determinism
+    val ridType = right.schema("rid").dataType
+    require(Seq("byte", "short", "integer", "long").contains(ridType.typeName),
+      s"rid must have an integral type, got $ridType")
 
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
     val rStructCol = struct(rightPayload.map(col): _*)

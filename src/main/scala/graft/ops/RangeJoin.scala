@@ -19,27 +19,40 @@ import org.apache.spark.sql.functions._
   * interval length: much smaller explodes intervals into many buckets,
   * much larger funnels unrelated points into shared buckets (both
   * still correct — the residual filter decides — just wasteful; a
-  * pathological giant interval is bounded by capping span/width at
-  * planning time, the same knob as grid side-length in the outlier
-  * join).
+  * pathological giant interval is bounded by `maxBucketsPerInterval`,
+  * enforced at runtime with a loud error, the same knob as grid
+  * side-length in the outlier join).
   */
 object RangeJoin {
 
   /** `points` must carry a double column `v` (+ payload); `intervals`
     * must carry double columns `lo`, `hi` (+ payload); payload names
     * must not collide. Returns every (point, interval) row pair with
-    * `lo ≤ v < hi` — inner semantics, all columns from both sides. */
+    * `lo ≤ v < hi` — inner semantics, all columns from both sides.
+    *
+    * An interval spanning more than `maxBucketsPerInterval` buckets
+    * fails the job with a clear message instead of silently exploding
+    * to millions of rows (or tripping Spark's sequence-length limit
+    * with an opaque error) — mis-sized `bucketWidth` is a planning
+    * bug the caller must see. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty, s"column collision: ${collisions.mkString(",")}")
     val pB = points.withColumn("_b", floor(col("v") / bucketWidth))
+    val b0 = floor(col("lo") / bucketWidth).cast("long")
+    val b1 = floor(col("hi") / bucketWidth).cast("long")
     // hi is exclusive but sequence() is inclusive — the extra edge
     // bucket is harmless (residual filter rejects v == hi)
     val iB = intervals.withColumn("_b",
-      explode(sequence(floor(col("lo") / bucketWidth).cast("long"),
-        floor(col("hi") / bucketWidth).cast("long"))))
+      explode(when(b1 - b0 < lit(maxBucketsPerInterval), sequence(b0, b1))
+        .otherwise(raise_error(format_string(
+          s"RangeJoin: interval [%s, %s) spans more than $maxBucketsPerInterval " +
+            s"buckets at bucketWidth=$bucketWidth — widen bucketWidth or raise " +
+            "maxBucketsPerInterval", col("lo"), col("hi"))))))
     pB.join(iB, Seq("_b"))
       .where(col("v") >= col("lo") && col("v") < col("hi"))
       .drop("_b")

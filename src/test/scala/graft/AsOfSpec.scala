@@ -82,6 +82,25 @@ class AsOfSpec extends SparkSpec {
     assert(got == expected, "hot-key as-of diverged from the two-pointer twin")
   }
 
+  test("guards: internal-column collisions and non-integral rid are rejected") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 7L)).toDF("k", "t", "rid")
+    // payload named like a working column would be silently clobbered
+    val eL = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left.withColumnRenamed("lid", "_m"), right)
+    }
+    assert(eL.getMessage.contains("_m"))
+    val eR = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right.withColumn("_side", lit(1)))
+    }
+    assert(eR.getMessage.contains("_side"))
+    // a string rid would cast to null and break the deterministic tie-break
+    val eRid = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right.withColumn("rid", lit("x7")))
+    }
+    assert(eRid.getMessage.contains("integral"))
+  }
+
   test("plan: one shuffle window, no join node (never per-key quadratic)") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 5L, 7L)).toDF("k", "t", "rid")

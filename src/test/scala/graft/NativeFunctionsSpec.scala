@@ -89,6 +89,19 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(tie == Seq(2, 0))
   }
 
+  test("TopDot: a data/centroid dimension mismatch fails loudly") {
+    Native.register(spark)
+    // vec dim 3 vs flat length 4 — truncation would score garbage slices
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_top_dot(array(1.0D, 0.0D, 0.0D), array(0.0D, 1.0D, 1.0D, 0.0D), 1) AS t")
+        .head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dim mismatch")), e.getMessage)
+  }
+
   test("TopDot matches a driver-side twin on real embeddings") {
     import org.apache.spark.sql.functions._
     val embs = queries.Tables.embeddings(spark, sf0001)

@@ -40,6 +40,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet == naive.toSet)
   }
 
+  test("a pathological giant interval fails loudly instead of exploding") {
+    val pts = Seq((1.0, 1L)).toDF("v", "pid")
+    // 1e9 buckets at width 1.0 — would be a billion exploded rows
+    val ivs = Seq((0.0, 1e9, 10L)).toDF("lo", "hi", "iid")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, ivs, bucketWidth = 1.0).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("spans more than")), e.getMessage)
+    // the same interval passes with an explicit higher cap
+    assert(RangeJoin.pointInInterval(pts, ivs, 1e6, maxBucketsPerInterval = 2000L)
+      .count() == 1)
+  }
+
   test("plan: equi-join on the bucket key, no nested-loop join") {
     val pts = Seq((1.0, 1L)).toDF("v", "pid")
     val ivs = Seq((0.0, 2.0, 10L)).toDF("lo", "hi", "iid")
