@@ -106,6 +106,35 @@ object RelationalQueries extends QueryPack {
         .groupBy("band_id")
         .agg(count(lit(1)).as("n"), sum(centsCol("v")).as("sum_cents"))
     }),
+    // interval-overlap join (graft.ops.RangeJoin.intervalOverlap —
+    // canonical-bucket exactly-once, no post-join dedup shuffle):
+    // deterministic activity intervals derived from events
+    // ([sec(ts), sec(ts) + 5min..2h)), self-joined per user for
+    // overlapping pairs (a_id < b_id canonicalizes the symmetric
+    // pair), rolled up per user. All values are integer-valued
+    // doubles so the oracle compare is exact.
+    "range_session_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tsc =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        else col("ts").cast("timestamp")
+      val iv = ev.select(col("user_id"), col("event_id"),
+          tsc.cast("long").cast("double").as("lo"))
+        .withColumn("hi",
+          col("lo") + lit(300.0) + (col("event_id") % 24).cast("double") * 300.0)
+      val left = iv.select(col("user_id"), col("event_id").as("a_id"),
+        col("lo"), col("hi"))
+      val right = iv.select(col("user_id"), col("event_id").as("b_id"),
+        col("lo").as("lo2"), col("hi").as("hi2"))
+      graft.ops.RangeJoin.intervalOverlap(left, right, bucketWidth = 3600.0,
+          keys = Seq("user_id"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((least(col("hi"), col("hi2")) - greatest(col("lo"), col("lo2")))
+            .cast("long")).as("overlap_sec"))
+    }),
     // as-of join (operator Spark lacks — graft.ops.AsOf union-sort
     // reformulation): for every event, the user's latest click at or
     // before it; inner face (events with no prior click dropped)
@@ -236,6 +265,23 @@ object RelationalQueries extends QueryPack {
         |SELECT band_id, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1""".stripMargin,
+    // the oracle is the naive theta self-join over the same derived
+    // intervals (an INDEPENDENT formulation of overlap semantics —
+    // quadratic-within-key, fine at oracle scale)
+    "range_session_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS lo,
+        |    CAST(epoch(date_trunc('second', ts)) AS DOUBLE)
+        |      + 300 + (event_id % 24) * 300 AS hi
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT))
+        |    AS BIGINT) AS overlap_sec
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.lo < b.hi AND b.lo < a.hi
         |GROUP BY 1""".stripMargin,
     // the oracle is the naive per-event argmax over admissible clicks
     // (an INDEPENDENT formulation of the as-of semantics — quadratic,
