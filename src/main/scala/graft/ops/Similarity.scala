@@ -239,6 +239,40 @@ object Similarity {
     }
   }
 
+  /** Bucket-count rule for the random-hyperplane ANN paths. Candidate
+    * cost is Σ_b |bucket_b|² ≈ N²/2^nBits for balanced buckets, so a
+    * FIXED nBits makes the join quadratic in corpus size — fine at one
+    * SF, a scale-killer at 100×. Holding per-bucket occupancy near
+    * `targetOccupancy` (nBits = ⌈log2(N/target)⌉) keeps the join cost
+    * ≈ N·targetOccupancy — linear in N. Clamped to [2, 24]: fewer than
+    * 4 buckets defeats the point, and 2^24 buckets serves corpora up
+    * to ~10^9 vectors at the default occupancy (past that, raise
+    * `targetOccupancy` consciously — occupancy, not bit count, is the
+    * cost knob). The query layer derives nBits from `df.count()` so
+    * the same query stays linear from sf0.001 to 100 TB. */
+  def nBitsFor(n: Long, targetOccupancy: Long = 64L): Int = {
+    require(n > 0, "corpus size must be positive")
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val raw = math.ceil(
+      math.log(n.toDouble / targetOccupancy.toDouble) / math.log(2.0)).toInt
+    math.min(24, math.max(2, raw))
+  }
+
+  /** List-count rule for [[annIvf]]: the classic √N balance between
+    * assignment cost (N·nlist dot products) and probe cost
+    * (N·nprobe·N/nlist candidate pairs) — equal at nlist ≈ √(nprobe·N).
+    * Clamped to [16, 1024]: the upper cap keeps nlist well under the
+    * driver-side training sample (`sampleSize` = 2048) so every list
+    * is anchored by ≥ 2 sampled vectors; beyond ~10^6 vectors the
+    * per-list size grows linearly again, which stays tractable because
+    * the candidate join is list-partitioned (raise `sampleSize` and
+    * the cap together if a corpus demands finer lists). */
+  def nlistFor(n: Long, nprobe: Int = 4): Int = {
+    require(n > 0, "corpus size must be positive")
+    val raw = math.ceil(math.sqrt(nprobe.toDouble * n.toDouble)).toInt
+    math.min(1024, math.max(16, raw))
+  }
+
   /** Random-hyperplane bucket id: `nBits` sign bits of projections
     * onto seeded pseudo-random hyperplanes — deterministic, no
     * training, identical on every executor. The hyperplanes depend only

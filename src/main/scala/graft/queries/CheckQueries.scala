@@ -92,11 +92,12 @@ object CheckQueries extends QueryPack {
     // candidate joins cost slice × corpus, not corpus².
     "check_ann_recall" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
+      val nBits = Similarity.nBitsFor(embs.count())
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val bk = Similarity.annBucketed(embs, 1, dim = 64, nBits = 4, seed = SEED,
+      val bk = Similarity.annBucketed(embs, 1, dim = 64, nBits = nBits, seed = SEED,
           queryPred = slice)
         .select(col("vec_id"), col("nn_id").as("nn_b"))
-      val mp = Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4, seed = SEED,
+      val mp = Similarity.annMultiProbe(embs, 1, dim = 64, nBits = nBits, seed = SEED,
           queryPred = slice)
         .select(col("vec_id"), col("nn_id").as("nn_m"))
       val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
@@ -128,8 +129,9 @@ object CheckQueries extends QueryPack {
     //  - sanity: no self-pairs.
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
+      val nlist = Similarity.nlistFor(embs.count())
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val ivf = Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4)
+      val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4)
         .select(col("vec_id"), col("nn_id"))
       val exact = Similarity.cosineTopK(embs, 1, queryPred = slice)
         .select(col("vec_id"), col("nn_id").as("nn_e"))
@@ -141,7 +143,7 @@ object CheckQueries extends QueryPack {
         .where(Similarity.cosine(col("vq"), col("vi"))
           > Similarity.cosine(col("vq"), col("ve")) + 1e-9)
         .select(lit("ivf_dominance").as("violation"))
-      val probes = Similarity.ivfProbeLists(embs, nlist = 16, nprobe = 4)
+      val probes = Similarity.ivfProbeLists(embs, nlist = nlist, nprobe = 4)
       val shareViol = ivf
         .join(probes.select(col("id").as("vec_id"), col("lists")), "vec_id")
         .join(probes.select(col("id").as("nn_id"), col("lists").getItem(0).as("own")), "nn_id")

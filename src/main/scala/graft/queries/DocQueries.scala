@@ -88,18 +88,31 @@ object DocQueries extends QueryPack {
     "ann_cosine_nn" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), 1)
         .select(col("vec_id"), col("nn_id"))),
-    // approximate NN via random-hyperplane buckets (scale path)
-    "ann_bucketed" -> ((s, d) =>
-      Similarity.annBucketed(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
-    // IVF ANN: FFT coarse quantizer + nprobe list search
-    "ann_ivf" -> ((s, d) =>
-      Similarity.annIvf(Tables.embeddings(s, d), 1, nlist = 16, nprobe = 4)),
+    // approximate NN via random-hyperplane buckets (scale path);
+    // nBits derived from corpus size (parquet-metadata count — cheap)
+    // so bucket occupancy — and with it join cost per vector — stays
+    // bounded as the corpus grows (Similarity.nBitsFor cost note)
+    "ann_bucketed" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.annBucketed(embs, 1, dim = 64,
+        nBits = Similarity.nBitsFor(embs.count()), seed = SEED)
+    }),
+    // IVF ANN: FFT coarse quantizer + nprobe list search; nlist from
+    // the √(nprobe·N) balance rule (Similarity.nlistFor)
+    "ann_ivf" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.annIvf(embs, 1,
+        nlist = Similarity.nlistFor(embs.count()), nprobe = 4)
+    }),
     // embedding k-center clustering (FFT centroids, sampled)
     "embed_kcenter" -> ((s, d) =>
       Similarity.kcenterAssign(Tables.embeddings(s, d), k = 8)),
     // multi-probe ANN: full coverage (no singleton-bucket holes)
-    "ann_multiprobe" -> ((s, d) =>
-      Similarity.annMultiProbe(Tables.embeddings(s, d), 1, dim = 64, nBits = 4, seed = SEED)),
+    "ann_multiprobe" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.annMultiProbe(embs, 1, dim = 64,
+        nBits = Similarity.nBitsFor(embs.count()), seed = SEED)
+    }),
     // embedding-cosine near-duplicate pairs (exact verifier)
     "dedup_embedding" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)

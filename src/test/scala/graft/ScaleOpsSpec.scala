@@ -23,6 +23,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@1 $recall") // 4-bit probe-1 on random vectors
   }
 
+  test("nBitsFor/nlistFor: expected occupancy stays bounded as the corpus grows") {
+    // the scale law itself: 2^nBitsFor(N) ≥ N/target throughout the
+    // un-clamped range, so candidate-join cost ≈ N·target — linear —
+    // from test SFs through ~10^9 vectors; and the rule is monotone
+    val target = 64L
+    for (exp <- 7 to 29; n = 1L << exp) {
+      val bits = Similarity.nBitsFor(n, target)
+      assert(bits <= 24)
+      if (n <= (target << 24))
+        assert(n.toDouble / (1L << bits) <= target.toDouble,
+          s"occupancy blew past target at n=$n (nBits=$bits)")
+    }
+    val grown = Seq(500L, 5000L, 500000L, 50000000L).map(Similarity.nBitsFor(_))
+    assert(grown == grown.sorted && grown.distinct.size > 2,
+      s"nBits must grow with corpus size: $grown")
+    val lists = Seq(500L, 50000L, 5000000L).map(Similarity.nlistFor(_))
+    assert(lists == lists.sorted && lists.head >= 16 && lists.last <= 1024, lists.toString)
+  }
+
+  test("derived nBits yields roughly balanced real buckets (occupancy within 4x target)") {
+    // seeded synthetic corpus 4x the sf0.001 embeddings: rpBucket with
+    // the derived nBits must spread it over many buckets with mean
+    // occupancy near the target — the law the query layer relies on
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val n = 2048
+    val target = 64L
+    val vecs = Seq.tabulate(n)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    val nBits = Similarity.nBitsFor(n, target)
+    val occ = vecs.select(Similarity.rpBucket(col("embedding"), dim, nBits, 42L).as("b"))
+      .groupBy("b").count().select("count").as[Long].collect()
+    assert(occ.sum == n)
+    assert(occ.length > (1 << nBits) / 4, s"only ${occ.length} of ${1 << nBits} buckets hit")
+    val mean = occ.sum.toDouble / occ.length
+    assert(mean <= 4.0 * target, s"mean occupancy $mean vs target $target")
+  }
+
   test("annIvf: nprobe=nlist degenerates to exact brute force; nprobe=4 has coverage+recall") {
     val embs = Tables.embeddings(spark, sf0001)
     val n = embs.count()
