@@ -25,6 +25,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Untimed global warmup: the first measured query otherwise absorbs
+    // one-time costs shared by every plan — Spark-core JIT, codegen
+    // framework classloading, parquet footer reads of the SF tables
+    // (observed as a trivial groupBy-count reading 0.18 s in one driver
+    // round and 2.72 s in the next with identical code). The flagship
+    // entry exercises scan→shuffle→agg; the per-table counts touch
+    // every footer at the benched SF.
+    try {
+      SparkEntry.entry(spark).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      spark.read.parquet(s"$sfDir/events.parquet").count()
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
