@@ -44,6 +44,26 @@ class ReferenceParitySpec extends SparkSpec {
     assert(sure >= 0 && unc >= 0 && sure + unc <= 10000)
   }
 
+  test("Hw1+Hw2 on the reference's uber-100k.csv: 10x-scale structure + bracket laws") {
+    // the reference's mid-scale real dataset (read-only fixture) — a
+    // 10x scale-sanity run: no golden values exist, so assert the
+    // cross-algorithm bracket law (grid-approx sure ≤ exact ≤
+    // sure+uncertain, two INDEPENDENT formulations agreeing on real
+    // data) and the radius laws at 100k points
+    val path = "/root/reference/HWK_1/uber-100k.csv"
+    val lines = graft.pipelines.Hw1.run(spark, path, d = 0.004, m = 5, k = 8, l = 8)
+    assert(lines.contains("Number of points = 100000"))
+    val exact = lines.find(_.startsWith("Number of Outliers = ")).get.split("= ")(1).toLong
+    val sure = lines.find(_.startsWith("Number of sure outliers= ")).get.split("= ")(1).toLong
+    val unc = lines.find(_.startsWith("Number of uncertain points= ")).get.split("= ")(1).toLong
+    assert(sure <= exact && exact <= sure + unc,
+      s"bracket law violated at 100k: sure=$sure exact=$exact unc=$unc")
+    val l2 = graft.pipelines.Hw2.run(spark, path, m = 5, k = 16, l = 8)
+    assert(l2.contains("Number of points = 100000"))
+    val radius = l2.find(_.startsWith("Radius = ")).get.split("= ")(1).toDouble
+    assert(radius > 0.0 && radius < 2.0, s"radius $radius outside sane range")
+  }
+
   test("Hw1 on TestN15-input.txt matches the O(N²) reference twin, two parameter sets") {
     assert(refPoints.length == 15)
     val sorted = refPoints.sortBy(p => (p.x, p.y))
