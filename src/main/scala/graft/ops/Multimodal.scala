@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here (schema, partitioning, batched
   * `mapPartitions` signature, row explosion for frames) is real and
-  * tested. The actual byte decoding is a clearly-marked STUB
-  * (`fakeDecode`): this container ships no image/audio codecs, so the
-  * stub derives a deterministic feature vector from the bytes —
-  * swap `fakeDecode` for a JNI/javacv decoder without touching any
-  * dataflow. (Python twin would be `mapInPandas`; in Scala the
-  * idiomatic equivalent is typed `mapPartitions`, which batches per
-  * partition and keeps the decoder's state/model loaded per-partition,
-  * not per-row.)
+  * tested. The IMAGE path decodes for real via the JDK's built-in
+  * `javax.imageio` ([[imageFeatures]], verified pixel-exact against a
+  * pure-SQL twin by `check_image_decode`). The audio/video byte
+  * decoding remains a clearly-marked STUB (`fakeDecode`): this
+  * container ships no av codecs, so the stub derives a deterministic
+  * feature vector from the bytes — swap `fakeDecode` for a JNI/javacv
+  * decoder without touching any dataflow. (Python twin would be
+  * `mapInPandas`; in Scala the idiomatic equivalent is typed
+  * `mapPartitions`, which batches per partition and keeps the
+  * decoder's state/model loaded per-partition, not per-row.)
   */
 object Multimodal {
 
@@ -88,4 +90,99 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"),
         length(col("frame_bytes")).as("n_bytes"),
         crc32(col("frame_bytes")).as("checksum"))
+
+  // ---- real image path (JDK-builtin javax.imageio — no codecs
+  // needed beyond the JDK's PNG/BMP/JPEG readers) ----------------
+
+  case class ImageFeature(media_id: Long, width: Int, height: Int,
+                          feature: Array[Float])
+
+  /** Deterministic synthetic pixel: channel `c` of pixel (x, y) in
+    * image `id` is `(31·id + 7·x + 13·y + 17·c) mod 256`. The same
+    * formula is restated INDEPENDENTLY in SQL by `check_image_decode`
+    * so encode→decode→pool is verified against pure column algebra. */
+  private[graft] def synthPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((31L * id + 7L * x + 13L * y + 17L * c) % 256L).toInt
+
+  /** Synthesize a deterministic PNG corpus from an id column — the
+    * binary-image stand-in for this container (PNG is lossless, so
+    * decoded pixels are exactly the synth formula). Encoding happens
+    * on the executors (typed mapPartitions), never on the driver. */
+  def packSynthImages(ids: DataFrame, idCol: String = "doc_id",
+                      w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (synthPixel(id, x, y, 0) << 16) |
+                  (synthPixel(id, x, y, 1) << 8) |
+                  synthPixel(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          (id, "image/png", bytes.length.toLong, bytes)
+        }
+      }.toDF("media_id", "mime", "n_bytes", "payload")
+  }
+
+  /** REAL image decode + feature extraction: `javax.imageio` decodes
+    * the payload per partition and the pixels are pooled to a
+    * `grid × grid` block-mean RGB vector (dim = grid²·3, layout
+    * `(by·grid + bx)·3 + c`, values in [0, 1]) — the classic
+    * thumbnail-pooling baseline feature. Undecodable payloads fail
+    * loudly with the offending media_id: silently dropping rows would
+    * skew any downstream dedup/similarity stage (filter upstream if
+    * bad payloads are expected). */
+  def imageFeatures(media: DataFrame, grid: Int): Dataset[ImageFeature] = {
+    require(grid > 0, "grid must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null)
+            sys.error(s"imageFeatures: undecodable payload for media_id=$id " +
+              s"(${bytes.length} bytes) — no registered ImageIO reader matched")
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](grid * grid * 3)
+          val cnts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val by = y * grid / h
+            var x = 0
+            while (x < w) {
+              val blk = by * grid + x * grid / w
+              val rgb = img.getRGB(x, y)
+              sums(blk * 3) += (rgb >> 16) & 0xFF
+              sums(blk * 3 + 1) += (rgb >> 8) & 0xFF
+              sums(blk * 3 + 2) += rgb & 0xFF
+              cnts(blk) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val feat = Array.tabulate(grid * grid * 3) { i =>
+            val n = cnts(i / 3)
+            if (n == 0) 0f else sums(i).toFloat / (n * 255f)
+          }
+          ImageFeature(id, w, h, feat)
+        }
+      }
+  }
 }

@@ -200,6 +200,47 @@ object CheckQueries extends QueryPack {
       countViol.unionByName(ckViol).unionByName(twinViol)
         .unionByName(dimViol).unionByName(rangeViol)
     }),
+    // Image-decode laws (the REAL decode path, javax.imageio): a
+    // deterministic PNG corpus is synthesized from doc ids
+    // (pixel formula in Multimodal.synthPixel), decoded back, and
+    // pooled to grid-block means; the expected block sums are
+    // restated INDEPENDENTLY in pure column algebra (no imaging
+    // code). PNG is lossless and sums are integers, so the compare
+    // is exact:
+    //  - shape: decoded width/height and feature dim are as declared;
+    //  - decoded pixels: round(feature·blockPixels·255) == the
+    //    SQL-computed block sum, per (image, block, channel);
+    //  - coverage: every expected (image, block, channel) is present.
+    "check_image_decode" -> ((s, d) => {
+      val w = 16; val h = 16; val grid = 4
+      val bw = w / grid; val bh = h / grid
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val media = Multimodal.packSynthImages(ids, "doc_id", w, h)
+      val feats = Multimodal.imageFeatures(media, grid).toDF()
+      val shapeViol = feats
+        .where(col("width") =!= w || col("height") =!= h ||
+          size(col("feature")) =!= grid * grid * 3)
+        .select(lit("image_shape").as("violation"))
+      val expect = ids
+        .withColumn("x", explode(sequence(lit(0), lit(w - 1))))
+        .withColumn("y", explode(sequence(lit(0), lit(h - 1))))
+        .withColumn("c", explode(sequence(lit(0), lit(2))))
+        .groupBy(col("doc_id"),
+          (floor(col("y") / bh) * grid + floor(col("x") / bw)).as("blk"), col("c"))
+        .agg(sum(pmod(lit(31) * col("doc_id") + lit(7) * col("x")
+          + lit(13) * col("y") + lit(17) * col("c"), lit(256))).as("esum"))
+      val got = feats.select(col("media_id").as("doc_id"),
+          posexplode(col("feature")).as(Seq("i", "f")))
+        .select(col("doc_id"), floor(col("i") / 3).as("blk"),
+          pmod(col("i"), lit(3)).cast("int").as("c"),
+          round(col("f") * (bw * bh * 255)).cast("long").as("gsum"))
+      val pixViol = got.join(expect, Seq("doc_id", "blk", "c"))
+        .where(col("gsum") =!= col("esum"))
+        .select(lit("decoded_pixels").as("violation"))
+      val missViol = expect.join(got, Seq("doc_id", "blk", "c"), "left_anti")
+        .select(lit("missing_block").as("violation"))
+      shapeViol.unionByName(pixViol).unionByName(missViol)
+    }),
     // k-center law: for every SAMPLED vector (the FFT traversed exactly
     // those), assignment distance ≤ the sample's k-center radius,
     // recomputed independently on the driver; clusters are in [0, k);

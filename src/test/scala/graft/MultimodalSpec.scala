@@ -38,6 +38,33 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.where(col("n_bytes") <= 0).count() == 0)
   }
 
+  test("imageFeatures: PNG encode->decode->pool is pixel-exact vs the formula") {
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val media = Multimodal.packSynthImages(ids, "doc_id", w = 16, h = 16)
+    assert(media.where(col("mime") =!= "image/png").count() == 0)
+    val feats = Multimodal.imageFeatures(media, grid = 4).collect()
+    assert(feats.length == 3)
+    for (f <- feats) {
+      assert(f.width == 16 && f.height == 16 && f.feature.length == 48)
+      // hand-computed twin: block sums straight from synthPixel
+      for (by <- 0 until 4; bx <- 0 until 4; c <- 0 until 3) {
+        val exp = (for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+          yield Multimodal.synthPixel(f.media_id, x, y, c)).sum
+        val got = math.round(f.feature((by * 4 + bx) * 3 + c) * 16 * 255)
+        assert(got == exp, s"block ($bx,$by,$c) of image ${f.media_id}: $got != $exp")
+      }
+    }
+  }
+
+  test("imageFeatures: undecodable payload fails loudly with the media_id") {
+    val bad = Seq((99L, "application/octet-stream", 4L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val e = intercept[Exception] { Multimodal.imageFeatures(bad, 4).count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("media_id=99")), e.getMessage)
+  }
+
   test("ReservoirAgg: size m, subset of input, reproducible, ~uniform") {
     val m = 25
     val ds = (0L until 5000L).toDS()
