@@ -106,7 +106,19 @@ object Dedup {
     * exact Jaccard: `a, b, jac`. bands·rowsPerBand = numHashes.
     * Candidates join only on (band, bandkey) — cost ∝ collisions, not
     * all-pairs; shingle sets are re-attached to the (few) candidates
-    * for exact verification. */
+    * for exact verification.
+    *
+    * Scale cost note: unlike the ANN sign-bit buckets (whose count
+    * must GROW with the corpus — [[graft.ops.Similarity.nBitsFor]]),
+    * a band key here is a 64-bit hash of `rowsPerBand` minhashes, so
+    * the key space is effectively unbounded and bucket OCCUPANCY does
+    * not grow with N: two docs collide in a band only with
+    * probability ≈ jac^rowsPerBand. Collision cost at 100× the data
+    * therefore scales with the number of genuinely similar pairs —
+    * which is the output — not with N². The knobs trade recall
+    * (more bands) against false-candidate work (more rowsPerBand);
+    * 32/8 (rowsPerBand = 4) detects jac ≥ 0.3 pairs with good
+    * probability while keeping random-pair collisions ≈ 0. */
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       minJaccard: Double, seed: Long = 42L,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -92,7 +92,7 @@ object CheckQueries extends QueryPack {
     // candidate joins cost slice × corpus, not corpus².
     "check_ann_recall" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
-      val nBits = Similarity.nBitsFor(embs.count())
+      val nBits = Similarity.nBitsFor(Tables.embeddingsCount(s, d))
       val slice = pmod(col("vec_id"), lit(5)) === 0
       val bk = Similarity.annBucketed(embs, 1, dim = 64, nBits = nBits, seed = SEED,
           queryPred = slice)
@@ -129,7 +129,7 @@ object CheckQueries extends QueryPack {
     //  - sanity: no self-pairs.
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
-      val nlist = Similarity.nlistFor(embs.count())
+      val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
       val slice = pmod(col("vec_id"), lit(5)) === 0
       val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4)
         .select(col("vec_id"), col("nn_id"))
@@ -211,10 +211,15 @@ object CheckQueries extends QueryPack {
     //  - decoded pixels: round(feature·blockPixels·255) == the
     //    SQL-computed block sum, per (image, block, channel);
     //  - coverage: every expected (image, block, channel) is present.
+    // Audited on a deterministic ¼-ids slice — the laws are per-image,
+    // so the slice is exactly as sound per audited image while the
+    // encode/decode and the SQL twin's pixel explode cost ¼ (same
+    // harness-cost principle as check_ann_recall's query slice).
     "check_image_decode" -> ((s, d) => {
       val w = 16; val h = 16; val grid = 4
       val bw = w / grid; val bh = h / grid
       val ids = Tables.documents(s, d).select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(4)) === 0)
       val media = Multimodal.packSynthImages(ids, "doc_id", w, h)
       val feats = Multimodal.imageFeatures(media, grid).toDF()
       val shapeViol = feats

@@ -95,14 +95,14 @@ object DocQueries extends QueryPack {
     "ann_bucketed" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       Similarity.annBucketed(embs, 1, dim = 64,
-        nBits = Similarity.nBitsFor(embs.count()), seed = SEED)
+        nBits = Similarity.nBitsFor(Tables.embeddingsCount(s, d)), seed = SEED)
     }),
     // IVF ANN: FFT coarse quantizer + nprobe list search; nlist from
     // the √(nprobe·N) balance rule (Similarity.nlistFor)
     "ann_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       Similarity.annIvf(embs, 1,
-        nlist = Similarity.nlistFor(embs.count()), nprobe = 4)
+        nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d)), nprobe = 4)
     }),
     // embedding k-center clustering (FFT centroids, sampled)
     "embed_kcenter" -> ((s, d) =>
@@ -111,7 +111,7 @@ object DocQueries extends QueryPack {
     "ann_multiprobe" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       Similarity.annMultiProbe(embs, 1, dim = 64,
-        nBits = Similarity.nBitsFor(embs.count()), seed = SEED)
+        nBits = Similarity.nBitsFor(Tables.embeddingsCount(s, d)), seed = SEED)
     }),
     // embedding-cosine near-duplicate pairs (exact verifier)
     "dedup_embedding" -> ((s, d) =>

