@@ -216,4 +216,57 @@ object Dedup {
       .dropDuplicates("a", "b")
       .where(col("dist") <= maxDist)
   }
+
+  /** Near-dup CLUSTERING — the stage after pair generation in a dedup
+    * pipeline: connected components over the pair graph, labeling
+    * every doc with the MIN doc id of its component (`doc_id,
+    * cluster`). The "keep one canonical doc per duplicate group" face
+    * is then `where(col("doc_id") === col("cluster"))`.
+    *
+    * Iterative min-label propagation (the GraphX-free formulation):
+    * each round every node takes the min of its own label and its
+    * neighbors' labels — one equi-join + one partial-agg groupBy over
+    * the (sparse) edge list, so a cluster pays O(E) shuffle per round,
+    * partitioned on node id. Converges in O(component diameter)
+    * rounds; near-dup components are clique-ish (similarity is
+    * near-transitive), so the diameter — and the round count — stays
+    * tiny even at 100× the corpus. `maxIters` fails loudly rather
+    * than ship a half-converged labeling (an adversarial N-node chain
+    * genuinely needs ~N rounds — that is not a dedup graph; raise the
+    * cap consciously if yours differs). Each round's labels are
+    * localCheckpoint'ed: without lineage truncation the plan doubles
+    * per round and optimizer time dwarfs execution.
+    *
+    * The per-round convergence probe is a bounded driver scalar (an
+    * EXISTS on changed labels), same contract as the FFT round loop.
+    */
+  def dupClusters(ids: DataFrame, pairs: DataFrame, maxIters: Int = 25,
+                  idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = ids
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.lbl") < col("o.lbl")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged,
+      s"dupClusters: not converged after $maxIters rounds — a component has " +
+        s"diameter > $maxIters (not a near-dup-shaped graph); raise maxIters")
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
 }

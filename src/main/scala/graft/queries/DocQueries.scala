@@ -84,6 +84,14 @@ object DocQueries extends QueryPack {
     // SimHash near-dup pairs within Hamming distance 3
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3, seed = SEED)),
+    // near-dup clustering: connected components over the exact
+    // n-gram-Jaccard pair graph (min-label propagation), vs an
+    // INDEPENDENT recursive-CTE reachability oracle
+    "dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dupClusters(docs.select("doc_id"),
+        Dedup.ngramJaccardPairs(docs, NGRAM, MINJAC))
+    }),
     // exact nearest neighbor by cosine (brute force)
     "ann_cosine_nn" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), 1)
@@ -220,6 +228,34 @@ object DocQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = p.a
          |JOIN sz zb ON zb.doc_id = p.b
          |WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC""".stripMargin,
+    // the oracle recomputes the same jac-filtered pair graph (the
+    // dedup_ngram formulation) and labels components by RECURSIVE
+    // reachability — min over every reachable node, an independent
+    // formulation of connected components (closure-sized, fine at
+    // oracle scale; components are tiny)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(tk)-$NGRAM+1),
+         |    i -> array_to_string(tk[i:i+$NGRAM-1], ' '))) AS shs
+         |  FROM toks WHERE len(tk) >= $NGRAM),
+         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         |cand AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT p.a, p.b FROM cand p
+         |  JOIN sz za ON za.doc_id = p.a
+         |  JOIN sz zb ON zb.doc_id = p.b
+         |  WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC),
+         |e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+         |lab(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, lab.lbl FROM e JOIN lab ON lab.id = e.b)
+         |SELECT id AS doc_id, min(lbl) AS cluster FROM lab GROUP BY 1""".stripMargin,
     // NB: list_cosine_similarity computes in float32 — mirror the
     // engine's double-precision dot/(|a||b|) op order instead
     "dedup_embedding" ->
