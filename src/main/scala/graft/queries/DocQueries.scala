@@ -84,6 +84,29 @@ object DocQueries extends QueryPack {
     // SimHash near-dup pairs within Hamming distance 3
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3, seed = SEED)),
+    // TF-IDF top-5 terms per doc. Scale shape: tf is a (doc, term)
+    // partial-agg groupBy, df a term groupBy; the tf⋈df join is a
+    // plain equi-join on term (vocabulary can be huge at scale — let
+    // AQE pick broadcast vs shuffle), the top-5 a per-doc window.
+    // The RANK KEY is integer micro-idf (tf · round(ln·1e6)) so the
+    // cross-engine ordering — and the hash compare — is exact; raw
+    // ln() agrees only to ~1 ulp between libms.
+    "text_tfidf" -> ((s, d) => {
+      val n = Tables.documentsCount(s, d)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_micro").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score_micro",
+          col("tf") * round(log((lit(n) + 1.0) / (col("df") + 1.0)) * 1e6).cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score_micro"), col("rk"))
+    }),
     // near-dup clustering: connected components over the exact
     // n-gram-Jaccard pair graph (min-label propagation), vs an
     // INDEPENDENT recursive-CTE reachability oracle
@@ -228,6 +251,22 @@ object DocQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = p.a
          |JOIN sz zb ON zb.doc_id = p.b
          |WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($tokSql) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * CAST(round(ln((n.n + 1.0) / (df.df + 1.0)) * 1000000) AS BIGINT)
+         |      AS score_micro
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_micro DESC, term) AS rk FROM sc)
+         |SELECT doc_id, term, tf, df, score_micro, rk FROM r WHERE rk <= 5""".stripMargin,
     // the oracle recomputes the same jac-filtered pair graph (the
     // dedup_ngram formulation) and labels components by RECURSIVE
     // reachability — min over every reachable node, an independent

@@ -35,7 +35,9 @@ object Tables {
     * run inside every timed/verified ANN query body. */
   private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   def embeddingsCount(s: SparkSession, d: String): Long =
-    countCache.getOrElseUpdate(d, embeddings(s, d).count())
+    countCache.getOrElseUpdate(d + ":embeddings", embeddings(s, d).count())
+  def documentsCount(s: SparkSession, d: String): Long =
+    countCache.getOrElseUpdate(d + ":documents", documents(s, d).count())
 
   /** Spread a single-file scan across the cluster: the driver's
     * parquet files are one row group each, so the scan is one task —
