@@ -37,9 +37,18 @@ object AsOf {
     * `k`, `t`, `rid` (unique within (k, t)) + payload; payload names
     * must not collide across sides. Output: all left columns + right
     * payload columns (null when no admissible right row —
-    * left-outer semantics; filter `rid IS NOT NULL` for inner). */
+    * left-outer semantics; filter `rid IS NOT NULL` for inner).
+    *
+    * `tolerance`: maximum staleness — a right row older than
+    * `t - tolerance` does not match (the pandas `merge_asof`
+    * tolerance face). Requires a numeric `t` (the bound is
+    * `l.t - r.t <= tolerance` in t's own units). Enforced by carrying
+    * the matched row's time in a second `last` over the SAME window
+    * spec — Spark evaluates both in one Window exec, so the plan
+    * stays one shuffle + one sort. */
   def asOfJoin(left: DataFrame, right: DataFrame,
-               inclusive: Boolean = true): DataFrame = {
+               inclusive: Boolean = true,
+               tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta = Set("k", "t")
     val leftPayload = left.columns.toSeq.filterNot(meta)
@@ -47,9 +56,14 @@ object AsOf {
     require(right.columns.contains("rid"), "right side needs a unique `rid` tie-break column")
     require(leftPayload.intersect(rightPayload).isEmpty,
       s"payload name collision: ${leftPayload.intersect(rightPayload).mkString(",")}")
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"tolerance must be non-negative, got $tol")
+      require(left.schema("t").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tolerance requires a numeric t column, got ${left.schema("t").dataType}")
+    }
     // the reformulation adds working columns — a payload column with one
     // of these names would be silently clobbered by withColumn
-    val internal = Set("_side", "_tb", "_r", "_m")
+    val internal = Set("_side", "_tb", "_r", "_m", "_mt")
     val clash = (left.columns ++ right.columns).filter(internal).distinct
     require(clash.isEmpty,
       s"payload columns collide with asOfJoin internals: ${clash.mkString(",")} " +
@@ -76,8 +90,18 @@ object AsOf {
     val w = Window.partitionBy("k")
       .orderBy(col("t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    val matched = l2.unionByName(r2)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    // _mt is non-null exactly where _r is (right rows), so the two
+    // `last`s resolve to the same row — the matched row's time
+    val bounded = tolerance match {
+      case Some(tol) => matched
+        .withColumn("_mt",
+          last(when(col("_side") === rightSide, col("t")), ignoreNulls = true).over(w))
+        .withColumn("_m", when(col("t") - col("_mt") <= tol, col("_m")))
+      case None => matched
+    }
+    bounded
       .where(col("_side") === leftSide)
       .select(
         Seq(col("k"), col("t")) ++ leftPayload.map(col) ++

@@ -147,6 +147,26 @@ object RelationalQueries extends QueryPack {
         .where(col("rid").isNotNull)
         .select(col("event_id"), col("rid").as("last_click_id"))
     }),
+    // as-of join with TOLERANCE (max staleness — pandas merge_asof
+    // face): latest click at or before each event but no older than
+    // 30 minutes. Times normalized to epoch SECONDS (numeric t
+    // contract) — a distinct, coarser ordering than asof_last_click,
+    // mirrored exactly in the oracle.
+    "asof_last_click_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tsc =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        else col("ts").cast("timestamp")
+      val base = ev.select(col("user_id").as("k"), tsc.cast("long").as("t"),
+        col("event_id"), col("event_type"))
+      val left = base.select(col("k"), col("t"), col("event_id"))
+      val right = base.where(col("event_type") === "click")
+        .select(col("k"), col("t"), col("event_id").as("rid"))
+      graft.ops.AsOf.asOfJoin(left, right, tolerance = Some(1800L))
+        .where(col("rid").isNotNull)
+        .select(col("event_id"), col("rid").as("last_click_id"))
+    }),
     // event-time tumbling windows: Spark's window() operator (the
     // same TimeWindow Structured Streaming aggregates over — the
     // reference has no event-time processing, SURVEY.md §2.7 St7) on
@@ -294,6 +314,20 @@ object RelationalQueries extends QueryPack {
         |          ORDER BY c.ts DESC, c.click_id DESC) AS rn
         |      FROM events e JOIN c
         |        ON e.user_id = c.user_id AND c.ts <= e.ts)
+        |SELECT event_id, click_id AS last_click_id FROM j WHERE rn = 1""".stripMargin,
+    // the same naive argmax oracle, restricted to the 30-minute
+    // staleness bound, on the same epoch-seconds timeline
+    "asof_last_click_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tsec FROM ev
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT e.event_id, c.click_id,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY c.tsec DESC, c.click_id DESC) AS rn
+        |      FROM ev e JOIN c
+        |        ON e.user_id = c.user_id AND c.tsec <= e.tsec
+        |       AND e.tsec - c.tsec <= 1800)
         |SELECT event_id, click_id AS last_click_id FROM j WHERE rn = 1""".stripMargin,
     // time_bucket's default origin (2000-01-01) is itself 6-hour-
     // aligned with the epoch (946684800 s = 43828 × 21600 s), so its

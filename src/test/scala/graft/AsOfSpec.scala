@@ -55,6 +55,44 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: stale matches null out; equivalence with a bounded naive twin") {
+    val left = Seq((1L, 100L, 100L), (1L, 200L, 101L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 95L, 7L)).toDF("k", "t", "rid")
+    val got = AsOf.asOfJoin(left, right, tolerance = Some(10L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(7L)) // 5 ticks stale, within 10
+    assert(got(101L).isEmpty)      // 105 ticks stale -> nulled
+    // seeded equivalence: naive twin with the staleness bound applied
+    val rnd = new scala.util.Random(5)
+    val l = Seq.tabulate(400)(i => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "lid").repartition(8)
+    val r = Seq.tabulate(250)(i => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "rid").repartition(8)
+    val tol = 40L
+    val gotBig = AsOf.asOfJoin(l, r, tolerance = Some(tol))
+      .where(col("rid").isNotNull)
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    val naiveBig = l.join(r.select(col("k"), col("t").as("rt"), col("rid")), Seq("k"))
+      .where(col("rt") <= col("t") && col("t") - col("rt") <= tol)
+      .groupBy("lid")
+      .agg(max_by(col("rid"), struct(col("rt"), col("rid"))).as("rid"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotBig == naiveBig)
+  }
+
+  test("tolerance guards: negative tolerance and non-numeric t are rejected") {
+    val l = Seq((1L, 10L, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 2L)).toDF("k", "t", "rid")
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(l, r, tolerance = Some(-1L))
+    }
+    val lt = Seq((1L, "2024-01-01", 1L)).toDF("k", "t", "lid")
+      .withColumn("t", col("t").cast("timestamp"))
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(lt, r, tolerance = Some(10L))
+    }
+  }
+
   test("hot key: 20k x 20k rows on ONE key completes linearly (naive would be 400M pairs)") {
     // expected answer from a driver-side two-pointer merge over the
     // sorted arrays — O(n log n), independent of the operator
