@@ -84,6 +84,37 @@ object DocQueries extends QueryPack {
     // SimHash near-dup pairs within Hamming distance 3
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3, seed = SEED)),
+    // training-mix weighting: per-language token share and the
+    // uniform-target sampling weight (total/(k·n_tokens)) — the
+    // knob a 100 TB pipeline turns to rebalance a skewed corpus.
+    // The windows run over the K aggregated language rows (not the
+    // corpus), so the single-partition window is K rows at any scale.
+    "corpus_mixture" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("total", sum("n_tokens").over(w))
+        .withColumn("n_langs", count(lit(1)).over(w))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"),
+          round(col("total").cast("double") / (col("n_langs") * col("n_tokens")), 6)
+            .as("weight_uniform"))
+    }),
+    // deterministic train/val/test split (id-mod assignment — the
+    // reproducible, join-free split a training pipeline needs; no
+    // shuffle beyond the count agg)
+    "corpus_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 8, "train")
+            .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))),
     // TF-IDF top-5 terms per doc. Scale shape: tf is a (doc, term)
     // partial-agg groupBy, df a term groupBy; the tf⋈df join is a
     // plain equi-join on term (vocabulary can be huge at scale — let
@@ -251,6 +282,23 @@ object DocQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = p.a
          |JOIN sz zb ON zb.doc_id = p.b
          |WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC""".stripMargin,
+    "corpus_mixture" ->
+      s"""WITH s AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT lang, n_docs, n_tokens,
+         |  round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share,
+         |  round(sum(n_tokens) OVER ()::DOUBLE / (count(*) OVER () * n_tokens), 6)
+         |    AS weight_uniform
+         |FROM s""".stripMargin,
+    "corpus_split" ->
+      s"""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |            WHEN doc_id % 10 = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf AS (
          |  SELECT doc_id, t AS term, count(*) AS tf
