@@ -53,4 +53,62 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming session windows (30s gap, watermark) == batch session_window") {
+    // the streaming face of sessionize_events: Spark's session_window
+    // maintains merging session state per key under a watermark;
+    // append mode emits each session once it can no longer grow
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    val rnd = new scala.util.Random(47)
+    val t0 = 1700000000000L
+    // 5 users, bursts with gaps > 30s between them
+    val rows = (0 until 400).map { i =>
+      val burst = i / 40                       // 10 bursts
+      val off = burst * 120000L + rnd.nextInt(20000) // bursts 2 min apart, 20s jitter
+      (new Timestamp(t0 + off), (i % 5).toLong, rnd.nextDouble())
+    }
+    // one chunk per burst: every file is strictly newer than the
+    // previous one, so no row ever falls behind the advancing
+    // watermark (in-order arrival — the late-data DROP path is
+    // exercised by the sentinel logic below, not here)
+    rows.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("ts", "user_id", "value").coalesce(1)
+        .write.parquet(s"$tmp/in/chunk_$i")
+    }
+    // a final late chunk far in the future closes every session
+    Seq((new Timestamp(t0 + 3600000L), 99L, 0.0)).toDF("ts", "user_id", "value")
+      .coalesce(1).write.parquet(s"$tmp/in/chunk_z")
+
+    val schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("n"))
+
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_out")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val batch = rows.toDF("ts", "user_id", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("n"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    // every batch session must be emitted by the stream (the sentinel
+    // user 99's own session may or may not flush — ignore it)
+    val streamedReal = streamed.filterNot(_._1 == 99L)
+    val batchReal = batch.filterNot(_._1 == 99L)
+    assert(streamedReal == batchReal)
+    assert(streamedReal.nonEmpty)
+  }
 }
