@@ -45,10 +45,17 @@ object AsOf {
     * `l.t - r.t <= tolerance` in t's own units). Enforced by carrying
     * the matched row's time in a second `last` over the SAME window
     * spec — Spark evaluates both in one Window exec, so the plan
-    * stays one shuffle + one sort. */
+    * stays one shuffle + one sort.
+    *
+    * `forward`: match the EARLIEST right row at-or-after `t` instead
+    * (pandas direction="forward"). Same machinery with the window
+    * ordered by `t` DESC: the running `last` right row then is the
+    * nearest one ABOVE the current time; the tie-break and tolerance
+    * bound flip sign accordingly. Identical cost. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                inclusive: Boolean = true,
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta = Set("k", "t")
     val leftPayload = left.columns.toSeq.filterNot(meta)
@@ -87,18 +94,21 @@ object AsOf {
         col("rid").cast("long").as("_tb"), rStructCol.as("_r")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    val tOrder = if (forward) col("t").desc else col("t").asc
     val w = Window.partitionBy("k")
-      .orderBy(col("t"), col("_side"), col("_tb"))
+      .orderBy(tOrder, col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l2.unionByName(r2)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
     // _mt is non-null exactly where _r is (right rows), so the two
     // `last`s resolve to the same row — the matched row's time
+    val staleness =
+      if (forward) col("_mt") - col("t") else col("t") - col("_mt")
     val bounded = tolerance match {
       case Some(tol) => matched
         .withColumn("_mt",
           last(when(col("_side") === rightSide, col("t")), ignoreNulls = true).over(w))
-        .withColumn("_m", when(col("t") - col("_mt") <= tol, col("_m")))
+        .withColumn("_m", when(staleness <= tol, col("_m")))
       case None => matched
     }
     bounded

@@ -167,6 +167,18 @@ object RelationalQueries extends QueryPack {
         .where(col("rid").isNotNull)
         .select(col("event_id"), col("rid").as("last_click_id"))
     }),
+    // FORWARD as-of join (pandas direction="forward"): the earliest
+    // click at or after each event — time-to-next-interaction, the
+    // symmetric face of asof_last_click (same one-window plan)
+    "asof_next_click" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+      val right = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("ts").as("t"), col("event_id").as("rid"))
+      graft.ops.AsOf.asOfJoin(left, right, forward = true)
+        .where(col("rid").isNotNull)
+        .select(col("event_id"), col("rid").as("next_click_id"))
+    }),
     // event-time tumbling windows: Spark's window() operator (the
     // same TimeWindow Structured Streaming aggregates over — the
     // reference has no event-time processing, SURVEY.md §2.7 St7) on
@@ -315,6 +327,17 @@ object RelationalQueries extends QueryPack {
         |      FROM events e JOIN c
         |        ON e.user_id = c.user_id AND c.ts <= e.ts)
         |SELECT event_id, click_id AS last_click_id FROM j WHERE rn = 1""".stripMargin,
+    // the naive forward argmin oracle: earliest admissible click,
+    // ties by greatest click_id (mirrors the engine's tie-break)
+    "asof_next_click" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |j AS (SELECT e.event_id, c.click_id,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY c.ts ASC, c.click_id DESC) AS rn
+        |      FROM events e JOIN c
+        |        ON e.user_id = c.user_id AND c.ts >= e.ts)
+        |SELECT event_id, click_id AS next_click_id FROM j WHERE rn = 1""".stripMargin,
     // the same naive argmax oracle, restricted to the 30-minute
     // staleness bound, on the same epoch-seconds timeline
     "asof_last_click_tol" ->

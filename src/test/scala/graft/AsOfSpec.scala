@@ -80,6 +80,40 @@ class AsOfSpec extends SparkSpec {
     assert(gotBig == naiveBig)
   }
 
+  test("forward: earliest at-or-after row, strict, tolerance, naive twin equivalence") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 25L, 3L)).toDF("k", "t", "rid")
+    val fwd = AsOf.asOfJoin(left, right, forward = true)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(100L).contains(9L)) // ties at t=10 -> max rid
+    assert(fwd(101L).contains(3L)) // next at t=25
+    assert(fwd(102L).isEmpty)      // nothing after 30
+    val strict = AsOf.asOfJoin(left, right, inclusive = false, forward = true)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(strict(100L).contains(3L)) // t=10 rows excluded -> next is 25
+    val tol = AsOf.asOfJoin(left, right, forward = true, tolerance = Some(3L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(tol(100L).contains(9L))  // 0 ahead, within 3
+    assert(tol(101L).isEmpty)       // 5 ahead > 3 -> nulled
+    // seeded equivalence with the naive forward twin
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(400)(i => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "t", "lid").repartition(8)
+    val r = Seq.tabulate(250)(i => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, (1000 + i).toLong))
+      .toDF("k", "t", "rid").repartition(8)
+    val got = AsOf.asOfJoin(l, r, forward = true)
+      .where(col("rid").isNotNull)
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    val naiveFwd = l.join(r.select(col("k"), col("t").as("rt"), col("rid")), Seq("k"))
+      .where(col("rt") >= col("t"))
+      .groupBy("lid")
+      // earliest rt; at equal rt the max rid — mirror the contract
+      .agg(max_by(col("rid"), struct((-col("rt")).as("nrt"), col("rid"))).as("rid"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naiveFwd)
+  }
+
   test("tolerance guards: negative tolerance and non-numeric t are rejected") {
     val l = Seq((1L, 10L, 1L)).toDF("k", "t", "lid")
     val r = Seq((1L, 5L, 2L)).toDF("k", "t", "rid")
