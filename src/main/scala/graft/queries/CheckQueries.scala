@@ -200,6 +200,26 @@ object CheckQueries extends QueryPack {
       countViol.unionByName(ckViol).unionByName(twinViol)
         .unionByName(dimViol).unionByName(rangeViol)
     }),
+    // JSONL interchange law (sources.Docs): parquet→JSONL→scan is a
+    // lossless multiset roundtrip (exceptAll both ways is empty) and
+    // nothing quarantines. Exercises the declared-schema scan + the
+    // executor-side sink end to end under the driver's hash gate.
+    "check_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+      graft.sources.Docs.toJsonl(docs, s"$tmp/docs", numFiles = 4)
+      val parsed = graft.sources.Docs.fromJsonl(s, s"$tmp/docs").cache()
+      val corrupt = parsed.where(col("_corrupt").isNotNull)
+        .select(lit("jsonl_corrupt").as("violation"))
+      val back = parsed.where(col("_corrupt").isNull)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val missing = docs.exceptAll(back)
+        .select(lit("jsonl_lost_row").as("violation"))
+      val extra = back.exceptAll(docs)
+        .select(lit("jsonl_extra_row").as("violation"))
+      corrupt.unionByName(missing).unionByName(extra)
+    }),
     // Image-decode laws (the REAL decode path, javax.imageio): a
     // deterministic PNG corpus is synthesized from doc ids
     // (pixel formula in Multimodal.synthPixel), decoded back, and
