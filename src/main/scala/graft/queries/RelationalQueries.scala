@@ -167,6 +167,24 @@ object RelationalQueries extends QueryPack {
         .where(col("rid").isNotNull)
         .select(col("event_id"), col("rid").as("last_click_id"))
     }),
+    // event throttling ("debounce"): drop events arriving < 60 s
+    // after the previous same-type event of the same user — the
+    // lag-window event-stream cleaning face (one shuffle on the key,
+    // same plan any per-key analytic needs)
+    "events_min_gap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tsc =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        else col("ts").cast("timestamp")
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tsec"), col("event_id"))
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+          tsc.cast("long").as("tsec"))
+        .withColumn("prev", lag(col("tsec"), 1).over(w))
+        .where(col("prev").isNull || col("tsec") - col("prev") >= 60)
+        .select("event_id")
+    }),
     // FORWARD as-of join (pandas direction="forward"): the earliest
     // click at or after each event — time-to-next-interaction, the
     // symmetric face of asof_last_click (same one-window plan)
@@ -327,6 +345,15 @@ object RelationalQueries extends QueryPack {
         |      FROM events e JOIN c
         |        ON e.user_id = c.user_id AND c.ts <= e.ts)
         |SELECT event_id, click_id AS last_click_id FROM j WHERE rn = 1""".stripMargin,
+    // identical lag formulation on the same epoch-seconds timeline
+    "events_min_gap" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
+        |l AS (SELECT event_id, tsec,
+        |        lag(tsec) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY tsec, event_id) AS prev
+        |      FROM ev)
+        |SELECT event_id FROM l WHERE prev IS NULL OR tsec - prev >= 60""".stripMargin,
     // the naive forward argmin oracle: earliest admissible click,
     // ties by greatest click_id (mirrors the engine's tie-break)
     "asof_next_click" ->
