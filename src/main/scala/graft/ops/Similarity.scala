@@ -106,11 +106,15 @@ object Similarity {
 
   /** Per-vector probed list ids under the same quantizer as [[annIvf]]:
     * `id, lists` with `lists(0)` the vector's own list — the invariant
-    * checks recompute probe membership from this. */
+    * checks recompute probe membership from this. Pass `centroids`
+    * (from one [[ivfCentroids]] call) when also running [[annIvf]] on
+    * the same corpus, so the quantizer trains once, not per operator. */
   def ivfProbeLists(embs: DataFrame, nlist: Int, nprobe: Int, sampleSize: Int = 2048,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = embs.sparkSession
-    val flat = lit(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol).flatten)
+    val flat = lit(centroids
+      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol)).flatten)
     normalized(embs, idCol, vecCol, "id", "v")
       .select(col("id"),
         graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
@@ -137,11 +141,13 @@ object Similarity {
   def annIvf(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
              sampleSize: Int = 2048,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             queryPred: Column = lit(true)): DataFrame = {
+             queryPred: Column = lit(true),
+             centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = embs.sparkSession
     val base = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
-    val flat = lit(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol).flatten)
+    val flat = lit(centroids
+      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol)).flatten)
     val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
       graft.functions.Native.topDotNative(spark, col("v"), flat, 1)
         .getItem(0).getField("list").as("list"))

@@ -130,8 +130,12 @@ object CheckQueries extends QueryPack {
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
+      // one quantizer training shared by the operator under test and
+      // the probe-membership recomputation (identical centroids are
+      // the premise of the shared-list law anyway)
+      val cents = Some(Similarity.ivfCentroids(embs, nlist))
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4)
+      val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4, centroids = cents)
         .select(col("vec_id"), col("nn_id"))
       val exact = Similarity.cosineTopK(embs, 1, queryPred = slice)
         .select(col("vec_id"), col("nn_id").as("nn_e"))
@@ -143,7 +147,8 @@ object CheckQueries extends QueryPack {
         .where(Similarity.cosine(col("vq"), col("vi"))
           > Similarity.cosine(col("vq"), col("ve")) + 1e-9)
         .select(lit("ivf_dominance").as("violation"))
-      val probes = Similarity.ivfProbeLists(embs, nlist = nlist, nprobe = 4)
+      val probes = Similarity.ivfProbeLists(embs, nlist = nlist, nprobe = 4,
+        centroids = cents)
       val shareViol = ivf
         .join(probes.select(col("id").as("vec_id"), col("lists")), "vec_id")
         .join(probes.select(col("id").as("nn_id"), col("lists").getItem(0).as("own")), "nn_id")
