@@ -39,10 +39,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failing query must be VISIBLE in the output — a swallowed
+        // error would masquerade as a fast timing
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val two = Seq(once(), once())
@@ -55,9 +62,12 @@ object Bench {
     val runs = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "runs" reports the ACTUAL per-query run count (the protocol is
-    // adaptive: 2 runs, plus a 3rd when min < 1 s — see scaladoc)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    // adaptive: 2 runs, plus a 3rd when min < 1 s — see scaladoc);
+    // "errors" lists queries whose execution threw (timings for those
+    // are meaningless)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"errors":$errs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // stdout line is the driver contract; ALSO write the bare JSON to a
     // file so the result survives sbt's [info]/WARN framing (round-1
     // BENCH parsed as null because the line was buried in log noise)
