@@ -79,6 +79,34 @@ object Freq {
       .limit(m)
       .select("ord", "item")
 
+  /** WEIGHTED reservoir sampling (Efraimidis–Spirakis A-Res): an
+    * m-subset where item i's inclusion probability is proportional to
+    * its weight — the training-data mix sampler ("sample documents ∝
+    * quality score"). Each item gets key `u^(1/w)` with `u` a seeded
+    * uniform from its id hash; the sample is the m LARGEST keys.
+    * Distributed exactly like [[reservoirSample]]: a top-m over a
+    * per-row expression — map-side TakeOrdered partial per partition,
+    * merge of P·m candidates, no shuffle of the corpus, no sequential
+    * state. Deterministic given (seed, ids, weights).
+    *
+    * Computed in log space for stability (`ln key = ln(u)/w`, same
+    * ordering): u is never 0 (hash bucket midpoint), w must be > 0 —
+    * non-positive weights fail loudly rather than silently never
+    * sampling. Input: `id` (unique), `w` (double). Output: `id, w`. */
+  def weightedSample(items: DataFrame, m: Int, seed: Long): DataFrame = {
+    // u ∈ (0,1): 40-bit seeded hash bucket midpoint (never 0 or 1)
+    val u = (pmod(xxhash64(col("id"), lit(seed)), lit(1L << 40)).cast("double")
+      + lit(0.5)) / lit((1L << 40).toDouble)
+    items
+      .withColumn("_wkey",
+        when(col("w") > 0, log(u) / col("w"))
+          .otherwise(raise_error(format_string(
+            "weightedSample: non-positive weight %s for id %s", col("w"), col("id")))))
+      .orderBy(col("_wkey").desc)
+      .limit(m)
+      .select("id", "w")
+  }
+
   // ---------------------------------------------------------------
   // St6 — Sticky Sampling
   // ---------------------------------------------------------------

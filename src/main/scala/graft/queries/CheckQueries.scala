@@ -205,6 +205,38 @@ object CheckQueries extends QueryPack {
       countViol.unionByName(ckViol).unionByName(twinViol)
         .unionByName(dimViol).unionByName(rangeViol)
     }),
+    // Weighted-reservoir laws (Efraimidis–Spirakis over documents,
+    // weight = n_chars+1):
+    //  - size: |sample| == min(m, n);
+    //  - membership: every sampled (id, w) exists in the source;
+    //  - determinism: two runs agree exactly;
+    //  - selection: no unsampled item's key exceeds a sampled item's
+    //    key (the top-m law, keys recomputed per the A-Res formula).
+    "check_weighted_sample" -> ((s, d) => {
+      val m = 40
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), (col("n_chars") + 1).cast("double").as("w"))
+      val s1 = Freq.weightedSample(docs, m, SEED)
+      val s2 = Freq.weightedSample(docs, m, SEED)
+      val n = Tables.documentsCount(s, d)
+      val sizeViol = s1.agg(count(lit(1)).as("c"))
+        .where(col("c") =!= lit(math.min(m.toLong, n)))
+        .select(lit("size_law").as("violation"))
+      val memberViol = s1.join(docs, Seq("id", "w"), "left_anti")
+        .select(lit("membership").as("violation"))
+      val twinViol = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+        .select(lit("determinism").as("violation"))
+      val key = log((pmod(xxhash64(col("id"), lit(SEED)), lit(1L << 40)).cast("double")
+        + lit(0.5)) / lit((1L << 40).toDouble)) / col("w")
+      val keyed = docs.withColumn("k", key)
+      val minSampled = keyed.join(s1.select("id"), Seq("id"), "left_semi")
+        .agg(min("k").as("kmin"))
+      val selViol = keyed.join(s1.select("id"), Seq("id"), "left_anti")
+        .crossJoin(minSampled)
+        .where(col("k") > col("kmin"))
+        .select(lit("selection").as("violation"))
+      sizeViol.unionByName(memberViol).unionByName(twinViol).unionByName(selViol)
+    }),
     // JSONL interchange law (sources.Docs): parquet→JSONL→scan is a
     // lossless multiset roundtrip (exceptAll both ways is empty) and
     // nothing quarantines. Exercises the declared-schema scan + the

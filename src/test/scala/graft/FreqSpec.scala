@@ -106,4 +106,40 @@ class FreqSpec extends SparkSpec {
     }
     assert(ok >= 18, s"sticky recovered heavy hitters in $ok/20 runs") // >= 1-delta
   }
+
+  test("weightedSample: size/subset/determinism; n <= m returns all positive-weight rows") {
+    val items = (1L to 300L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    val s1 = Freq.weightedSample(items, 50, 9L).as[(Long, Double)].collect()
+    val s2 = Freq.weightedSample(items, 50, 9L).as[(Long, Double)].collect()
+    assert(s1.length == 50 && s1.toSeq == s2.toSeq)
+    val src = items.as[(Long, Double)].collect().toSet
+    assert(s1.forall(src))
+    val tiny = Freq.weightedSample(items.limit(10), 50, 9L).collect()
+    assert(tiny.length == 10)
+  }
+
+  test("weightedSample: heavier items are sampled far more often (distributional)") {
+    // 500 light (w=1) + 500 heavy (w=10); m=100 of 1000. Expected
+    // heavy inclusion ≈ 10x light per unit item until saturation.
+    val items = ((1L to 500L).map(i => (i, 1.0)) ++ (501L to 1000L).map(i => (i, 10.0)))
+      .toDF("id", "w")
+    var heavy = 0L; var light = 0L
+    for (seed <- 1 to 15) {
+      val ids = Freq.weightedSample(items, 100, seed.toLong)
+        .select("id").as[Long].collect()
+      heavy += ids.count(_ > 500L)
+      light += ids.count(_ <= 500L)
+    }
+    assert(heavy + light == 1500L)
+    assert(heavy.toDouble / math.max(1L, light) > 3.0,
+      s"heavy/light = $heavy/$light — weighting had no effect?")
+  }
+
+  test("weightedSample: non-positive weight fails loudly") {
+    val bad = Seq((1L, 1.0), (2L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] { Freq.weightedSample(bad, 5, 1L).count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-positive weight")), e.getMessage)
+  }
 }
