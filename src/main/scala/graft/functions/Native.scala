@@ -36,6 +36,8 @@ object Native {
         exprs => WordNgrams(exprs(0), exprs(1)), "internal")
       reg.createOrReplaceTempFunction("graft_top_dot",
         exprs => TopDot(exprs(0), exprs(1), exprs(2)), "internal")
+      reg.createOrReplaceTempFunction("graft_zorder",
+        exprs => InterleaveBits(exprs(0), exprs(1)), "internal")
     }
   }
 
@@ -61,6 +63,13 @@ object Native {
     register(spark)
     call_function("graft_top_dot", vec, flatCentroids,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** 64-bit Morton z-value of two cell-index columns (layout
+    * clustering — see [[InterleaveBits]]). */
+  def zOrderNative(i: Column, j: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_zorder", i, j)
   }
 
   /** Word n-gram multiset of a token array (space-joined) — a single
@@ -293,4 +302,58 @@ case class TopDot(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** 64-bit Morton (Z-order) code of two cell indices: bits of `left`
+  * and `right` interleaved (left = even bits) after biasing each by
+  * 2³¹ so the UNSIGNED z ordering matches the natural signed order of
+  * the inputs. Sorting / range-partitioning by this value before a
+  * write co-locates 2-D-near rows in the same files, so per-file
+  * min/max column stats prune BOTH dimensions of a range predicate —
+  * the standard layout-clustering trick for large scans (a linear
+  * sort bounds only its leading column). Inputs must fit in a signed
+  * 32-bit range; out-of-range fails loudly (silently wrapping would
+  * scatter far-apart cells into the same tile). */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_zorder expects (bigint, bigint)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterleaveBits.zValue(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.InterleaveBits.zValue($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object InterleaveBits {
+  private def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  /** Static so codegen calls it directly (no boxed reference obj).
+    * The raw interleave occupies all 64 bits, so its UNSIGNED order is
+    * the z order — the final sign-bit flip maps that onto the SIGNED
+    * long order Spark's sort/range-partitioner uses. */
+  def zValue(i: Long, j: Long): Long = {
+    if (i < Int.MinValue || i > Int.MaxValue || j < Int.MinValue || j > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"graft_zorder: cell index out of 32-bit range: ($i, $j)")
+    (spread(i + 0x80000000L) | (spread(j + 0x80000000L) << 1)) ^ Long.MinValue
+  }
 }

@@ -74,4 +74,15 @@ object Grid {
       .join(cells, Seq("ci", "cj"))
       .select(col("ci"), col("cj"), col("sz"), col("n3"), col("n7"))
   }
+
+  /** Z-order (Morton) value of a cell — the data-LAYOUT face of the
+    * grid: `df.repartitionByRange(n, zValue(i, j))` before a write
+    * co-locates spatially-near rows in the same files, so per-file
+    * min/max stats bound BOTH coordinates and a 2-D range scan prunes
+    * files in both dimensions (a linear sort bounds only its leading
+    * column — its files span the full range of the other). Codegen'd
+    * [[graft.functions.InterleaveBits]]; indices must fit in 32 bits
+    * (loud failure otherwise). */
+  def zValue(i: Column, j: Column): Column =
+    graft.functions.Native.zOrderNative(i, j)
 }

@@ -126,6 +126,34 @@ class NativeFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("zorder: matches a bit-by-bit reference interleave; ordering; range guard") {
+    import graft.functions.InterleaveBits
+    // bit-by-bit reference on signed inputs via the same +2^31 bias
+    def ref(i: Long, j: Long): Long = {
+      val bi = i + 0x80000000L; val bj = j + 0x80000000L
+      var z = 0L
+      for (b <- 0 until 32)
+        z |= (((bi >> b) & 1L) << (2 * b)) | (((bj >> b) & 1L) << (2 * b + 1))
+      z ^ Long.MinValue // signed-comparable form (see InterleaveBits.zValue)
+    }
+    val rnd = new scala.util.Random(3)
+    val cases = Seq((0L, 0L), (-1L, 1L), (Int.MaxValue.toLong, Int.MinValue.toLong)) ++
+      Seq.fill(200)((rnd.nextInt().toLong, rnd.nextInt().toLong))
+    for ((i, j) <- cases)
+      assert(InterleaveBits.zValue(i, j) == ref(i, j), s"($i, $j)")
+    // z respects quadrant order: all-negative quadrant < all-positive
+    assert(InterleaveBits.zValue(-5L, -5L) < InterleaveBits.zValue(5L, 5L))
+    intercept[IllegalArgumentException] {
+      InterleaveBits.zValue(Int.MaxValue.toLong + 1, 0L)
+    }
+    // SQL surface agrees with the static twin
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq((3L, 5L)).toDF("i", "j")
+      .select(graft.ops.Grid.zValue(col("i"), col("j"))).as[Long].head()
+    assert(got == InterleaveBits.zValue(3L, 5L))
+  }
+
   test("interpreted eval path (nullSafeEval) agrees with codegen results") {
     import graft.functions.{DotProduct, MinDistSq}
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -121,6 +121,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedSum == directSum)
   }
 
+  test("z-order layout bounds BOTH dims per file; linear sort leaves one unbounded") {
+    // the data-skipping premise, measured: range-partition 4096 points
+    // into 16 files by (a) x alone and (b) z-order, then compare each
+    // file's extent in the NON-leading dimension y — min/max stats on
+    // a z-ordered layout prune y-selective scans, x-slabs never do
+    val rnd = new scala.util.Random(77)
+    val pts = Seq.fill(4096)((rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("x", "y")
+      .withColumn("ci", floor(col("x")).cast("long"))
+      .withColumn("cj", floor(col("y")).cast("long"))
+    def meanYExtent(df: org.apache.spark.sql.DataFrame): Double = {
+      val exts = df
+        .withColumn("part", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("part").agg((max("y") - min("y")).as("ext"))
+        .select("ext").as[Double].collect()
+      exts.sum / exts.length
+    }
+    val byX = meanYExtent(pts.repartitionByRange(16, col("x")))
+    val byZ = meanYExtent(pts.repartitionByRange(16,
+      graft.ops.Grid.zValue(col("ci"), col("cj"))))
+    assert(byX > 90.0, s"x-slabs should span ~full y range, got $byX")
+    assert(byZ < 0.6 * byX, s"z-order y-extent $byZ not < 0.6 x-slab $byX")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // external table paths in /tmp (warehouse.dir is a static conf);
     // the in-memory catalog only records the metadata
