@@ -111,4 +111,36 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamedReal == batchReal)
     assert(streamedReal.nonEmpty)
   }
+
+  test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
+    // the standard streaming enrichment: micro-batched fact stream
+    // joined to a static dimension table, aggregated per dim attribute
+    val tmp = Files.createTempDirectory("graft_enrich").toString
+    val dim = (0L until 20L).map(i => (i, s"seg${i % 4}")).toDF("user_id", "segment")
+    val rnd = new scala.util.Random(53)
+    val facts = (0 until 300).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+    facts.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("user_id", "v").coalesce(1).write.parquet(s"$tmp/in/chunk_$i")
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("user_id LONG, v LONG"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .join(dim, Seq("user_id")) // stream-static: dim re-read per batch
+      .groupBy("segment").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_out")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = facts.toDF("user_id", "v").join(dim, Seq("user_id"))
+      .groupBy("segment").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+  }
 }
