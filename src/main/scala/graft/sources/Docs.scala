@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.StructType
   *    to a `_corrupt` column for quarantine-and-continue (the default
   *    a large crawl wants), FAILFAST kills the job on the first bad
   *    line (what a curated corpus wants);
-  *  - JSONL/CSV scans split by line across executors, so a single
-  *    giant file still parallelizes (unlike e.g. one gzip member).
+  *  - JSONL scans split by line across executors, so a single giant
+  *    file still parallelizes (unlike e.g. one gzip member). The CSV
+  *    face uses `multiLine` (document text contains quoted newlines),
+  *    which parses each FILE whole — so a CSV corpus must arrive as
+  *    many files to parallelize; prefer JSONL for interchange.
   */
 object Docs {
 
