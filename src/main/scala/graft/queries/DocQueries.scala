@@ -84,6 +84,14 @@ object DocQueries extends QueryPack {
     // SimHash near-dup pairs within Hamming distance 3
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 3, seed = SEED)),
+    // quality-proportional corpus sample (Efraimidis–Spirakis A-Res,
+    // weight = n_chars+1; seeded-deterministic, laws hash-verified by
+    // check_weighted_sample)
+    "sample_docs_weighted" -> ((s, d) =>
+      graft.ops.Freq.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), (col("n_chars") + 1).cast("double").as("w")),
+        m = 40, seed = SEED)),
     // training-mix weighting: per-language token share and the
     // uniform-target sampling weight (total/(k·n_tokens)) — the
     // knob a 100 TB pipeline turns to rebalance a skewed corpus.
