@@ -41,6 +41,14 @@ object DocQueries extends QueryPack {
         .select(explode(Text.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(30)),
+    // corpus bigram counts (LM-training n-gram statistics): the
+    // codegen'd WordNgrams multiset, exploded + counted, top 30
+    "text_ngram_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.Native.wordNgramsNative(
+          Text.tokens(col("text")), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(30)),
     // BPE-style subword segmentation counts (token budgeting)
     "text_token_bpe" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -210,6 +218,15 @@ object DocQueries extends QueryPack {
          |SELECT token, count(*) AS cnt
          |FROM (SELECT unnest(tk) AS token FROM t)
          |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+    // same multiset-bigram formulation (NO list_distinct — LM counts
+    // are multiset counts, unlike the dedup shingle SETS)
+    "text_ngram_counts" ->
+      s"""WITH t AS (SELECT $tokSql AS tk FROM documents),
+         |g AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1),
+         |        i -> array_to_string(tk[i:i+1], ' '))) AS gram
+         |      FROM t WHERE len(tk) >= 2)
+         |SELECT gram, count(*) AS cnt FROM g
+         |GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 30""".stripMargin,
     "text_token_bpe" ->
       s"""SELECT doc_id,
          |  len($tokSql) AS n_ws_tokens,
