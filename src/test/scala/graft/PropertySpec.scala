@@ -89,4 +89,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: zValue is invertible and locality-ordered on random cells") {
+    import graft.functions.InterleaveBits
+    // deinterleave twin (test-only): undo the sign flip, split bits
+    def unspread(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      x = (x | (x >> 16)) & 0x00000000FFFFFFFFL
+      x
+    }
+    def invert(zv: Long): (Long, Long) = {
+      val raw = zv ^ Long.MinValue
+      (unspread(raw) - 0x80000000L, unspread(raw >>> 1) - 0x80000000L)
+    }
+    for (s <- 1 to 8) {
+      val cells = draw(Gen.listOfN(100, for {
+        i <- Gen.choose(Int.MinValue.toLong, Int.MaxValue.toLong)
+        j <- Gen.choose(Int.MinValue.toLong, Int.MaxValue.toLong)
+      } yield (i, j)), s)
+      for ((i, j) <- cells)
+        assert(invert(InterleaveBits.zValue(i, j)) == ((i, j)), s"seed=$s ($i,$j)")
+      // locality: within any aligned 2x2 block, the 4 z-values are
+      // contiguous (the block is one z-curve quad)
+      val bi = draw(Gen.choose(-1000L, 1000L), s + 50) * 2
+      val bj = draw(Gen.choose(-1000L, 1000L), s + 60) * 2
+      val quad = for (di <- 0 to 1; dj <- 0 to 1)
+        yield InterleaveBits.zValue(bi + di, bj + dj)
+      assert(quad.max - quad.min == 3, s"2x2 block at ($bi,$bj) not contiguous: $quad")
+    }
+  }
+
+  test("property: weightedSample with uniform weights has uniform inclusion") {
+    // with all weights equal, A-Res degenerates to a uniform m-subset:
+    // inclusion frequency per item across seeds ~ m/n
+    val n = 400
+    val m = 80
+    val items = (1L to n.toLong).map((_, 1.0)).toDF("id", "w")
+    val counts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for (s <- 1 to 25) {
+      Freq.weightedSample(items, m, s.toLong).select("id").as[Long]
+        .collect().foreach(id => counts(id) += 1)
+    }
+    val expect = 25.0 * m / n // = 5
+    val mean = counts.values.sum.toDouble / n
+    assert(math.abs(mean - expect) < 0.01, s"mean inclusion $mean vs $expect")
+    // no item is wildly over/under-represented (binomial tail, loose)
+    assert(counts.values.forall(c => c <= 16), s"max=${counts.values.max}")
+  }
 }
