@@ -27,6 +27,17 @@ object OutlierQueries extends QueryPack {
     // P3 + A2/A3: grid cell histogram
     "outlier_cells" -> ((s, d) =>
       Grid.cellHistogram(pts(s, d), Grid.sideFor(D))),
+    // layout clustering under the hash gate: the codegen'd Morton
+    // z-value of each point's unit cell, aggregated per 256-z-value
+    // tile (arithmetic shift — DuckDB's >> matches). The oracle
+    // restates the ENTIRE bit interleave in pure SQL (5 spread
+    // stages + overflow-safe sign flip) — a fully independent twin.
+    "zorder_tiles" -> ((s, d) =>
+      pts(s, d)
+        .select(Grid.zValue(floor(col("x")).cast("long"),
+          floor(col("y")).cast("long")).as("z"))
+        .groupBy(shiftright(col("z"), 8).as("tile"))
+        .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))),
     // J2: 7×7 neighborhood stats
     "outlier_n3n7" -> ((s, d) =>
       Outliers.cellStats(pts(s, d), D)),
@@ -51,6 +62,28 @@ object OutlierQueries extends QueryPack {
            |       CAST(floor(y/$side) AS BIGINT) AS cj,
            |       count(*) AS sz
            |FROM pts GROUP BY 1, 2""".stripMargin,
+      "zorder_tiles" ->
+        s"""WITH pts AS (${Tables.pointsSql}),
+           |c AS (SELECT CAST(floor(x) AS BIGINT) + 2147483648 AS bi,
+           |             CAST(floor(y) AS BIGINT) + 2147483648 AS bj FROM pts),
+           |s1 AS (SELECT (bi | (bi << 16)) & 281470681808895 AS a,
+           |              (bj | (bj << 16)) & 281470681808895 AS b FROM c),
+           |s2 AS (SELECT (a | (a << 8)) & 71777214294589695 AS a,
+           |              (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+           |s3 AS (SELECT (a | (a << 4)) & 1085102592571150095 AS a,
+           |              (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+           |s4 AS (SELECT (a | (a << 2)) & 3689348814741910323 AS a,
+           |              (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+           |s5 AS (SELECT (a | (a << 1)) & 6148914691236517205 AS a,
+           |              (b | (b << 1)) & 6148914691236517205 AS b FROM s4),
+           |z AS (SELECT CASE WHEN (b >> 62) = 1
+           |               THEN a + 2 * (b & 4611686018427387903)
+           |               ELSE a + 2 * (b & 4611686018427387903)
+           |                    - 9223372036854775807 - 1 END AS z
+           |      FROM s5)
+           |SELECT z >> 8 AS tile, count(*) AS n,
+           |       min(z) AS zmin, max(z) AS zmax
+           |FROM z GROUP BY 1""".stripMargin,
       "outlier_n3n7" ->
         s"""WITH pts AS (${Tables.pointsSql}),
            |cells AS (
