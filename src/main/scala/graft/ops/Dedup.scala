@@ -223,19 +223,19 @@ object Dedup {
     * cluster`). The "keep one canonical doc per duplicate group" face
     * is then `where(col("doc_id") === col("cluster"))`.
     *
-    * Iterative min-label propagation (the GraphX-free formulation):
-    * each round every node takes the min of its own label and its
-    * neighbors' labels — one equi-join + one partial-agg groupBy over
-    * the (sparse) edge list, so a cluster pays O(E) shuffle per round,
-    * partitioned on node id. Converges in O(component diameter)
-    * rounds; near-dup components are clique-ish (similarity is
-    * near-transitive), so the diameter — and the round count — stays
-    * tiny even at 100× the corpus. `maxIters` fails loudly rather
-    * than ship a half-converged labeling (an adversarial N-node chain
-    * genuinely needs ~N rounds — that is not a dedup graph; raise the
-    * cap consciously if yours differs). Each round's labels are
-    * localCheckpoint'ed: without lineage truncation the plan doubles
-    * per round and optimizer time dwarfs execution.
+    * Iterative min-label propagation with PATH SHORTCUTTING (the
+    * GraphX-free formulation): each round every node takes the min of
+    * its own label and its neighbors' labels (one equi-join + one
+    * partial-agg groupBy over the sparse edge list), then jumps to its
+    * label's label (a second equi-join on the label table — the
+    * pointer-doubling trick). Cost is O(E) + O(V) shuffle per round,
+    * partitioned on node id; shortcutting makes the reach roughly
+    * DOUBLE per round, so even an adversarial N-node chain converges
+    * in ~log₂ N rounds, not N — and the clique-ish components a dedup
+    * graph actually produces finish in 2-3. `maxIters` fails loudly
+    * rather than ship a half-converged labeling. Each round's labels
+    * are localCheckpoint'ed: without lineage truncation the plan
+    * doubles per round and optimizer time dwarfs execution.
     *
     * The per-round convergence probe is a bounded driver scalar (an
     * EXISTS on changed labels), same contract as the FFT round loop.
@@ -253,9 +253,16 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // shortcut: follow one pointer hop (labels only ever decrease,
+      // so lbl(lbl) <= lbl — taking it is always sound)
+      val next = prop.as("x")
+        .join(prop.select(col("id").as("lid"), col("lbl").as("lbl2")).as("y"),
+          col("x.lbl") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("lbl2"), col("x.lbl")).as("lbl"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
@@ -265,8 +272,8 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"dupClusters: not converged after $maxIters rounds — a component has " +
-        s"diameter > $maxIters (not a near-dup-shaped graph); raise maxIters")
+      s"dupClusters: not converged after $maxIters rounds — a component needs " +
+        s"more than ~2^$maxIters reach (not a near-dup-shaped graph); raise maxIters")
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 }
