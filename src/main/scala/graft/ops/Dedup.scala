@@ -226,22 +226,26 @@ object Dedup {
     * Iterative min-label propagation with PATH SHORTCUTTING (the
     * GraphX-free formulation): each round every node takes the min of
     * its own label and its neighbors' labels (one equi-join + one
-    * partial-agg groupBy over the sparse edge list), then jumps to its
-    * label's label (a second equi-join on the label table — the
-    * pointer-doubling trick). Cost is O(E) + O(V) shuffle per round,
-    * partitioned on node id; shortcutting makes the reach roughly
-    * DOUBLE per round, so even an adversarial N-node chain converges
-    * in ~log₂ N rounds, not N — and the clique-ish components a dedup
-    * graph actually produces finish in 2-3. `maxIters` fails loudly
-    * rather than ship a half-converged labeling. Each round's labels
-    * are localCheckpoint'ed: without lineage truncation the plan
-    * doubles per round and optimizer time dwarfs execution.
+    * partial-agg groupBy over the sparse edge list) and, with
+    * `shortcut = true`, then jumps to its label's label (a second
+    * equi-join on the label table — the pointer-doubling trick, which
+    * roughly DOUBLES reach per round so an adversarial N-node chain
+    * converges in ~log₂ N rounds instead of N). Shortcutting is OFF
+    * by default: the clique-ish components a near-dup graph actually
+    * produces converge in 2-3 rounds either way, and the extra
+    * O(V)-sized join per round is then pure overhead (measured ~25%
+    * slower at sf0.1); turn it on for deep/chain-shaped graphs.
+    * `maxIters` fails loudly rather than ship a half-converged
+    * labeling. Each round's labels are localCheckpoint'ed: without
+    * lineage truncation the plan doubles per round and optimizer
+    * time dwarfs execution.
     *
     * The per-round convergence probe is a bounded driver scalar (an
     * EXISTS on changed labels), same contract as the FFT round loop.
     */
   def dupClusters(ids: DataFrame, pairs: DataFrame, maxIters: Int = 25,
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  shortcut: Boolean = false): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -258,12 +262,12 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // shortcut: follow one pointer hop (labels only ever decrease,
       // so lbl(lbl) <= lbl — taking it is always sound)
-      val next = prop.as("x")
+      val stepped = if (!shortcut) prop else prop.as("x")
         .join(prop.select(col("id").as("lid"), col("lbl").as("lbl2")).as("y"),
           col("x.lbl") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("lbl2"), col("x.lbl")).as("lbl"))
-        .localCheckpoint()
+      val next = stepped.localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.lbl") < col("o.lbl")).limit(1).count()
@@ -272,8 +276,8 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"dupClusters: not converged after $maxIters rounds — a component needs " +
-        s"more than ~2^$maxIters reach (not a near-dup-shaped graph); raise maxIters")
+      s"dupClusters: not converged after $maxIters rounds (shortcut=$shortcut) — " +
+        "not a near-dup-shaped graph; raise maxIters or enable shortcut")
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 }
