@@ -61,12 +61,15 @@ object Bench {
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failing query fails FAST — summing its time would make a
+    // breakage read as a speedup, so the headline total counts only
+    // queries that ran (the errors list flags the rest)
+    val total = results.collect { case (k, v, _) if !failed(k) => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "runs" reports the ACTUAL per-query run count (the protocol is
     // adaptive: 2 runs, plus a 3rd when min < 1 s — see scaladoc);
     // "errors" lists queries whose execution threw (timings for those
-    // are meaningless)
+    // are meaningless and excluded from "value")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"errors":$errs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // stdout line is the driver contract; ALSO write the bare JSON to a
     // file so the result survives sbt's [info]/WARN framing (round-1

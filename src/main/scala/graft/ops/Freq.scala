@@ -102,7 +102,11 @@ object Freq {
         when(col("w") > 0, log(u) / col("w"))
           .otherwise(raise_error(format_string(
             "weightedSample: non-positive weight %s for id %s", col("w"), col("id")))))
-      .orderBy(col("_wkey").desc)
+      // id tie-break: u has 2^40 distinct values, so equal-weight hash
+      // collisions WILL happen at corpus scale — without it the m-th
+      // slot would fall to partition encounter order, breaking the
+      // determinism contract
+      .orderBy(col("_wkey").desc, col("id"))
       .limit(m)
       .select("id", "w")
   }

@@ -18,6 +18,10 @@ object CheckQueries extends QueryPack {
   private val SEED = 42L
   private val emptyOracle = "SELECT CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0"
 
+  /** Single per-JVM scratch dir for the JSONL roundtrip check. */
+  private[queries] lazy val jsonlScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+
   private def items(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_id").as("ord"), col("user_id").as("item"))
 
@@ -244,7 +248,10 @@ object CheckQueries extends QueryPack {
     "check_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+      // ONE per-JVM scratch dir (toJsonl overwrites): the bench runs
+      // every query 2-3 times and would otherwise pile up full corpus
+      // copies in /tmp
+      val tmp = CheckQueries.jsonlScratch
       graft.sources.Docs.toJsonl(docs, s"$tmp/docs", numFiles = 4)
       val parsed = graft.sources.Docs.fromJsonl(s, s"$tmp/docs").cache()
       val corrupt = parsed.where(col("_corrupt").isNotNull)

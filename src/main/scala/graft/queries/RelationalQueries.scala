@@ -18,6 +18,15 @@ object RelationalQueries extends QueryPack {
 
   private def centsCol(c: String) = round(col(c) * 100).cast("long")
 
+  /** events.ts as a TIMESTAMP column regardless of fixture schema:
+    * long = nanos-since-epoch (nanosAsLong scan), else native
+    * timestamp. The long-vs-timestamp unit assumption lives HERE
+    * only — every events query normalizes through this. */
+  private def eventTs(ev: org.apache.spark.sql.DataFrame) =
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+    else col("ts").cast("timestamp")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary
     "tpch_q1" -> ((s, d) =>
@@ -85,10 +94,7 @@ object RelationalQueries extends QueryPack {
     // the compare is exact. Session starts as truncated epoch seconds.
     "sessionize_events" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val tsc =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
-        else col("ts").cast("timestamp")
+      val tsc = eventTs(ev)
       ev.groupBy(col("user_id"), session_window(tsc, "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"), sum(centsCol("value")).as("sum_value_cents"))
         .select(col("user_id"), col("w.start").cast("long").as("session_start"),
@@ -115,10 +121,7 @@ object RelationalQueries extends QueryPack {
     // doubles so the oracle compare is exact.
     "range_session_overlap" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val tsc =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
-        else col("ts").cast("timestamp")
+      val tsc = eventTs(ev)
       val iv = ev.select(col("user_id"), col("event_id"),
           tsc.cast("long").cast("double").as("lo"))
         .withColumn("hi",
@@ -154,10 +157,7 @@ object RelationalQueries extends QueryPack {
     // mirrored exactly in the oracle.
     "asof_last_click_tol" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val tsc =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
-        else col("ts").cast("timestamp")
+      val tsc = eventTs(ev)
       val base = ev.select(col("user_id").as("k"), tsc.cast("long").as("t"),
         col("event_id"), col("event_type"))
       val left = base.select(col("k"), col("t"), col("event_id"))
@@ -173,10 +173,7 @@ object RelationalQueries extends QueryPack {
     // same plan any per-key analytic needs)
     "events_min_gap" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val tsc =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
-        else col("ts").cast("timestamp")
+      val tsc = eventTs(ev)
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("tsec"), col("event_id"))
       ev.select(col("event_id"), col("user_id"), col("event_type"),
@@ -207,10 +204,7 @@ object RelationalQueries extends QueryPack {
     // timezone-representation-free.
     "window_tumbling_events" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val tsc =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros(floor(col("ts") / 1000L).cast("long"))
-        else col("ts").cast("timestamp")
+      val tsc = eventTs(ev)
       ev.groupBy(window(tsc, "6 hours").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("value")).as("sum_value_cents"))

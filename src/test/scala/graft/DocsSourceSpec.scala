@@ -45,8 +45,6 @@ class DocsSourceSpec extends SparkSpec {
     val e = intercept[Exception] {
       Docs.fromJsonl(spark, s"$tmp/corpus.jsonl", mode = "FAILFAST").count()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(m => m.contains("FAILFAST") || m.contains("Malformed")),
       e.getMessage)
   }

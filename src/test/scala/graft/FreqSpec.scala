@@ -138,8 +138,6 @@ class FreqSpec extends SparkSpec {
   test("weightedSample: non-positive weight fails loudly") {
     val bad = Seq((1L, 1.0), (2L, 0.0)).toDF("id", "w")
     val e = intercept[Exception] { Freq.weightedSample(bad, 5, 1L).count() }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("non-positive weight")), e.getMessage)
   }
 }

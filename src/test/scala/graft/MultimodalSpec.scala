@@ -60,8 +60,6 @@ class MultimodalSpec extends SparkSpec {
     val bad = Seq((99L, "application/octet-stream", 4L, Array[Byte](1, 2, 3, 4)))
       .toDF("media_id", "mime", "n_bytes", "payload")
     val e = intercept[Exception] { Multimodal.imageFeatures(bad, 4).count() }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("media_id=99")), e.getMessage)
   }
 

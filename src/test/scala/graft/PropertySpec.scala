@@ -134,10 +134,13 @@ class PropertySpec extends SparkSpec {
       Freq.weightedSample(items, m, s.toLong).select("id").as[Long]
         .collect().foreach(id => counts(id) += 1)
     }
-    val expect = 25.0 * m / n // = 5
-    val mean = counts.values.sum.toDouble / n
-    assert(math.abs(mean - expect) < 0.01, s"mean inclusion $mean vs $expect")
-    // no item is wildly over/under-represented (binomial tail, loose)
-    assert(counts.values.forall(c => c <= 16), s"max=${counts.values.max}")
+    // per-item spread, NOT the mean (the mean is fixed at 25·m/n by
+    // construction — every run returns exactly m rows): a degenerate
+    // sampler that repeats one fixed subset leaves 320 items at 0 and
+    // pins 80 at 25; uniform Binomial(25, 0.2) leaves ~1.5 items at 0
+    // and its max is ~12
+    val neverSampled = (1L to n.toLong).count(id => counts(id) == 0)
+    assert(neverSampled < 20, s"$neverSampled of $n items never sampled")
+    assert(counts.values.max <= 16, s"max=${counts.values.max}")
   }
 }

@@ -47,8 +47,6 @@ class RangeJoinSpec extends SparkSpec {
     val e = intercept[Exception] {
       RangeJoin.pointInInterval(pts, ivs, bucketWidth = 1.0).count()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("spans more than")), e.getMessage)
     // the same interval passes with an explicit higher cap
     assert(RangeJoin.pointInInterval(pts, ivs, 1e6, maxBucketsPerInterval = 2000L)
@@ -104,8 +102,6 @@ class RangeJoinSpec extends SparkSpec {
     val e = intercept[Exception] {
       RangeJoin.intervalOverlap(l, r, bucketWidth = 1.0).count()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("spans more than")), e.getMessage)
   }
 

@@ -23,4 +23,9 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf0001 = "/root/testdata/sf0.001"
   val sf001  = "/root/testdata/sf0.01"
+
+  /** All messages down a (possibly wrapped) exception's cause chain —
+    * Spark buries the interesting text a few levels deep. */
+  def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
 }

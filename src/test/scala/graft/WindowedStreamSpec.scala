@@ -70,14 +70,20 @@ class WindowedStreamSpec extends SparkSpec {
     // one chunk per burst: every file is strictly newer than the
     // previous one, so no row ever falls behind the advancing
     // watermark (in-order arrival — the late-data DROP path is
-    // exercised by the sentinel logic below, not here)
+    // exercised by the sentinel logic below, not here). The file
+    // source orders by MODIFICATION time — pin it explicitly so a
+    // coarse-mtime filesystem can't reorder two fast writes.
     rows.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
       chunk.toDF("ts", "user_id", "value").coalesce(1)
         .write.parquet(s"$tmp/in/chunk_$i")
+      val dir = new java.io.File(s"$tmp/in/chunk_$i")
+      (dir +: dir.listFiles().toSeq).foreach(_.setLastModified(1000000L + i * 10000L))
     }
     // a final late chunk far in the future closes every session
     Seq((new Timestamp(t0 + 3600000L), 99L, 0.0)).toDF("ts", "user_id", "value")
       .coalesce(1).write.parquet(s"$tmp/in/chunk_z")
+    val zdir = new java.io.File(s"$tmp/in/chunk_z")
+    (zdir +: zdir.listFiles().toSeq).foreach(_.setLastModified(2000000L))
 
     val schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
     val stream = spark.readStream
