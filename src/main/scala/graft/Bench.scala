@@ -38,7 +38,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/events.parquet").count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    } catch { case _: Throwable => () }
+    } catch {
+      // keep the run alive, but a failed warmup must be VISIBLE —
+      // otherwise the first measured query silently re-absorbs the
+      // JIT/footer costs the warmup exists to strip
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

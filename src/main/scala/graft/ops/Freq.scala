@@ -91,8 +91,10 @@ object Freq {
     *
     * Computed in log space for stability (`ln key = ln(u)/w`, same
     * ordering): u is never 0 (hash bucket midpoint), w must be > 0 —
-    * non-positive weights fail loudly rather than silently never
-    * sampling. Input: `id` (unique), `w` (double). Output: `id, w`. */
+    * non-positive AND null weights fail loudly rather than silently
+    * never sampling (a null w falls through the `w > 0` guard the
+    * same way a negative one does).
+    * Input: `id` (unique), `w` (double). Output: `id, w`. */
   def weightedSample(items: DataFrame, m: Int, seed: Long): DataFrame = {
     // u ∈ (0,1): 40-bit seeded hash bucket midpoint (never 0 or 1)
     val u = (pmod(xxhash64(col("id"), lit(seed)), lit(1L << 40)).cast("double")
@@ -101,7 +103,8 @@ object Freq {
       .withColumn("_wkey",
         when(col("w") > 0, log(u) / col("w"))
           .otherwise(raise_error(format_string(
-            "weightedSample: non-positive weight %s for id %s", col("w"), col("id")))))
+            "weightedSample: non-positive or null weight %s for id %s",
+            coalesce(col("w").cast("string"), lit("null")), col("id")))))
       // id tie-break: u has 2^40 distinct values, so equal-weight hash
       // collisions WILL happen at corpus scale — without it the m-th
       // slot would fall to partition encounter order, breaking the

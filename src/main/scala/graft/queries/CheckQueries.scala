@@ -18,9 +18,19 @@ object CheckQueries extends QueryPack {
   private val SEED = 42L
   private val emptyOracle = "SELECT CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0"
 
-  /** Single per-JVM scratch dir for the JSONL roundtrip check. */
-  private[queries] lazy val jsonlScratch: String =
-    java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+  /** Single per-JVM scratch dir for the JSONL roundtrip check.
+    * Deleted on JVM exit — nothing else ever cleans it up. */
+  private[queries] lazy val jsonlScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_jsonl_rt")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    p.toString
+  }
 
   private def items(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_id").as("ord"), col("user_id").as("item"))
@@ -262,7 +272,15 @@ object CheckQueries extends QueryPack {
         .select(lit("jsonl_lost_row").as("violation"))
       val extra = back.exceptAll(docs)
         .select(lit("jsonl_extra_row").as("violation"))
-      corrupt.unionByName(missing).unionByName(extra)
+      // eager localCheckpoint materializes the (expected-empty)
+      // violations while the cache is live, so `parsed` can be
+      // unpersisted HERE — each bench repetition rewrites the JSONL
+      // dir, and the new file listing would otherwise pin a fresh
+      // full-corpus cache entry per run
+      val out = corrupt.unionByName(missing).unionByName(extra)
+        .localCheckpoint()
+      parsed.unpersist()
+      out
     }),
     // Image-decode laws (the REAL decode path, javax.imageio): a
     // deterministic PNG corpus is synthesized from doc ids

@@ -136,8 +136,11 @@ object DocQueries extends QueryPack {
     // plain equi-join on term (vocabulary can be huge at scale — let
     // AQE pick broadcast vs shuffle), the top-5 a per-doc window.
     // The RANK KEY is integer micro-idf (tf · round(ln·1e6)) so the
-    // cross-engine ordering — and the hash compare — is exact; raw
-    // ln() agrees only to ~1 ulp between libms.
+    // cross-engine ordering is stable; raw ln() agrees only to ~1 ulp
+    // between libms, so the micro key is INTERNAL ONLY — projecting it
+    // would make the hash compare hostage to a 1-ulp divergence landing
+    // on a .5 rounding boundary. The output is integers all the way:
+    // (doc_id, term, tf, df, rk).
     "text_tfidf" -> ((s, d) => {
       val n = Tables.documentsCount(s, d)
       val tf = Tables.documents(s, d)
@@ -151,8 +154,7 @@ object DocQueries extends QueryPack {
           col("tf") * round(log((lit(n) + 1.0) / (col("df") + 1.0)) * 1e6).cast("long"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 5)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          col("score_micro"), col("rk"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
     }),
     // near-dup clustering: connected components over the exact
     // n-gram-Jaccard pair graph (min-label propagation), vs an
@@ -339,7 +341,7 @@ object DocQueries extends QueryPack {
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score_micro DESC, term) AS rk FROM sc)
-         |SELECT doc_id, term, tf, df, score_micro, rk FROM r WHERE rk <= 5""".stripMargin,
+         |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 5""".stripMargin,
     // the oracle recomputes the same jac-filtered pair graph (the
     // dedup_ngram formulation) and labels components by RECURSIVE
     // reachability — min over every reachable node, an independent

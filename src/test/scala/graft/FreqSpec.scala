@@ -138,6 +138,13 @@ class FreqSpec extends SparkSpec {
   test("weightedSample: non-positive weight fails loudly") {
     val bad = Seq((1L, 1.0), (2L, 0.0)).toDF("id", "w")
     val e = intercept[Exception] { Freq.weightedSample(bad, 5, 1L).count() }
-    assert(msgs(e).exists(_.contains("non-positive weight")), e.getMessage)
+    assert(msgs(e).exists(_.contains("non-positive or null weight")), e.getMessage)
+  }
+
+  test("weightedSample: null weight fails loudly and names nullness") {
+    val bad = Seq((1L, Some(1.0)), (2L, Option.empty[Double])).toDF("id", "w")
+    val e = intercept[Exception] { Freq.weightedSample(bad, 5, 1L).count() }
+    assert(msgs(e).exists(m =>
+      m.contains("non-positive or null weight") && m.contains("null")), e.getMessage)
   }
 }
