@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` signature, row explosion for frames) is real and
   * tested. The IMAGE path decodes for real via the JDK's built-in
   * `javax.imageio` ([[imageFeatures]], verified pixel-exact against a
-  * pure-SQL twin by `check_image_decode`). The audio/video byte
-  * decoding remains a clearly-marked STUB (`fakeDecode`): this
-  * container ships no av codecs, so the stub derives a deterministic
-  * feature vector from the bytes — swap `fakeDecode` for a JNI/javacv
-  * decoder without touching any dataflow. (Python twin would be
-  * `mapInPandas`; in Scala the idiomatic equivalent is typed
-  * `mapPartitions`, which batches per partition and keeps the
+  * pure-SQL twin by `check_image_decode`). The AUDIO path decodes for
+  * real via the JDK's built-in `javax.sound.sampled` WAV/AIFF parsers
+  * ([[audioWindowSums]]/[[audioFeatures]], verified sample-exact by
+  * `check_audio_decode` and the `audio_windows` DuckDB oracle). Only
+  * VIDEO byte decoding remains a clearly-marked STUB (`fakeDecode`):
+  * this container ships no video codecs, so the stub derives a
+  * deterministic feature vector from the bytes — swap `fakeDecode`
+  * for a JNI/javacv decoder without touching any dataflow. (Python
+  * twin would be `mapInPandas`; in Scala the idiomatic equivalent is
+  * typed `mapPartitions`, which batches per partition and keeps the
   * decoder's state/model loaded per-partition, not per-row.)
   */
 object Multimodal {
@@ -136,6 +139,154 @@ object Multimodal {
           (id, "image/png", bytes.length.toLong, bytes)
         }
       }.toDF("media_id", "mime", "n_bytes", "payload")
+  }
+
+  // ---- real audio path (JDK-builtin javax.sound.sampled — WAV/AIFF
+  // PCM read+write is pure Java, no codec or audio device needed) ---
+
+  case class AudioWindow(media_id: Long, sample_rate: Int, n_samples: Long,
+                         win: Int, win_n: Long, sum_abs: Long)
+  case class AudioFeature(media_id: Long, sample_rate: Int, n_samples: Long,
+                          feature: Array[Float])
+
+  /** Deterministic synthetic 16-bit PCM sample: sample `t` of media
+    * `id` is `((31·id + 7·t) mod 65536) − 32768`. The same integer
+    * algebra is restated INDEPENDENTLY in SQL by `check_audio_decode`
+    * and the `audio_windows` DuckDB oracle, so WAV encode → container
+    * decode → window pooling is verified end to end without any float
+    * tolerance. */
+  private[graft] def synthSample(id: Long, t: Int): Int =
+    (((31L * id + 7L * t) % 65536L) - 32768L).toInt
+
+  /** Synthesize a deterministic WAV corpus from an id column — the
+    * binary-audio stand-in for this container (PCM is lossless, so
+    * decoded samples are exactly the synth formula). Encoding happens
+    * on the executors (typed mapPartitions), never on the driver. */
+  def packSynthWavs(ids: DataFrame, idCol: String = "doc_id",
+                    nSamples: Int = 2048, sampleRate: Int = 8000): DataFrame = {
+    require(nSamples > 0 && sampleRate > 0, "nSamples/sampleRate must be positive")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        // one format object per partition, like a real encoder handle
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+        it.map { id =>
+          val pcm = new Array[Byte](nSamples * 2)
+          var t = 0
+          while (t < nSamples) {
+            val s = synthSample(id, t)
+            pcm(2 * t) = (s & 0xFF).toByte
+            pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+            t += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val bytes = bos.toByteArray
+          (id, "audio/wav", bytes.length.toLong, bytes)
+        }
+      }.toDF("media_id", "mime", "n_bytes", "payload")
+  }
+
+  /** Parse an audio container (WAV/AIFF/AU — whatever the JDK's
+    * readers accept) to 16-bit mono PCM samples. Both endiannesses
+    * are handled; anything that isn't 16-bit mono PCM — or doesn't
+    * parse at all — fails loudly with the offending media_id, for the
+    * same reason [[imageFeatures]] does: a silent drop would skew
+    * every downstream stage. */
+  private def decodePcm16Mono(id: Long, bytes: Array[Byte]): (Int, Array[Short]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: Exception =>
+          sys.error(s"audio decode: unparseable payload for media_id=$id " +
+            s"(${bytes.length} bytes): ${e.getMessage}")
+      }
+    val fmt = ais.getFormat
+    if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+      sys.error(s"audio decode: media_id=$id is not 16-bit mono PCM (got $fmt)")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    if (fmt.isBigEndian)
+      while (i < n) {
+        out(i) = (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+        i += 1
+      }
+    else
+      while (i < n) {
+        out(i) = (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+        i += 1
+      }
+    (math.round(fmt.getSampleRate), out)
+  }
+
+  private def windowSums(samples: Array[Short], nWindows: Int): (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](nWindows)
+    val cnts = new Array[Long](nWindows)
+    val n = samples.length
+    var t = 0
+    while (t < n) {
+      val w = (t.toLong * nWindows / n).toInt
+      sums(w) += math.abs(samples(t).toLong)
+      cnts(w) += 1
+      t += 1
+    }
+    (sums, cnts)
+  }
+
+  /** REAL audio decode + window pooling: the JDK parses the container
+    * per partition and the PCM samples pool into `nWindows` contiguous
+    * windows of |amplitude| sums (sample `t` of `n` → window
+    * `t·nWindows/n`). Sums are exact integers — the DuckDB oracle for
+    * `audio_windows` and the `check_audio_decode` twin compare them
+    * with no float tolerance, which is the whole point of this face:
+    * it PINS the decoded samples, not a lossy summary of them. */
+  def audioWindowSums(media: DataFrame, nWindows: Int): Dataset[AudioWindow] = {
+    require(nWindows > 0, "nWindows must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val (rate, samples) = decodePcm16Mono(id, bytes)
+        val (sums, cnts) = windowSums(samples, nWindows)
+        (0 until nWindows).iterator.map(w =>
+          AudioWindow(id, rate, samples.length.toLong, w, cnts(w), sums(w)))
+      }
+  }
+
+  /** Audio feature vector: per-window mean |amplitude| normalized to
+    * [0, 1) — `sum_abs / (win_n · 32768)` computed in double then
+    * narrowed to float, so `check_audio_decode` can restate each
+    * entry exactly from the integer window sums. */
+  def audioFeatures(media: DataFrame, nWindows: Int): Dataset[AudioFeature] = {
+    require(nWindows > 0, "nWindows must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (rate, samples) = decodePcm16Mono(id, bytes)
+          val (sums, cnts) = windowSums(samples, nWindows)
+          val feat = Array.tabulate(nWindows) { w =>
+            if (cnts(w) == 0) 0f else (sums(w) / (cnts(w) * 32768.0)).toFloat
+          }
+          AudioFeature(id, rate, samples.length.toLong, feat)
+        }
+      }
   }
 
   /** REAL image decode + feature extraction: `javax.imageio` decodes

@@ -328,6 +328,55 @@ object CheckQueries extends QueryPack {
         .select(lit("missing_block").as("violation"))
       shapeViol.unionByName(pixViol).unionByName(missViol)
     }),
+    // Audio-decode laws (the REAL decode path, javax.sound.sampled):
+    // a deterministic WAV corpus is synthesized from doc ids (sample
+    // formula in Multimodal.synthSample), parsed back, and pooled to
+    // per-window |amplitude| sums; the expected sums are restated
+    // INDEPENDENTLY in pure column algebra (no audio code). PCM is
+    // lossless and sums are integers, so the compare is exact:
+    //  - shape: decoded sample_rate / n_samples / feature dim as
+    //    declared;
+    //  - decoded samples: window sums match the SQL twin both ways
+    //    (value + coverage in one exceptAll pair);
+    //  - feature face: each float equals sum/(n·32768) narrowed to
+    //    float — audioFeatures is pinned BY the integer sums.
+    // ¼-ids slice, same harness-cost principle as check_image_decode
+    // (the laws are per-media; a different residue than audio_windows'
+    // 1/8 slice, so the two probes overlap only on ids ≡ 0 mod 8).
+    "check_audio_decode" -> ((s, d) => {
+      val nSamp = 2048; val nWin = 8; val rate = 8000
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(4)) === 2)
+      val media = Multimodal.packSynthWavs(ids, "doc_id", nSamp, rate)
+      val sums = Multimodal.audioWindowSums(media, nWin).toDF()
+      val feats = Multimodal.audioFeatures(media, nWin).toDF()
+      val shapeViol = sums
+        .where(col("sample_rate") =!= rate || col("n_samples") =!= nSamp)
+        .select(lit("audio_shape").as("violation"))
+        .unionByName(feats.where(size(col("feature")) =!= nWin)
+          .select(lit("audio_dim").as("violation")))
+      val expect = ids
+        .select(col("doc_id").as("media_id"),
+          explode(sequence(lit(0), lit(nSamp - 1))).as("t"))
+        .groupBy(col("media_id"),
+          floor(col("t") * nWin / lit(nSamp)).cast("int").as("win"))
+        .agg(count(lit(1)).as("win_n"),
+          sum(abs((lit(31L) * col("media_id") + lit(7L) * col("t"))
+            % 65536L - 32768L)).as("sum_abs"))
+      val got = sums.select("media_id", "win", "win_n", "sum_abs")
+      val missViol = expect.exceptAll(got)
+        .select(lit("audio_window_lost").as("violation"))
+      val extraViol = got.exceptAll(expect)
+        .select(lit("audio_window_extra").as("violation"))
+      val featViol = feats
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("win", "f")))
+        .join(sums, Seq("media_id", "win"))
+        .where(col("f") =!=
+          (col("sum_abs") / (col("win_n") * lit(32768.0))).cast("float"))
+        .select(lit("audio_feature").as("violation"))
+      shapeViol.unionByName(missViol).unionByName(extraViol)
+        .unionByName(featViol)
+    }),
     // k-center law: for every SAMPLED vector (the FFT traversed exactly
     // those), assignment distance ≤ the sample's k-center radius,
     // recomputed independently on the driver; clusters are in [0, k);

@@ -5,9 +5,12 @@ import graft.ops.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-pipeline queries (binary payload plumbing; decode STUB —
-  * see [[graft.ops.Multimodal]]) and the custom reservoir Aggregator.
-  * Non-SQL-expressible → rows-only checks + MultimodalSpec.
+/** Multimodal-pipeline queries (binary payload plumbing — real image
+  * and audio decode, video STUB; see [[graft.ops.Multimodal]]) and the
+  * custom reservoir Aggregator. The stub-decode queries are
+  * non-SQL-expressible → rows-only checks + MultimodalSpec;
+  * `audio_windows` runs the real decode under the full DuckDB hash
+  * gate.
   */
 object MediaQueries extends QueryPack {
 
@@ -31,7 +34,45 @@ object MediaQueries extends QueryPack {
       items.select(new ReservoirAgg(32, 42L).toColumn.name("sample"))
         .select(explode(col("sample")).as("item"))
     }),
+    // REAL audio path under the full hash gate: synthesize WAV
+    // containers on the executors, parse them back with the JDK's
+    // javax.sound.sampled, pool the decoded PCM into per-window
+    // |amplitude| sums — exact integers that DuckDB recomputes from
+    // the synth formula alone (it never sees a WAV byte), so the
+    // oracle match proves container encode→decode round-trips the
+    // samples bit-exactly. 1/8 id slice keeps the encode cost a
+    // fraction of the corpus scan; the laws are per-media, so the
+    // slice loses no per-row strength.
+    "audio_windows" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(8)) === 0)
+      val media = Multimodal.packSynthWavs(ids, "doc_id",
+        nSamples = AudioN, sampleRate = AudioRate)
+      Multimodal.audioWindowSums(media, AudioWin).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("win").cast("long").as("win"), col("win_n"), col("sum_abs"))
+    }),
   )
 
-  override def oracles: Map[String, String] = Map.empty
+  /** audio_windows parameters, shared with the oracle SQL below. */
+  private val AudioN = 2048
+  private val AudioRate = 8000
+  private val AudioWin = 8
+
+  override def oracles: Map[String, String] = Map(
+    // The oracle restates the decoded-sample windows purely from the
+    // synth formula ((31·id + 7·t) mod 65536 − 32768): all-integer
+    // algebra, no audio code, no floats. `//` is DuckDB integer
+    // division (its `/` is true division).
+    "audio_windows" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0),
+         |s AS (SELECT doc_id, unnest(generate_series(0, ${AudioN - 1})) AS t FROM ids)
+         |SELECT doc_id AS media_id,
+         |  $AudioRate AS sample_rate,
+         |  CAST($AudioN AS BIGINT) AS n_samples,
+         |  (t * $AudioWin) // $AudioN AS win,
+         |  CAST(count(*) AS BIGINT) AS win_n,
+         |  CAST(sum(abs(((31 * doc_id + 7 * t) % 65536) - 32768)) AS BIGINT) AS sum_abs
+         |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
+  )
 }

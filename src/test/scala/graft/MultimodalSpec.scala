@@ -63,6 +63,82 @@ class MultimodalSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("media_id=99")), e.getMessage)
   }
 
+  test("audio: WAV encode->decode->window sums are sample-exact vs the formula") {
+    val nSamp = 512; val nWin = 4
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val media = Multimodal.packSynthWavs(ids, "doc_id", nSamples = nSamp, sampleRate = 8000)
+    assert(media.where(col("mime") =!= "audio/wav").count() == 0)
+    val wins = Multimodal.audioWindowSums(media, nWin).collect()
+    assert(wins.length == 3 * nWin)
+    for (w <- wins) {
+      assert(w.sample_rate == 8000 && w.n_samples == nSamp)
+      val ts = (0 until nSamp).filter(t => t.toLong * nWin / nSamp == w.win)
+      assert(w.win_n == ts.length)
+      val exp = ts.map(t => math.abs(Multimodal.synthSample(w.media_id, t).toLong)).sum
+      assert(w.sum_abs == exp, s"window ${w.win} of media ${w.media_id}: ${w.sum_abs} != $exp")
+    }
+  }
+
+  test("audio: features equal window sums narrowed to float") {
+    val nSamp = 512; val nWin = 4
+    val media = Multimodal.packSynthWavs(Seq(5L, 42L).toDF("doc_id"), "doc_id", nSamp, 8000)
+    val sums = Multimodal.audioWindowSums(media, nWin).collect()
+      .map(w => (w.media_id, w.win) -> ((w.sum_abs / (w.win_n * 32768.0)).toFloat)).toMap
+    val feats = Multimodal.audioFeatures(media, nWin).collect()
+    assert(feats.length == 2)
+    for (f <- feats; w <- 0 until nWin) {
+      assert(f.feature.length == nWin)
+      assert(f.feature(w) == sums((f.media_id, w)),
+        s"feature($w) of media ${f.media_id}")
+    }
+  }
+
+  test("audio: big-endian AIFF decodes to the same sums as WAV") {
+    // exercises the big-endian branch of the PCM reader: re-encode the
+    // same synthetic samples as AIFF (the JDK's AIFF writer emits
+    // big-endian PCM) and expect identical window sums
+    val nSamp = 256
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true)
+    val pcm = new Array[Byte](nSamp * 2)
+    for (t <- 0 until nSamp) {
+      val s = Multimodal.synthSample(9L, t)
+      pcm(2 * t) = ((s >> 8) & 0xFF).toByte
+      pcm(2 * t + 1) = (s & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = Seq((9L, "audio/aiff", bos.size().toLong, bos.toByteArray))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val wav = Multimodal.packSynthWavs(Seq(9L).toDF("doc_id"), "doc_id", nSamp, 8000)
+    val a = Multimodal.audioWindowSums(aiff, 4).collect().sortBy(_.win).map(_.sum_abs).toSeq
+    val b = Multimodal.audioWindowSums(wav, 4).collect().sortBy(_.win).map(_.sum_abs).toSeq
+    assert(a == b && a.length == 4)
+  }
+
+  test("audio: unparseable and wrong-format payloads fail loudly with the media_id") {
+    val junk = Seq((77L, "audio/wav", 4L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val e1 = intercept[Exception] { Multimodal.audioWindowSums(junk, 4).count() }
+    assert(msgs(e1).exists(_.contains("media_id=77")), e1.getMessage)
+    // stereo PCM parses as a container but violates the 16-bit MONO contract
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 16L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val stereo = Seq((78L, "audio/wav", bos.size().toLong, bos.toByteArray))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val e2 = intercept[Exception] { Multimodal.audioWindowSums(stereo, 4).count() }
+    assert(msgs(e2).exists(m => m.contains("media_id=78") && m.contains("not 16-bit mono")),
+      e2.getMessage)
+  }
+
   test("ReservoirAgg: size m, subset of input, reproducible, ~uniform") {
     val m = 25
     val ds = (0L until 5000L).toDS()
