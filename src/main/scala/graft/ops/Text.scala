@@ -107,6 +107,37 @@ object Text {
       .groupBy("doc_id")
       .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("rep_ratio"))
 
+  /** Benchmark-contamination scan: per training document, how much of
+    * it appears verbatim in a held-out evaluation set — the
+    * decontamination pass every pretraining pipeline runs before
+    * training, done as n-gram SET overlap (the GPT-3-style heuristic,
+    * shorter n here because the fixtures are short).
+    *
+    * Scale shape: the benchmark's distinct n-gram set is the small
+    * side by construction (an eval suite is MBs against a 100 TB
+    * corpus), so it is broadcast and the scan is one pass over the
+    * training docs with a map-side semi-probe — no corpus shuffle on
+    * the gram key, only the per-doc count agg. Docs with < n tokens
+    * have no n-grams and are dropped (nothing to contaminate).
+    *
+    * Output: `doc_id, n_grams, n_hit, contam_ratio` (distinct grams,
+    * grams also in the benchmark, hit fraction). */
+  def ngramContamination(train: DataFrame, bench: DataFrame, n: Int,
+                         textCol: String = "text"): DataFrame = {
+    val grams = (d: DataFrame) =>
+      d.select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+      .withColumn("hit", lit(1L))
+    grams(train)
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contam_ratio",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Junk filter verdict: `doc_id, keep, reason` — first failing rule
     * wins ('too_short' | 'too_numeric' | 'ok'). */
   def junkFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Similarity, Text}
+import graft.ops.{Dedup, Pack, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,9 @@ object DocQueries extends QueryPack {
   private val NGRAM = 3
   private val MINJAC = 0.1
   private val SEED = 42L
+  /** pack_chunks parameters, shared with the oracle SQL. */
+  private val PackCtx = 128
+  private val PackShards = 16
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
@@ -131,6 +134,21 @@ object DocQueries extends QueryPack {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+    // concat-and-chunk sequence packing (training-data layout): every
+    // doc gets a deterministic offset in a shard-local token stream
+    // and a ctx-token chunk range — all-integer output, full hash gate
+    "pack_chunks" -> ((s, d) =>
+      Pack.chunkPack(Tables.documents(s, d),
+        Text.tokenCount(col("text")), ctx = PackCtx, nShards = PackShards)),
+    // benchmark-contamination scan: trigram SET overlap of each
+    // training doc against a held-out eval slice (doc_id ≡ 0 mod 97),
+    // benchmark grams broadcast — the pre-training decontamination pass
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.ngramContamination(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0), NGRAM)
+    }),
     // TF-IDF top-5 terms per doc. Scale shape: tf is a (doc, term)
     // partial-agg groupBy, df a term groupBy; the tf⋈df join is a
     // plain equi-join on term (vocabulary can be huge at scale — let
@@ -326,6 +344,40 @@ object DocQueries extends QueryPack {
          |  count(*) AS n_docs,
          |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1""".stripMargin,
+    // exclusive per-shard running sum restated with a window frame;
+    // `//` is DuckDB integer division, sum() casts back from HUGEINT
+    "pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len($tokSql) AS BIGINT) AS tok
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard, tok,
+         |    CAST(COALESCE(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t WHERE tok > 0)
+         |SELECT doc_id, shard, tok, off,
+         |  off // $PackCtx AS first_chunk,
+         |  (off + tok - 1) // $PackCtx AS last_chunk
+         |FROM p""".stripMargin,
+    // trigram sets restated with list_distinct/list_transform; the
+    // LEFT JOIN's count(bg.gram) counts only matched grams
+    "text_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |         generate_series(1, len(tk) - ${NGRAM - 1}),
+         |         i -> array_to_string(tk[i:i+${NGRAM - 1}], ' ')))) AS gram
+         |       FROM tk WHERE doc_id % 97 = 0 AND len(tk) >= $NGRAM),
+         |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(1, len(tk) - ${NGRAM - 1}),
+         |         i -> array_to_string(tk[i:i+${NGRAM - 1}], ' ')))) AS gram
+         |       FROM tk WHERE doc_id % 97 != 0 AND len(tk) >= $NGRAM)
+         |SELECT dg.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(bg.gram) AS BIGINT) AS n_hit,
+         |  round(count(bg.gram)::DOUBLE / count(*)::DOUBLE, 6) AS contam_ratio
+         |FROM dg LEFT JOIN bg USING (gram)
+         |GROUP BY 1""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf AS (
          |  SELECT doc_id, t AS term, count(*) AS tf

@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Pack, Text}
+import org.apache.spark.sql.functions._
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyDocs = Seq(
+    // shard 0 (mod 2): ids 0, 2, 4 with 3, 5, 4 tokens
+    (0L, "aa bb cc"),
+    (2L, "dd ee ff gg hh"),
+    (4L, "ii jj kk ll"),
+    // shard 1: ids 1 (0 tokens -> dropped), 3 (6 tokens)
+    (1L, "..."),
+    (3L, "mm nn oo pp qq rr")
+  ).toDF("doc_id", "text")
+
+  test("chunkPack: offsets are contiguous per shard, chunk range matches hand computation") {
+    val out = Pack.chunkPack(toyDocs, Text.tokenCount(col("text")), ctx = 4, nShards = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("tok"), r.getAs[Long]("off"),
+          r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk")))).toMap
+    assert(out.keySet == Set(0L, 2L, 3L, 4L)) // doc 1 had no tokens
+    assert(out(0L) == ((0L, 3L, 0L, 0L, 0L)))  // tokens [0,3) -> chunk 0
+    assert(out(2L) == ((0L, 5L, 3L, 0L, 1L)))  // [3,8) straddles 4
+    assert(out(4L) == ((0L, 4L, 8L, 2L, 2L)))  // [8,12) -> chunk 2 exactly
+    assert(out(3L) == ((1L, 6L, 0L, 0L, 1L)))  // shard 1 restarts at 0
+  }
+
+  test("chunkPack: stream invariants hold on the documents fixture") {
+    val ctx = 32
+    val packed = Pack.chunkPack(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      Text.tokenCount(col("text")), ctx, nShards = 4).cache()
+    assert(packed.count() > 0)
+    // offsets tile each shard's token stream exactly: next off == off + tok
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val gaps = packed
+      .withColumn("next_off", lead(col("off"), 1).over(w))
+      .where(col("next_off").isNotNull && col("next_off") =!= col("off") + col("tok"))
+    assert(gaps.count() == 0, "token stream has gaps or overlaps")
+    // chunk ids consistent with off/tok
+    val bad = packed.where(
+      col("first_chunk") =!= expr(s"off div $ctx") ||
+        col("last_chunk") =!= expr(s"(off + tok - 1) div $ctx") ||
+        col("last_chunk") < col("first_chunk"))
+    assert(bad.count() == 0)
+    packed.unpersist()
+  }
+
+  test("chunkPack: rejects nonpositive ctx and nShards") {
+    intercept[IllegalArgumentException] {
+      Pack.chunkPack(toyDocs, Text.tokenCount(col("text")), 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.chunkPack(toyDocs, Text.tokenCount(col("text")), 4, 0)
+    }
+  }
+
+  test("ngramContamination: hand-computed overlap, bench grams never self-report") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the quick brown" and "quick brown fox" out of 3 distinct trigrams
+      (1L, "the quick brown fox sleeps"),
+      // no shared trigram
+      (2L, "a totally different sentence here"),
+      // too short: no trigram -> dropped
+      (3L, "two words")
+    ).toDF("doc_id", "text")
+    val out = Text.ngramContamination(train, bench, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("contam_ratio")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 2L, 0.666667)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+  }
+
+  test("ngramContamination: duplicate grams in a doc count once (set semantics)") {
+    val bench = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val train = Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val r = Text.ngramContamination(train, bench, 3).head()
+    // distinct trigrams of the repeated text: "x y z","y z x","z x y"
+    assert(r.getAs[Long]("n_grams") == 3L)
+    assert(r.getAs[Long]("n_hit") == 1L)
+  }
+}
