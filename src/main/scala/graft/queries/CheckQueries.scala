@@ -484,13 +484,17 @@ object CheckQueries extends QueryPack {
         .select(col("e.item").as("item"), col("e.est").as("est"),
           col("e.err").as("err"), col("e.n").as("nn"))
         .cache()
+      // ONE events pass for both the truth table and the total (the
+      // total is the histogram's mass — a separate it.count() would
+      // re-scan); cached because three consumers follow, reclaimed by
+      // the session clearCache like mg
       val hist = Freq.histogram(items(s, d))
-        .withColumnRenamed("cnt", "true_cnt")
+        .withColumnRenamed("cnt", "true_cnt").cache()
       val boundViol = {
         val head = mg.select(max("err").as("err"), max("nn").as("nn"))
           .head()
         val (err, nn) = (head.getLong(0), head.getLong(1))
-        val total = it.count()
+        val total = hist.agg(sum(col("true_cnt"))).head().getLong(0)
         if (err <= nn / (k + 1) && nn == total) Seq.empty[String]
         else Seq(s"mg_space_bound err=$err n=$nn total=$total")
       }
