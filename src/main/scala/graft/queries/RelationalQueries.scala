@@ -18,6 +18,21 @@ object RelationalQueries extends QueryPack {
 
   private def centsCol(c: String) = round(col(c) * 100).cast("long")
 
+  /** Per-JVM scratch dir for the warehouse roundtrip (overwritten per
+    * run, deleted on JVM exit — same contract as CheckQueries'
+    * jsonlScratch). */
+  private lazy val warehouseScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    p.toString
+  }
+
   /** events.ts as a TIMESTAMP column regardless of fixture schema:
     * long = nanos-since-epoch (nanosAsLong scan), else native
     * timestamp. The long-vs-timestamp unit assumption lives HERE
@@ -88,6 +103,24 @@ object RelationalQueries extends QueryPack {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // warehouse layout under the hash gate: write orders as a
+    // Hive-partitioned (o_year=…/) parquet layout, read it back
+    // through partition discovery, and aggregate a two-year slice —
+    // the filter lands in PartitionFilters (directory pruning; the
+    // plan shape is pinned by PlanSpec), and the oracle recomputes
+    // from the ORIGINAL table, so the roundtrip must preserve every
+    // value exactly
+    "warehouse_roundtrip" -> ((s, d) => {
+      val path = s"$warehouseScratch/orders_by_year"
+      graft.sources.Warehouse.writePartitioned(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        path, Seq("o_year"))
+      graft.sources.Warehouse.readPartitioned(s, path)
+        .where(col("o_year") >= 1994 && col("o_year") <= 1995)
+        .groupBy(col("o_year").cast("long").as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(centsCol("o_totalprice")).as("revenue_cents"))
+    }),
     // sessionization: Spark's session_window (30-min gap) on the
     // batch surface; the oracle is the INDEPENDENT lag+cumsum
     // formulation (new session iff gap ≥ 30 min), all-integer math so
@@ -284,6 +317,16 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // recomputed from the ORIGINAL orders table — the Spark side went
+    // through the partitioned write/read, so any value lost or
+    // mangled in the layout roundtrip breaks the hash
+    "warehouse_roundtrip" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1994 AND 1995
+        |GROUP BY 1, 2""".stripMargin,
     "sessionize_events" ->
       """WITH o AS (
         |  SELECT user_id, event_id, ts, value,

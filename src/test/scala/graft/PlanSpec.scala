@@ -85,6 +85,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by"), p.take(800))
   }
 
+  test("partitioned warehouse layout: filter becomes PartitionFilters, values roundtrip") {
+    import graft.sources.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString
+    val docs = Tables.documents(spark, sf0001)
+    Warehouse.writePartitioned(docs, s"$tmp/docs", Seq("lang"))
+    // more than one lang directory exists, so pruning has something to prune
+    assert(docs.select("lang").distinct().count() > 1)
+    val rd = Warehouse.readPartitioned(spark, s"$tmp/docs").where(col("lang") === "en")
+    val p = plan(rd)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"partition filter not pushed to directories: $pf")
+    // the lang predicate must be a DIRECTORY filter, not a data filter
+    assert(!p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("lang")), p.take(1200))
+    // layout roundtrip preserves the rows exactly
+    val back = Warehouse.readPartitioned(spark, s"$tmp/docs")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("bucketed tables join with no Exchange: the shuffle was paid at write time") {
+    import graft.sources.Warehouse
+    val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sf0001).select("c_custkey", "c_mktsegment")
+    Warehouse.writeBucketed(orders, "wh_orders_b", "o_custkey", 4)
+    Warehouse.writeBucketed(cust, "wh_cust_b", "c_custkey", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("wh_orders_b")
+        .join(spark.table("wh_cust_b"), col("o_custkey") === col("c_custkey"))
+      val p = plan(j)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(1500)}")
+      // same rows as the plain join
+      val plainCnt = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == plainCnt)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS wh_orders_b")
+      spark.sql("DROP TABLE IF EXISTS wh_cust_b")
+    }
+  }
+
   test("native dot product present; partial aggregation precedes the shuffle") {
     val df = SparkEntry.queries("ann_cosine_nn")(spark, sf001)
     val p = plan(df)

@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (bucketed-layout tests) go to a temp dir,
+      // not ./spark-warehouse in the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_test").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
