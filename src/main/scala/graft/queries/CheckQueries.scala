@@ -344,11 +344,23 @@ object CheckQueries extends QueryPack {
     // (the laws are per-media; a different residue than audio_windows'
     // 1/8 slice, so the two probes overlap only on ids ≡ 0 mod 8).
     "check_audio_decode" -> ((s, d) => {
-      val nSamp = 2048; val nWin = 8; val rate = 8000
+      // 512 samples/clip and a 1/16-ids slice (vs audio_windows'
+      // 2048 × 1/8): the laws are per-media and per-sample, so each
+      // audited clip is audited in full — and measurement showed the
+      // check's cost is per-WAV fixed overhead (container parse ×
+      // two decode faces × encode twins), so the slice is the lever
+      // that matters. Residue 2 mod 16 keeps the probe disjoint from
+      // audio_windows' 0 mod 8 slice.
+      val nSamp = 512; val nWin = 8; val rate = 8000
       val ids = Tables.documents(s, d).select(col("doc_id"))
-        .where(pmod(col("doc_id"), lit(4)) === 2)
+        .where(pmod(col("doc_id"), lit(16)) === 2)
+      // sums feeds three consumers (shape, the exceptAll pair via
+      // got, the feature join) — cache the small post-decode table,
+      // not the binary payloads (re-encoding 2 × is cheaper than
+      // memory-storing WAV bytes). Reclaimed by the session
+      // clearCache, same contract as the other checks' caches.
       val media = Multimodal.packSynthWavs(ids, "doc_id", nSamp, rate)
-      val sums = Multimodal.audioWindowSums(media, nWin).toDF()
+      val sums = Multimodal.audioWindowSums(media, nWin).toDF().cache()
       val feats = Multimodal.audioFeatures(media, nWin).toDF()
       val shapeViol = sums
         .where(col("sample_rate") =!= rate || col("n_samples") =!= nSamp)
@@ -363,6 +375,9 @@ object CheckQueries extends QueryPack {
         .agg(count(lit(1)).as("win_n"),
           sum(abs((lit(31L) * col("media_id") + lit(7L) * col("t"))
             % 65536L - 32768L)).as("sum_abs"))
+        // both exceptAll directions consume it — cache the POST-agg
+        // table (10k rows), so the 2.5M-row sample explode runs once
+        .cache()
       val got = sums.select("media_id", "win", "win_n", "sum_abs")
       val missViol = expect.exceptAll(got)
         .select(lit("audio_window_lost").as("violation"))
