@@ -61,6 +61,39 @@ object Dedup {
   private def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
+  /** Per-document duplicated-text fraction at n-gram granularity —
+    * the exact-substring-dedup signal (à la "Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022) reduced to
+    * n-grams: an n-gram occurrence is "duplicated" when the same
+    * n-gram also appears in a DIFFERENT document, and a document's
+    * `dup_ratio` is the fraction of its n-gram positions that are
+    * duplicated. High-ratio docs are boilerplate/mirror candidates
+    * that pairwise Jaccard misses when the copying is many-to-many.
+    *
+    * Scale shape: one shuffle of the gram stream (window on the gram
+    * key — cross-doc-ness is `min(doc_id) ≠ max(doc_id)` over the
+    * gram's occurrences, no countDistinct expansion and no
+    * gram-table self-join), then the per-doc count agg. Cost is
+    * Θ(corpus tokens), the floor for any exact formulation; at
+    * 100 TB this is THE honest alternative to suffix-array
+    * pipelines, which shuffle the same volume with a worse constant.
+    * Docs with < n tokens have no grams and are dropped.
+    *
+    * Output: `doc_id, n_grams, n_dup, dup_ratio` (multiset counts). */
+  def dupNgramRatio(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("gram")
+    spread(docs)
+      .select(col("doc_id"), explode(Text.wordNgrams(col(textCol), n)).as("gram"))
+      .withColumn("is_dup",
+        min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Exact n-gram Jaccard over all pairs sharing ≥1 shingle:
     * `a, b, inter, na, nb, jac` with a < b, jac ≥ minJaccard.
     * Set-similarity join via shingle equi-join (no cross join). */

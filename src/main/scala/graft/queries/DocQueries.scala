@@ -134,6 +134,11 @@ object DocQueries extends QueryPack {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+    // corpus-duplicated span fraction: which part of each doc is text
+    // that also occurs elsewhere (n-gram-granular exact-substring
+    // signal; one gram-key shuffle, Θ(tokens))
+    "dedup_span_ratio" -> ((s, d) =>
+      Dedup.dupNgramRatio(Tables.documents(s, d), NGRAM)),
     // concat-and-chunk sequence packing (training-data layout): every
     // doc gets a deterministic offset in a shard-local token stream
     // and a ctx-token chunk range — all-integer output, full hash gate
@@ -344,6 +349,22 @@ object DocQueries extends QueryPack {
          |  count(*) AS n_docs,
          |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1""".stripMargin,
+    // multiset n-gram stream, cross-doc-ness by min!=max per gram
+    "dedup_span_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |        generate_series(1, len(tk) - ${NGRAM - 1}),
+         |        i -> array_to_string(tk[i:i+${NGRAM - 1}], ' '))) AS gram
+         |      FROM tk WHERE len(tk) >= $NGRAM),
+         |m AS (SELECT gram, min(doc_id) != max(doc_id) AS is_dup
+         |      FROM g GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS dup_ratio
+         |FROM g JOIN m USING (gram)
+         |GROUP BY 1""".stripMargin,
     // exclusive per-shard running sum restated with a window frame;
     // `//` is DuckDB integer division, sum() casts back from HUGEINT
     "pack_chunks" ->
