@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_dot"),
       new ExpressionInfo(classOf[TopDot].getName, "graft_top_dot"),
       (exprs: Exprs) => TopDot(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "graft_interleave_bits"),
+      (exprs: Exprs) => InterleaveBits(exprs(0), exprs(1))))
   }
 }
