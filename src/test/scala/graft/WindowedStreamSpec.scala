@@ -118,6 +118,67 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamedReal.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessions == independently computed batch sessions") {
+    // the CUSTOM-STATE sessionizer (StatefulSessions) against a twin
+    // computed directly from the rows (sort per user, split on gap) —
+    // no session_window on either side, so the two formulations are
+    // independent
+    val tmp = Files.createTempDirectory("graft_fmgs").toString
+    val rnd = new scala.util.Random(61)
+    val t0 = 1700000000000L
+    val rows = (0 until 400).map { i =>
+      val burst = i / 40
+      val off = burst * 120000L + rnd.nextInt(20000)
+      (new Timestamp(t0 + off), (i % 5).toLong, rnd.nextDouble())
+    }
+    rows.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("ts", "user_id", "value").coalesce(1)
+        .write.parquet(s"$tmp/in/chunk_$i")
+      val dir = new java.io.File(s"$tmp/in/chunk_$i")
+      (dir +: dir.listFiles().toSeq).foreach(_.setLastModified(1000000L + i * 10000L))
+    }
+    // far-future sentinel advances the watermark past last+gap for
+    // every open session -> they all close via event-time timeout
+    Seq((new Timestamp(t0 + 3600000L), 99L, 0.0)).toDF("ts", "user_id", "value")
+      .coalesce(1).write.parquet(s"$tmp/in/chunk_z")
+    val zdir = new java.io.File(s"$tmp/in/chunk_z")
+    (zdir +: zdir.listFiles().toSeq).foreach(_.setLastModified(2000000L))
+
+    val gapMs = 30000L
+    val schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    val in = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "5 seconds")
+    val q = graft.streaming.StatefulSessions.sessions(in, gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgs_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("fmgs_out")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      .filterNot(_._1 == 99L)
+    // independent twin: plain Scala over the raw rows
+    val expected = rows.groupBy(_._2).flatMap { case (user, rs) =>
+      val ts = rs.map(_._1.getTime).sorted
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, t) => acc match {
+          case (s, l, n) :: rest if t - l < gapMs => (s, t, n + 1) :: rest
+          case _ => (t, t, 1L) :: acc
+        }
+      }
+      sessions.map { case (s, l, n) =>
+        (user, new Timestamp(s), new Timestamp(l), n)
+      }
+    }.toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
     // the standard streaming enrichment: micro-batched fact stream
     // joined to a static dimension table, aggregated per dim attribute
