@@ -103,6 +103,17 @@ object RelationalQueries extends QueryPack {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // pivot (wide reshaping): order counts by year × status as
+    // columns. The status list is PINNED — an unpinned pivot scans
+    // once just to discover values, and a nondeterministic column
+    // set would break every downstream consumer at scale
+    "pivot_status_by_year" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .select(col("yr"), coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
     // warehouse layout under the hash gate: write orders as a
     // Hive-partitioned (o_year=…/) parquet layout, read it back
     // through partition discovery, and aggregate a two-year slice —
@@ -316,6 +327,13 @@ object RelationalQueries extends QueryPack {
     "orders_by_year" ->
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    // pivot restated as conditional aggregation
+    "pivot_status_by_year" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
         |FROM orders GROUP BY 1""".stripMargin,
     // recomputed from the ORIGINAL orders table — the Spark side went
     // through the partitioned write/read, so any value lost or

@@ -85,6 +85,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by"), p.take(800))
   }
 
+  test("contamination probe broadcasts the benchmark grams; packing windows per shard") {
+    val p1 = plan(SparkEntry.queries("text_contamination")(spark, sf001))
+    assert(p1.contains("BroadcastHashJoin") || p1.contains("BroadcastExchange"),
+      s"benchmark gram set not broadcast:\n${p1.take(1000)}")
+    val p2 = plan(SparkEntry.queries("pack_chunks")(spark, sf001))
+    // the running-sum window must partition by shard — a global
+    // (single-partition) window would serialize the whole corpus
+    assert(p2.contains("Window") && p2.contains("shard"), p2.take(1000))
+    assert(!p2.contains("SinglePartition"),
+      s"packing window collapsed to a single partition:\n${p2.take(1000)}")
+  }
+
   test("partitioned warehouse layout: filter becomes PartitionFilters, values roundtrip") {
     import graft.sources.Warehouse
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString
