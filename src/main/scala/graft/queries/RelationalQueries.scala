@@ -97,6 +97,13 @@ object RelationalQueries extends QueryPack {
       Tables.orders(s, d)
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"))),
+    // full grouping-set lattice (rollup's big sibling): all four
+    // (status, priority) grouping combinations in one pass — Spark
+    // expands the sets map-side, so it is still one shuffle
+    "cube_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
     // date functions: orders per calendar year
     "orders_by_year" -> ((s, d) =>
       Tables.orders(s, d)
@@ -324,6 +331,9 @@ object RelationalQueries extends QueryPack {
     "rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "orders_by_year" ->
       """SELECT year(o_orderdate) AS yr, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
