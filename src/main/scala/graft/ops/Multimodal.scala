@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here (schema, partitioning, batched
   * `mapPartitions` signature, row explosion for frames) is real and
-  * tested. The IMAGE path decodes for real via the JDK's built-in
-  * `javax.imageio` ([[imageFeatures]], verified pixel-exact against a
-  * pure-SQL twin by `check_image_decode`). The AUDIO path decodes for
-  * real via the JDK's built-in `javax.sound.sampled` WAV/AIFF parsers
-  * ([[audioWindowSums]]/[[audioFeatures]], verified sample-exact by
-  * `check_audio_decode` and the `audio_windows` DuckDB oracle). Only
-  * VIDEO byte decoding remains a clearly-marked STUB (`fakeDecode`):
-  * this container ships no video codecs, so the stub derives a
-  * deterministic feature vector from the bytes — swap `fakeDecode`
-  * for a JNI/javacv decoder without touching any dataflow. (Python
-  * twin would be `mapInPandas`; in Scala the idiomatic equivalent is
-  * typed `mapPartitions`, which batches per partition and keeps the
-  * decoder's state/model loaded per-partition, not per-row.)
+  * tested — and all three modalities now decode REAL containers with
+  * JDK-built-in codecs, each verified exactly against an independent
+  * algebraic restatement:
+  *  - IMAGE: `javax.imageio` PNG ([[imageFeatures]], pixel-exact via
+  *    `check_image_decode`);
+  *  - AUDIO: `javax.sound.sampled` WAV/AIFF ([[audioWindowSums]]/
+  *    [[audioFeatures]], sample-exact via the `audio_windows` DuckDB
+  *    oracle + `check_audio_decode`);
+  *  - VIDEO: `javax.imageio`'s multi-frame GIF reader
+  *    ([[videoFrameSums]]/[[videoFrameFeatures]], pixel-exact via the
+  *    `video_frames` DuckDB oracle — grayscale frames fit GIF's
+  *    palette, so the container roundtrip is lossless).
+  * A production pipeline would swap these codecs for JNI/ffmpeg ones
+  * without touching any dataflow; `fakeDecode` remains only as the
+  * generic stand-in for payloads with NO registered codec (the
+  * `media_features` path). (Python twin would be `mapInPandas`; in
+  * Scala the idiomatic equivalent is typed `mapPartitions`, which
+  * batches per partition and keeps the decoder's state/model loaded
+  * per-partition, not per-row.)
   */
 object Multimodal {
 
@@ -38,10 +44,12 @@ object Multimodal {
       length(col(textCol)).cast("long").as("n_bytes"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decoder: a real implementation would decode the image/audio
-    * payload and run a feature extractor. Deterministic fake: rolling
-    * 64-bit hash of the bytes expanded into `dim` floats in [-1, 1).
-    * Keeps the contract (bytes => fixed-dim float vector) honest. */
+  /** Generic no-codec stand-in (every real modality decodes via
+    * [[imageFeatures]]/[[audioWindowSums]]/[[videoFrameSums]]; this
+    * remains for opaque payloads with no registered reader).
+    * Deterministic: rolling 64-bit hash of the bytes expanded into
+    * `dim` floats in [-1, 1). Keeps the contract (bytes => fixed-dim
+    * float vector) honest. */
   private[ops] def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     var h = 1125899906842597L // prime seed
     payload.foreach { b => h = h * 31 + (b & 0xFF) }
@@ -139,6 +147,158 @@ object Multimodal {
           (id, "image/png", bytes.length.toLong, bytes)
         }
       }.toDF("media_id", "mime", "n_bytes", "payload")
+  }
+
+  // ---- real video path (JDK-builtin javax.imageio GIF reader —
+  // multi-frame container, LZW-compressed; grayscale frames fit the
+  // 256-entry palette, so the roundtrip is pixel-exact) -------------
+
+  case class VideoFrame(media_id: Long, frame_no: Int, n_frames: Int,
+                        width: Int, height: Int, sum_gray: Long)
+  case class VideoFeature(media_id: Long, frame_no: Int,
+                          width: Int, height: Int, feature: Array[Float])
+
+  /** Deterministic synthetic gray level: pixel (x, y) of frame `f` in
+    * video `id` is `(31·id + 29·f + 7·x + 13·y) mod 256`. Restated
+    * INDEPENDENTLY in SQL by the `video_frames` DuckDB oracle, so GIF
+    * encode → container parse → frame decode is verified end to end
+    * with no tolerance. */
+  private[graft] def synthFramePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((31L * id + 29L * f + 7L * x + 13L * y) % 256L).toInt
+
+  /** Synthesize a deterministic multi-frame GIF corpus from an id
+    * column — the binary-video stand-in for this container. Grayscale
+    * keeps every frame inside GIF's 256-color palette, so the encode
+    * is lossless; encoding runs on the executors. */
+  def packSynthGifs(ids: DataFrame, idCol: String = "doc_id",
+                    w: Int = 16, h: Int = 16, nFrames: Int = 4): DataFrame = {
+    require(w > 0 && h > 0 && nFrames > 0, "w/h/nFrames must be positive")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.getRaster.setSample(x, y, 0, synthFramePixel(id, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          wr.endWriteSequence()
+          wr.dispose()
+          ios.close()
+          val bytes = bos.toByteArray
+          (id, "image/gif", bytes.length.toLong, bytes)
+        }
+      }.toDF("media_id", "mime", "n_bytes", "payload")
+  }
+
+  /** REAL video decode, frame face: parse the GIF container, decode
+    * every frame, and emit one row per frame with its gray-value sum —
+    * exact integers, so the `video_frames` DuckDB oracle recomputes
+    * them from the synth formula alone (it never sees a GIF byte).
+    * One reader instance per partition (the decoder-load-once
+    * contract); an unparseable payload fails loudly with the
+    * media_id. */
+  def videoFrameSums(media: DataFrame): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) =>
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n =
+            try rd.getNumImages(true)
+            catch {
+              case e: Exception =>
+                sys.error(s"video decode: unparseable payload for media_id=$id " +
+                  s"(${bytes.length} bytes): ${e.getMessage}")
+            }
+          (0 until n).map { f =>
+            val img = rd.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrame(id, f, n, w, h, sum)
+          }
+        }
+      }
+  }
+
+  /** Video feature face: per-frame `grid × grid` block-mean gray
+    * vector (dim = grid², values in [0, 1]) — [[imageFeatures]]'s
+    * pooling applied per container frame. */
+  def videoFrameFeatures(media: DataFrame, grid: Int): Dataset[VideoFeature] = {
+    require(grid > 0, "grid must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) =>
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n =
+            try rd.getNumImages(true)
+            catch {
+              case e: Exception =>
+                sys.error(s"video decode: unparseable payload for media_id=$id " +
+                  s"(${bytes.length} bytes): ${e.getMessage}")
+            }
+          (0 until n).map { f =>
+            val img = rd.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Long](grid * grid)
+            val cnts = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val by = y * grid / h
+              var x = 0
+              while (x < w) {
+                val blk = by * grid + x * grid / w
+                sums(blk) += (img.getRGB(x, y) & 0xFF)
+                cnts(blk) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val feat = Array.tabulate(grid * grid) { i =>
+              if (cnts(i) == 0) 0f else sums(i).toFloat / (cnts(i) * 255f)
+            }
+            VideoFeature(id, f, w, h, feat)
+          }
+        }
+      }
   }
 
   // ---- real audio path (JDK-builtin javax.sound.sampled — WAV/AIFF

@@ -52,12 +52,34 @@ object MediaQueries extends QueryPack {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("win").cast("long").as("win"), col("win_n"), col("sum_abs"))
     }),
+    // REAL video path under the full hash gate: synthesize multi-frame
+    // GIF containers on the executors, parse them back frame by frame
+    // with the JDK's GIF reader, and emit per-frame gray sums — exact
+    // integers DuckDB recomputes from the synth formula alone (it
+    // never sees a GIF byte). Residue 4 mod 8 keeps the probe disjoint
+    // from audio_windows' 0 mod 8.
+    "video_frames" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(8)) === 4)
+      val media = Multimodal.packSynthGifs(ids, "doc_id",
+        w = VideoW, h = VideoH, nFrames = VideoF)
+      Multimodal.videoFrameSums(media).toDF()
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("sum_gray"))
+    }),
   )
 
   /** audio_windows parameters, shared with the oracle SQL below. */
   private val AudioN = 2048
   private val AudioRate = 8000
   private val AudioWin = 8
+
+  /** video_frames parameters, shared with the oracle SQL below. */
+  private val VideoW = 16
+  private val VideoH = 16
+  private val VideoF = 4
 
   override def oracles: Map[String, String] = Map(
     // The oracle restates the decoded-sample windows purely from the
@@ -74,5 +96,20 @@ object MediaQueries extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS win_n,
          |  CAST(sum(abs(((31 * doc_id + 7 * t) % 65536) - 32768)) AS BIGINT) AS sum_abs
          |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
+    // per-frame gray sums restated purely from the synth formula
+    // ((31·id + 29·f + 7·x + 13·y) mod 256) — all-integer algebra,
+    // no imaging code
+    "video_frames" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 4),
+         |fr AS (SELECT doc_id, unnest(generate_series(0, ${VideoF - 1})) AS f FROM ids),
+         |px AS (SELECT doc_id, f, x.x, y.y FROM fr,
+         |       (SELECT unnest(generate_series(0, ${VideoW - 1})) AS x) x,
+         |       (SELECT unnest(generate_series(0, ${VideoH - 1})) AS y) y)
+         |SELECT doc_id AS media_id, f AS frame_no,
+         |  CAST($VideoF AS BIGINT) AS n_frames,
+         |  CAST($VideoW AS BIGINT) AS width,
+         |  CAST($VideoH AS BIGINT) AS height,
+         |  CAST(sum((31 * doc_id + 29 * f + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_gray
+         |FROM px GROUP BY 1, 2""".stripMargin,
   )
 }

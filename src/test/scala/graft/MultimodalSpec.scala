@@ -139,6 +139,43 @@ class MultimodalSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("video: GIF encode->parse->frame decode is pixel-exact vs the formula") {
+    val w = 16; val h = 16; val nf = 3
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val media = Multimodal.packSynthGifs(ids, "doc_id", w, h, nf)
+    assert(media.where(col("mime") =!= "image/gif").count() == 0)
+    val frames = Multimodal.videoFrameSums(media).collect()
+    assert(frames.length == 3 * nf)
+    for (fr <- frames) {
+      assert(fr.n_frames == nf && fr.width == w && fr.height == h)
+      val exp = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.synthFramePixel(fr.media_id, fr.frame_no, x, y).toLong).sum
+      assert(fr.sum_gray == exp,
+        s"frame ${fr.frame_no} of video ${fr.media_id}: ${fr.sum_gray} != $exp")
+    }
+  }
+
+  test("video: frame features pool block means exactly") {
+    val grid = 4; val w = 16; val h = 16
+    val media = Multimodal.packSynthGifs(Seq(42L).toDF("doc_id"), "doc_id", w, h, 2)
+    val feats = Multimodal.videoFrameFeatures(media, grid).collect()
+    assert(feats.length == 2)
+    for (f <- feats; by <- 0 until grid; bx <- 0 until grid) {
+      assert(f.feature.length == grid * grid)
+      val exp = (for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+        yield Multimodal.synthFramePixel(42L, f.frame_no, x, y)).sum
+      val got = math.round(f.feature(by * grid + bx) * 16 * 255)
+      assert(got == exp, s"block ($bx,$by) frame ${f.frame_no}: $got != $exp")
+    }
+  }
+
+  test("video: unparseable payload fails loudly with the media_id") {
+    val junk = Seq((55L, "image/gif", 4L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "mime", "n_bytes", "payload")
+    val e = intercept[Exception] { Multimodal.videoFrameSums(junk).count() }
+    assert(msgs(e).exists(_.contains("media_id=55")), e.getMessage)
+  }
+
   test("ReservoirAgg: size m, subset of input, reproducible, ~uniform") {
     val m = 25
     val ds = (0L until 5000L).toDS()
