@@ -353,4 +353,87 @@ object Similarity {
         graft.functions.Native.dotNative(spark, col("l.v"), col("r.v")).as("cos"))
     topKByCos(scored, k)
   }
+
+  // ---- int8 scalar quantization ---------------------------------
+
+  case class QuantVec(vec_id: Long, qmin: Float, qmax: Float, codes: Array[Byte])
+  case class DequantVec(vec_id: Long, vec: Array[Float])
+
+  /** Int8 scalar quantization of an embedding column — the 4× memory/
+    * IO compression an ANN candidate store runs at 100 TB scale (a
+    * billion 768-dim float32 vectors are 3 TB; int8 codes are 768 GB
+    * and fit hot tiers the floats don't). Per-vector affine code:
+    * `code = round((v − qmin)/(qmax − qmin)·254) − 127 ∈ [−127, 127]`,
+    * reconstruction `v̂ = qmin + (code + 127)/254·(qmax − qmin)`, so
+    * max error is half a step, `(qmax − qmin)/508` (`check_quantize`
+    * pins this law plus the code range and exact constant-vector
+    * roundtrip). Arithmetic is double (exact from float32 inputs, same
+    * IEEE result in DuckDB — the `quantize_codes` oracle recomputes
+    * every code cross-engine). Empty vectors fail loudly. */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        if (v.isEmpty) sys.error(s"quantizeInt8: empty vector for $idCol=$id")
+        var mn = v(0); var mx = v(0)
+        var i = 1
+        while (i < v.length) {
+          if (v(i) < mn) mn = v(i)
+          if (v(i) > mx) mx = v(i)
+          i += 1
+        }
+        val span = mx.toDouble - mn.toDouble
+        val codes = new Array[Byte](v.length)
+        if (span > 0) {
+          i = 0
+          while (i < v.length) {
+            codes(i) = (math.round(
+              (v(i).toDouble - mn.toDouble) / span * 254.0) - 127L).toByte
+            i += 1
+          }
+        }
+        QuantVec(id, mn, mx, codes)
+      }.toDF()
+  }
+
+  /** Exact integer summary of the code stream for cross-engine
+    * verification: `vec_id, dim, code_sum, code_wsum` (plain and
+    * 1-based position-weighted sums — together they pin both code
+    * values and their positions). Computed in the same typed pass as
+    * the quantizer; note `codes` lands in SQL as BINARY (1 byte per
+    * code — the compact storage face), which array functions don't
+    * touch. */
+  def quantizeCodeSums(embs: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    quantizeInt8(embs, idCol, vecCol).as[QuantVec]
+      .map { q =>
+        var s = 0L; var ws = 0L; var i = 0
+        while (i < q.codes.length) {
+          val c = q.codes(i).toLong
+          s += c; ws += (i + 1) * c
+          i += 1
+        }
+        (q.vec_id, q.codes.length.toLong, s, ws)
+      }.toDF("vec_id", "dim", "code_sum", "code_wsum")
+  }
+
+  /** Inverse of [[quantizeInt8]]: `vec_id, vec` with
+    * `v̂ᵢ = qmin + (codeᵢ + 127)/254·(qmax − qmin)` narrowed to
+    * float. */
+  def dequantizeInt8(quants: DataFrame): DataFrame = {
+    val spark = quants.sparkSession
+    import spark.implicits._
+    quants.select(col("vec_id"), col("qmin"), col("qmax"), col("codes"))
+      .as[QuantVec]
+      .map { q =>
+        val span = q.qmax.toDouble - q.qmin.toDouble
+        DequantVec(q.vec_id, q.codes.map(c =>
+          (q.qmin.toDouble + (c.toDouble + 127.0) / 254.0 * span).toFloat))
+      }.toDF()
+  }
 }

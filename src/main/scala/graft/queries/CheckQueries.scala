@@ -392,6 +392,43 @@ object CheckQueries extends QueryPack {
       shapeViol.unionByName(missViol).unionByName(extraViol)
         .unionByName(featViol)
     }),
+    // Int8-quantization laws (the float face next to quantize_codes'
+    // exact integer oracle):
+    //  - shape: codes length == vector dim, qmin ≤ qmax, codes in
+    //    [-127, 127] (-128 never used);
+    //  - reconstruction: |dequant − original|∞ ≤ half a quantization
+    //    step, (qmax−qmin)/508, plus float-narrowing slack;
+    //  - coverage: every vector dequantizes.
+    "check_quantize" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val q = Similarity.quantizeInt8(embs).cache()
+      val deq = Similarity.dequantizeInt8(q)
+      // codes is BINARY (compact storage face): length() gives the
+      // byte count = dim; the -128-never-used law needs a typed scan
+      val shapeViol = q.join(embs, "vec_id")
+        .where(length(col("codes")) =!= size(col("embedding"))
+          || col("qmin") > col("qmax"))
+        .select(lit("quant_shape").as("violation"))
+      val rangeViol = {
+        import s.implicits._
+        q.as[Similarity.QuantVec]
+          .filter((v: Similarity.QuantVec) => v.codes.exists(_ == (-128).toByte))
+          .toDF().select(lit("quant_code_range").as("violation"))
+      }
+      val errViol = deq.join(embs, "vec_id").join(q, "vec_id")
+        .select(col("qmin"), col("qmax"),
+          posexplode(arrays_zip(col("embedding"), col("vec")))
+            .as(Seq("i", "pair")))
+        .where(abs(col("pair.embedding").cast("double")
+            - col("pair.vec").cast("double"))
+          > (col("qmax").cast("double") - col("qmin").cast("double")) / 508.0
+            + 1e-5)
+        .select(lit("quant_error_bound").as("violation"))
+      val coverViol = embs.join(deq, Seq("vec_id"), "left_anti")
+        .select(lit("quant_coverage").as("violation"))
+      shapeViol.unionByName(rangeViol).unionByName(errViol)
+        .unionByName(coverViol)
+    }),
     // k-center law: for every SAMPLED vector (the FFT traversed exactly
     // those), assignment distance ≤ the sample's k-center radius,
     // recomputed independently on the driver; clusters are in [0, k);

@@ -220,6 +220,13 @@ object DocQueries extends QueryPack {
     "dedup_embedding" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
         .select(col("a"), col("b"), round(col("csim"), 6).as("csim"))),
+    // int8 scalar quantization under the hash gate: plain and
+    // position-weighted code sums pin every code value AND position
+    // against DuckDB's recomputation from the float arrays (double
+    // arithmetic from float32 inputs is IEEE-identical cross-engine;
+    // both engines round half away from zero)
+    "quantize_codes" -> ((s, d) =>
+      Similarity.quantizeCodeSums(Tables.embeddings(s, d))),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -453,6 +460,22 @@ object DocQueries extends QueryPack {
         |      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS c
         |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
         |SELECT a, b, round(c, 6) AS csim FROM p WHERE c >= 0.45""".stripMargin,
+    // the quantizer restated element-wise: per-vector min/max scale,
+    // code = round((v-mn)/(mx-mn)*254) - 127; explicit 1-based index
+    // join so the position-weighted sum is well-defined
+    "quantize_codes" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |x AS (SELECT vec_id, i,
+        |        CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |             ELSE CAST(round((v[i]::DOUBLE - mn::DOUBLE)
+        |               / (mx::DOUBLE - mn::DOUBLE) * 254) AS BIGINT) - 127
+        |        END AS code
+        |      FROM s, unnest(generate_series(1, len(v))) AS t(i))
+        |SELECT vec_id, count(*) AS dim,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(sum(i * code) AS BIGINT) AS code_wsum
+        |FROM x GROUP BY 1""".stripMargin,
     "ann_cosine_nn" ->
       """SELECT vec_id, nn_id FROM (
         |  SELECT l.vec_id, r.vec_id AS nn_id,

@@ -174,4 +174,44 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("quantizeInt8: codes in range, reconstruction within half a step, constants exact") {
+    val embs = Seq(
+      (1L, Array(-1.0f, 0.0f, 0.25f, 1.0f)),
+      (2L, Array(0.5f, 0.5f, 0.5f)), // constant vector
+      (3L, Array(3.25f, -7.5f, 0.125f, 2.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(embs)
+    val qs = q.as[Similarity.QuantVec].collect().map(v => v.vec_id -> v).toMap
+    assert(qs(1L).qmin == -1.0f && qs(1L).qmax == 1.0f)
+    assert(qs.values.forall(_.codes.forall(c => c >= -127 && c <= 127)))
+    assert(qs(2L).codes.forall(_ == 0))
+    val deq = Similarity.dequantizeInt8(q).as[(Long, Array[Float])]
+      .collect().toMap
+    // constant vector reconstructs exactly
+    assert(deq(2L).toSeq == Seq(0.5f, 0.5f, 0.5f))
+    // everything else within half a quantization step
+    for ((id, orig) <- Map(1L -> Array(-1.0f, 0.0f, 0.25f, 1.0f),
+                           3L -> Array(3.25f, -7.5f, 0.125f, 2.5f, 0.0f))) {
+      val step = (qs(id).qmax.toDouble - qs(id).qmin.toDouble) / 254.0
+      orig.zip(deq(id)).foreach { case (v, vhat) =>
+        assert(math.abs(v - vhat) <= step / 2 + 1e-6,
+          s"vec $id: $v vs $vhat (step $step)")
+      }
+    }
+    // endpoints map to the extreme codes
+    assert(qs(1L).codes(0) == -127 && qs(1L).codes(3) == 127)
+  }
+
+  test("quantizeCodeSums matches a hand fold; empty vector fails loudly") {
+    val embs = Seq((7L, Array(-1.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // codes: -127, round(0.5*254)-127 = 0, 127 -> sum 0, wsum = -127 + 0 + 3*127
+    val r = Similarity.quantizeCodeSums(embs).head()
+    assert(r.getAs[Long]("dim") == 3L)
+    assert(r.getAs[Long]("code_sum") == 0L)
+    assert(r.getAs[Long]("code_wsum") == -127L + 3L * 127L)
+    val bad = Seq((8L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Similarity.quantizeInt8(bad).count() }
+    assert(msgs(e).exists(_.contains("vec_id=8")), e.getMessage)
+  }
 }
