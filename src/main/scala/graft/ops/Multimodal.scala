@@ -178,10 +178,13 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        // One writer per partition (encoder-handle-once, like the WAV
+        // format object) — the IIORegistry lookup is not per-row work.
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         it.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          wr.reset()
           wr.setOutput(ios)
           wr.prepareWriteSequence(null)
           var f = 0
@@ -201,12 +204,35 @@ object Multimodal {
             f += 1
           }
           wr.endWriteSequence()
-          wr.dispose()
           ios.close()
           val bytes = bos.toByteArray
           (id, "image/gif", bytes.length.toLong, bytes)
         }
       }.toDF("media_id", "mime", "n_bytes", "payload")
+  }
+
+  /** Parse a GIF container and eagerly decode every frame. Shared by
+    * both video faces. The WHOLE parse — container scan and per-frame
+    * LZW decode — is inside the catch, so a payload that is corrupt
+    * anywhere (bad header or bit-rotted frame data) fails loudly with
+    * the media_id; and the image input stream is always closed (an
+    * unclosed FileCache stream would hold a file descriptor and a
+    * disk-cache temp file per payload — at corpus scale that is an
+    * FD-exhaustion bug, so we use a memory-cache stream and close it). */
+  private def decodeGifFrames(rd: javax.imageio.ImageReader, id: Long,
+                              bytes: Array[Byte])
+      : IndexedSeq[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      rd.setInput(iis)
+      val n = rd.getNumImages(true)
+      (0 until n).map(rd.read)
+    } catch {
+      case e: Exception =>
+        sys.error(s"video decode: unparseable payload for media_id=$id " +
+          s"(${bytes.length} bytes): ${e.getMessage}")
+    } finally iis.close()
   }
 
   /** REAL video decode, frame face: parse the GIF container, decode
@@ -225,17 +251,9 @@ object Multimodal {
       .mapPartitions { it =>
         val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, bytes) =>
-          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-          val n =
-            try rd.getNumImages(true)
-            catch {
-              case e: Exception =>
-                sys.error(s"video decode: unparseable payload for media_id=$id " +
-                  s"(${bytes.length} bytes): ${e.getMessage}")
-            }
-          (0 until n).map { f =>
-            val img = rd.read(f)
+          val frames = decodeGifFrames(rd, id, bytes)
+          val n = frames.length
+          frames.zipWithIndex.map { case (img, f) =>
             val w = img.getWidth; val h = img.getHeight
             var sum = 0L
             var y = 0
@@ -266,17 +284,8 @@ object Multimodal {
       .mapPartitions { it =>
         val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, bytes) =>
-          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes)))
-          val n =
-            try rd.getNumImages(true)
-            catch {
-              case e: Exception =>
-                sys.error(s"video decode: unparseable payload for media_id=$id " +
-                  s"(${bytes.length} bytes): ${e.getMessage}")
-            }
-          (0 until n).map { f =>
-            val img = rd.read(f)
+          val frames = decodeGifFrames(rd, id, bytes)
+          frames.zipWithIndex.map { case (img, f) =>
             val w = img.getWidth; val h = img.getHeight
             val sums = new Array[Long](grid * grid)
             val cnts = new Array[Long](grid * grid)

@@ -340,9 +340,9 @@ object CheckQueries extends QueryPack {
     //    (value + coverage in one exceptAll pair);
     //  - feature face: each float equals sum/(n·32768) narrowed to
     //    float — audioFeatures is pinned BY the integer sums.
-    // ¼-ids slice, same harness-cost principle as check_image_decode
-    // (the laws are per-media; a different residue than audio_windows'
-    // 1/8 slice, so the two probes overlap only on ids ≡ 0 mod 8).
+    // Sliced by ids, same harness-cost principle as check_image_decode
+    // (the laws are per-media); the slice parameters live on the inner
+    // comment below, next to the code they describe.
     "check_audio_decode" -> ((s, d) => {
       // 512 samples/clip and a 1/16-ids slice (vs audio_windows'
       // 2048 × 1/8): the laws are per-media and per-sample, so each

@@ -5,12 +5,13 @@ import graft.ops.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-pipeline queries (binary payload plumbing — real image
-  * and audio decode, video STUB; see [[graft.ops.Multimodal]]) and the
-  * custom reservoir Aggregator. The stub-decode queries are
-  * non-SQL-expressible → rows-only checks + MultimodalSpec;
-  * `audio_windows` runs the real decode under the full DuckDB hash
-  * gate.
+/** Multimodal-pipeline queries (binary payload plumbing — REAL image,
+  * audio AND video decode via JDK-builtin codecs; only the generic
+  * `media_features` face keeps the declared `fakeDecode` stand-in; see
+  * [[graft.ops.Multimodal]]) and the custom reservoir Aggregator. The
+  * stub-decode queries are non-SQL-expressible → rows-only checks +
+  * MultimodalSpec; `audio_windows` and `video_frames` run the real
+  * decodes under the full DuckDB hash gate.
   */
 object MediaQueries extends QueryPack {
 

@@ -63,6 +63,19 @@ object StatefulSessions {
                   s"(${ts.head} < open-session last ${s.lastMs}) — " +
                   "widen the watermark or repair the source ordering")
             }
+            // flatMapGroupsWithState does NOT drop rows behind the
+            // watermark (that filter only applies to aggregations). An
+            // event older than the watermark arriving with NO open state
+            // is a straggler whose session may already have been closed
+            // and emitted by timeout — minting a fresh session from it
+            // would silently emit an overlapping duplicate, so this too
+            // fails loudly per the out-of-order contract above.
+            if (open.isEmpty && ts.nonEmpty &&
+                ts.head < state.getCurrentWatermarkMs())
+              sys.error(s"sessions: late straggler for user=$user " +
+                s"(${ts.head} < watermark ${state.getCurrentWatermarkMs()}) " +
+                "with no open session — its session may already be emitted; " +
+                "widen the watermark or repair the source ordering")
             val closed = Seq.newBuilder[Session]
             ts.foreach { t =>
               open = open match {

@@ -179,6 +179,48 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("late straggler after its session timed out fails loudly (no silent overlap)") {
+    // flatMapGroupsWithState receives rows BEHIND the watermark (the
+    // late filter only applies to aggregations). Once a session has
+    // closed via event-time timeout and its state is gone, a straggler
+    // for that key must NOT mint a fresh session overlapping the one
+    // already emitted — the engine errors instead.
+    val tmp = Files.createTempDirectory("graft_fmgs_late").toString
+    val t0 = 1700000000000L
+    def writeChunk(name: String, mtime: Long, rows: Seq[(Timestamp, Long, Double)]): Unit = {
+      rows.toDF("ts", "user_id", "value").coalesce(1).write.parquet(s"$tmp/in/$name")
+      val dir = new java.io.File(s"$tmp/in/$name")
+      (dir +: dir.listFiles().toSeq).foreach(_.setLastModified(mtime))
+    }
+    // a: opens user 1's session. b: sentinel advances the watermark far
+    // past last+gap. c: unrelated key — its batch fires user 1's
+    // timeout (close + state.remove). d: straggler for user 1 behind
+    // the watermark with no state -> must fail, not re-open.
+    writeChunk("chunk_a", 1000000L, Seq((new Timestamp(t0), 1L, 0.0)))
+    writeChunk("chunk_b", 1010000L, Seq((new Timestamp(t0 + 3600000L), 99L, 0.0)))
+    writeChunk("chunk_c", 1020000L, Seq((new Timestamp(t0 + 3601000L), 98L, 0.0)))
+    writeChunk("chunk_d", 1030000L, Seq((new Timestamp(t0 + 10000L), 1L, 0.0)))
+
+    val schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    val in = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "5 seconds")
+    val q = graft.streaming.StatefulSessions.sessions(in, 30000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgs_late_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    val err = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    q.stop()
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("late straggler"))),
+      s"expected the late-straggler error, got: $err")
+  }
+
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
     // the standard streaming enrichment: micro-batched fact stream
     // joined to a static dimension table, aggregated per dim attribute
