@@ -20,10 +20,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * events into the open session, emitting every session it closes; a
   * session with no successor event closes via EVENT-TIME TIMEOUT when
   * the watermark passes `last + gap` — so the input stream must carry
-  * `withWatermark("ts", …)`. In-order arrival per key is assumed
-  * across batches (events inside a batch are sorted here); a
-  * cross-batch straggler older than the open session fails loudly
-  * rather than silently corrupting session boundaries.
+  * `withWatermark("ts", …)`. Late-data contract: under
+  * `EventTimeTimeout` the ENGINE drops input rows older than the
+  * watermark before this function ever sees them (same filter as
+  * watermarked aggregations — `FlatMapGroupsWithStateExec` applies its
+  * late-event predicate exactly when the timeout is event-time), so a
+  * straggler whose session already timed out is silently discarded,
+  * never re-opened — pinned by WindowedStreamSpec. The residual hazard
+  * is out-of-order arrival WITHIN the watermark: an event at or above
+  * the watermark but older than the open session's last event fails
+  * loudly rather than silently corrupting session boundaries.
   */
 object StatefulSessions {
 
@@ -63,19 +69,11 @@ object StatefulSessions {
                   s"(${ts.head} < open-session last ${s.lastMs}) — " +
                   "widen the watermark or repair the source ordering")
             }
-            // flatMapGroupsWithState does NOT drop rows behind the
-            // watermark (that filter only applies to aggregations). An
-            // event older than the watermark arriving with NO open state
-            // is a straggler whose session may already have been closed
-            // and emitted by timeout — minting a fresh session from it
-            // would silently emit an overlapping duplicate, so this too
-            // fails loudly per the out-of-order contract above.
-            if (open.isEmpty && ts.nonEmpty &&
-                ts.head < state.getCurrentWatermarkMs())
-              sys.error(s"sessions: late straggler for user=$user " +
-                s"(${ts.head} < watermark ${state.getCurrentWatermarkMs()}) " +
-                "with no open session — its session may already be emitted; " +
-                "widen the watermark or repair the source ordering")
+            // No sub-watermark guard here: rows behind the watermark
+            // never reach this function under EventTimeTimeout (the
+            // engine's late-event filter runs first — see the class
+            // contract), so every row observed here is ≥ the batch's
+            // start-of-batch watermark by construction.
             val closed = Seq.newBuilder[Session]
             ts.foreach { t =>
               open = open match {
