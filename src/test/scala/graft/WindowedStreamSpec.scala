@@ -179,12 +179,14 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("late straggler after its session timed out fails loudly (no silent overlap)") {
-    // flatMapGroupsWithState receives rows BEHIND the watermark (the
-    // late filter only applies to aggregations). Once a session has
-    // closed via event-time timeout and its state is gone, a straggler
-    // for that key must NOT mint a fresh session overlapping the one
-    // already emitted — the engine errors instead.
+  test("sub-watermark straggler is dropped: no overlapping session re-opened") {
+    // Under EventTimeTimeout the engine filters rows behind the
+    // watermark BEFORE flatMapGroupsWithState sees them (the same
+    // late-event predicate watermarked aggregations use). So once a
+    // session has closed via event-time timeout and its state is gone,
+    // a straggler for that key is silently discarded — it must NOT
+    // mint a fresh session overlapping the one already emitted.
+    // Pins the contract documented in StatefulSessions' scaladoc.
     val tmp = Files.createTempDirectory("graft_fmgs_late").toString
     val t0 = 1700000000000L
     def writeChunk(name: String, mtime: Long, rows: Seq[(Timestamp, Long, Double)]): Unit = {
@@ -195,7 +197,8 @@ class WindowedStreamSpec extends SparkSpec {
     // a: opens user 1's session. b: sentinel advances the watermark far
     // past last+gap. c: unrelated key — its batch fires user 1's
     // timeout (close + state.remove). d: straggler for user 1 behind
-    // the watermark with no state -> must fail, not re-open.
+    // the watermark with no state -> dropped by the engine's late
+    // filter, never re-opened.
     writeChunk("chunk_a", 1000000L, Seq((new Timestamp(t0), 1L, 0.0)))
     writeChunk("chunk_b", 1010000L, Seq((new Timestamp(t0 + 3600000L), 99L, 0.0)))
     writeChunk("chunk_c", 1020000L, Seq((new Timestamp(t0 + 3601000L), 98L, 0.0)))
@@ -212,13 +215,63 @@ class WindowedStreamSpec extends SparkSpec {
       .format("memory").queryName("fmgs_late_out")
       .option("checkpointLocation", s"$tmp/ckpt")
       .start()
-    val err = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    q.processAllAvailable()
+    assert(q.isActive, "query must stay healthy — the straggler is dropped, not an error")
+    q.stop()
+
+    val user1 = spark.table("fmgs_late_out")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      .filter(_._1 == 1L)
+    // exactly the originally-emitted (timed-out) session, nothing from
+    // the straggler
+    assert(user1 == Seq((1L, new Timestamp(t0), new Timestamp(t0), 1L)),
+      s"expected only user 1's timed-out session, got: $user1")
+    assert(!user1.exists(_._2.getTime == t0 + 10000L),
+      "straggler must not mint a session at its own timestamp")
+  }
+
+  test("in-watermark out-of-order arrival fails loudly (session-boundary hazard)") {
+    // The residual hazard the engine's late filter does NOT cover: an
+    // event AT OR ABOVE the watermark but older than the open
+    // session's last event. Silently merging it would corrupt the
+    // session's start/end; StatefulSessions errors instead
+    // (StatefulSessions.scala out-of-order guard).
+    val tmp = Files.createTempDirectory("graft_fmgs_ooo").toString
+    val t0 = 1700000000000L
+    def writeChunk(name: String, mtime: Long, rows: Seq[(Timestamp, Long, Double)]): Unit = {
+      rows.toDF("ts", "user_id", "value").coalesce(1).write.parquet(s"$tmp/in/$name")
+      val dir = new java.io.File(s"$tmp/in/$name")
+      (dir +: dir.listFiles().toSeq).foreach(_.setLastModified(mtime))
+    }
+    // a: user 1 at t0+10s -> after the batch the watermark is t0+5s
+    // (10s max - 5s delay). b: user 1 at t0+6s — ABOVE the watermark
+    // (so the engine's late filter passes it through) but BEHIND the
+    // open session's last event (t0+10s) -> the guard must fire.
+    writeChunk("chunk_a", 1000000L, Seq((new Timestamp(t0 + 10000L), 1L, 0.0)))
+    writeChunk("chunk_b", 1010000L, Seq((new Timestamp(t0 + 6000L), 1L, 0.0)))
+
+    val schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    val in = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "5 seconds")
+    val q = graft.streaming.StatefulSessions.sessions(in, 30000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgs_ooo_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    val err = intercept[Exception] {
+      q.processAllAvailable()      // surfaces the batch's failure...
+      q.awaitTermination(60000L)   // ...bounded backstop, never unbounded
+      fail("query should have failed on the out-of-order in-watermark event")
+    }
     q.stop()
     def chain(t: Throwable): List[Throwable] =
       if (t == null) Nil else t :: chain(t.getCause)
     assert(chain(err).exists(c =>
-      Option(c.getMessage).exists(_.contains("late straggler"))),
-      s"expected the late-straggler error, got: $err")
+      Option(c.getMessage).exists(_.contains("out-of-order arrival"))),
+      s"expected the out-of-order-arrival error, got: $err")
   }
 
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
