@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: measure recall@1 of the ANN paths against the exact
+  * slice NN — the numbers behind the floors `check_ann_recall` /
+  * `check_ivf` assert (distance-based recall, same helper).
+  *
+  * Usage: runMain graft.RecallProbe <sfDir>
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.Similarity
+    import graft.queries.{CheckQueries, Tables}
+
+    val embs = Tables.embeddings(spark, sfDir)
+    val n = Tables.embeddingsCount(spark, sfDir)
+    val nBits = Similarity.nBitsFor(n)
+    val nlist = Similarity.nlistFor(n)
+    val slice = pmod(col("vec_id"), lit(5)) === 0
+    val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+    val ex = Similarity.cosineTopK(embs, 1, queryPred = slice)
+      .select(col("vec_id"), col("nn_id").as("nn_e"))
+
+    val bk = Similarity.annBucketed(embs, 1, dim = 64, nBits = nBits, seed = 42L,
+      queryPred = slice).select(col("vec_id"), col("nn_id").as("nn_b"))
+    val mp = Similarity.annMultiProbe(embs, 1, dim = 64, nBits = nBits, seed = 42L,
+      queryPred = slice).select(col("vec_id"), col("nn_id").as("nn_m"))
+    val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4)
+      .where(slice).select(col("vec_id"), col("nn_id").as("nn_i"))
+
+    println(s"RECALL n=$n nBits=$nBits nlist=$nlist")
+    for (eps <- Seq(0.0, 0.02, 0.05, 0.10, 0.15, 0.20)) {
+      val (hb, nq) = CheckQueries.recallAt1(e, ex, bk, "nn_b", eps)
+      val (hm, _) = CheckQueries.recallAt1(e, ex, mp, "nn_m", eps)
+      val (hi, _) = CheckQueries.recallAt1(e, ex, ivf, "nn_i", eps)
+      println(f"RECALL eps=$eps%.2f bucketed ${hb.toDouble / nq}%.3f " +
+        f"multiprobe ${hm.toDouble / nq}%.3f ivf ${hi.toDouble / nq}%.3f (n=$nq)")
+    }
+    // the floors as shipped: both checks must report zero violations
+    for (name <- Seq("check_ann_recall", "check_ivf")) {
+      val viol = SparkEntry.queries(name)(spark, sfDir).collect()
+      println(s"RECALL $name violations=${viol.length}" +
+        (if (viol.nonEmpty) " " + viol.mkString(";") else ""))
+    }
+    spark.stop()
+  }
+}

@@ -427,11 +427,13 @@ object Multimodal {
     media.select("media_id", "payload")
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val (rate, samples) = decodePcm16Mono(id, bytes)
-        val (sums, cnts) = windowSums(samples, nWindows)
-        (0 until nWindows).iterator.map(w =>
-          AudioWindow(id, rate, samples.length.toLong, w, cnts(w), sums(w)))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (rate, samples) = decodePcm16Mono(id, bytes)
+          val (sums, cnts) = windowSums(samples, nWindows)
+          (0 until nWindows).iterator.map(w =>
+            AudioWindow(id, rate, samples.length.toLong, w, cnts(w), sums(w)))
+        }
       }
   }
 

@@ -35,6 +35,37 @@ object CheckQueries extends QueryPack {
   private def items(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_id").as("ord"), col("user_id").as("item"))
 
+  /** ε-approximate recall@1 of an ANN answer table against the exact
+    * slice NN: (hits, queries). A query counts as a hit when the ANN
+    * neighbor exists and its cosine is ≥ the exact neighbor's cosine
+    * − ε — the standard ANN quality metric when exact-argmax recall is
+    * not the contract (and on unstructured corpora it cannot be: the
+    * driver fixtures are isotropic random vectors whose best/2nd-best
+    * cosine gap is ~0.03, so no sublinear method reliably returns THE
+    * argmax; what an ANN must return is a neighbor nearly as good).
+    * Distance-based, so a tie broken to a different id still counts.
+    * `e` is `(eid, v)` over the full corpus; `ex` is `(vec_id, nn_e)`;
+    * `ann` holds `(vec_id, nnCol)`. Driver-side scalars — the joined
+    * table is slice-sized. */
+  private[graft] def recallAt1(e: DataFrame, ex: DataFrame,
+                               ann: DataFrame, nnCol: String,
+                               eps: Double): (Long, Long) = {
+    import graft.ops.Similarity
+    val j = ex
+      .join(ann, Seq("vec_id"), "left")
+      .join(e.withColumnRenamed("eid", "vec_id").withColumnRenamed("v", "vq"), "vec_id")
+      .join(e.withColumnRenamed("eid", "nn_e").withColumnRenamed("v", "ve"), "nn_e")
+      .join(e.withColumnRenamed("eid", nnCol).withColumnRenamed("v", "va"),
+        Seq(nnCol), "left")
+    val row = j.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("va").isNotNull &&
+          Similarity.cosine(col("vq"), col("va"))
+            >= Similarity.cosine(col("vq"), col("ve")) - eps, 1L)
+        .otherwise(0L)).as("h")).head()
+    (row.getLong(1), row.getLong(0))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // St5 laws: |sample| == min(m, n) and sample ⊆ stream
     "check_reservoir" -> ((s, d) => {
@@ -99,7 +130,16 @@ object CheckQueries extends QueryPack {
     //    multi-probe answer;
     //  - dominance: the multi-probe nn is chosen from a candidate
     //    superset, so its cosine is ≥ the bucketed nn's cosine;
-    //  - sanity: no self-pairs.
+    //  - sanity: no self-pairs;
+    //  - ε-recall@1 floors vs the exact slice NN (ε = 0.15 — see
+    //    recallAt1 for why exact-argmax recall is not the metric on
+    //    an isotropic corpus): bucketed ≥ 0.70 (singleton buckets are
+    //    its documented recall hole), multi-probe ≥ 0.90. Measured on
+    //    the driver fixtures at ε=0.15: bucketed 0.878-0.890,
+    //    multi-probe 0.988-0.990 (sf0.1/sf0.01) — a broken hash or
+    //    join scores ≈ 0 here (a random neighbor's cosine is ~0 vs
+    //    the exact NN's ~0.4), so the floors gate the implementation
+    //    without being tuned to the fixture.
     // Audited on a deterministic ⅕-ids QUERY slice against the full
     // corpus (queryPred) — the laws are per-query-vector, so the
     // slice version is exactly as sound per audited vector while the
@@ -115,6 +155,16 @@ object CheckQueries extends QueryPack {
           queryPred = slice)
         .select(col("vec_id"), col("nn_id").as("nn_m"))
       val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+      val ex = Similarity.cosineTopK(embs, 1, queryPred = slice)
+        .select(col("vec_id"), col("nn_id").as("nn_e"))
+      val (hb, nq) = recallAt1(e, ex, bk, "nn_b", eps = 0.15)
+      val (hm, _) = recallAt1(e, ex, mp, "nn_m", eps = 0.15)
+      val recallViol = {
+        import s.implicits._
+        ((if (hb.toDouble < 0.70 * nq) Seq(s"bucketed_recall $hb/$nq") else Nil) ++
+          (if (hm.toDouble < 0.90 * nq) Seq(s"multiprobe_recall $hm/$nq") else Nil))
+          .toDF("violation")
+      }
       val coverViol = bk.join(mp, Seq("vec_id"), "left_anti")
         .select(lit("multiprobe_coverage").as("violation"))
       val domViol = bk.join(mp, "vec_id")
@@ -129,6 +179,7 @@ object CheckQueries extends QueryPack {
         .unionByName(mp.where(col("vec_id") === col("nn_m"))
           .select(lit("self_pair").as("violation")))
       coverViol.unionByName(domViol).unionByName(selfViol)
+        .unionByName(recallViol)
     }),
     // IVF laws (same parameters as the ann_ivf driver query, k=1):
     //  - dominance: the IVF nn is drawn from a candidate subset, so
@@ -140,7 +191,12 @@ object CheckQueries extends QueryPack {
     //  - shared list: both endpoints of every reported pair share a
     //    probed list (the nn's OWN list is among the query's nprobe
     //    lists — that is the only way the equi-join can emit the pair);
-    //  - sanity: no self-pairs.
+    //  - sanity: no self-pairs;
+    //  - ε-recall@1 floor vs the exact slice NN (ε = 0.15 — see
+    //    recallAt1): ≥ 0.85 at nprobe=4. Measured 0.968-1.000 on the
+    //    driver fixtures at ε=0.15; a broken quantizer or probe join
+    //    scores ≈ 0 (random-neighbor cosine ~0 vs exact NN ~0.4), so
+    //    the floor gates the implementation with headroom.
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
@@ -170,7 +226,17 @@ object CheckQueries extends QueryPack {
         .select(lit("ivf_shared_list").as("violation"))
       val selfViol = ivf.where(col("vec_id") === col("nn_id"))
         .select(lit("self_pair").as("violation"))
+      val recallViol = {
+        val (hi, nq) = recallAt1(
+          e.withColumnRenamed("ev", "v"),
+          exact, ivf.where(slice).withColumnRenamed("nn_id", "nn_i"), "nn_i",
+          eps = 0.15)
+        import s.implicits._
+        (if (hi.toDouble < 0.85 * nq) Seq(s"ivf_recall $hi/$nq") else Nil)
+          .toDF("violation")
+      }
       domViol.unionByName(shareViol).unionByName(selfViol)
+        .unionByName(recallViol)
     }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
@@ -397,7 +463,10 @@ object CheckQueries extends QueryPack {
     //  - shape: codes length == vector dim, qmin ≤ qmax, codes in
     //    [-127, 127] (-128 never used);
     //  - reconstruction: |dequant − original|∞ ≤ half a quantization
-    //    step, (qmax−qmin)/508, plus float-narrowing slack;
+    //    step, (qmax−qmin)/508, plus float-narrowing slack RELATIVE to
+    //    the vector's magnitude (one float32 ulp ≈ |v|·1.2e-7 — an
+    //    absolute constant would false-positive once |values| outgrow
+    //    it) and a tiny absolute floor for near-zero ranges;
     //  - coverage: every vector dequantizes.
     "check_quantize" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
@@ -422,7 +491,8 @@ object CheckQueries extends QueryPack {
         .where(abs(col("pair.embedding").cast("double")
             - col("pair.vec").cast("double"))
           > (col("qmax").cast("double") - col("qmin").cast("double")) / 508.0
-            + 1e-5)
+            + greatest(abs(col("qmin")), abs(col("qmax"))).cast("double") * 1.2e-7
+            + 1e-9)
         .select(lit("quant_error_bound").as("violation"))
       val coverViol = embs.join(deq, Seq("vec_id"), "left_anti")
         .select(lit("quant_coverage").as("violation"))
