@@ -60,6 +60,16 @@ object RelationalQueries extends QueryPack {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           sum(centsCol("o_totalprice")).as("revenue_cents"))),
+    // skew path: salted shuffle join — same result as the plain
+    // equi-join (the oracle is the unsalted SQL join), hot probe keys
+    // split 16 ways. The fact-side twin of freq_hist_salted.
+    "join_events_segment_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedJoin(
+          Tables.events(s, d), Tables.customer(s, d),
+          "user_id", "c_custkey", salts = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(centsCol("value")).as("value_cents"))),
     // 3-way join: order count by part brand and supplier nation
     "join_brand_nation" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -311,6 +321,12 @@ object RelationalQueries extends QueryPack {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+    // the salted join must equal the plain equi-join
+    "join_events_segment_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "window_top_orders" ->
       """SELECT o_custkey, o_orderkey, rk FROM (
         |  SELECT o_custkey, o_orderkey,

@@ -85,6 +85,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by"), p.take(800))
   }
 
+  test("salted join plans a shuffled hash join on (key, salt), never broadcast") {
+    // a broadcast would defeat the salting (no per-key reduce task to
+    // overload), and the probe side must not pay a sort — the point of
+    // the operator is spreading a hot key over `salts` shuffle
+    // partitions of a hash join
+    val p = plan(SparkEntry.queries("join_events_segment_salted")(spark, sf0001))
+    assert(p.contains("ShuffledHashJoin"), s"salted join not shuffled-hash:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      "salted join degenerated to broadcast — salt columns dropped from the join keys?")
+    // both salt columns participate in the equi-join keys
+    assert(p.contains("_psalt") && p.contains("_bsalt"), p.take(1200))
+  }
+
   test("contamination probe broadcasts the benchmark grams; packing windows per shard") {
     val p1 = plan(SparkEntry.queries("text_contamination")(spark, sf001))
     assert(p1.contains("BroadcastHashJoin") || p1.contains("BroadcastExchange"),

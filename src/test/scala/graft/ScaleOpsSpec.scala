@@ -121,6 +121,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedSum == directSum)
   }
 
+  test("salted join == plain join on a skewed key (multiset, incl. duplicates)") {
+    // 90% of probe rows share one key; build has duplicate keys too,
+    // so the test covers fan-out rows (each probe row must meet EACH
+    // matching build row exactly once — the replicated build side
+    // could silently double-count if the salt ranges overlapped)
+    val probe = (0L until 10000L)
+      .map(i => (if (i % 10 == 0) i % 7 + 10 else 1L, i))
+      .toDF("k", "pv").repartition(8)
+    val build = ((0L until 20L) ++ Seq(1L, 1L, 12L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("bk", "bv").repartition(4)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "pv", "bk", "bv").as[(Long, Long, Long, Long)]
+        .collect().groupBy(identity).view.mapValues(_.length).toMap
+    val direct = multiset(probe.join(build, col("k") === col("bk")))
+    val salted = multiset(Skew.saltedJoin(probe, build, "k", "bk", salts = 16))
+    assert(salted == direct)
+  }
+
   test("z-order layout bounds BOTH dims per file; linear sort leaves one unbounded") {
     // the data-skipping premise, measured: range-partition 4096 points
     // into 16 files by (a) x alone and (b) z-order, then compare each

@@ -179,6 +179,56 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("windowed aggregation drops behind-watermark rows (append mode)") {
+    // the AGGREGATION twin of the fMGWS straggler pin below: a row
+    // arriving behind the watermark must not update a window that was
+    // already finalized and emitted — Spark's late-event filter drops
+    // it before the stateful aggregation.
+    val tmp = Files.createTempDirectory("graft_win_late").toString
+    val t0 = 1700000000000L
+    def writeChunk(name: String, mtime: Long, rows: Seq[(Timestamp, Long)]): Unit = {
+      rows.toDF("ts", "v").coalesce(1).write.parquet(s"$tmp/in/$name")
+      val dir = new java.io.File(s"$tmp/in/$name")
+      (dir +: dir.listFiles().toSeq).foreach(_.setLastModified(mtime))
+    }
+    // a: 3 rows in minute-0 window W0. b: sentinel 10 min later — the
+    // watermark passes W0's end, so append mode finalizes + emits W0
+    // with n=3. c: second far-future row — the watermark update from
+    // b's data is applied from THIS batch on (same one-batch settling
+    // the fMGWS pin below uses). d: late row back inside W0, behind
+    // the watermark — dropped; W0 must NOT be re-emitted or corrected.
+    writeChunk("chunk_a", 1000000L,
+      Seq((new Timestamp(t0), 1L), (new Timestamp(t0 + 1000L), 2L),
+        (new Timestamp(t0 + 2000L), 3L)))
+    writeChunk("chunk_b", 1010000L, Seq((new Timestamp(t0 + 600000L), 9L)))
+    writeChunk("chunk_c", 1020000L, Seq((new Timestamp(t0 + 601000L), 8L)))
+    writeChunk("chunk_d", 1030000L, Seq((new Timestamp(t0 + 3000L), 4L)))
+
+    val schema = "ts TIMESTAMP, v LONG"
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("win_late_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(q.isActive, "late row is dropped, not an error")
+    q.stop()
+
+    val out = spark.table("win_late_out").as[(Timestamp, Long)].collect().toSeq
+    // exactly the finalized W0 with the THREE in-time rows; the late
+    // 4th row left no trace and the sentinel's window never finalized
+    val w0 = new Timestamp(t0 - t0 % 60000L) // minute-aligned window start
+    assert(out == Seq((w0, 3L)), s"expected only W0 with n=3, got: $out")
+  }
+
   test("sub-watermark straggler is dropped: no overlapping session re-opened") {
     // Under EventTimeTimeout the engine filters rows behind the
     // watermark BEFORE flatMapGroupsWithState sees them (the same
