@@ -32,6 +32,63 @@ class BoundedStreamSpec extends SparkSpec {
     assert(s1.sticky == s2.sticky)
   }
 
+  test("sticky quality sweep: eps 0.06->0.03 tightens to exact 10/10 (BASELINE HW3 table shape)") {
+    // the reference's sticky-sampling quality table (n=1M, phi=0.07,
+    // delta=0.1, eps in {0.03..0.06}): estimated frequent items
+    // shrink from 14 to EXACTLY the 10 true ones as eps tightens,
+    // with all 10 true items present at every eps. Replicated on a
+    // synthetic Zipf-shaped stream with planted frequency bands:
+    // 10 true items at 7.5%, pairs at 3.95%/2.95%/1.95% (one band per
+    // eps threshold phi-eps in {0.04,0.03,0.02,0.01}), Zipf tail.
+    // Inclusion needs a margin above the threshold (sticky UNDERcounts
+    // by ~eps*n/ln(1/(phi*delta)) before the first successful coin
+    // flip); exclusion is guaranteed by cnt <= true freq alone.
+    val tmp = Files.createTempDirectory("graft_quality").toString
+    val n = 1000000
+    val phi = 0.07; val delta = 0.1
+    val items: Seq[Long] =
+      (1L to 10L).flatMap(Seq.fill(75000)(_)) ++   // true frequent
+      (11L to 12L).flatMap(Seq.fill(39500)(_)) ++  // band [0.03, 0.04)
+      (13L to 14L).flatMap(Seq.fill(29500)(_)) ++  // band [0.02, 0.03)
+      (15L to 16L).flatMap(Seq.fill(19500)(_)) ++  // band [0.01, 0.02)
+      (100L until 173L).flatMap(Seq.fill(1000)(_)) // tail < 0.01
+    assert(items.length == n)
+    val stream = new scala.util.Random(97).shuffle(items)
+      .zipWithIndex.map { case (x, i) => (i.toLong, x) }
+    writeChunks(s"$tmp/in", stream, 10)
+
+    val results = Seq(0.06, 0.05, 0.04, 0.03).map { eps =>
+      val p = math.min(1.0, graft.ops.Freq.stickyRate(phi, eps, delta) / n)
+      val st = Bounded.run(Bounded.fileStream(spark, s"$tmp/in/chunk_*"),
+        n.toLong, m = 15, stickyP = p, seed = 42L, s"$tmp/ckpt_$eps")
+      val est = st.stickyFrequent(phi, eps)
+      val trueF = st.exactFrequent(phi)
+      info(f"eps=$eps%.2f estimated=${est.size}%2d true-among=${est.count(trueF.contains)}%2d")
+      (eps, est, trueF, st)
+    }
+    // ground truth: exactly the 10 planted heavy items
+    results.foreach { case (_, _, trueF, _) =>
+      assert(trueF == (1L to 10L), s"true frequent set wrong: $trueF") }
+    // every eps finds ALL true items (the "/10" column of the table)
+    results.foreach { case (eps, est, trueF, _) =>
+      assert(trueF.forall(est.contains), s"eps=$eps missed true items: $est") }
+    // estimated count shrinks monotonically as eps tightens...
+    val sizes = results.map(_._2.size)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a },
+      s"estimated counts not monotone: $sizes")
+    // ...to EXACT recovery at eps=0.03 (the 10/10 signature)
+    assert(results.last._2 == (1L to 10L),
+      s"eps=0.03 not exact: ${results.last._2}")
+    // reservoir quality at m=ceil(1/phi)=15 (the golden-output shape:
+    // most distinct slots are true-frequent — heavy items carry 75%
+    // of the stream): identical across runs (same seed, same stream)
+    val res = results.head._4.reservoirItems
+    val resTrue = res.count((1L to 10L).contains)
+    info(s"reservoir: ${res.size} distinct, $resTrue true-frequent")
+    assert(res.size <= 15 && resTrue >= 6,
+      s"reservoir quality off: $res")
+  }
+
   test("streaming groupBy(item).count in complete mode == batch histogram (A7 streaming twin)") {
     val tmp = Files.createTempDirectory("graft_sfreq").toString
     val rnd = new scala.util.Random(23)
