@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// no "[success] Total time: …" epilogue: the driver parses the bench
+// JSON from a bounded tail of stdout, and the epilogue printed AFTER
+// our final line would eat into that window
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

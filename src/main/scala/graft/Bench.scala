@@ -18,12 +18,12 @@ import org.apache.spark.sql.SparkSession
   * Output: the FULL result (per-query seconds at ns precision, run
   * counts, errors) goes to `bench_out.json`; stdout gets ONE compact
   * JSON line as the LAST print. The driver captures only the final
-  * ~2000 chars of stdout and sbt appends a ~75-char "[success] …"
-  * epilogue after the JVM exits, so the line must stay under ~1900
-  * chars to be parseable from that window: per-query values are
-  * rounded to 10 ms and the 19 `check_*` invariant queries (harness
-  * gates, not benchmarks) are summarized as one `checks_sec` scalar
-  * instead of individual entries.
+  * ~2000 chars of stdout, so the line must fit that window whole:
+  * sbt's "[success]" epilogue is suppressed (build.sbt `showSuccess`),
+  * per-query values are rounded to 10 ms, and the `check_*` invariant
+  * queries (harness gates, not benchmarks) are summarized as one
+  * `checks_sec` scalar instead of individual entries. A stderr
+  * warning fires if the line outgrows 1900 chars.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -94,8 +94,13 @@ object Bench {
     catch { case _: Throwable => () }
     // compact stdout line — see the scaladoc's 2000-char-window budget.
     // value covers the NON-check queries the map lists (so value ==
-    // sum(queries)); checks_sec totals the invariant checks.
-    def r2(v: Double): String = f"$v%.2f"
+    // sum(queries)); checks_sec totals the invariant checks. Values
+    // are 10 ms-rounded with trailing zeros stripped ("0.30" → "0.3")
+    // and the sf dir is reported by basename — both purely to keep the
+    // line inside the window as queries accumulate.
+    def r2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
     val mainQ = results.filter { case (k, _, _) => !k.startsWith("check_") }
     val mainTotal = mainQ.collect { case (k, v, _) if !failed(k) => v }.sum
     val checksTotal = results.collect {
@@ -103,8 +108,9 @@ object Bench {
     val qsCompact = mainQ.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val errsPart = if (failed.isEmpty) "" else s""""errors":$errs,"""
+    val sfName = new java.io.File(sfDir).getName
     val compact = s"""{"metric":"total","value":${r2(mainTotal)},"unit":"sec",""" +
-      s""""checks_sec":${r2(checksTotal)},${errsPart}"queries":$qsCompact,"sf":"$sfDir"}"""
+      s""""checks_sec":${r2(checksTotal)},${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] stdout line ${compact.length} chars — " +
         "over the ~1900 budget, the driver's 2000-char tail window may clip it")

@@ -114,6 +114,35 @@ object Freq {
       .select("id", "w")
   }
 
+  /** Deterministic stratified sample: within each stratum keep the
+    * `ceil(frac·|stratum|)` rows with the smallest seeded hash —
+    * EXACT per-stratum sizes (a Bernoulli `sampleBy` only hits the
+    * fraction in expectation, which skews small strata — the ones a
+    * training mix cares most about), deterministic given the seed,
+    * and stable under repartitioning (hash + id tie-break, never
+    * encounter order).
+    *
+    * One shuffle on the stratum key; each stratum sorts locally for
+    * the rank window. Stratum skew maps to task skew — at extreme
+    * scale pre-salt the rank (two-stage top-k per stratum) the same
+    * way [[graft.ops.Skew]] splits hot aggregation keys; at the
+    * corpus-mixture scales this targets (strata = languages/sources),
+    * per-stratum sort is the right trade.
+    * Input: any df with `stratumCol` and a unique `idCol`.
+    * Output: the sampled input rows, original columns. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       frac: Double, seed: Long): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val rank = Window.partitionBy(stratumCol)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    val size = Window.partitionBy(stratumCol)
+    df.withColumn("_rk", row_number().over(rank))
+      .withColumn("_n", count(lit(1)).over(size))
+      .where(col("_rk") <= ceil(col("_n") * frac))
+      .drop("_rk", "_n")
+  }
+
   // ---------------------------------------------------------------
   // St6 — Sticky Sampling
   // ---------------------------------------------------------------

@@ -317,6 +317,26 @@ object CheckQueries extends QueryPack {
         .select(lit("selection").as("violation"))
       sizeViol.unionByName(memberViol).unionByName(twinViol).unionByName(selViol)
     }),
+    // Stratified-sample laws (same params as sample_docs_stratified):
+    //  - exact size: per-stratum sampled count == ceil(frac·|stratum|)
+    //    for EVERY stratum (the property Bernoulli sampling lacks);
+    //  - membership: every sampled row exists in the source;
+    //  - determinism: two runs agree exactly.
+    "check_stratified" -> ((s, d) => {
+      val frac = 0.2
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val s1 = graft.ops.Freq.stratifiedSample(docs, "lang", "doc_id", frac, SEED)
+      val s2 = graft.ops.Freq.stratifiedSample(docs, "lang", "doc_id", frac, SEED)
+      val sizeViol = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .join(s1.groupBy("lang").agg(count(lit(1)).as("m")), Seq("lang"), "left")
+        .where(coalesce(col("m"), lit(0L)) =!= ceil(col("n") * frac).cast("long"))
+        .select(lit("stratum_size").as("violation"))
+      val memberViol = s1.join(docs, Seq("doc_id", "lang", "n_chars"), "left_anti")
+        .select(lit("membership").as("violation"))
+      val twinViol = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+        .select(lit("determinism").as("violation"))
+      sizeViol.unionByName(memberViol).unionByName(twinViol)
+    }),
     // JSONL interchange law (sources.Docs): parquet→JSONL→scan is a
     // lossless multiset roundtrip (exceptAll both ways is empty) and
     // nothing quarantines. Exercises the declared-schema scan + the

@@ -103,6 +103,14 @@ object DocQueries extends QueryPack {
         Tables.documents(s, d)
           .select(col("doc_id").as("id"), (col("n_chars") + 1).cast("double").as("w")),
         m = 40, seed = SEED)),
+    // per-language stratified sample with EXACT per-stratum sizes
+    // (ceil(0.2·|stratum|) — a Bernoulli sampleBy only hits fractions
+    // in expectation); seeded-deterministic, laws hash-verified by
+    // check_stratified
+    "sample_docs_stratified" -> ((s, d) =>
+      graft.ops.Freq.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", frac = 0.2, seed = SEED)),
     // training-mix weighting: per-language token share and the
     // uniform-target sampling weight (total/(k·n_tokens)) — the
     // knob a 100 TB pipeline turns to rebalance a skewed corpus.

@@ -272,6 +272,18 @@ object RelationalQueries extends QueryPack {
         .select(col("w.start").cast("long").as("win_start"),
           col("event_type"), col("n"), col("sum_value_cents"))
     }),
+    // SLIDING event-time windows (6h window, 2h slide): every event
+    // lands in 3 overlapping windows — the report-every-slide face of
+    // window_tumbling_events, same cents-exact money math
+    "window_sliding_events" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tsc = eventTs(ev)
+      ev.groupBy(window(tsc, "6 hours", "2 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(centsCol("value")).as("sum_value_cents"))
+        .select(col("w.start").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("sum_value_cents"))
+    }),
     // json functions: extract + aggregate over the props payload
     "json_props_stats" -> ((s, d) =>
       Tables.events(s, d)
@@ -468,6 +480,15 @@ object RelationalQueries extends QueryPack {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // sliding = tumbling on the slide grid, replicated over the 3
+    // overlapping window starts (window=6h, slide=2h → k ∈ {0,1,2})
+    "window_sliding_events" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '2 hours', ts)
+        |                  - k.k * INTERVAL '2 hours') AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
