@@ -54,6 +54,49 @@ class WindowedStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SLIDING-window counts == batch sliding window counts") {
+    // the overlapping-window face (window_sliding_events' streaming
+    // twin): every event lands in window/slide = 2 windows
+    val tmp = Files.createTempDirectory("graft_slide").toString
+    val rnd = new scala.util.Random(37)
+    val t0 = 1700000000000L
+    val rows = (0 until 600).map { i =>
+      (new Timestamp(t0 + i * 997L + rnd.nextInt(500)), s"type${i % 3}", rnd.nextDouble())
+    }
+    rows.grouped(200).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("ts", "event_type", "value").coalesce(1)
+        .write.parquet(s"$tmp/in/chunk_$i")
+      Thread.sleep(5)
+    }
+
+    val schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    def slide(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val stream = slide(spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "10 minutes"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("slide_out")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = slide(rows.toDF("ts", "event_type", "value"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+    // overlap sanity: ~2x as many window rows as events-per-window
+    // groups in a tumbling layout (each event in exactly 2 windows)
+    assert(streamed.map(_._1).size > rows.map(_._1.getTime / 120000L).distinct.size)
+  }
+
   test("streaming session windows (30s gap, watermark) == batch session_window") {
     // the streaming face of sessionize_events: Spark's session_window
     // maintains merging session state per key under a watermark;
