@@ -44,6 +44,38 @@ object Warehouse {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetRowsPerFile`-row files. Micro-batch sinks and per-task
+    * writes accumulate files whose listing/open/footer costs dominate
+    * scans long before data volume does (the classic small-files
+    * problem); compaction is the periodic maintenance pass that
+    * restores scan efficiency. Rows are range-repartitioned on
+    * `sortCols` so each output file covers a tight key range —
+    * min/max stats then prune compacted files the way a z-order/sort
+    * layout does (data-skipping survives the rewrite).
+    *
+    * Writes to `outPath` (never in place: a failed in-place rewrite
+    * loses the table — swap directories atomically outside this
+    * call). Returns (filesBefore, filesAfter) so callers can log the
+    * win. Row multiset is preserved exactly (CompactionSpec). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              sortCols: Seq[String], targetRowsPerFile: Long): (Int, Int) = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    def parquetFiles(p: String): Int = {
+      val dir = new java.io.File(p)
+      if (!dir.isDirectory) 0
+      else dir.listFiles((_, name) => name.endsWith(".parquet")).length
+    }
+    (parquetFiles(inPath), parquetFiles(outPath))
+  }
+
   /** Bucketed + sorted table write ("pay the shuffle once"): rows are
     * hash-bucketed on `key` into `nBuckets` files per partition and
     * sorted by `key` within each bucket, so later equi-joins and

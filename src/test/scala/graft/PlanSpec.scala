@@ -85,6 +85,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by"), p.take(800))
   }
 
+  test("runtime bloom filter injects on a selective shuffle join (pre-shuffle row pruning)") {
+    // the 100 TB shuffle-join lever broadcast can't give: when the dim
+    // side carries a selective predicate, Catalyst builds a bloom
+    // filter of its join keys and applies it to the fact side BEFORE
+    // the shuffle, so non-matching fact rows never ship. Local-mode
+    // scans are under the 10 GB application-side default, so the test
+    // lowers that threshold — on a real cluster the defaults fire.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf001)
+      val dim = Tables.part(spark, sf001).where(col("p_size") === 1)
+      val j = li.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      val p = plan(j)
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n${p.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join plans a shuffled hash join on (key, salt), never broadcast") {
     // a broadcast would defeat the salting (no per-key reduce task to
     // overload), and the probe side must not pay a sort — the point of

@@ -140,6 +140,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("compaction: many small files -> few range-clustered files, rows exact") {
+    // the small-files maintenance pass: 64 tiny files compact into 4;
+    // the row multiset survives exactly, and because the rewrite
+    // range-partitions on the sort key, each output file covers a
+    // tight disjoint key range (min/max data-skipping survives)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = (0L until 4000L).map(i => (i, s"v${i % 97}"))
+    rows.toDF("k", "v").repartition(64).write.parquet(s"$tmp/small")
+    val (before, after) = graft.sources.Warehouse.compact(
+      spark, s"$tmp/small", s"$tmp/compacted", Seq("k"), targetRowsPerFile = 1000L)
+    assert(before >= 32, s"fixture should start fragmented, got $before files")
+    assert(after <= 5, s"expected ~4 compacted files, got $after")
+    val back = spark.read.parquet(s"$tmp/compacted")
+    assert(back.as[(Long, String)].collect().sorted.toSeq == rows.sorted)
+    // disjoint tight ranges: per-file k-extents sum to ~the key span
+    // (overlapping files would sum to a multiple of it)
+    val exts = back
+      .withColumn("part", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("part").agg((max("k") - min("k")).as("ext"))
+      .select("ext").as[Long].collect()
+    assert(exts.sum <= 4100, s"file key ranges overlap: ${exts.toSeq}")
+  }
+
   test("z-order layout bounds BOTH dims per file; linear sort leaves one unbounded") {
     // the data-skipping premise, measured: range-partition 4096 points
     // into 16 files by (a) x alone and (b) z-order, then compare each
