@@ -199,6 +199,12 @@ object DocQueries extends QueryPack {
     "ann_cosine_nn" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), 1)
         .select(col("vec_id"), col("nn_id"))),
+    // exact top-3 by cosine: the k>1 RANK-WINDOW path of cosineTopK
+    // (k=1 plans map-side max_by instead — both ranking formulations
+    // deserve the hash gate)
+    "ann_cosine_top3" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), 3)
+        .select(col("vec_id"), col("nn_id"), col("rank").cast("long").as("rank"))),
     // approximate NN via random-hyperplane buckets (scale path);
     // nBits derived from corpus size (parquet-metadata count — cheap)
     // so bucket occupancy — and with it join cost per vector — stays
@@ -491,5 +497,12 @@ object DocQueries extends QueryPack {
         |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC, r.vec_id) AS rn
         |  FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id)
         |WHERE rn = 1""".stripMargin,
+    "ann_cosine_top3" ->
+      """SELECT vec_id, nn_id, rank FROM (
+        |  SELECT l.vec_id, r.vec_id AS nn_id,
+        |    row_number() OVER (PARTITION BY l.vec_id
+        |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC, r.vec_id) AS rank
+        |  FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id)
+        |WHERE rank <= 3""".stripMargin,
   )
 }
