@@ -650,6 +650,38 @@ object CheckQueries extends QueryPack {
         .select(lit("mg_coverage").as("violation"))
       boundViol.toDF("violation").unionByName(underViol).unionByName(coverViol)
     }),
+    // Per-group Misra-Gries laws (same k=16 as freq_spacesaving_by_type;
+    // the grouped twin of check_spacesaving): for EVERY group g,
+    // undercount est ≤ true ≤ est+err, coverage (true > err ⇒ in
+    // summary), and the space bound err ≤ n_g/(k+1) with n_g equal to
+    // the group's mass.
+    "check_spacesaving_grouped" -> ((s, d) => {
+      val k = 16
+      val mgUdf = udaf(new graft.functions.MisraGriesAgg(k))
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("g"), col("user_id").as("item"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val mg = ev.groupBy("g").agg(mgUdf(col("item")).as("mg"))
+        .select(col("g"), explode(col("mg")).as("e"))
+        .select(col("g"), col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"), col("e.n").as("nn")).cache()
+      val hist = ev.groupBy("g", "item").agg(count(lit(1)).as("true_cnt")).cache()
+      val gstats = mg.groupBy("g").agg(max("err").as("gerr"), max("nn").as("gn"))
+      val totals = hist.groupBy("g").agg(sum("true_cnt").as("gtotal"))
+      val boundViol = gstats.join(totals, "g")
+        .where(col("gerr") > col("gn") / (k + 1) || col("gn") =!= col("gtotal"))
+        .select(lit("mg_grouped_space").as("violation"))
+      val underViol = mg.join(hist, Seq("g", "item"), "left")
+        .where(col("est") > coalesce(col("true_cnt"), lit(0L))
+          || coalesce(col("true_cnt"), lit(0L)) > col("est") + col("err"))
+        .select(lit("mg_grouped_undercount").as("violation"))
+      val coverViol = hist
+        .join(mg.select(col("g"), col("item"), col("est")), Seq("g", "item"), "left")
+        .join(gstats.select(col("g"), col("gerr")), "g")
+        .where(col("true_cnt") > col("gerr") && col("est").isNull)
+        .select(lit("mg_grouped_coverage").as("violation"))
+      boundViol.unionByName(underViol).unionByName(coverViol)
+    }),
     // Sketch laws — the approximate scale paths next to the exact
     // relational verifiers (`distinct_users_by_type`,
     // `quantiles_quantity`); both sketches are deterministic given the

@@ -45,6 +45,23 @@ object FreqQueries extends QueryPack {
       val p = math.min(1.0, Freq.stickyRate(PHI, EPS, 0.1) / n)
       Freq.stickyFrequent(Freq.stickySample(it, p, SEED), PHI, EPS, n)
     }),
+    // GROUPED heavy hitters: one Misra-Gries summary per key (the
+    // "top users per event type" / "top tokens per language" shape a
+    // training pipeline asks constantly) — the typed Aggregator lifts
+    // into untyped groupBy via functions.udaf, so per-key sketches
+    // cost one shuffle on the group key. Laws per group verified by
+    // check_spacesaving_grouped.
+    "freq_spacesaving_by_type" -> ((s, d) => {
+      val mg = udaf(new graft.functions.MisraGriesAgg(16))
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("event_type")
+        .agg(mg(col("user_id")).as("mg"))
+        .select(col("event_type"), explode(col("mg")).as("e"))
+        .select(col("event_type"), col("e.item"), col("e.est"),
+          col("e.err"), col("e.n"))
+    }),
     // Misra-Gries mergeable heavy-hitters sketch (bounded memory, no
     // RNG): item, undercount estimate, tracked error bound. Values
     // are partitioning-dependent → laws verified by
