@@ -15,6 +15,10 @@ run / fork := true
 // JSON from a bounded tail of stdout, and the epilogue printed AFTER
 // our final line would eat into that window
 Global / showSuccess := false
+// forked run output goes straight to stdout, NOT through the sbt
+// logger: the logger's "[info] " prefix would frame the bench JSON
+// line and break a strict per-line parse
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -95,25 +95,39 @@ object Bench {
     // compact stdout line — see the scaladoc's 2000-char-window budget.
     // value covers the NON-check queries the map lists (so value ==
     // sum(queries)); checks_sec totals the invariant checks. Values
-    // are 10 ms-rounded with trailing zeros stripped ("0.30" → "0.3")
-    // and the sf dir is reported by basename — both purely to keep the
-    // line inside the window as queries accumulate.
-    def r2(v: Double): String =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // are rounded (trailing zeros stripped) and the sf dir reported by
+    // basename — purely to keep the line inside the window as queries
+    // accumulate; bench_out.json always keeps full precision.
+    def rd(v: Double, decimals: Int): String =
+      BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
     val mainQ = results.filter { case (k, _, _) => !k.startsWith("check_") }
     val mainTotal = mainQ.collect { case (k, v, _) if !failed(k) => v }.sum
     val checksTotal = results.collect {
       case (k, v, _) if k.startsWith("check_") && !failed(k) => v }.sum
-    val qsCompact = mainQ.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
     val errsPart = if (failed.isEmpty) "" else s""""errors":$errs,"""
     val sfName = new java.io.File(sfDir).getName
-    val compact = s"""{"metric":"total","value":${r2(mainTotal)},"unit":"sec",""" +
-      s""""checks_sec":${r2(checksTotal)},${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
-    if (compact.length > 1900)
+    def stdoutLine(withChecks: Boolean, decimals: Int): String = {
+      val qsCompact = mainQ.map { case (k, v, _) => "\"" + k + "\":" + rd(v, decimals) }
+        .mkString("{", ",", "}")
+      val checksPart =
+        if (withChecks) s""""checks_sec":${rd(checksTotal, decimals)},""" else ""
+      s"""{"metric":"total","value":${rd(mainTotal, 2)},"unit":"sec",""" +
+        s"""$checksPart${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
+    }
+    // adaptive stages: full detail → drop the optional checks_sec →
+    // coarsen per-query values to 100 ms. Budget 1985: the line plus
+    // its newline must fit the 2000-char window with NOTHING after it
+    // (sbt epilogue suppressed, unprefixed stdout — build.sbt).
+    val compact = Seq(
+      stdoutLine(withChecks = true, decimals = 2),
+      stdoutLine(withChecks = false, decimals = 2),
+      stdoutLine(withChecks = false, decimals = 1))
+      .find(_.length <= 1985)
+      .getOrElse(stdoutLine(withChecks = false, decimals = 1))
+    if (compact.length > 1985)
       System.err.println(s"[bench] stdout line ${compact.length} chars — " +
-        "over the ~1900 budget, the driver's 2000-char tail window may clip it")
+        "over the 1985 budget, the driver's 2000-char tail window may clip it")
     println(compact)
     spark.stop()
   }
