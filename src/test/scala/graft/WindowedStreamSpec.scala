@@ -367,6 +367,52 @@ class WindowedStreamSpec extends SparkSpec {
       s"expected the out-of-order-arrival error, got: $err")
   }
 
+  test("stream-stream time-bounded join == batch join (watermarked state both sides)") {
+    // the attribution shape: impressions joined to clicks that happen
+    // within 60s after them, both sides streaming — Spark buffers each
+    // side in watermarked state and emits matches as they meet. The
+    // result must equal the same time-range join run in batch.
+    val tmp = Files.createTempDirectory("graft_ssj").toString
+    val rnd = new scala.util.Random(71)
+    val t0 = 1700000000000L
+    val imps = (0 until 200).map { i =>
+      (i.toLong, (i % 20).toLong, new Timestamp(t0 + i * 500L))
+    } // imp_id, user, its
+    val clicks = (0 until 150).map { i =>
+      (i.toLong, (i % 20).toLong, new Timestamp(t0 + i * 700L + rnd.nextInt(2000)))
+    } // click_id, user, cts
+    imps.grouped(50).zipWithIndex.foreach { case (c, i) =>
+      c.toDF("imp_id", "iuser", "its").coalesce(1).write.parquet(s"$tmp/imp/chunk_$i") }
+    clicks.grouped(50).zipWithIndex.foreach { case (c, i) =>
+      c.toDF("click_id", "cuser", "cts").coalesce(1).write.parquet(s"$tmp/clk/chunk_$i") }
+
+    def src(dir: String, ddl: String) = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val impS = src(s"$tmp/imp/chunk_*", "imp_id BIGINT, iuser BIGINT, its TIMESTAMP")
+      .withWatermark("its", "1 minute")
+    val clkS = src(s"$tmp/clk/chunk_*", "click_id BIGINT, cuser BIGINT, cts TIMESTAMP")
+      .withWatermark("cts", "1 minute")
+    val joined = impS.join(clkS,
+      expr("iuser = cuser AND cts >= its AND cts <= its + interval 60 seconds"))
+    val q = joined.select("imp_id", "click_id").writeStream
+      .outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    val batch = imps.toDF("imp_id", "iuser", "its")
+      .join(clicks.toDF("click_id", "cuser", "cts"), col("iuser") === col("cuser"))
+      .where(col("cts") >= col("its")
+        && col("cts") <= col("its") + expr("interval 60 seconds"))
+      .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
     // the standard streaming enrichment: micro-batched fact stream
     // joined to a static dimension table, aggregated per dim attribute
