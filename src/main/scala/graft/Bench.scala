@@ -107,24 +107,27 @@ object Bench {
       case (k, v, _) if k.startsWith("check_") && !failed(k) => v }.sum
     val errsPart = if (failed.isEmpty) "" else s""""errors":$errs,"""
     val sfName = new java.io.File(sfDir).getName
-    def stdoutLine(withChecks: Boolean, decimals: Int): String = {
+    def stdoutLine(withChecks: Boolean, withUnit: Boolean, decimals: Int): String = {
       val qsCompact = mainQ.map { case (k, v, _) => "\"" + k + "\":" + rd(v, decimals) }
         .mkString("{", ",", "}")
       val checksPart =
         if (withChecks) s""""checks_sec":${rd(checksTotal, decimals)},""" else ""
-      s"""{"metric":"total","value":${rd(mainTotal, 2)},"unit":"sec",""" +
+      val unitPart = if (withUnit) """"unit":"sec",""" else ""
+      s"""{"metric":"total","value":${rd(mainTotal, 2)},$unitPart""" +
         s"""$checksPart${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
     }
     // adaptive stages: full detail → drop the optional checks_sec →
-    // coarsen per-query values to 100 ms. Budget 1985: the line plus
-    // its newline must fit the 2000-char window with NOTHING after it
+    // drop the unit tag (values are always seconds) → coarsen
+    // per-query values to 100 ms. Budget 1985: the line plus its
+    // newline must fit the 2000-char window with NOTHING after it
     // (sbt epilogue suppressed, unprefixed stdout — build.sbt).
     val compact = Seq(
-      stdoutLine(withChecks = true, decimals = 2),
-      stdoutLine(withChecks = false, decimals = 2),
-      stdoutLine(withChecks = false, decimals = 1))
+      stdoutLine(withChecks = true, withUnit = true, decimals = 2),
+      stdoutLine(withChecks = false, withUnit = true, decimals = 2),
+      stdoutLine(withChecks = false, withUnit = false, decimals = 2),
+      stdoutLine(withChecks = false, withUnit = false, decimals = 1))
       .find(_.length <= 1985)
-      .getOrElse(stdoutLine(withChecks = false, decimals = 1))
+      .getOrElse(stdoutLine(withChecks = false, withUnit = false, decimals = 1))
     if (compact.length > 1985)
       System.err.println(s"[bench] stdout line ${compact.length} chars — " +
         "over the 1985 budget, the driver's 2000-char tail window may clip it")

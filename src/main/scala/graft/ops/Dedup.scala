@@ -53,6 +53,23 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }
 
+  /** Incremental exact dedup: keep only NEW docs whose content digest
+    * does not already exist in the reference corpus — the nightly-batch
+    * shape (dedup today's crawl against everything ingested so far),
+    * where re-clustering the full corpus would be a full-table job.
+    * One digest anti-join: cost ∝ |new| + |corpus|, shuffling digests
+    * only — and at scale the corpus side is a maintained digest table
+    * read instead of a raw-text scan (pass it pre-digested via a
+    * one-column `text` frame, or adapt the select). The near-dup
+    * incremental twin is the same shape over LSH band keys: bucket the
+    * new batch and semi-join against the corpus's stored buckets. */
+  def incrementalNew(newDocs: DataFrame, corpus: DataFrame,
+                     textCol: String = "text"): DataFrame =
+    newDocs.withColumn("_digest", md5(col(textCol)))
+      .join(corpus.select(md5(col(textCol)).as("_digest")).distinct(),
+        Seq("_digest"), "left_anti")
+      .drop("_digest")
+
   /** Word n-gram shingles of a text column as a DISTINCT array. */
   def shingles(c: Column, n: Int): Column =
     array_distinct(Text.wordNgrams(c, n))

@@ -82,6 +82,16 @@ object DocQueries extends QueryPack {
     // exact dedup: canonical doc per identical-content group
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDupFlags(Tables.documents(s, d))),
+    // incremental dedup: a deterministic ⅕-ids "new batch" against the
+    // rest as the existing corpus — survivors are new docs whose text
+    // digest is unseen (the nightly-ingest shape; one digest anti-join)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+          docs.where(pmod(col("doc_id"), lit(5)) === 0),
+          docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+        .select("doc_id", "lang", "n_chars")
+    }),
     // exact n-gram Jaccard near-dup pairs (the verifier path)
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), NGRAM, MINJAC)
@@ -335,6 +345,13 @@ object DocQueries extends QueryPack {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT n.doc_id, n.lang, n.n_chars
+        |FROM documents n
+        |WHERE n.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 5 != 0
+        |                    AND md5(c.text) = md5(n.text))""".stripMargin,
     "dedup_ngram" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |sh AS (SELECT doc_id,
