@@ -152,6 +152,61 @@ object Dedup {
     rows.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** `(id, band, bkey)` banded minhash keys per doc — the LSH bucket
+    * identity shared by [[minhashLshPairs]] and
+    * [[incrementalNearDupNew]]. A doc's keys depend only on its own
+    * shingles (minhash is a per-doc min over seeded hashes), so keys
+    * computed for disjoint corpora with the same (numHashes, bands,
+    * seed) are directly joinable — the property the incremental face
+    * and its `check_incremental_lsh` equality law rely on. */
+  private def bandedKeys(sets: DataFrame, numHashes: Int, bands: Int,
+                         seed: Long): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashFromSets(sets, numHashes, seed)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bkey"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Incremental NEAR-dup detection: verified Jaccard pairs between a
+    * new batch (`a`) and the existing corpus (`b`) — the LSH twin of
+    * [[incrementalNew]]'s digest anti-join. Candidates arise only from
+    * shared (band, bkey) buckets, so cost ∝ cross-collisions, never
+    * |new|×|corpus|. At scale the corpus side's band keys are a
+    * MAINTAINED table (append each ingested batch's keys), so a
+    * nightly run computes shingles/signatures for the new batch only
+    * and equi-joins against stored keys; here both sides derive from
+    * the same fixture for the deterministic `check_incremental_lsh`
+    * equality law (same seed ⇒ same keys as a full-corpus run). */
+  def incrementalNearDupNew(newDocs: DataFrame, corpus: DataFrame, n: Int,
+                            numHashes: Int, bands: Int, minJaccard: Double,
+                            seed: Long = 42L, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def prep(df: DataFrame) = spread(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
+    val ns = prep(newDocs)
+    val cs = prep(corpus)
+    val cand = bandedKeys(ns, numHashes, bands, seed).as("l")
+      .join(bandedKeys(cs, numHashes, bands, seed).as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(ns.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(cs.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .where(col("jac") >= minJaccard)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
   /** LSH candidate pairs from banded minhash signatures, verified with
     * exact Jaccard: `a, b, jac`. bands·rowsPerBand = numHashes.
     * Candidates join only on (band, bandkey) — cost ∝ collisions, not
@@ -173,21 +228,13 @@ object Dedup {
                       minJaccard: Double, seed: Long = 42L,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // shingle sets feed BOTH the signature path and the verification
     // join — cache so tokenization/shingling runs once
     val sets = spread(docs)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .cache()
-    val sig = minhashFromSets(sets, numHashes, seed)
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bkey"))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    val banded = bandedKeys(sets, numHashes, bands, seed)
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
         col("l.id") < col("r.id"))

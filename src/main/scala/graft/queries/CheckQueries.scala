@@ -109,6 +109,25 @@ object CheckQueries extends QueryPack {
       lsh.join(exact, Seq("a", "b"), "left_anti")
         .select(lit("lsh_not_in_exact").as("violation"))
     }),
+    // Incremental-LSH equality law: the new-batch-vs-corpus near-dup
+    // run (disjoint 1/5 vs 4/5 id split, same seed/params as
+    // dedup_minhash) must report EXACTLY the cross-split pairs of a
+    // full-corpus LSH run — band keys are per-doc, so splitting the
+    // corpus cannot change which buckets collide across the split.
+    "check_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val inc = Dedup.incrementalNearDupNew(
+          docs.where(isNew), docs.where(!isNew), 3, 32, 8, 0.3, SEED)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+      val full = Dedup.minhashLshPairs(docs, 3, 32, 8, 0.3, SEED)
+        .where((pmod(col("a"), lit(5)) === 0) =!= (pmod(col("b"), lit(5)) === 0))
+        .select("a", "b")
+      inc.exceptAll(full).select(lit("incremental_extra").as("violation"))
+        .unionByName(full.exceptAll(inc)
+          .select(lit("incremental_missing").as("violation")))
+    }),
     // FFT law: radius is non-increasing in K. Checked on NESTED
     // prefixes of ONE greedy run (Gonzalez centers are greedy-nested:
     // seqFFT(c, 8) == seqFFT(c, 16).take(8) over the same coreset), so
