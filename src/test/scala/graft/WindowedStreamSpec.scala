@@ -367,6 +367,64 @@ class WindowedStreamSpec extends SparkSpec {
       s"expected the out-of-order-arrival error, got: $err")
   }
 
+  test("restart from checkpoint resumes exactly-once (file sink, windowed agg)") {
+    // kill a windowed aggregation mid-stream and restart it on the
+    // same checkpoint: already-emitted windows must NOT re-emit (no
+    // duplicates in the file sink), pending state must survive (no
+    // loss), and the final sink must equal the batch aggregation —
+    // the exactly-once recovery contract checkpointing exists for.
+    val tmp = Files.createTempDirectory("graft_restart").toString
+    val rnd = new scala.util.Random(83)
+    val t0 = 1700000000000L
+    val rows = (0 until 400).map { i =>
+      (new Timestamp(t0 + i * 450L + rnd.nextInt(200)), rnd.nextInt(100).toLong)
+    } // ~3 minutes of events, in order
+    def writeChunk(name: String, mtime: Long, chunk: Seq[(Timestamp, Long)]): Unit = {
+      chunk.toDF("ts", "v").coalesce(1).write.parquet(s"$tmp/in/$name")
+      val dir = new java.io.File(s"$tmp/in/$name")
+      (dir +: dir.listFiles().toSeq).foreach(_.setLastModified(mtime))
+    }
+    val chunks = rows.grouped(100).toSeq
+    writeChunk("chunk_a", 1000000L, chunks(0))
+    writeChunk("chunk_b", 1010000L, chunks(1))
+
+    val schema = "ts TIMESTAMP, v LONG"
+    def startQ() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/chunk_*")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .select(col("window.start").as("ws"), col("n"), col("sv"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+
+    val q1 = startQ()
+    q1.processAllAvailable()
+    q1.stop() // "crash" after the first half
+    writeChunk("chunk_c", 1020000L, chunks(2))
+    writeChunk("chunk_d", 1030000L, chunks(3))
+    // far-future sentinel finalizes every real window
+    writeChunk("chunk_z", 1040000L, Seq((new Timestamp(t0 + 3600000L), 0L)))
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, s"duplicate windows after restart: $got")
+    val batch = rows.toDF("ts", "v")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .select(col("window.start").as("ws"), col("n"), col("sv"))
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(got.toSet == batch,
+      s"restart lost or corrupted state: got ${got.toSet.size} windows, want ${batch.size}")
+  }
+
   test("stream-stream time-bounded join == batch join (watermarked state both sides)") {
     // the attribution shape: impressions joined to clicks that happen
     // within 60s after them, both sides streaming — Spark buffers each
