@@ -15,6 +15,9 @@ run / fork := true
 // JSON from a bounded tail of stdout, and the epilogue printed AFTER
 // our final line would eat into that window
 Global / showSuccess := false
+// the setting IS consumed (no [success] epilogue in any sbt output);
+// the unused-key lint just can't see command-level reads
+Global / excludeLintKeys += showSuccess
 // forked run output goes straight to stdout, NOT through the sbt
 // logger: the logger's "[info] " prefix would frame the bench JSON
 // line and break a strict per-line parse

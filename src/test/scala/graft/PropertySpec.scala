@@ -123,6 +123,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: saltedJoin == plain join for random key skews and salt counts") {
+    for (s <- 1 to 8) {
+      val nP = draw(Gen.choose(50, 400), s)
+      val hotShare = draw(Gen.choose(0.1, 0.95), s + 10)
+      val salts = draw(Gen.choose(1, 32), s + 20)
+      val rnd = new scala.util.Random(s)
+      val probe = (0 until nP).map { i =>
+        (if (rnd.nextDouble() < hotShare) 7L else rnd.nextInt(10).toLong, i.toLong)
+      }.toDF("k", "pv")
+      val build = (0 until 15).map(i => (rnd.nextInt(12).toLong, i.toLong))
+        .toDF("bk", "bv")
+      def ms(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "pv", "bk", "bv").as[(Long, Long, Long, Long)]
+          .collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(ms(graft.ops.Skew.saltedJoin(probe, build, "k", "bk", salts))
+        == ms(probe.join(build, probe("k") === build("bk"))),
+        s"seed=$s salts=$salts hotShare=$hotShare")
+    }
+  }
+
+  test("property: stratifiedSample sizes are exact ceil(frac*|stratum|) for random fracs") {
+    for (s <- 1 to 8) {
+      val frac = draw(Gen.choose(0.05, 1.0), s + 30)
+      val nStrata = draw(Gen.choose(1, 6), s + 40)
+      val rnd = new scala.util.Random(s + 7)
+      val df = (0 until 300).map(i =>
+        (i.toLong, s"g${rnd.nextInt(nStrata)}")).toDF("id", "g")
+      val sizes = df.groupBy("g").count().as[(String, Long)].collect().toMap
+      val got = graft.ops.Freq.stratifiedSample(df, "g", "id", frac, s.toLong)
+        .groupBy("g").count().as[(String, Long)].collect().toMap
+      sizes.foreach { case (g, n) =>
+        assert(got.getOrElse(g, 0L) == math.ceil(n * frac).toLong,
+          s"seed=$s frac=$frac stratum=$g n=$n got=${got.get(g)}")
+      }
+    }
+  }
+
   test("property: weightedSample with uniform weights has uniform inclusion") {
     // with all weights equal, A-Res degenerates to a uniform m-subset:
     // inclusion frequency per item across seeds ~ m/n
