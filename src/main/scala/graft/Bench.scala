@@ -4,26 +4,31 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the given SF.
   *
-  * Protocol: each query runs twice and the minimum is reported —
-  * first runs are dominated by Janino codegen + JIT compilation
-  * (measured ~10s on 32-aggregate plans vs ~1s steady-state), and the
-  * baseline reports run averages, not cold starts (BASELINE.md: "all
-  * values are averages of 3 runs"). Queries under 2 s get a third
-  * run: scheduler jitter on this box is a large FRACTION of such
-  * timings (observed swings like 0.3 s ↔ 1.7 s on an unchanged
-  * trivial anti-join plan, and ±3× round-over-round on identical
-  * sub-2 s plans), so one extra cheap run tightens the min where
-  * variance dominates, while the expensive queries stay at two.
+  * Protocol: every query runs THREE times and the minimum is
+  * reported — first runs are dominated by Janino codegen + JIT
+  * compilation (measured ~10s on 32-aggregate plans vs ~1s
+  * steady-state), the baseline reports run averages, not cold starts
+  * (BASELINE.md: "all values are averages of 3 runs"), and scheduler
+  * jitter on this box swings identical plans ±2-3× between rounds.
+  * Uniform min-of-3 (r9, replacing the adaptive 2-or-3 of r7/r8,
+  * which gave the SLOWEST, noisiest queries the FEWEST samples —
+  * r8's `outlier_exact` 3.35→7.62 s "regression" on byte-identical
+  * code) makes round-over-round deltas attributable: the protocol is
+  * fixed, so a delta is code or environment, never sample count.
   *
-  * Output: the FULL result (per-query seconds at ns precision, run
-  * counts, errors) goes to `bench_out.json`; stdout gets ONE compact
-  * JSON line as the LAST print. The driver captures only the final
-  * ~2000 chars of stdout, so the line must fit that window whole:
-  * sbt's "[success]" epilogue is suppressed (build.sbt `showSuccess`),
-  * per-query values are rounded to 10 ms, and the `check_*` invariant
-  * queries (harness gates, not benchmarks) are summarized as one
-  * `checks_sec` scalar instead of individual entries. A stderr
-  * warning fires if the line outgrows 1900 chars.
+  * Output: the FULL result (per-query seconds at ns precision,
+  * errors) goes to `bench_out.json`; stdout gets ONE compact JSON
+  * line as the LAST print. BOTH lines carry the same "value"
+  * semantics — the total over ALL queries that ran, checks included —
+  * plus the decomposition `main_sec` (product queries) and
+  * `checks_sec` (the `check_*` invariant gates), and the protocol
+  * tags `"agg":"min","runs":3`, so cross-round headline comparison is
+  * self-describing. The driver captures only the final ~2000 chars of
+  * stdout, so the line must fit that window whole: sbt's "[success]"
+  * epilogue is suppressed (build.sbt `showSuccess`), per-query values
+  * are rounded to 10 ms, and `check_*` queries appear only in the
+  * `checks_sec` scalar. A stderr warning fires if the line outgrows
+  * the 1985-char budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,65 +74,60 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val two = Seq(once(), once())
-      val times = if (two.min < 2.0) two :+ once() else two
+      val times = Seq(once(), once(), once())
       spark.sharedState.cacheManager.clearCache()
-      (name, times.min, times.length)
+      (name, times.min)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failing query fails FAST — summing its time would make a
     // breakage read as a speedup, so the headline total counts only
     // queries that ran (the errors list flags the rest)
-    val total = results.collect { case (k, v, _) if !failed(k) => v }.sum
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val mainTotal = results.collect {
+      case (k, v) if !failed(k) && !k.startsWith("check_") => v }.sum
+    val checksTotal = results.collect {
+      case (k, v) if !failed(k) && k.startsWith("check_") => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // "runs" reports the ACTUAL per-query run count (the protocol is
-    // adaptive: 2 runs, plus a 3rd when min < 2 s — see scaladoc);
     // "errors" lists queries whose execution threw (timings for those
-    // are meaningless and excluded from "value")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"errors":$errs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    // are meaningless and excluded from the totals)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","main_sec":$mainTotal,""" +
+      s""""checks_sec":$checksTotal,"runs":3,"errors":$errs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // full-fidelity JSON to a file (survives any stdout framing)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
     // compact stdout line — see the scaladoc's 2000-char-window budget.
-    // value covers the NON-check queries the map lists (so value ==
-    // sum(queries)); checks_sec totals the invariant checks. Values
-    // are rounded (trailing zeros stripped) and the sf dir reported by
+    // value/main_sec/checks_sec/agg/runs appear in EVERY compaction
+    // stage with the same semantics as bench_out.json (value = full
+    // total incl. checks); only the per-query map compacts. Values are
+    // rounded (trailing zeros stripped) and the sf dir reported by
     // basename — purely to keep the line inside the window as queries
     // accumulate; bench_out.json always keeps full precision.
     def rd(v: Double, decimals: Int): String =
       BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    val mainQ = results.filter { case (k, _, _) => !k.startsWith("check_") }
-    val mainTotal = mainQ.collect { case (k, v, _) if !failed(k) => v }.sum
-    val checksTotal = results.collect {
-      case (k, v, _) if k.startsWith("check_") && !failed(k) => v }.sum
+    val mainQ = results.filter { case (k, _) => !k.startsWith("check_") }
     val errsPart = if (failed.isEmpty) "" else s""""errors":$errs,"""
     val sfName = new java.io.File(sfDir).getName
-    def stdoutLine(withChecks: Boolean, withUnit: Boolean, decimals: Int): String = {
-      val qsCompact = mainQ.map { case (k, v, _) => "\"" + k + "\":" + rd(v, decimals) }
+    def stdoutLine(withUnit: Boolean, decimals: Int): String = {
+      val qsCompact = mainQ.map { case (k, v) => "\"" + k + "\":" + rd(v, decimals) }
         .mkString("{", ",", "}")
-      val checksPart =
-        if (withChecks) s""""checks_sec":${rd(checksTotal, decimals)},""" else ""
       val unitPart = if (withUnit) """"unit":"sec",""" else ""
-      s"""{"metric":"total","value":${rd(mainTotal, 2)},$unitPart""" +
-        s"""$checksPart${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${rd(total, 2)},$unitPart""" +
+        s""""main_sec":${rd(mainTotal, 2)},"checks_sec":${rd(checksTotal, 2)},""" +
+        s""""agg":"min","runs":3,${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
     }
-    // adaptive stages: full detail → drop the optional checks_sec →
-    // drop the unit tag (values are always seconds) → coarsen
-    // per-query values to 100 ms. Budget 1985: the line plus its
-    // newline must fit the 2000-char window with NOTHING after it
+    // adaptive stages: drop the unit tag (values are always seconds) →
+    // coarsen per-query values to 100 ms. Budget 1985: the line plus
+    // its newline must fit the 2000-char window with NOTHING after it
     // (sbt epilogue suppressed, unprefixed stdout — build.sbt).
     val compact = Seq(
-      stdoutLine(withChecks = true, withUnit = true, decimals = 2),
-      stdoutLine(withChecks = false, withUnit = true, decimals = 2),
-      stdoutLine(withChecks = false, withUnit = false, decimals = 2),
-      stdoutLine(withChecks = false, withUnit = false, decimals = 1))
+      stdoutLine(withUnit = true, decimals = 2),
+      stdoutLine(withUnit = false, decimals = 2),
+      stdoutLine(withUnit = false, decimals = 1))
       .find(_.length <= 1985)
-      .getOrElse(stdoutLine(withChecks = false, withUnit = false, decimals = 1))
+      .getOrElse(stdoutLine(withUnit = false, decimals = 1))
     if (compact.length > 1985)
       System.err.println(s"[bench] stdout line ${compact.length} chars — " +
         "over the 1985 budget, the driver's 2000-char tail window may clip it")

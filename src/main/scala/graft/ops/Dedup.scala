@@ -27,12 +27,12 @@ import org.apache.spark.sql.functions._
   * All hashing is seeded `xxhash64` — deterministic across runs and
   * cluster layouts.
   *
-  * Cache contract: `ngramJaccardPairs` / `minhashLshPairs` cache the
-  * shingle tables (consumed by both the signature and verification
-  * branches of a LAZY result — unpersisting before the caller's action
-  * would defeat the cache). Long-lived sessions issuing many such
-  * queries should `spark.catalog.clearCache()` between them; Bench and
-  * Verify both do.
+  * Cache contract: `ngramJaccardPairs` / `minhashLshPairs` /
+  * `incrementalNearDupNew` cache the shingle tables (consumed by both
+  * the signature and verification branches of a LAZY result —
+  * unpersisting before the caller's action would defeat the cache).
+  * Long-lived sessions issuing many such queries should
+  * `spark.catalog.clearCache()` between them; Bench and Verify both do.
   */
 object Dedup {
 
@@ -59,16 +59,22 @@ object Dedup {
     * where re-clustering the full corpus would be a full-table job.
     * One digest anti-join: cost ∝ |new| + |corpus|, shuffling digests
     * only — and at scale the corpus side is a maintained digest table
-    * read instead of a raw-text scan (pass it pre-digested via a
-    * one-column `text` frame, or adapt the select). The near-dup
-    * incremental twin is the same shape over LSH band keys: bucket the
-    * new batch and semi-join against the corpus's stored buckets. */
+    * read instead of a raw-text scan: set `corpusIsDigests = true` and
+    * pass the stored md5 digests in `textCol` (they are joined as-is,
+    * NOT re-hashed — re-hashing stored digests would silently match
+    * nothing and disable dedup). The near-dup incremental twin is the
+    * same shape over LSH band keys: bucket the new batch and semi-join
+    * against the corpus's stored buckets. */
   def incrementalNew(newDocs: DataFrame, corpus: DataFrame,
-                     textCol: String = "text"): DataFrame =
+                     textCol: String = "text",
+                     corpusIsDigests: Boolean = false): DataFrame = {
+    val corpusDigests =
+      if (corpusIsDigests) corpus.select(col(textCol).as("_digest"))
+      else corpus.select(md5(col(textCol)).as("_digest"))
     newDocs.withColumn("_digest", md5(col(textCol)))
-      .join(corpus.select(md5(col(textCol)).as("_digest")).distinct(),
-        Seq("_digest"), "left_anti")
+      .join(corpusDigests.distinct(), Seq("_digest"), "left_anti")
       .drop("_digest")
+  }
 
   /** Word n-gram shingles of a text column as a DISTINCT array. */
   def shingles(c: Column, n: Int): Column =
@@ -180,7 +186,14 @@ object Dedup {
     * nightly run computes shingles/signatures for the new batch only
     * and equi-joins against stored keys; here both sides derive from
     * the same fixture for the deterministic `check_incremental_lsh`
-    * equality law (same seed ⇒ same keys as a full-corpus run). */
+    * equality law (same seed ⇒ same keys as a full-corpus run).
+    *
+    * Cache contract: same as [[minhashLshPairs]] — both prepped
+    * shingle frames are cached (each feeds the band-key path AND the
+    * verification join of the lazy result; unpersisting before the
+    * caller's action would defeat the cache). Long-lived sessions
+    * issuing many such calls own the lifecycle:
+    * `spark.catalog.clearCache()` between queries (Bench/Verify do). */
   def incrementalNearDupNew(newDocs: DataFrame, corpus: DataFrame, n: Int,
                             numHashes: Int, bands: Int, minJaccard: Double,
                             seed: Long = 42L, textCol: String = "text",

@@ -97,7 +97,17 @@ object Fft {
     * coordinates and sorting within partitions (the reference's
     * round-robin `repartition(L)` makes centers run-dependent; radius-
     * level results are equivalent — SURVEY.md §7.4). */
+  /** Hard cap on the L·K coreset the driver collects: 10⁶ points
+    * (~32 MB of (x, y) doubles plus row overhead) — far above any
+    * sane configuration (1000 executors × K=110 ≈ 1.1·10⁵) but low
+    * enough that a mis-sized call fails LOUDLY here instead of as a
+    * driver OOM mid-collect. */
+  val CoresetCap: Long = 1000000L
+
   def coreset(points: DataFrame, k: Int, l: Int): Array[Point] = {
+    require(l.toLong * k <= CoresetCap,
+      s"coreset: L*K = ${l.toLong * k} exceeds the driver-side cap $CoresetCap " +
+        "(the R1 coreset is collected to the driver; lower L or K)")
     val spark = points.sparkSession
     import spark.implicits._
     points

@@ -128,6 +128,11 @@ object Freq {
     * way [[graft.ops.Skew]] splits hot aggregation keys; at the
     * corpus-mixture scales this targets (strata = languages/sources),
     * per-stratum sort is the right trade.
+    *
+    * The cutoff is computed in DECIMAL arithmetic (`frac`'s shortest
+    * decimal representation, exact multiply): a double product like
+    * 55·0.2 = 11.000000000000002 would otherwise ceil to 12 and keep
+    * one extra row whenever frac·n lands on an integer.
     * Input: any df with `stratumCol` and a unique `idCol`.
     * Output: the sampled input rows, original columns. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
@@ -139,7 +144,7 @@ object Freq {
     val size = Window.partitionBy(stratumCol)
     df.withColumn("_rk", row_number().over(rank))
       .withColumn("_n", count(lit(1)).over(size))
-      .where(col("_rk") <= ceil(col("_n") * frac))
+      .where(col("_rk") <= ceil(col("_n") * lit(BigDecimal(frac))))
       .drop("_rk", "_n")
   }
 

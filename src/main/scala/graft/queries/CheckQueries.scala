@@ -346,9 +346,13 @@ object CheckQueries extends QueryPack {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
       val s1 = graft.ops.Freq.stratifiedSample(docs, "lang", "doc_id", frac, SEED)
       val s2 = graft.ops.Freq.stratifiedSample(docs, "lang", "doc_id", frac, SEED)
+      // exact-decimal ceil, same arithmetic as stratifiedSample — a
+      // double product here would blind the check to the FP edge the
+      // operator now avoids (55·0.2 → 11.000000000000002 → ceil 12)
       val sizeViol = docs.groupBy("lang").agg(count(lit(1)).as("n"))
         .join(s1.groupBy("lang").agg(count(lit(1)).as("m")), Seq("lang"), "left")
-        .where(coalesce(col("m"), lit(0L)) =!= ceil(col("n") * frac).cast("long"))
+        .where(coalesce(col("m"), lit(0L))
+          =!= ceil(col("n") * lit(BigDecimal(frac))).cast("long"))
         .select(lit("stratum_size").as("violation"))
       val memberViol = s1.join(docs, Seq("doc_id", "lang", "n_chars"), "left_anti")
         .select(lit("membership").as("violation"))

@@ -47,6 +47,16 @@ class FftSpec extends SparkSpec {
     assert(rFft2 <= rFft)
   }
 
+  test("coreset refuses L*K over the driver cap — loudly, before collecting") {
+    val df = planted(10, 9).map(p => (p.x, p.y)).toSeq.toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Fft.coreset(df, k = 2000, l = 1000) // 2e6 > CoresetCap
+    }
+    assert(e.getMessage.contains("driver-side cap"), e.getMessage)
+    // at the cap boundary nothing throws (tiny df: the collect is cheap)
+    assert(Fft.coreset(df, k = 2, l = 4).nonEmpty)
+  }
+
   test("mrfft (distributed) recovers planted clusters like driver FFT") {
     val pts = planted(250, 4)
     val df = pts.zipWithIndex.map { case (p, i) => (i.toLong, p.x, p.y) }

@@ -154,10 +154,22 @@ class PropertySpec extends SparkSpec {
       val got = graft.ops.Freq.stratifiedSample(df, "g", "id", frac, s.toLong)
         .groupBy("g").count().as[(String, Long)].collect().toMap
       sizes.foreach { case (g, n) =>
-        assert(got.getOrElse(g, 0L) == math.ceil(n * frac).toLong,
+        // exact-decimal expectation: double math.ceil(n*frac) shares the
+        // operator's old FP bug and couldn't witness it
+        val want = (BigDecimal(n) * BigDecimal(frac))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+        assert(got.getOrElse(g, 0L) == want,
           s"seed=$s frac=$frac stratum=$g n=$n got=${got.get(g)}")
       }
     }
+  }
+
+  test("stratifiedSample: frac·n landing on an integer keeps EXACTLY that many rows") {
+    // 55·0.2 = 11, but in binary doubles 55*0.2 == 11.000000000000002,
+    // whose ceil is 12 — the decimal-arithmetic cutoff must keep 11
+    val df = (0L until 55L).map((_, "g")).toDF("id", "g")
+    val n = graft.ops.Freq.stratifiedSample(df, "g", "id", 0.2, 7L).count()
+    assert(n == 11L, s"expected exact ceil(55*0.2)=11, got $n")
   }
 
   test("property: weightedSample with uniform weights has uniform inclusion") {
