@@ -47,6 +47,16 @@ object RecallProbe {
       println(f"RECALL eps=$eps%.2f bucketed ${hb.toDouble / nq}%.3f " +
         f"multiprobe ${hm.toDouble / nq}%.3f ivf ${hi.toDouble / nq}%.3f (n=$nq)")
     }
+    // recall@3 of the top-k (rank window) path — the numbers behind
+    // check_ann_recall's multiprobe_recall_at3 floor
+    val ex3 = Similarity.cosineTopK(embs, 3, queryPred = slice)
+      .select("vec_id", "nn_id").cache()
+    val mp3 = Similarity.annMultiProbe(embs, 3, dim = 64, nBits = nBits, seed = 42L,
+      queryPred = slice).select("vec_id", "nn_id")
+    for (eps <- Seq(0.0, 0.05, 0.10, 0.15, 0.20)) {
+      val (h3, s3) = CheckQueries.recallAtK(e, ex3, mp3, eps)
+      println(f"RECALL@3 eps=$eps%.2f multiprobe ${h3.toDouble / s3}%.3f (slots=$s3)")
+    }
     // the floors as shipped: both checks must report zero violations
     for (name <- Seq("check_ann_recall", "check_ivf")) {
       val viol = SparkEntry.queries(name)(spark, sfDir).collect()

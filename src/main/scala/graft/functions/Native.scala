@@ -38,6 +38,12 @@ object Native {
         exprs => TopDot(exprs(0), exprs(1), exprs(2)), "internal")
       reg.createOrReplaceTempFunction("graft_zorder",
         exprs => InterleaveBits(exprs(0), exprs(1)), "internal")
+      // Spark's own runtime-filter probe expression, exposed for
+      // explicit (planner-independent) bloom pruning: args = serialized
+      // BloomFilter binary literal, xxhash64 long of the probed value.
+      // Codegen'd; same operator InjectRuntimeFilter plants.
+      reg.createOrReplaceTempFunction("graft_might_contain",
+        exprs => BloomFilterMightContain(exprs(0), exprs(1)), "internal")
     }
   }
 
@@ -80,6 +86,22 @@ object Native {
   def wordNgramsNative(tokens: Column, n: Int): Column = {
     register(SparkSession.active)
     call_function("graft_word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Bloom-filter membership probe: true when `hash64` (an xxhash64
+    * long of the probed value) MIGHT be in `bf`. No false negatives;
+    * false-positive rate is the filter's fpp. The filter ships as a
+    * binary literal — broadcast by value inside the plan, evaluated in
+    * whole-stage codegen (it is Spark's runtime-filter probe
+    * expression, planted explicitly instead of by InjectRuntimeFilter). */
+  def mightContainNative(spark: SparkSession,
+                         bf: org.apache.spark.util.sketch.BloomFilter,
+                         hash64: Column): Column = {
+    register(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    call_function("graft_might_contain",
+      org.apache.spark.sql.functions.lit(bos.toByteArray), hash64)
   }
 }
 

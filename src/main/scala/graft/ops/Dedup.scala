@@ -76,6 +76,50 @@ object Dedup {
       .drop("_digest")
   }
 
+  /** Bloom-membership face of [[incrementalNew]] — identical output,
+    * different 100 TB cost shape. The anti-join ships EVERY new-batch
+    * digest through a shuffle against the full corpus digest table;
+    * here a driver-built bloom filter over the corpus digests
+    * (broadcast by value as a plan literal, probed in codegen) splits
+    * the new batch first: definite-new rows (bloom says no — bloom
+    * filters have NO false negatives) bypass the join entirely, and
+    * only the maybe-hits (true dups + fpp·|new| false positives) are
+    * verified against the digest table. At a typical 1–10% dup rate
+    * the shuffle shrinks 10–100×.
+    *
+    * Sizing: the filter costs ≈ 1.44·log₂(1/fpp) bits per corpus
+    * digest — 10⁸ digests at fpp 0.01 ≈ 120 MB, a comfortable
+    * broadcast; at 10⁹ digests (~1.2 GB) raise fpp or shard the digest
+    * table and run one bloom per shard. `expectedDigests` must be ≥
+    * the true distinct-digest count or the realized fpp degrades
+    * (silently more maybe-hits — never wrong answers, the verify join
+    * catches every false positive).
+    *
+    * Output multiset == [[incrementalNew]] on the same inputs (law:
+    * `check_incremental_bloom`). */
+  def incrementalNewBloom(newDocs: DataFrame, corpus: DataFrame,
+                          expectedDigests: Long, fpp: Double = 0.01,
+                          textCol: String = "text",
+                          corpusIsDigests: Boolean = false): DataFrame = {
+    require(expectedDigests > 0, "expectedDigests must be positive")
+    val spark = newDocs.sparkSession
+    val corpusDigests =
+      (if (corpusIsDigests) corpus.select(col(textCol).as("_digest"))
+       else corpus.select(md5(col(textCol)).as("_digest"))).distinct()
+    // the bloom is keyed on xxhash64(digest) longs: the probe
+    // expression (Spark's runtime-filter BloomFilterMightContain)
+    // tests mightContainLong, so build and probe must hash identically
+    val bf = corpusDigests.select(xxhash64(col("_digest")).as("_h"))
+      .stat.bloomFilter("_h", expectedDigests, fpp)
+    val n = newDocs.withColumn("_digest", md5(col(textCol)))
+    val maybeHit = graft.functions.Native.mightContainNative(
+      spark, bf, xxhash64(col("_digest")))
+    val definiteNew = n.where(!maybeHit)
+    val verifiedNew = n.where(maybeHit)
+      .join(corpusDigests, Seq("_digest"), "left_anti")
+    definiteNew.drop("_digest").unionByName(verifiedNew.drop("_digest"))
+  }
+
   /** Word n-gram shingles of a text column as a DISTINCT array. */
   def shingles(c: Column, n: Int): Column =
     array_distinct(Text.wordNgrams(c, n))

@@ -54,7 +54,15 @@ object Skew {
     * shuffle-hash hint: the probe side should not be sorted (it is the
     * huge side), and a broadcast would make salting pointless (a
     * broadcast join has no per-key reduce task to overload — prefer
-    * plain `broadcast()` when the build fits). */
+    * plain `broadcast()` when the build fits).
+    *
+    * Try AQE FIRST: `spark.sql.adaptive.skewJoin.enabled` splits a
+    * skewed sort-merge/shuffle-hash partition at runtime with no code
+    * change (PlanSpec pins the split firing). Reach for saltedJoin
+    * when AQE can't see or can't fix the skew: stats hidden behind a
+    * non-shuffle boundary, skew INSIDE one key (AQE splits a
+    * partition's extra blocks, but one key's build rows must still
+    * co-locate in full), or a deterministic plan requirement. */
   def saltedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: String, buildKey: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")

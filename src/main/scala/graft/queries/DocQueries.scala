@@ -92,6 +92,18 @@ object DocQueries extends QueryPack {
           docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
         .select("doc_id", "lang", "n_chars")
     }),
+    // bloom-membership face of the same incremental dedup: corpus
+    // digests in a broadcast bloom, only maybe-hits verified by the
+    // anti-join — identical output (same oracle SQL), 100 TB shape is
+    // filter-then-verify instead of shuffle-everything
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.incrementalNewBloom(
+          docs.where(pmod(col("doc_id"), lit(5)) === 0), corpus,
+          expectedDigests = corpus.count(), fpp = 0.01)
+        .select("doc_id", "lang", "n_chars")
+    }),
     // exact n-gram Jaccard near-dup pairs (the verifier path)
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), NGRAM, MINJAC)
@@ -346,6 +358,15 @@ object DocQueries extends QueryPack {
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
     "dedup_incremental" ->
+      """SELECT n.doc_id, n.lang, n.n_chars
+        |FROM documents n
+        |WHERE n.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 5 != 0
+        |                    AND md5(c.text) = md5(n.text))""".stripMargin,
+    // identical answer by construction: the bloom pre-filter only
+    // reroutes rows around the verify join, never changes the multiset
+    "dedup_incremental_bloom" ->
       """SELECT n.doc_id, n.lang, n.n_chars
         |FROM documents n
         |WHERE n.doc_id % 5 = 0

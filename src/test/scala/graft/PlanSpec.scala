@@ -112,6 +112,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNewBloom: codegen'd bloom probe, only maybe-hits reach the verify anti-join") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val df = Dedup.incrementalNewBloom(
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), corpus,
+      expectedDigests = corpus.count())
+    val p = plan(df)
+    // the bloom probe is Spark's runtime-filter expression (codegen'd),
+    // present on BOTH union branches (negated on the definite-new one)
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n${p.take(1200)}")
+    // exactly one verify join: the definite-new branch bypasses it
+    // (FormattedMode prints each join once in the tree and once in the
+    // detail section — count the detail's "Join type:" lines)
+    val antiJoins = p.linesIterator.count(_.contains("Join type: LeftAnti"))
+    assert(antiJoins == 1, s"expected 1 anti-join (maybe-hits only), got $antiJoins")
+    assert(p.contains("Union"), p.take(600))
+  }
+
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // the free path before reaching for Skew.saltedJoin: when runtime
+    // stats surface the skew, AQE re-plans the sort-merge join so the
+    // hot key's partition is split across tasks. Local fixtures are
+    // tiny, so the skew thresholds shrink accordingly — on a real
+    // cluster the defaults (256 MB threshold, factor 5) fire instead.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 95% of probe rows share key 0 → one shuffle partition holds
+      // nearly the whole probe side; build side is uniform
+      val probe = spark.range(200000)
+        .select(when(col("id") % 20 < 19, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val build = spark.range(1000).select(col("id").as("bk"))
+      val j = probe.join(build, col("k") === col("bk"))
+      j.collect() // AQE decides on RUNTIME stats: execute this plan
+      val executed = j.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n${executed.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join plans a shuffled hash join on (key, salt), never broadcast") {
     // a broadcast would defeat the salting (no per-key reduce task to
     // overload), and the probe side must not pay a sort — the point of
