@@ -53,9 +53,13 @@ object RecallProbe {
       .select("vec_id", "nn_id").cache()
     val mp3 = Similarity.annMultiProbe(embs, 3, dim = 64, nBits = nBits, seed = 42L,
       queryPred = slice).select("vec_id", "nn_id")
+    val ivf3 = Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
+      queryPred = slice).select("vec_id", "nn_id")
     for (eps <- Seq(0.0, 0.05, 0.10, 0.15, 0.20)) {
       val (h3, s3) = CheckQueries.recallAtK(e, ex3, mp3, eps)
-      println(f"RECALL@3 eps=$eps%.2f multiprobe ${h3.toDouble / s3}%.3f (slots=$s3)")
+      val (hi3, _) = CheckQueries.recallAtK(e, ex3, ivf3, eps)
+      println(f"RECALL@3 eps=$eps%.2f multiprobe ${h3.toDouble / s3}%.3f " +
+        f"ivf ${hi3.toDouble / s3}%.3f (slots=$s3)")
     }
     // the floors as shipped: both checks must report zero violations
     for (name <- Seq("check_ann_recall", "check_ivf")) {

@@ -221,12 +221,70 @@ object Dedup {
       .select(col("id"), col("bk.band"), col("bk.bkey"))
   }
 
+  /** The storable LSH state: `(id, band, bkey)` band keys for every
+    * doc — the table a nightly ingest APPENDS so the next batch's
+    * near-dup scan never re-shingles the corpus
+    * ([[incrementalNearDupNewFromKeys]] consumes it). Keys depend only
+    * on each doc's own shingles, so appending batch keys to stored
+    * keys gives byte-identical state to a from-scratch run with the
+    * same (n, numHashes, bands, seed). */
+  def minhashBandKeys(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+                      seed: Long = 42L, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedKeys(spread(docs)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0), numHashes, bands, seed)
+  }
+
+  /** Nightly-run face of [[incrementalNearDupNew]] against MAINTAINED
+    * state: candidates come from equi-joining the new batch's band
+    * keys with the stored corpus keys (`corpusKeys` =
+    * [[minhashBandKeys]] output, usually a warehouse table), and only
+    * the candidate corpus docs are re-read and re-shingled for exact
+    * verification (a semi-join fetch — cost ∝ candidates, not corpus).
+    * Per-run cost is therefore batch + collisions; the corpus is never
+    * re-shingled. `params must match the stored keys'` (n, numHashes,
+    * bands, seed) — the `check_incremental_lsh_keys` law pins equality
+    * with the recompute-everything path on a shared fixture.
+    * Output: `a` (new id), `b` (corpus id), `jac` ≥ minJaccard. */
+  def incrementalNearDupNewFromKeys(newDocs: DataFrame, corpusKeys: DataFrame,
+                                    corpusDocs: DataFrame, n: Int,
+                                    numHashes: Int, bands: Int,
+                                    minJaccard: Double, seed: Long = 42L,
+                                    textCol: String = "text",
+                                    idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val ns = spread(newDocs)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache() // feeds band keys AND the verification join
+    val cand = bandedKeys(ns, numHashes, bands, seed).as("l")
+      .join(corpusKeys.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+    // shingle ONLY the candidate corpus docs (semi-join fetch)
+    val cs = spread(corpusDocs
+        .join(cand.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+      .select(col(idCol).as("b"), shingles(col(textCol), n).as("shb"))
+    cand
+      .join(ns.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(cs, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .where(col("jac") >= minJaccard)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
   /** Incremental NEAR-dup detection: verified Jaccard pairs between a
     * new batch (`a`) and the existing corpus (`b`) — the LSH twin of
     * [[incrementalNew]]'s digest anti-join. Candidates arise only from
     * shared (band, bkey) buckets, so cost ∝ cross-collisions, never
     * |new|×|corpus|. At scale the corpus side's band keys are a
-    * MAINTAINED table (append each ingested batch's keys), so a
+    * MAINTAINED table (append each ingested batch's keys —
+    * [[minhashBandKeys]] / [[incrementalNearDupNewFromKeys]]), so a
     * nightly run computes shingles/signatures for the new batch only
     * and equi-joins against stored keys; here both sides derive from
     * the same fixture for the deterministic `check_incremental_lsh`

@@ -160,6 +160,28 @@ object CheckQueries extends QueryPack {
         .unionByName(full.exceptAll(inc)
           .select(lit("incremental_missing").as("violation")))
     }),
+    // Maintained-keys equality law: the nightly face (stored band-key
+    // table + semi-join fetch of candidate docs only,
+    // incrementalNearDupNewFromKeys) reports EXACTLY the pairs of the
+    // recompute-everything face on the same split — band keys are
+    // per-doc, so reading them from storage instead of recomputing
+    // cannot change which buckets collide. jac is compared too
+    // (round 9): both paths verify with the same shingle arithmetic.
+    "check_incremental_lsh_keys" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val corpus = docs.where(!isNew)
+      val stored = Dedup.minhashBandKeys(corpus, 3, 32, 8, SEED)
+      val viaKeys = Dedup.incrementalNearDupNewFromKeys(
+          docs.where(isNew), stored, corpus, 3, 32, 8, 0.3, SEED)
+        .select(col("a"), col("b"), round(col("jac"), 9).as("jac"))
+      val direct = Dedup.incrementalNearDupNew(
+          docs.where(isNew), corpus, 3, 32, 8, 0.3, SEED)
+        .select(col("a"), col("b"), round(col("jac"), 9).as("jac"))
+      viaKeys.exceptAll(direct).select(lit("keys_extra").as("violation"))
+        .unionByName(direct.exceptAll(viaKeys)
+          .select(lit("keys_missing").as("violation")))
+    }),
     // Bloom-face equality law: incrementalNewBloom == incrementalNew
     // as multisets on the same split — and not vacuously: run the
     // bloom at an aggressive fpp (0.2) so false positives DO occur and
@@ -284,6 +306,11 @@ object CheckQueries extends QueryPack {
     //    driver fixtures at ε=0.15; a broken quantizer or probe join
     //    scores ≈ 0 (random-neighbor cosine ~0 vs exact NN ~0.4), so
     //    the floor gates the implementation with headroom.
+    //  - ε-recall@3 floor for IVF's top-k (rank window) path:
+    //    annIvf(k=3) vs the exact top-3, ≥ 0.80 at ε=0.15 (measured
+    //    0.998-1.000 on the driver fixtures; floor set slightly below
+    //    the multi-probe one — a query's 3rd slot can live outside
+    //    its nprobe lists).
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
@@ -294,7 +321,11 @@ object CheckQueries extends QueryPack {
       val slice = pmod(col("vec_id"), lit(5)) === 0
       val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4, centroids = cents)
         .select(col("vec_id"), col("nn_id"))
-      val exact = Similarity.cosineTopK(embs, 1, queryPred = slice)
+      // ONE exact top-3 run feeds both the @1 laws (rank 1) and the
+      // @3 floor — the slice×corpus join runs once
+      val ex3 = Similarity.cosineTopK(embs, 3, queryPred = slice)
+        .select("vec_id", "nn_id", "rank").cache()
+      val exact = ex3.where(col("rank") === 1)
         .select(col("vec_id"), col("nn_id").as("nn_e"))
       val e = embs.select(col("vec_id").as("eid"), col("embedding").as("ev"))
       val domViol = ivf.where(slice).join(exact, "vec_id")
@@ -318,8 +349,14 @@ object CheckQueries extends QueryPack {
           e.withColumnRenamed("ev", "v"),
           exact, ivf.where(slice).withColumnRenamed("nn_id", "nn_i"), "nn_i",
           eps = 0.15)
+        val ivf3 = Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
+            centroids = cents, queryPred = slice)
+          .select("vec_id", "nn_id")
+        val (h3, s3) = recallAtK(e.withColumnRenamed("ev", "v"),
+          ex3.select("vec_id", "nn_id"), ivf3, eps = 0.15)
         import s.implicits._
-        (if (hi.toDouble < 0.85 * nq) Seq(s"ivf_recall $hi/$nq") else Nil)
+        ((if (hi.toDouble < 0.85 * nq) Seq(s"ivf_recall $hi/$nq") else Nil) ++
+          (if (h3.toDouble < 0.80 * s3) Seq(s"ivf_recall_at3 $h3/$s3") else Nil))
           .toDF("violation")
       }
       domViol.unionByName(shareViol).unionByName(selfViol)
