@@ -47,18 +47,22 @@ object RecallProbe {
       println(f"RECALL eps=$eps%.2f bucketed ${hb.toDouble / nq}%.3f " +
         f"multiprobe ${hm.toDouble / nq}%.3f ivf ${hi.toDouble / nq}%.3f (n=$nq)")
     }
-    // recall@3 of the top-k (rank window) path — the numbers behind
-    // check_ann_recall's multiprobe_recall_at3 floor
+    // recall@3 of the top-k (rank window) paths — the numbers behind
+    // the bucketed/multiprobe/ivf *_recall_at3 floors
     val ex3 = Similarity.cosineTopK(embs, 3, queryPred = slice)
       .select("vec_id", "nn_id").cache()
+    val bk3 = Similarity.annBucketed(embs, 3, dim = 64, nBits = nBits, seed = 42L,
+      queryPred = slice).select("vec_id", "nn_id")
     val mp3 = Similarity.annMultiProbe(embs, 3, dim = 64, nBits = nBits, seed = 42L,
       queryPred = slice).select("vec_id", "nn_id")
     val ivf3 = Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
       queryPred = slice).select("vec_id", "nn_id")
     for (eps <- Seq(0.0, 0.05, 0.10, 0.15, 0.20)) {
-      val (h3, s3) = CheckQueries.recallAtK(e, ex3, mp3, eps)
+      val (hb3, s3) = CheckQueries.recallAtK(e, ex3, bk3, eps)
+      val (h3, _) = CheckQueries.recallAtK(e, ex3, mp3, eps)
       val (hi3, _) = CheckQueries.recallAtK(e, ex3, ivf3, eps)
-      println(f"RECALL@3 eps=$eps%.2f multiprobe ${h3.toDouble / s3}%.3f " +
+      println(f"RECALL@3 eps=$eps%.2f bucketed ${hb3.toDouble / s3}%.3f " +
+        f"multiprobe ${h3.toDouble / s3}%.3f " +
         f"ivf ${hi3.toDouble / s3}%.3f (slots=$s3)")
     }
     // the floors as shipped: both checks must report zero violations

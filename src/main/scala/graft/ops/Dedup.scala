@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -96,28 +97,103 @@ object Dedup {
     * catches every false positive).
     *
     * Output multiset == [[incrementalNew]] on the same inputs (law:
-    * `check_incremental_bloom`). */
+    * `check_incremental_bloom`).
+    *
+    * Maintained-state face: pass `prebuilt = Some(filter)` (loaded via
+    * [[bloomFromBytes]], merged forward with [[mergeBloomBytes]]) and
+    * the corpus is never aggregated here — its only appearance is the
+    * verify anti-join over the maybe-hits, which at scale reads the
+    * maintained digest table (`corpusIsDigests = true`). Without
+    * `prebuilt` the filter is rebuilt from the corpus per call — a full
+    * corpus aggregation that the nightly lifecycle exists to avoid
+    * (law: `check_bloom_persist` pins load-merge == rebuild == plain).
+    *
+    * Cache contract (same as the shingle caches above): the new batch
+    * is cached WITH its probe bit — the serialized filter is a plan
+    * literal, and computing the bit once keeps one copy in the plan
+    * instead of one per union branch; the rebuild face also caches the
+    * distinct corpus digests (the filter-build aggregation and the
+    * verify join both scan them). Reclaimed by the session's
+    * `clearCache` between queries. */
   def incrementalNewBloom(newDocs: DataFrame, corpus: DataFrame,
                           expectedDigests: Long, fpp: Double = 0.01,
                           textCol: String = "text",
-                          corpusIsDigests: Boolean = false): DataFrame = {
+                          corpusIsDigests: Boolean = false,
+                          prebuilt: Option[BloomFilter] = None): DataFrame = {
     require(expectedDigests > 0, "expectedDigests must be positive")
     val spark = newDocs.sparkSession
-    val corpusDigests =
+    val corpusDigests0 =
       (if (corpusIsDigests) corpus.select(col(textCol).as("_digest"))
        else corpus.select(md5(col(textCol)).as("_digest"))).distinct()
-    // the bloom is keyed on xxhash64(digest) longs: the probe
-    // expression (Spark's runtime-filter BloomFilterMightContain)
-    // tests mightContainLong, so build and probe must hash identically
-    val bf = corpusDigests.select(xxhash64(col("_digest")).as("_h"))
-      .stat.bloomFilter("_h", expectedDigests, fpp)
-    val n = newDocs.withColumn("_digest", md5(col(textCol)))
+    val (bf, corpusDigests) = prebuilt match {
+      case Some(f) => (f, corpusDigests0)
+      case None =>
+        val cd = corpusDigests0.cache()
+        // the bloom is keyed on xxhash64(digest) longs: the probe
+        // expression (Spark's runtime-filter BloomFilterMightContain)
+        // tests mightContainLong, so build and probe must hash identically
+        (cd.select(xxhash64(col("_digest")).as("_h"))
+          .stat.bloomFilter("_h", expectedDigests, fpp), cd)
+    }
     val maybeHit = graft.functions.Native.mightContainNative(
       spark, bf, xxhash64(col("_digest")))
-    val definiteNew = n.where(!maybeHit)
-    val verifiedNew = n.where(maybeHit)
+    val n = newDocs.withColumn("_digest", md5(col(textCol)))
+      .withColumn("_maybe", maybeHit)
+      .cache()
+    val definiteNew = n.where(!col("_maybe"))
+    val verifiedNew = n.where(col("_maybe"))
       .join(corpusDigests, Seq("_digest"), "left_anti")
-    definiteNew.drop("_digest").unionByName(verifiedNew.drop("_digest"))
+    definiteNew.unionByName(verifiedNew).drop("_digest", "_maybe")
+  }
+
+  /** The storable BLOOM state completing the maintained-state trio
+    * (digest table → [[incrementalNew]]; band-key table →
+    * [[minhashBandKeys]] / [[incrementalNearDupNewFromKeys]]; this →
+    * [[incrementalNewBloom]]): a filter over the corpus's
+    * xxhash64(digest) longs, built ONCE per ingested batch and merged
+    * forward, so the nightly run loads state instead of re-aggregating
+    * the full corpus. Lifecycle per ingest: build this over the BATCH
+    * with the SAME (expectedDigests, fpp) as the stored state, probe
+    * the loaded+merged filter via [[incrementalNewBloom]]'s `prebuilt`,
+    * then [[mergeBloomBytes]] the batch filter into storage alongside
+    * the appended digest rows. Size `expectedDigests` for the corpus
+    * at its growth HORIZON, not today's batch: Spark blooms derive
+    * (numBits, numHashes) from (expectedDigests, fpp), merging requires
+    * identical derivation, and a filter holding more distinct items
+    * than it was sized for silently degrades its realized fpp (more
+    * maybe-hits to verify — never wrong answers). */
+  def buildDigestBloom(corpus: DataFrame, expectedDigests: Long,
+                       fpp: Double = 0.01, textCol: String = "text",
+                       corpusIsDigests: Boolean = false): BloomFilter = {
+    require(expectedDigests > 0, "expectedDigests must be positive")
+    val digests =
+      if (corpusIsDigests) corpus.select(col(textCol).as("_digest"))
+      else corpus.select(md5(col(textCol)).as("_digest"))
+    digests.distinct().select(xxhash64(col("_digest")).as("_h"))
+      .stat.bloomFilter("_h", expectedDigests, fpp)
+  }
+
+  /** Wire format of the bloom state (Spark's own sketch serialization
+    * — version-tagged, stable across sessions): store beside the
+    * digest table, load with [[bloomFromBytes]]. */
+  def bloomToBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def bloomFromBytes(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** Merge two serialized filters (bitwise OR of their bit arrays) —
+    * the append step of the nightly lifecycle. Requires both to have
+    * been built with identical (expectedDigests, fpp) sizing; a drift
+    * fails loudly (IncompatibleMergeException) rather than producing a
+    * filter with false negatives. Neither input is mutated. */
+  def mergeBloomBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = bloomFromBytes(a)
+    fa.mergeInPlace(bloomFromBytes(b))
+    bloomToBytes(fa)
   }
 
   /** Word n-gram shingles of a text column as a DISTINCT array. */
@@ -457,7 +533,16 @@ object Dedup {
     */
   def dupClusters(ids: DataFrame, pairs: DataFrame, maxIters: Int = 25,
                   idCol: String = "doc_id",
-                  shortcut: Boolean = false): DataFrame = {
+                  shortcut: Boolean = false): DataFrame =
+    dupClustersWithRounds(ids, pairs, maxIters, idCol, shortcut)._1
+
+  /** [[dupClusters]] plus the number of propagation rounds it took to
+    * converge (the final all-stable probe round included) — the
+    * observable behind ScalingSpec's long-chain fixture, which asserts
+    * shortcutting keeps rounds ~log(diameter) instead of ∝ diameter. */
+  def dupClustersWithRounds(ids: DataFrame, pairs: DataFrame,
+                            maxIters: Int = 25, idCol: String = "doc_id",
+                            shortcut: Boolean = false): (DataFrame, Int) = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -490,6 +575,6 @@ object Dedup {
     require(converged,
       s"dupClusters: not converged after $maxIters rounds (shortcut=$shortcut) — " +
         "not a near-dup-shaped graph; raise maxIters or enable shortcut")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+    (labels.select(col("id").as(idCol), col("lbl").as("cluster")), iter)
   }
 }

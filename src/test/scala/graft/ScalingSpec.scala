@@ -1,41 +1,49 @@
 package graft
 
-import graft.ops.{Dedup, Outliers, Similarity}
+import graft.ops.{AsOf, Dedup, Outliers, RangeJoin, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Empirical scaling curves — the engine's twin of the reference's
   * HW2 scalability study (BASELINE.md Table 1): run each
-  * scale-sensitive pipeline on generated fixtures at 1× and 10× and
-  * assert the measured time grows SUB-QUADRATICALLY. Every per-op law
-  * elsewhere verifies the design at one scale; this is the one test
-  * that catches a hidden N² (a fixed bucket count, an accidental
-  * cross join, a driver fold) before a cluster does.
+  * scale-sensitive pipeline on generated fixtures at 1×, 3× and 10×
+  * and fit the LOG-LOG SLOPE of time vs data size (least squares over
+  * the three points). Every per-op law elsewhere verifies the design
+  * at one scale; this is the one test that catches a hidden N² (a
+  * fixed bucket count, an accidental cross join, a driver fold)
+  * before a cluster does — and the three-point exponent fit (round
+  * 10, replacing the coarse 20×/50× ratio bounds) distinguishes
+  * "linear with big constants" from "N^1.3 creeping up" while damping
+  * single-point scheduler noise.
   *
   * Fixture design — "weak scaling", so the TRUE answer grows ~linearly
-  * and a superlinear time ratio indicts the implementation, not the
-  * problem:
+  * and a superlinear slope indicts the implementation, not the problem:
   *  - points: uniform over an area ∝ N (constant density ⇒ constant
   *    neighbors/point, pair count ∝ N);
   *  - documents: 40 seeded-hash tokens from a vocabulary ∝ N (shingle
   *    space grows ⇒ random cross-doc collisions stay negligible) with
   *    a constant 2% planted near-dup rate (pair count ∝ N);
   *  - embeddings: isotropic seeded-hash vectors; bucket counts derive
-  *    from N (nBitsFor/nlistFor), holding per-bucket occupancy flat.
+  *    from N (nBitsFor/nlistFor), holding per-bucket occupancy flat;
+  *  - as-of/range event tables: key count and value span ∝ N, so
+  *    per-key rows and per-bucket density stay flat.
   *
-  * Bounds: 10× data ⇒ ratio ≤ 20 for the linear-designed pipelines
-  * (2× slack on the ideal 10 for constants and scheduler noise);
-  * ann_ivf is N^1.5 BY DESIGN (nlist ≈ √(nprobe·N) balances assignment
-  * against probe cost — see nlistFor), ideal 31.6×, bound 50. A
-  * quadratic regression would measure ~100× on compute-dominated runs
-  * and fail every bound.
+  * Slope bounds: ideal weak-scaling slope is 1.0; measured effective
+  * slopes on this box are 0.2–1.1 (fixed per-stage overhead at 1×
+  * pushes the fit BELOW 1). Bound **1.5** for the linear-designed
+  * pipelines; **1.8** for `ann_ivf`, which is N^1.5 BY DESIGN
+  * (nlist ≈ √(nprobe·N) balances assignment against probe cost). A
+  * quadratic measures slope ≈ 2 on compute-dominated runs and fails
+  * both. Times are floored at 0.5 s in the fit — a lucky sub-100 ms
+  * small run can't manufacture a steep slope — which only LOWERS the
+  * fitted exponent, so the floor is slack for byte-identical code on
+  * a loaded box, never a trap; fixtures are sized so the 1× runs sit
+  * near or above the floor.
   *
   * Protocol: each pipeline runs once at 1× as JIT/codegen warmup, then
-  * min-of-2 timed runs per scale; 1× denominators are floored at 0.5 s
-  * so a lucky sub-100 ms small run can't inflate the ratio past a
-  * bound. Fixtures are written to parquet once and read back, so
-  * generation cost is never timed and every pipeline starts from a
-  * scan like production.
+  * min-of-2 timed runs per scale. Fixtures are written to parquet once
+  * and read back, so generation cost is never timed and every pipeline
+  * starts from a scan like production.
   */
 class ScalingSpec extends SparkSpec {
 
@@ -43,11 +51,12 @@ class ScalingSpec extends SparkSpec {
 
   // ---- generators (deterministic: seeded xxhash64, no RNG state) ----
 
+  private def u(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(1000000L)).cast("double") / 1000000.0
+
   /** Uniform points, density 4/unit² over a √(N/4)-sided square. */
   private def genPoints(n: Long): DataFrame = {
     val side = math.sqrt(n / 4.0)
-    val u = (c: org.apache.spark.sql.Column) =>
-      pmod(c, lit(1000000L)).cast("double") / 1000000.0
     spark.range(n).select(
       (col("id") + 1L).as("id"),
       (u(xxhash64(col("id"), lit(SEED))) * side).as("x"),
@@ -75,6 +84,63 @@ class ScalingSpec extends SparkSpec {
     spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
   }
 
+  /** As-of left side: n events over n/50 keys (per-key rows constant),
+    * times uniform in [0, 10·n) (event density per key constant). */
+  private def genAsofLeft(n: Long): DataFrame = {
+    val keys = math.max(100L, n / 50)
+    spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(SEED + 7)), lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(SEED + 8)), lit(10L * n)).as("t"),
+      col("id").as("lv"))
+  }
+
+  /** As-of right side: n/5 reference rows over the same key/time
+    * space, `rid` unique (the tie-break contract). */
+  private def genAsofRight(n: Long): DataFrame = {
+    val keys = math.max(100L, n / 50)
+    spark.range(math.max(1L, n / 5)).select(
+      pmod(xxhash64(col("id"), lit(SEED + 9)), lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(SEED + 10)), lit(10L * n)).as("t"),
+      col("id").as("rid"),
+      xxhash64(col("id"), lit(SEED + 11)).as("rv"))
+  }
+
+  /** Range-join points: value span ∝ N at constant density 100/unit. */
+  private def genRangePoints(n: Long): DataFrame = {
+    val span = n / 100.0
+    spark.range(n).select(col("id").as("pid"),
+      (u(xxhash64(col("id"), lit(SEED + 3))) * span).as("v"))
+  }
+
+  /** Range-join intervals: n/10 intervals of length 0.5–2.5 over the
+    * same span — expected matches/interval ≈ 100·len, constant. */
+  private def genRangeIntervals(n: Long): DataFrame = {
+    val span = n / 100.0
+    val lo = u(xxhash64(col("id"), lit(SEED + 4))) * span
+    spark.range(math.max(1L, n / 10)).select(col("id").as("iid"),
+      lo.as("lo"), (lo + 0.5 + u(xxhash64(col("id"), lit(SEED + 5))) * 2.0).as("hi"))
+  }
+
+  /** Docs with a PLANTED CHAIN: ids < chainLen slide a 40-token window
+    * one token per step over a collision-free "c"-token stream (doc i
+    * vs doc i+d shares 40−d tokens ⇒ exact 3-gram jaccard
+    * (38−d)/(38+d): ≈0.95 consecutive, above the 0.3 LSH verify bar up
+    * to d≈20), so the LSH pair graph over the chain is a deep path
+    * with short skips — the adversarial shape for label propagation,
+    * whose plain form needs ∝ diameter rounds. Ids ≥ chainLen are
+    * random 40-token docs (vocab ∝ N, no planted pairs) — singleton
+    * background that converges in one round. */
+  private def genChainDocs(n: Long, chainLen: Long): DataFrame = {
+    val vocab = math.max(1000L, n / 5)
+    val chainToks = transform(sequence(lit(0), lit(39)), j =>
+      concat(lit("c"), (col("id") + j).cast("string")))
+    val randToks = transform(sequence(lit(0), lit(39)), j =>
+      concat(lit("w"), pmod(xxhash64(col("id"), j, lit(SEED)), lit(vocab))))
+    spark.range(n).select(col("id").as("doc_id"),
+      array_join(when(col("id") < chainLen, chainToks).otherwise(randToks), " ")
+        .as("text"))
+  }
+
   // ---- harness ----
 
   private lazy val dir = java.nio.file.Files
@@ -85,6 +151,8 @@ class ScalingSpec extends SparkSpec {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  private def rd(p: String) = spark.read.parquet(p)
 
   private def timed(f: => Unit): Double = {
     // cache cleared after EACH run: the dedup pipelines .cache() their
@@ -101,75 +169,126 @@ class ScalingSpec extends SparkSpec {
     math.min(once, once)
   }
 
-  private case class Run(name: String, t1: Double, t10: Double, bound: Double) {
-    def ratio: Double = t10 / math.max(t1, 0.5)
+  /** Least-squares slope of ln(max(t, 0.5)) against ln(scale). */
+  private def fitSlope(scales: Seq[Double], ts: Seq[Double]): Double = {
+    val xs = scales.map(math.log)
+    val ys = ts.map(t => math.log(math.max(t, 0.5)))
+    val xm = xs.sum / xs.size
+    val ym = ys.sum / ys.size
+    xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
   }
 
-  test("1x->10x: time grows sub-quadratically for every scale-sensitive pipeline") {
-    // fixtures (written once; reads below are plain parquet scans)
-    val pts1 = materialize("pts1", genPoints(150000))
-    val pts10 = materialize("pts10", genPoints(1500000))
-    val docs1 = materialize("docs1", genDocs(15000))
-    val docs10 = materialize("docs10", genDocs(150000))
-    val emb1 = materialize("emb1", genEmbeddings(20000))
-    val emb10 = materialize("emb10", genEmbeddings(200000))
-    def pts(p: String) = spark.read.parquet(p)
-    def docs(p: String) = spark.read.parquet(p)
-    def embs(p: String) = spark.read.parquet(p)
+  test("1x->3x->10x: log-log slope stays sub-quadratic for every scale-sensitive pipeline") {
+    val scales = Seq(1.0, 3.0, 10.0)
+    def fixture(kind: String, gen: Long => DataFrame, base: Long): Seq[String] =
+      scales.zipWithIndex.map { case (f, i) =>
+        materialize(s"$kind$i", gen((base * f).toLong)) }
 
-    def outlierExact(p: String): Unit =
-      Outliers.exactOutliers(pts(p), d = 1.0, m = 10, k = 10).count()
-    def minhash(p: String): Unit =
-      Dedup.minhashLshPairs(docs(p), 3, 32, 8, 0.3, SEED).count()
-    def ngram(p: String): Unit =
-      Dedup.ngramJaccardPairs(docs(p), 3, 0.3).count()
-    def clusters(p: String): Unit = {
-      val d = docs(p)
-      val pairs = Dedup.minhashLshPairs(d, 3, 32, 8, 0.3, SEED)
-      Dedup.dupClusters(d.select("doc_id"), pairs).count()
-    }
-    def bucketed(p: String): Unit = {
-      val e = embs(p)
-      val n = e.count()
-      Similarity.annBucketed(e, 1, dim = 16, nBits = Similarity.nBitsFor(n),
-        seed = SEED).count()
-    }
-    def ivf(p: String): Unit = {
-      val e = embs(p)
-      val n = e.count()
-      Similarity.annIvf(e, 1, nlist = Similarity.nlistFor(n), nprobe = 4).count()
-    }
+    val pts = fixture("pts", genPoints, 150000)
+    val docs = fixture("docs", genDocs, 15000)
+    val embs = fixture("emb", genEmbeddings, 20000)
+    // as-of/range bases sized so the 10× run clears the 0.5 s fit
+    // floor by a wide margin (a 200k base measured flat ~0.2 s at
+    // every scale — a fit over floored points asserts nothing)
+    val asofL = fixture("asofl", genAsofLeft, 1000000)
+    val asofR = fixture("asofr", genAsofRight, 1000000)
+    val rpts = fixture("rpts", genRangePoints, 600000)
+    val rints = fixture("rint", genRangeIntervals, 600000)
+
+    case class Pipe(name: String, bound: Double, run: Int => Unit)
+    val pipes = Seq(
+      Pipe("outlier_exact", 1.5, i =>
+        Outliers.exactOutliers(rd(pts(i)), d = 1.0, m = 10, k = 10).count()),
+      Pipe("dedup_minhash", 1.5, i =>
+        Dedup.minhashLshPairs(rd(docs(i)), 3, 32, 8, 0.3, SEED).count()),
+      Pipe("dedup_ngram", 1.5, i =>
+        Dedup.ngramJaccardPairs(rd(docs(i)), 3, 0.3).count()),
+      Pipe("dedup_span_ratio", 1.5, i =>
+        Dedup.dupNgramRatio(rd(docs(i)), 3).count()),
+      Pipe("dedup_clusters", 1.5, { i =>
+        val d = rd(docs(i))
+        val pairs = Dedup.minhashLshPairs(d, 3, 32, 8, 0.3, SEED)
+        Dedup.dupClusters(d.select("doc_id"), pairs).count()
+      }),
+      // matched-row count depends on the window-carried right struct —
+      // a bare count() would let ColumnPruning drop the window exec
+      // entirely and time only the union scan (measured: flat 0.2 s
+      // from 1M to 10M rows)
+      Pipe("asof_join", 1.5, i =>
+        AsOf.asOfJoin(rd(asofL(i)), rd(asofR(i)))
+          .where(col("rid").isNotNull).count()),
+      Pipe("range_join", 1.5, i =>
+        RangeJoin.pointInInterval(rd(rpts(i)), rd(rints(i)), bucketWidth = 1.0)
+          .count()),
+      Pipe("ann_bucketed", 1.5, { i =>
+        val e = rd(embs(i))
+        val n = e.count()
+        Similarity.annBucketed(e, 1, dim = 16, nBits = Similarity.nBitsFor(n),
+          seed = SEED).count()
+      }),
+      // N^1.5 by design: nlist ≈ √(nprobe·N) — ideal slope 1.5
+      Pipe("ann_ivf", 1.8, { i =>
+        val e = rd(embs(i))
+        val n = e.count()
+        Similarity.annIvf(e, 1, nlist = Similarity.nlistFor(n), nprobe = 4).count()
+      }))
 
     // the planted dups must actually exercise the pair paths
-    assert(Dedup.minhashLshPairs(docs(docs1), 3, 32, 8, 0.3, SEED).count() > 0,
+    assert(Dedup.minhashLshPairs(rd(docs(0)), 3, 32, 8, 0.3, SEED).count() > 0,
       "scaling fixture planted no near-dup pairs")
+    assert(RangeJoin.pointInInterval(rd(rpts(0)), rd(rints(0)), 1.0).count() > 0,
+      "range fixture produced no matches")
     spark.sharedState.cacheManager.clearCache()
 
-    def measure(name: String, f: String => Unit, p1: String, p10: String,
-                bound: Double): Run = {
-      f(p1) // warmup: codegen + JIT for this pipeline's plan shape
+    val results = pipes.map { p =>
+      p.run(0) // warmup: codegen + JIT for this pipeline's plan shape
       spark.sharedState.cacheManager.clearCache()
-      Run(name, timed(f(p1)), timed(f(p10)), bound)
+      val ts = scales.indices.map(i => timed(p.run(i)))
+      (p, ts, fitSlope(scales, ts))
     }
 
-    val runs = Seq(
-      measure("outlier_exact", outlierExact, pts1, pts10, 20),
-      measure("dedup_minhash", minhash, docs1, docs10, 20),
-      measure("dedup_ngram", ngram, docs1, docs10, 20),
-      measure("dedup_clusters", clusters, docs1, docs10, 20),
-      measure("ann_bucketed", bucketed, emb1, emb10, 20),
-      // N^1.5 by design: nlist ≈ √(nprobe·N) — ideal 31.6×
-      measure("ann_ivf", ivf, emb1, emb10, 50))
-
-    info(f"${"pipeline"}%-16s ${"t(1x)"}%8s ${"t(10x)"}%8s ${"ratio"}%7s ${"bound"}%6s")
-    runs.foreach { r =>
-      info(f"${r.name}%-16s ${r.t1}%8.2f ${r.t10}%8.2f ${r.ratio}%7.1f ${r.bound}%6.0f")
+    info(f"${"pipeline"}%-18s ${"t(1x)"}%8s ${"t(3x)"}%8s ${"t(10x)"}%8s ${"slope"}%7s ${"bound"}%6s")
+    results.foreach { case (p, ts, sl) =>
+      info(f"${p.name}%-18s ${ts(0)}%8.2f ${ts(1)}%8.2f ${ts(2)}%8.2f $sl%7.2f ${p.bound}%6.1f")
     }
-    runs.foreach { r =>
-      assert(r.ratio <= r.bound,
-        f"${r.name}: 10x data took ${r.ratio}%.1fx the 1x time " +
-          f"(${r.t1}%.2f s -> ${r.t10}%.2f s; bound ${r.bound}%.0f) — " +
+    results.foreach { case (p, ts, sl) =>
+      assert(sl <= p.bound,
+        f"${p.name}: fitted growth exponent $sl%.2f over scales 1/3/10 " +
+          f"(times ${ts.map(t => f"$t%.2f").mkString("/")} s; bound ${p.bound}%.1f) — " +
           "superlinear growth beyond the design budget, check for a hidden N^2")
     }
+  }
+
+  test("dupClusters long chain: shortcut rounds grow ~log(diameter), not ~diameter") {
+    // chain = 1% of N. LSH links reach ~8-10 steps reliably, so the
+    // pair-graph diameter is ≈ chainLen/9: ~11 at 1×, ~110 at 10×.
+    // Plain propagation would need ∝ diameter rounds (≫ maxIters at
+    // 10×); shortcutting doubles pointer reach per round, so rounds
+    // stay ~log₂(diameter) + setup/probe constants.
+    def rounds(n: Long, chainLen: Long): Int = {
+      val p = materialize(s"chain$n", genChainDocs(n, chainLen))
+      val d = rd(p)
+      val pairs = Dedup.minhashLshPairs(d, 3, 32, 8, 0.3, SEED)
+      assert(pairs.where(col("a") < lit(chainLen)).count() >= chainLen - 1,
+        "chain fixture planted too few chain pairs")
+      val (labels, iters) = Dedup.dupClustersWithRounds(
+        d.select("doc_id"), pairs, maxIters = 40, shortcut = true)
+      labels.count()
+      spark.sharedState.cacheManager.clearCache()
+      iters
+    }
+    val r1 = rounds(10000, 100)
+    val r10 = rounds(100000, 1000)
+    info(s"dupClusters shortcut rounds: chain 100 -> $r1, chain 1000 -> $r10")
+    assert(r1 >= 2, s"chain fixture converged in $r1 round(s) — it must " +
+      "exercise the iterative path")
+    // diameter grew 10×; log growth allows only a small additive bump
+    assert(r10 <= r1 + 6,
+      s"rounds grew $r1 -> $r10 on a 10× deeper chain — ~linear in " +
+        "diameter, shortcutting is not doubling reach")
+    assert(r10 <= 16,
+      s"$r10 rounds for a ~110-diameter chain — far above the ~log₂ " +
+        "budget, shortcutting is not effective")
   }
 }
