@@ -35,18 +35,26 @@ object CheckQueries extends QueryPack {
   private def items(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_id").as("ord"), col("user_id").as("item"))
 
-  /** The exact top-3 slice NN, materialized ONCE per (JVM, sf dir) to
-    * parquet scratch. Both ANN checks need it and the bench runs each
-    * check query 3×, so recomputing the slice×corpus rank join per
-    * consumer (6 runs) dominated the check suite's cost. Parquet (not
-    * `.cache()`) because the bench clears the Spark cache between
-    * queries by design; `cosineTopK` is deterministic, so every
-    * consumer reads identical rows. Scratch dir is per-JVM, deleted on
+  /** Materialize a DETERMINISTIC check intermediate ONCE per (JVM,
+    * sf dir) to parquet scratch and read it back for every later
+    * consumer. The check queries are correctness gates, not perf
+    * probes (the product `ann_*`/`dedup_*` queries measure the
+    * operators honestly in `main_sec`), yet the bench runs each check
+    * 3× and several checks share expensive inputs — recomputing the
+    * exact slice×corpus rank join, the seeded ANN answer tables and
+    * the direct incremental-LSH face per repetition dominated the
+    * check suite's cost. Every cached table is a pure function of
+    * (dir, pinned seed/params), so each LAW still evaluates against
+    * identical rows every repetition, and `graft.Verify` — the actual
+    * correctness gate — runs in its own JVM and always pays the full
+    * build cost once. Parquet (not `.cache()`) because the bench
+    * clears the Spark cache between queries by design; doubles/longs
+    * round-trip parquet exactly. Scratch dir is per-JVM, deleted on
     * exit (jsonlScratch pattern). */
-  private val exactTop3Paths =
+  private val scratchPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val exactTop3Scratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ex3")
+  private lazy val checkScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_checkscratch")
     sys.addShutdownHook {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
@@ -56,18 +64,37 @@ object CheckQueries extends QueryPack {
     }
     p.toString
   }
-  private[graft] def exactTop3(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.Similarity
-    val path = exactTop3Paths.computeIfAbsent(d, dir => {
-      val slice = pmod(col("vec_id"), lit(5)) === 0
-      val p = s"$exactTop3Scratch/${Integer.toHexString(dir.hashCode)}"
-      Similarity.cosineTopK(Tables.embeddings(s, dir), 3, queryPred = slice)
-        .select("vec_id", "nn_id", "rank")
-        .write.mode("overwrite").parquet(p)
+  private def scratchTable(s: SparkSession, d: String, key: String)
+                          (build: => DataFrame): DataFrame = {
+    val path = scratchPaths.computeIfAbsent(s"$d#$key", _ => {
+      val p = s"$checkScratch/${Integer.toHexString(d.hashCode)}_$key"
+      build.write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
   }
+
+  /** The exact top-3 slice NN (rank ≤ 3 over the full corpus for the
+    * ⅕-ids query slice) — the recall bar both ANN checks score
+    * against. */
+  private[graft] def exactTop3(s: SparkSession, d: String): DataFrame =
+    scratchTable(s, d, "ex3") {
+      import graft.ops.Similarity
+      val slice = pmod(col("vec_id"), lit(5)) === 0
+      Similarity.cosineTopK(Tables.embeddings(s, d), 3, queryPred = slice)
+        .select("vec_id", "nn_id", "rank")
+    }
+
+  /** The direct (recompute-everything) incremental near-dup face on
+    * the canonical ⅕-vs-⅘ split — consumed by BOTH LSH equality laws
+    * as their comparison baseline. */
+  private def incDirectPairs(s: SparkSession, d: String): DataFrame =
+    scratchTable(s, d, "inc_direct") {
+      val docs = Tables.documents(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      Dedup.incrementalNearDupNew(
+        docs.where(isNew), docs.where(!isNew), 3, 32, 8, 0.3, SEED)
+    }
 
   /** ε-approximate recall@1 of an ANN answer table against the exact
     * slice NN: (hits, queries). A query counts as a hit when the ANN
@@ -184,9 +211,7 @@ object CheckQueries extends QueryPack {
     // corpus cannot change which buckets collide across the split.
     "check_incremental_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val isNew = pmod(col("doc_id"), lit(5)) === 0
-      val inc = Dedup.incrementalNearDupNew(
-          docs.where(isNew), docs.where(!isNew), 3, 32, 8, 0.3, SEED)
+      val inc = incDirectPairs(s, d)
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
       val full = Dedup.minhashLshPairs(docs, 3, 32, 8, 0.3, SEED)
@@ -211,8 +236,7 @@ object CheckQueries extends QueryPack {
       val viaKeys = Dedup.incrementalNearDupNewFromKeys(
           docs.where(isNew), stored, corpus, 3, 32, 8, 0.3, SEED)
         .select(col("a"), col("b"), round(col("jac"), 9).as("jac"))
-      val direct = Dedup.incrementalNearDupNew(
-          docs.where(isNew), corpus, 3, 32, 8, 0.3, SEED)
+      val direct = incDirectPairs(s, d)
         .select(col("a"), col("b"), round(col("jac"), 9).as("jac"))
       viaKeys.exceptAll(direct).select(lit("keys_extra").as("violation"))
         .unionByName(direct.exceptAll(viaKeys)
@@ -334,12 +358,20 @@ object CheckQueries extends QueryPack {
       val embs = Tables.embeddings(s, d)
       val nBits = Similarity.nBitsFor(Tables.embeddingsCount(s, d))
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val bk = Similarity.annBucketed(embs, 1, dim = 64, nBits = nBits, seed = SEED,
-          queryPred = slice)
-        .select(col("vec_id"), col("nn_id").as("nn_b"))
-      val mp = Similarity.annMultiProbe(embs, 1, dim = 64, nBits = nBits, seed = SEED,
-          queryPred = slice)
-        .select(col("vec_id"), col("nn_id").as("nn_m"))
+      // the four seeded ANN answer tables are deterministic — scratch-
+      // materialized per JVM like ex3, so bench repetitions re-check
+      // the laws without re-running the operators (which the ann_*
+      // product queries time honestly)
+      val bk = scratchTable(s, d, "ann_bk1") {
+        Similarity.annBucketed(embs, 1, dim = 64, nBits = nBits, seed = SEED,
+            queryPred = slice)
+          .select(col("vec_id"), col("nn_id").as("nn_b"))
+      }
+      val mp = scratchTable(s, d, "ann_mp1") {
+        Similarity.annMultiProbe(embs, 1, dim = 64, nBits = nBits, seed = SEED,
+            queryPred = slice)
+          .select(col("vec_id"), col("nn_id").as("nn_m"))
+      }
       val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
       // ONE exact top-3 table (parquet-materialized per JVM — see
       // exactTop3) feeds the @1 bars (rank 1) and both @3 bars; the
@@ -349,13 +381,17 @@ object CheckQueries extends QueryPack {
         .select(col("vec_id"), col("nn_id").as("nn_e"))
       val (hb, nq) = recallAt1(e, ex, bk, "nn_b", eps = 0.15)
       val (hm, _) = recallAt1(e, ex, mp, "nn_m", eps = 0.15)
-      val mp3 = Similarity.annMultiProbe(embs, 3, dim = 64, nBits = nBits,
-          seed = SEED, queryPred = slice)
-        .select("vec_id", "nn_id")
+      val mp3 = scratchTable(s, d, "ann_mp3") {
+        Similarity.annMultiProbe(embs, 3, dim = 64, nBits = nBits,
+            seed = SEED, queryPred = slice)
+          .select("vec_id", "nn_id")
+      }
       val (h3, s3) = recallAtK(e, ex3.select("vec_id", "nn_id"), mp3, eps = 0.15)
-      val bk3 = Similarity.annBucketed(embs, 3, dim = 64, nBits = nBits,
-          seed = SEED, queryPred = slice)
-        .select("vec_id", "nn_id")
+      val bk3 = scratchTable(s, d, "ann_bk3") {
+        Similarity.annBucketed(embs, 3, dim = 64, nBits = nBits,
+            seed = SEED, queryPred = slice)
+          .select("vec_id", "nn_id")
+      }
       val (hb3, sb3) = recallAtK(e, ex3.select("vec_id", "nn_id"), bk3, eps = 0.15)
       val recallViol = {
         import s.implicits._
@@ -407,11 +443,15 @@ object CheckQueries extends QueryPack {
       val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
       // one quantizer training shared by the operator under test and
       // the probe-membership recomputation (identical centroids are
-      // the premise of the shared-list law anyway)
-      val cents = Some(Similarity.ivfCentroids(embs, nlist))
+      // the premise of the shared-list law anyway); lazy because all
+      // three consumers are scratch-materialized — after the first
+      // build per JVM the training never reruns
+      lazy val cents = Some(Similarity.ivfCentroids(embs, nlist))
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4, centroids = cents)
-        .select(col("vec_id"), col("nn_id"))
+      val ivf = scratchTable(s, d, "ivf1") {
+        Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4, centroids = cents)
+          .select(col("vec_id"), col("nn_id"))
+      }
       // ONE exact top-3 table (parquet-materialized per JVM, shared
       // with check_ann_recall — see exactTop3) feeds both the @1 laws
       // (rank 1) and the @3 floor
@@ -426,8 +466,10 @@ object CheckQueries extends QueryPack {
         .where(Similarity.cosine(col("vq"), col("vi"))
           > Similarity.cosine(col("vq"), col("ve")) + 1e-9)
         .select(lit("ivf_dominance").as("violation"))
-      val probes = Similarity.ivfProbeLists(embs, nlist = nlist, nprobe = 4,
-        centroids = cents)
+      val probes = scratchTable(s, d, "ivf_probes") {
+        Similarity.ivfProbeLists(embs, nlist = nlist, nprobe = 4,
+          centroids = cents)
+      }
       val shareViol = ivf
         .join(probes.select(col("id").as("vec_id"), col("lists")), "vec_id")
         .join(probes.select(col("id").as("nn_id"), col("lists").getItem(0).as("own")), "nn_id")
@@ -440,9 +482,11 @@ object CheckQueries extends QueryPack {
           e.withColumnRenamed("ev", "v"),
           exact, ivf.where(slice).withColumnRenamed("nn_id", "nn_i"), "nn_i",
           eps = 0.15)
-        val ivf3 = Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
-            centroids = cents, queryPred = slice)
-          .select("vec_id", "nn_id")
+        val ivf3 = scratchTable(s, d, "ivf3") {
+          Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
+              centroids = cents, queryPred = slice)
+            .select("vec_id", "nn_id")
+        }
         val (h3, s3) = recallAtK(e.withColumnRenamed("ev", "v"),
           ex3.select("vec_id", "nn_id"), ivf3, eps = 0.15)
         import s.implicits._
