@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsOf, Dedup, Outliers, RangeJoin, Similarity}
+import graft.ops.{AsOf, Dedup, Outliers, Pack, RangeJoin, Similarity, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -210,6 +210,33 @@ class ScalingSpec extends SparkSpec {
         val d = rd(docs(i))
         val pairs = Dedup.minhashLshPairs(d, 3, 32, 8, 0.3, SEED)
         Dedup.dupClusters(d.select("doc_id"), pairs).count()
+      }),
+      // same shape as the text_tfidf product query: (doc, term) tf agg,
+      // term df agg, equi-join, per-doc top-5 window; vocab ∝ N keeps
+      // df group sizes flat
+      Pipe("text_tfidf", 1.5, { i =>
+        val dd = rd(docs(i))
+        val n = dd.count()
+        val tf = dd.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("sc").desc, col("term"))
+        tf.join(dfq, "term")
+          .withColumn("sc", col("tf") *
+            round(log((lit(n) + 1.0) / (col("df") + 1.0)) * 1e6).cast("long"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5).count()
+      }),
+      // shards ∝ N — the op's documented 100 TB knob (per-shard doc
+      // lists stay task-sized, the window cumsum per shard stays flat);
+      // the filter must consume a window output or ColumnPruning drops
+      // the cumsum from the timed plan (the asof_join lesson)
+      Pipe("pack_chunks", 1.5, { i =>
+        val dd = rd(docs(i))
+        Pack.chunkPack(dd, Text.tokenCount(col("text")),
+            ctx = 128, nShards = math.max(16L, dd.count() / 1000).toInt)
+          .where(col("first_chunk") >= 0).count()
       }),
       // matched-row count depends on the window-carried right struct —
       // a bare count() would let ColumnPruning drop the window exec
