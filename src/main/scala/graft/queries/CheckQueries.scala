@@ -344,12 +344,12 @@ object CheckQueries extends QueryPack {
     //    annMultiProbe(k=3) ≥ 0.85 and annBucketed(k=3) ≥ 0.70 vs the
     //    exact top-3 at ε=0.15 (bucketed floor matches its @1 floor —
     //    singleton buckets are its documented recall hole; measured
-    //    multiprobe 1.000, bucketed 0.87-0.89 on the driver fixtures
-    //    at ε=0.15 — the @3 bar is the 3rd-best exact cosine, looser
-    //    than @1's, but each query must fill THREE slots, and
-    //    recallAtK dedups (vec_id, nn_id) first, so a rank/dedup bug
-    //    that repeats or drops answers scores low even when the top
-    //    answer is right).
+    //    at ε=0.15 on the driver fixtures: multiprobe 1.000, bucketed
+    //    0.903-0.953 (sf0.1/sf0.01) — the @3 bar is the 3rd-best
+    //    exact cosine, looser than @1's, but each query must fill
+    //    THREE slots, and recallAtK dedups (vec_id, nn_id) first, so
+    //    a rank/dedup bug that repeats or drops answers scores low
+    //    even when the top answer is right).
     // Audited on a deterministic ⅕-ids QUERY slice against the full
     // corpus (queryPred) — the laws are per-query-vector, so the
     // slice version is exactly as sound per audited vector while the
