@@ -169,8 +169,14 @@ object Dedup {
     val digests =
       if (corpusIsDigests) corpus.select(col(textCol).as("_digest"))
       else corpus.select(md5(col(textCol)).as("_digest"))
-    digests.distinct().select(xxhash64(col("_digest")).as("_h"))
-      .stat.bloomFilter("_h", expectedDigests, fpp)
+    val hashed = digests.distinct().select(xxhash64(col("_digest")).as("_h"))
+    // stat.bloomFilter NPEs on a zero-row input (null aggregation
+    // buffer) — the day-zero bootstrap needs a valid EMPTY filter,
+    // built with the SAME sizing derivation so later merges stay
+    // compatible
+    if (hashed.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedDigests, fpp)
+    else hashed.stat.bloomFilter("_h", expectedDigests, fpp)
   }
 
   /** Wire format of the bloom state (Spark's own sketch serialization

@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end execution of the README's "maintained incremental-dedup
+  * state — the nightly ingest recipe": three document batches flow
+  * through REAL storage (parquet state tables + a serialized bloom
+  * file on disk), each batch deduplicated against the state and the
+  * survivors' state appended forward, exactly as the recipe orders it.
+  *
+  * The per-op laws (`check_bloom_persist`, `check_incremental_bloom`,
+  * `check_incremental_lsh_keys`) each pin ONE maintained face against
+  * its recompute twin; this spec pins the COMPOSITION — append order,
+  * state-table schemas, filter-merge sequencing, the storage round
+  * trips — by running the same batches through the stateless faces
+  * (full prior corpus re-read, filter rebuilt, keys recomputed) and
+  * asserting the final corpus and every state table are identical.
+  * A misordered append (state updated before the batch is filtered,
+  * survivors vs admitted rows confused, a batch's filter merged
+  * twice) changes the corpus or a state table and fails the compare.
+  */
+class NightlyIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SEED = 42L
+  private val FPP = 0.1
+  private val CAP = 10000L // growth-horizon sizing, identical per batch
+  private val MINJAC = 0.5
+
+  /** 40 "w<k>" tokens starting at k = 31·i — far-apart streams don't
+    * overlap (jac 0), a near-copy shifts the stream by one token
+    * (jac ≈ 0.85 on 3-gram shingles, LSH-detectable at 32/8). */
+  private def text(i: Long, shift: Long = 0L): String =
+    (0 until 40).map(j => s"w${31 * i + j + shift}").mkString(" ")
+
+  private def df(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // batch 1: fresh docs + a WITHIN-batch exact dup (1004 copies 1001)
+  private val batch1 = df(Seq(
+    1001L -> text(1), 1002L -> text(2), 1003L -> text(3),
+    1004L -> text(1), 1005L -> text(4), 1006L -> text(5)))
+  // batch 2: a CROSS-batch exact dup (2001 == 1002), a cross-batch
+  // NEAR dup (2002 ≈ 1003), fresh docs
+  private val batch2 = df(Seq(
+    2001L -> text(2), 2002L -> text(3, shift = 1),
+    2003L -> text(6), 2004L -> text(7)))
+  // batch 3: near dup of a batch-2 SURVIVOR (3001 ≈ 2003), exact dup
+  // of a batch-1 doc (3002 == 1005), a within-batch dup pair, fresh
+  private val batch3 = df(Seq(
+    3001L -> text(6, shift = 1), 3002L -> text(4),
+    3003L -> text(8), 3004L -> text(8), 3005L -> text(9)))
+
+  /** One nightly batch against the maintained state (parquet paths +
+    * bloom bytes): returns the surviving rows. Steps and ORDER are the
+    * README recipe's: within-batch exact dedup → bloom-probed digest
+    * anti-join (prebuilt filter, digest-table corpus) → maintained-key
+    * near-dup scan → append survivors' digests/keys, merge filter. */
+  private def runMaintained(batch: DataFrame, docsP: String, digP: String,
+                            keysP: String, bloomF: java.nio.file.Path): DataFrame = {
+    val survivedExactLocal = batch.join(
+      Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val bloom = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(bloomF))
+    // the digest table stores digests under the shared text column name
+    // (incrementalNew* hash/join col(textCol) on BOTH sides)
+    val admitted = Dedup.incrementalNewBloom(
+      survivedExactLocal, spark.read.parquet(digP),
+      expectedDigests = CAP, fpp = FPP, corpusIsDigests = true,
+      prebuilt = Some(bloom))
+    val nearDupIds = Dedup.incrementalNearDupNewFromKeys(
+        admitted, spark.read.parquet(keysP), spark.read.parquet(docsP),
+        3, 32, 8, MINJAC, SEED)
+      .select(col("a").as("doc_id")).distinct()
+    val survivors = admitted.join(nearDupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // pin rows BEFORE the state they're diffed against moves
+    survivors.write.mode("append").parquet(docsP)
+    survivors.select(md5(col("text")).as("text")).write.mode("append").parquet(digP)
+    Dedup.minhashBandKeys(survivors, 3, 32, 8, SEED)
+      .write.mode("append").parquet(keysP)
+    java.nio.file.Files.write(bloomF, Dedup.mergeBloomBytes(
+      java.nio.file.Files.readAllBytes(bloomF),
+      Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, CAP, fpp = FPP))))
+    survivors
+  }
+
+  /** The stateless twin: same batch policy, but the corpus is re-read
+    * raw and every face recomputes from it (anti-join instead of
+    * bloom, full re-shingle instead of stored keys). */
+  private def runStateless(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val survivedExactLocal = batch.join(
+      Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val admitted = Dedup.incrementalNew(survivedExactLocal, corpus)
+    val nearDupIds = Dedup.incrementalNearDupNew(
+        admitted, corpus, 3, 32, 8, MINJAC, SEED)
+      .select(col("a").as("doc_id")).distinct()
+    admitted.join(nearDupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+  }
+
+  test("three-batch nightly ingest: maintained state == stateless recompute, state tables consistent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val (docsP, digP, keysP) = (s"$root/docs", s"$root/digests", s"$root/keys")
+    val bloomF = root.resolve("state.bloom")
+    // bootstrap: empty corpus state (schemas written, zero rows; the
+    // bloom of an empty corpus rejects every probe — all definite-new)
+    val empty = df(Seq.empty[(Long, String)])
+    empty.write.parquet(docsP)
+    empty.select(md5(col("text")).as("text")).write.parquet(digP)
+    Dedup.minhashBandKeys(empty, 3, 32, 8, SEED).write.parquet(keysP)
+    java.nio.file.Files.write(bloomF,
+      Dedup.bloomToBytes(Dedup.buildDigestBloom(empty, CAP, fpp = FPP)))
+
+    val batches = Seq(batch1, batch2, batch3)
+    val kept = batches.map(b => runMaintained(b, docsP, digP, keysP, bloomF))
+
+    // stateless twin over the same batch sequence
+    var corpus = empty
+    val keptTwin = batches.map { b =>
+      val s = runStateless(b, corpus)
+      corpus = corpus.unionByName(s).localCheckpoint()
+      s
+    }
+
+    // the fixture must exercise every drop path
+    assert(kept(0).count() == 5, "within-batch exact dup not dropped")
+    val kept2 = kept(1).select("doc_id").as[Long].collect().toSet
+    assert(!kept2.contains(2001L), "cross-batch exact dup not dropped")
+    assert(!kept2.contains(2002L), "cross-batch near dup not dropped")
+    val kept3 = kept(2).select("doc_id").as[Long].collect().toSet
+    assert(!kept3.contains(3001L), "near dup of a batch-2 survivor not dropped")
+    assert(!kept3.contains(3002L), "exact dup of a batch-1 doc not dropped")
+    assert(kept3.intersect(Set(3003L, 3004L)).size == 1, "within-batch dup pair")
+
+    // per-batch survivor sets identical to the stateless twin
+    kept.zip(keptTwin).zipWithIndex.foreach { case ((m, t), i) =>
+      assert(m.exceptAll(t).isEmpty && t.exceptAll(m).isEmpty,
+        s"batch ${i + 1}: maintained and stateless survivors differ")
+    }
+
+    // state-table consistency against the final corpus
+    val finalDocs = spark.read.parquet(docsP)
+    assert(finalDocs.exceptAll(corpus).isEmpty && corpus.exceptAll(finalDocs).isEmpty,
+      "final corpus differs from the stateless twin's")
+    val digests = spark.read.parquet(digP)
+    assert(digests.exceptAll(finalDocs.select(md5(col("text")).as("text"))).isEmpty &&
+      finalDocs.select(md5(col("text")).as("text")).exceptAll(digests).isEmpty,
+      "digest table out of sync with the corpus")
+    val keysStored = spark.read.parquet(keysP)
+    val keysFresh = Dedup.minhashBandKeys(finalDocs, 3, 32, 8, SEED)
+    assert(keysStored.exceptAll(keysFresh).isEmpty && keysFresh.exceptAll(keysStored).isEmpty,
+      "band-key table differs from a from-scratch key run")
+    // merged bloom has NO false negatives over the final digest set
+    val bf = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(bloomF))
+    val missed = digests.where(!graft.functions.Native.mightContainNative(
+      spark, bf, xxhash64(col("text")))).count()
+    assert(missed == 0, s"merged bloom false-negative on $missed stored digest(s)")
+  }
+}
