@@ -38,14 +38,23 @@ object RecallProbe {
       queryPred = slice).select(col("vec_id"), col("nn_id").as("nn_m"))
     val ivf = Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4)
       .where(slice).select(col("vec_id"), col("nn_id").as("nn_i"))
+    // the int8 round-trip path behind check_ann_quantized's floor —
+    // recall still scored against the exact NN on the ORIGINAL floats
+    val mpq = Similarity.annMultiProbe(
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(embs)),
+        1, dim = 64, nBits = nBits, seed = 42L, vecCol = "vec",
+        queryPred = slice)
+      .select(col("vec_id"), col("nn_id").as("nn_q"))
 
     println(s"RECALL n=$n nBits=$nBits nlist=$nlist")
     for (eps <- Seq(0.0, 0.02, 0.05, 0.10, 0.15, 0.20)) {
       val (hb, nq) = CheckQueries.recallAt1(e, ex, bk, "nn_b", eps)
       val (hm, _) = CheckQueries.recallAt1(e, ex, mp, "nn_m", eps)
       val (hi, _) = CheckQueries.recallAt1(e, ex, ivf, "nn_i", eps)
+      val (hq, _) = CheckQueries.recallAt1(e, ex, mpq, "nn_q", eps)
       println(f"RECALL eps=$eps%.2f bucketed ${hb.toDouble / nq}%.3f " +
-        f"multiprobe ${hm.toDouble / nq}%.3f ivf ${hi.toDouble / nq}%.3f (n=$nq)")
+        f"multiprobe ${hm.toDouble / nq}%.3f ivf ${hi.toDouble / nq}%.3f " +
+        f"quantized_mp ${hq.toDouble / nq}%.3f (n=$nq)")
     }
     // recall@3 of the top-k (rank window) paths — the numbers behind
     // the bucketed/multiprobe/ivf *_recall_at3 floors
@@ -66,7 +75,7 @@ object RecallProbe {
         f"ivf ${hi3.toDouble / s3}%.3f (slots=$s3)")
     }
     // the floors as shipped: both checks must report zero violations
-    for (name <- Seq("check_ann_recall", "check_ivf")) {
+    for (name <- Seq("check_ann_recall", "check_ivf", "check_ann_quantized")) {
       val viol = SparkEntry.queries(name)(spark, sfDir).collect()
       println(s"RECALL $name violations=${viol.length}" +
         (if (viol.nonEmpty) " " + viol.mkString(";") else ""))

