@@ -102,6 +102,13 @@ class NightlyIngestSpec extends SparkSpec {
 
   test("three-batch nightly ingest: maintained state == stateless recompute, state tables consistent") {
     val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
     val (docsP, digP, keysP) = (s"$root/docs", s"$root/digests", s"$root/keys")
     val bloomF = root.resolve("state.bloom")
     // bootstrap: empty corpus state (schemas written, zero rows; the

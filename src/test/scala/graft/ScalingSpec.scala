@@ -143,8 +143,19 @@ class ScalingSpec extends SparkSpec {
 
   // ---- harness ----
 
-  private lazy val dir = java.nio.file.Files
-    .createTempDirectory("graft_scaling").toString
+  // fixtures run to ~GB at the 10× scales — delete on JVM exit, or
+  // /tmp accrues one copy per suite run on a long-lived box
+  private lazy val dir = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scaling")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    p.toString
+  }
 
   private def materialize(name: String, df: DataFrame): String = {
     val path = s"$dir/$name"
