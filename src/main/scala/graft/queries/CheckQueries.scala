@@ -672,6 +672,21 @@ object CheckQueries extends QueryPack {
       parsed.unpersist()
       out
     }),
+    // ORC interchange law (sources.Docs ORC faces): parquet→ORC→scan
+    // is a lossless multiset roundtrip. DuckDB cannot read ORC, so
+    // this law IS the oracle for the format; the scan-efficiency side
+    // (PushedFilters + pruned ReadSchema on an ORC scan) is pinned in
+    // PlanSpec. Same per-JVM scratch contract as the JSONL law.
+    "check_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = CheckQueries.jsonlScratch
+      graft.sources.Docs.toOrc(docs, s"$tmp/docs_orc", numFiles = 4)
+      val back = graft.sources.Docs.fromOrc(s, s"$tmp/docs_orc")
+      docs.exceptAll(back).select(lit("orc_lost_row").as("violation"))
+        .unionByName(back.exceptAll(docs)
+          .select(lit("orc_extra_row").as("violation")))
+    }),
     // Image-decode laws (the REAL decode path, javax.imageio): a
     // deterministic PNG corpus is synthesized from doc ids
     // (pixel formula in Multimodal.synthPixel), decoded back, and

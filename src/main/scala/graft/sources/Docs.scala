@@ -57,4 +57,22 @@ object Docs {
     val df = if (numFiles > 0) docs.repartition(numFiles) else docs
     df.write.mode("overwrite").json(path)
   }
+
+  /** ORC faces — the third container format next to parquet
+    * (warehouse) and JSONL (interchange), for lakes standardized on
+    * the ORC stack. Columnar with per-stripe min/max statistics, so
+    * the same scan-efficiency properties hold as for parquet: filters
+    * push into the reader (`PushedFilters` in the plan — pinned by
+    * PlanSpec) and projection prunes columns; schema is declared, not
+    * inferred, like every scan here. Lossless multiset roundtrip is
+    * law `check_orc_roundtrip`. ORC has no PERMISSIVE quarantine
+    * (binary container — a corrupt stripe fails the task loudly
+    * rather than yielding null rows), hence no `mode` parameter. */
+  def fromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def toOrc(docs: DataFrame, path: String, numFiles: Int = 0): Unit = {
+    val df = if (numFiles > 0) docs.repartition(numFiles) else docs
+    df.write.mode("overwrite").orc(path)
+  }
 }

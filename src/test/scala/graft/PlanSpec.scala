@@ -29,6 +29,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"), p)
   }
 
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_plan")
+    try {
+      graft.sources.Docs.toOrc(
+        Tables.documents(spark, sf001)
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+        s"$dir/docs", numFiles = 2)
+      val df = graft.sources.Docs.fromOrc(spark, s"$dir/docs")
+        .where(col("lang") === "en").select("doc_id", "lang")
+      val p = plan(df)
+      assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+      assert(p.contains("ReadSchema") && !p.contains("text:string"),
+        s"ORC scan reads pruned columns only:\n$p")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("cell histogram plans partial+final HashAggregate (map-side combine)") {
     val p = plan(graft.ops.Grid.cellHistogram(Tables.points(spark, sf001), 0.7))
     assert(p.contains("HashAggregate"))
