@@ -222,6 +222,10 @@ class ScalingSpec extends SparkSpec {
         val pairs = Dedup.minhashLshPairs(d, 3, 32, 8, 0.3, SEED)
         Dedup.dupClusters(d.select("doc_id"), pairs).count()
       }),
+      // the UDAF-merge path: 64-vote SimhashAgg over the exploded
+      // token stream — one shuffle on doc id, map-side partial merge
+      Pipe("dedup_simhash", 1.5, i =>
+        Dedup.simhashSignatures(rd(docs(i)), SEED).count()),
       // same shape as the text_tfidf product query: (doc, term) tf agg,
       // term df agg, equi-join, per-doc top-5 window; vocab ∝ N keeps
       // df group sizes flat
