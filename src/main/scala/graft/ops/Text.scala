@@ -151,6 +151,96 @@ object Text {
     docs.select(col("doc_id"), (reason === "ok").as("keep"), reason.as("reason"))
   }
 
+  /** Non-overlapping n-token segments of a text column, in document
+    * order — the segmentation unit for [[boilerplateScrub]] on data
+    * whose "lines" are not newline-delimited (the driver fixtures are
+    * single-line token streams). Real newline data passes
+    * `split(col("text"), "\n")` to [[boilerplateScrub]] directly
+    * instead. Empty docs yield an empty array (`sequence(0, -1)` would
+    * DESCEND in Spark, not produce nothing — hence the guard). */
+  def tokenSegments(c: Column, n: Int): Column = {
+    require(n > 0, "segment size must be positive")
+    val toks = tokens(c)
+    val nSegs = ceil(size(toks).cast("double") / n).cast("int")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Segment-level boilerplate removal (the CCNet / RefinedWeb line
+    * dedup): a segment that occurs in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (navigation chrome, license headers, cookie
+    * banners) and is dropped from every document; the rest of each
+    * document is reassembled in original order. `segments` is any
+    * ordered array column — `split(text, "\n")` for real line data,
+    * [[tokenSegments]] for undelimited streams.
+    *
+    * Scale shape (100 TB): one segment-key shuffle for the
+    * distinct-doc count (partial count-distinct per partition first),
+    * one equi-join back (the flagged-segment side holds only segments
+    * above the threshold — rare by definition — so AQE picks a
+    * broadcast when it fits), one doc-key shuffle to reassemble.
+    * Θ(total segments), no N² anywhere. Reassembly is order-exact:
+    * kept segments are collected as (idx, seg) structs and
+    * `array_sort`ed — never `collect_list` order, which Spark does
+    * not define.
+    *
+    * Output: `doc_id, n_segs, n_boiler, clean_md5` — counts plus the
+    * md5 of the space-joined surviving segments (hash-pins the full
+    * reassembled text without carrying it). Docs with zero segments
+    * are dropped (nothing to scrub). */
+  def boilerplateScrub(docs: DataFrame, segments: Column, minDocs: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would flag every segment")
+    val seg = docs.select(col(idCol).as("doc_id"), posexplode(segments).as(Seq("idx", "seg")))
+    val boiler = seg.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("seg"), lit(true).as("_boiler"))
+    seg.join(boiler, Seq("seg"), "left")
+      .withColumn("is_b", coalesce(col("_boiler"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("is_b"), lit(1L)).otherwise(lit(0L))).as("n_boiler"),
+        // collect_list skips nulls, so only kept segments land in the
+        // array; array_sort on (idx, seg) structs restores doc order
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("is_b"),
+              struct(col("idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("clean_md5"))
+  }
+
+  /** PII redaction patterns — the training-data hygiene pass every
+    * public-corpus pipeline runs (emails, IPv4s, phone-shaped
+    * numbers). Deliberately the RE2 ∩ java.util.regex common subset
+    * (char classes, bounded repeats, `\b`) so the DuckDB oracle runs
+    * the literally identical pattern. Redaction order matters and is
+    * fixed: emails first (their local parts contain digits and dots
+    * that the other patterns could chew on), then IPs, then phones. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Scrubbed text: every email → `<EMAIL>`, IPv4 → `<IP>`, phone →
+    * `<PHONE>`, applied in the documented order. Pure codegen'd
+    * `regexp_replace` chain — one pass per pattern, no UDF. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Match counts per PII class on the UNREDACTED text (the audit
+    * numbers a pipeline reports before scrubbing). */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (regexp_count(c, lit(emailPattern)),
+     regexp_count(c, lit(ipv4Pattern)),
+     regexp_count(c, lit(phonePattern)))
+
   /** BPE-ish subword segmentation count: a GPT-2-style pretokenizer
     * regex (space-prefixed letter runs, digit runs, punctuation runs)
     * — the standard pre-merge segmentation; real BPE would then merge

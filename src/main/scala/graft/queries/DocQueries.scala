@@ -20,6 +20,12 @@ object DocQueries extends QueryPack {
   /** pack_chunks parameters, shared with the oracle SQL. */
   private val PackCtx = 128
   private val PackShards = 16
+  /** text_boilerplate parameters, shared with the oracle SQL: 3-token
+    * segments (the fixtures are single-line token streams — real
+    * newline data would segment on '\n'), flagged when ≥ 3 distinct
+    * docs share a segment (~9% of fixture segments). */
+  private val SegTokens = 3
+  private val SegMinDocs = 3
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
@@ -164,6 +170,68 @@ object DocQueries extends QueryPack {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+    // segment-level boilerplate removal (the CCNet/RefinedWeb line
+    // dedup): 3-token segments occurring in ≥3 distinct docs are
+    // dropped, the rest reassembled order-exact; clean_md5 hash-pins
+    // the full scrubbed text of every doc
+    "text_boilerplate" -> ((s, d) =>
+      Text.boilerplateScrub(Tables.documents(s, d),
+        Text.tokenSegments(col("text"), SegTokens), minDocs = SegMinDocs)),
+    // PII scrub audit: deterministic synthetic PII (email/IP/phone
+    // derived from doc_id — the raw fixtures carry none) appended to
+    // each doc, then counted and redacted; the md5 pins the scrubbed
+    // text byte-for-byte. The regex patterns are the RE2 ∩ java.regex
+    // subset, so the oracle runs the LITERAL same patterns.
+    "text_pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val docs = Tables.documents(s, d).withColumn("_aug", aug)
+      val (ne, ni, np) = Text.piiCounts(col("_aug"))
+      docs.select(col("doc_id"),
+        ne.cast("long").as("n_emails"), ni.cast("long").as("n_ips"),
+        np.cast("long").as("n_phones"),
+        md5(Text.piiRedact(col("_aug"))).as("clean_md5"))
+    }),
+    // corpus drift between two snapshots (even vs odd doc ids): token
+    // share deltas for the top-20 movers plus the total-variation
+    // distance. TVD is computed in EXACT integer arithmetic
+    // (Σ|cnt_a·total_b − cnt_b·total_a|, decimal-widened so a 100 TB
+    // token count cannot overflow) with a single final double
+    // division — no per-row transcendental, no order-dependent double
+    // summation, so the hash gate holds cross-engine.
+    "corpus_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, d)
+      def cnts(m: Int) = docs.where(pmod(col("doc_id"), lit(2)) === m)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(s"c$m"))
+      val j = cnts(0).join(cnts(1), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("c0"), lit(0L)).as("cnt_a"),
+          coalesce(col("c1"), lit(0L)).as("cnt_b"))
+      val tot = j.agg(sum("cnt_a").as("ta"), sum("cnt_b").as("tb"))
+      val wj = j.crossJoin(broadcast(tot))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      val tvdRow = wj
+        .agg(sum(abs(dec(col("cnt_a")) * dec(col("tb"))
+          - dec(col("cnt_b")) * dec(col("ta")))).as("sn"),
+          first("ta").as("ta"), first("tb").as("tb"))
+        .select(round(lit(0.5) * col("sn").cast("double")
+          / (col("ta").cast("double") * col("tb").cast("double")), 6).as("tvd"))
+      wj.crossJoin(broadcast(tvdRow))
+        .withColumn("share_delta",
+          col("cnt_a").cast("double") / col("ta").cast("double")
+            - col("cnt_b").cast("double") / col("tb").cast("double"))
+        .orderBy(abs(col("share_delta")).desc, col("token"))
+        .limit(20)
+        .select(col("token"), col("cnt_a"), col("cnt_b"),
+          round(col("share_delta"), 6).as("share_delta"), col("tvd"))
+    }),
     // corpus-duplicated span fraction: which part of each doc is text
     // that also occurs elsewhere (n-gram-granular exact-substring
     // signal; one gram-key shuffle, Θ(tokens))
@@ -408,6 +476,68 @@ object DocQueries extends QueryPack {
          |  count(*) AS n_docs,
          |  CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1""".stripMargin,
+    // same segmentation restated: non-overlapping token windows via
+    // generate_series, distinct-doc threshold, order-exact reassembly
+    // via string_agg(... ORDER BY i) FILTER; all-boilerplate docs
+    // land on md5('') through the COALESCE (Spark joins an empty
+    // array)
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |segs AS (
+         |  SELECT doc_id, i,
+         |    array_to_string(tk[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
+         |  FROM t, unnest(generate_series(0,
+         |    CAST(ceil(len(tk)::DOUBLE / $SegTokens) AS BIGINT) - 1)) AS u(i)
+         |  WHERE len(tk) > 0),
+         |b AS (SELECT seg FROM segs GROUP BY seg
+         |      HAVING count(DISTINCT doc_id) >= $SegMinDocs),
+         |j AS (SELECT s.doc_id, s.i, s.seg, (b.seg IS NOT NULL) AS is_b
+         |      FROM segs s LEFT JOIN b ON s.seg = b.seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  md5(COALESCE(string_agg(seg, ' ' ORDER BY i)
+         |    FILTER (WHERE NOT is_b), '')) AS clean_md5
+         |FROM j GROUP BY 1""".stripMargin,
+    // the LITERAL same regex patterns (RE2 ∩ java.regex subset) over
+    // the same deterministic augmentation; counts on the unredacted
+    // text, md5 on the redaction chain in the same order
+    "text_pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@mail.example.com from 10.'
+         |    || (doc_id % 256) || '.0.' || (doc_id % 100)
+         |    || ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '${Text.emailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '${Text.ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(aug, '${Text.phonePattern}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${Text.emailPattern}', '<EMAIL>', 'g'),
+         |    '${Text.ipv4Pattern}', '<IP>', 'g'),
+         |    '${Text.phonePattern}', '<PHONE>', 'g')) AS clean_md5
+         |FROM t""".stripMargin,
+    // exact-integer TVD (HUGEINT sum mirrors the decimal widening),
+    // identical double op order for the shares and the final division
+    "corpus_drift" ->
+      s"""WITH a AS (SELECT t AS token, count(*) AS cnt_a
+         |  FROM (SELECT unnest($tokSql) AS t FROM documents WHERE doc_id % 2 = 0)
+         |  GROUP BY 1),
+         |b AS (SELECT t AS token, count(*) AS cnt_b
+         |  FROM (SELECT unnest($tokSql) AS t FROM documents WHERE doc_id % 2 = 1)
+         |  GROUP BY 1),
+         |j AS (SELECT COALESCE(a.token, b.token) AS token,
+         |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+         |      FROM a FULL OUTER JOIN b ON a.token = b.token),
+         |t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM j),
+         |n AS (SELECT sum(abs(cnt_a * tb - cnt_b * ta)) AS sn FROM j CROSS JOIN t),
+         |v AS (SELECT round(0.5 * sn::DOUBLE / (ta::DOUBLE * tb::DOUBLE), 6) AS tvd
+         |      FROM n CROSS JOIN t)
+         |SELECT token, cnt_a, cnt_b,
+         |  round(cnt_a::DOUBLE / ta::DOUBLE - cnt_b::DOUBLE / tb::DOUBLE, 6) AS share_delta,
+         |  tvd
+         |FROM j CROSS JOIN t CROSS JOIN v
+         |ORDER BY abs(cnt_a::DOUBLE / ta::DOUBLE - cnt_b::DOUBLE / tb::DOUBLE) DESC, token
+         |LIMIT 20""".stripMargin,
     // multiset n-gram stream, cross-doc-ness by min!=max per gram
     "dedup_span_ratio" ->
       s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
