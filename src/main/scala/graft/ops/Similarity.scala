@@ -121,6 +121,66 @@ object Similarity {
           .getField("list").as("lists"))
   }
 
+  /** Centroid table ↔ driver array round trip, for persisting the IVF
+    * coarse quantizer beside its assignment table (the maintained-
+    * index lifecycle): one row per centroid, `list, c`. Write the
+    * DataFrame as parquet next to the index; [[centroidsFromDF]] loads
+    * it back for the next ingest batch. The quantizer is TRAINED ONCE
+    * (on the first corpus snapshot) and then fixed — re-training moves
+    * every Voronoi boundary and forces a full re-assignment, i.e. a
+    * rebuild, exactly as in FAISS's train-once/add-many lifecycle. */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "c")
+  }
+
+  def centroidsFromDF(df: DataFrame): Array[Array[Double]] =
+    df.select("list", "c").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** The appendable IVF assignment table for one ingest batch under a
+    * FIXED quantizer: `nn_id, list, vb` with `vb` the unit-normalized
+    * vector — the FAISS inverted-list layout as a table (the index
+    * stores the vectors, so search never re-reads the corpus).
+    * Assignment is deterministic given the centroids, so appending
+    * per-batch tables is EXACTLY a rebuild over the union (law:
+    * `check_ivf_append`) — the nightly run assigns only the new batch
+    * and appends, never re-scanning the corpus. */
+  def ivfAssign(embs: DataFrame, centroids: Array[Array[Double]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val flat = lit(centroids.flatten)
+    normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("nn_id"), col("v").as("vb"),
+        graft.functions.Native.topDotNative(spark, col("v"), flat, 1)
+          .getItem(0).getField("list").as("list"))
+  }
+
+  /** ANN search against a MAINTAINED assignment table ([[ivfAssign]]
+    * output, typically parquet-loaded): queries probe their `nprobe`
+    * nearest lists and join the stored inverted lists — the corpus
+    * embeddings are never touched at query time. [[annIvf]] is this
+    * over a freshly-built index, so the two faces cannot drift. */
+  def annIvfFromIndex(index: DataFrame, queries: DataFrame,
+                      k: Int, nprobe: Int, centroids: Array[Array[Double]],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val flat = lit(centroids.flatten)
+    val probe = normalized(queries, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("vec_id"), col("v").as("va"),
+        explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+          .getField("list")).as("list"))
+    val scored = probe.join(index, Seq("list"))
+      .where(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+    topKByCos(scored, k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer — k-center centroids
     * from farthest-first traversal over a driver-sized sample — maps
     * every vector to its nearest list; queries probe their `nprobe`
@@ -143,26 +203,12 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding",
              queryPred: Column = lit(true),
              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val spark = embs.sparkSession
-    val base = normalized(embs, idCol, vecCol, "id", "v")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val flat = lit(centroids
-      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol)).flatten)
-    val build = base.select(col("id").as("nn_id"), col("v").as("vb"),
-      graft.functions.Native.topDotNative(spark, col("v"), flat, 1)
-        .getItem(0).getField("list").as("list"))
+    val cents = centroids
+      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
     // queryPred restricts the QUERY side against the full corpus
     // (query-batch ANN); lit(true) folds away for the self-NN default
-    val probe = normalized(embs.where(queryPred), idCol, vecCol, "id", "v")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id").as("vec_id"), col("v").as("va"),
-        explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
-          .getField("list")).as("list"))
-    val scored = probe.join(build, Seq("list"))
-      .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
-        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
-    topKByCos(scored, k)
+    annIvfFromIndex(ivfAssign(embs, cents, idCol, vecCol),
+      embs.where(queryPred), k, nprobe, cents, idCol, vecCol)
   }
 
   /** Embedding k-center clustering: FFT centroids over a sample, every
@@ -224,6 +270,51 @@ object Similarity {
         (graft.functions.Native.dotNative(spark, col("va"), col("vb"))
           / (col("na") * col("nb"))).as("csim"))
       .where(col("csim") >= minCosine)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-center cluster the embeddings — one
+    * codegen'd argmax pass, same quantizer as [[annIvf]] — then run
+    * the exact cosine verifier WITHIN each cluster only. Cost drops
+    * from N² to Σ|cluster|²; with cluster count ∝ N (occupancy-flat,
+    * the [[nlistFor]] discipline) that is linear-per-ratio at scale,
+    * and on a cluster both pair sides shuffle on the cluster id and
+    * stay co-located. Same `a, b, csim` schema (and identical csim
+    * doubles) as [[cosineNearDupPairs]].
+    *
+    * Single-assignment MISSES pairs whose members straddle a Voronoi
+    * boundary, so each vector spills into its `nAssign` nearest cells
+    * (the spill-tree / IVF-multiprobe idea applied to the BUILD side):
+    * a pair is scored in every shared cell and deduplicated by
+    * `max(csim)` — the per-cell scores are identical, so the dedup is
+    * value-deterministic. Work is ≤ nAssign²·Σ|cluster|², still
+    * linear-per-ratio; recall rises steeply because similar vectors
+    * rank the same centroids near the top even when their single
+    * argmax differs. `check_semantic_dedup` pins soundness (reported ⊆
+    * exact with equal csim) and floors the measured recall. */
+  def semanticNearDupPairs(embs: DataFrame, minCosine: Double, nClusters: Int,
+                           nAssign: Int = 2, sampleSize: Int = 2048,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nAssign >= 1 && nAssign <= nClusters,
+      s"nAssign=$nAssign must be in [1, nClusters=$nClusters]")
+    val spark = embs.sparkSession
+    val cents = ivfCentroids(embs, nClusters, sampleSize, idCol, vecCol)
+    val flat = lit(cents.flatten)
+    // normalized once, so the pair stage is a bare dot — and csim is
+    // computed on the SAME normalized doubles as cosineNearDupPairs'
+    // norm-divided face (1e-9 parity, pinned by the check law)
+    val assigned = normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), col("v"),
+        explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nAssign)
+          .getField("list")).as("cluster"))
+    val l = assigned.select(col("cluster"), col("id").as("a"), col("v").as("va"))
+    val r = assigned.select(col("cluster"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("cluster")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("csim"))
+      .where(col("csim") >= minCosine)
+      .groupBy("a", "b").agg(max(col("csim")).as("csim"))
   }
 
   /** Hyperplane component h(i,b) ∈ [−0.5, 0.5): identical bits to the

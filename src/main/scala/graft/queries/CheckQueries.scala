@@ -538,6 +538,111 @@ object CheckQueries extends QueryPack {
         .select(lit("quantized_coverage").as("violation"))
       recallViol.unionByName(selfViol).unionByName(coverViol)
     }),
+    // IVF maintained-index law — the ANN twin of check_bloom_persist's
+    // nightly lifecycle, on the same ⅕-new/⅘-corpus split: train the
+    // coarse quantizer ONCE, round-trip the centroid table AND each
+    // batch's assignment table (ivfAssign) through real parquet files,
+    // append (union) the per-batch tables, and search the appended
+    // index via annIvfFromIndex. Pins, all exact:
+    //  - append == rebuild: per-batch assignment tables union to the
+    //    single-pass table over the full corpus, row-for-row (multiset,
+    //    including the stored normalized vectors — assignment is
+    //    deterministic given centroids, so incremental ingest loses
+    //    NOTHING vs a rebuild);
+    //  - search-from-index == annIvf: the k=3 answer table from the
+    //    file-round-tripped appended index equals the one-shot
+    //    operator's (same centroids), so the maintained face a nightly
+    //    job actually queries cannot drift from the audited one.
+    "check_ivf_append" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
+      val isNew = pmod(col("vec_id"), lit(5)) === 0
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt")
+      try {
+        val cents0 = Similarity.ivfCentroids(embs, nlist)
+        Similarity.centroidsToDF(s, cents0)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        val cents = Similarity.centroidsFromDF(s.read.parquet(s"$dir/centroids"))
+        Seq(("corpus", embs.where(!isNew)), ("batch", embs.where(isNew)))
+          .foreach { case (name, batch) =>
+            Similarity.ivfAssign(batch, cents)
+              .write.mode("overwrite").parquet(s"$dir/$name")
+          }
+        val appended = s.read.parquet(s"$dir/corpus")
+          .unionByName(s.read.parquet(s"$dir/batch"))
+        val rebuilt = Similarity.ivfAssign(embs, cents)
+        val assignViol = appended.exceptAll(rebuilt)
+          .select(lit("ivf_append_extra").as("violation"))
+          .unionByName(rebuilt.exceptAll(appended)
+            .select(lit("ivf_append_missing").as("violation")))
+        val slice = pmod(col("vec_id"), lit(5)) === 0
+        val fromIdx = Similarity.annIvfFromIndex(appended,
+          embs.where(slice), k = 3, nprobe = 4, cents)
+        val oneShot = Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
+          centroids = Some(cents), queryPred = slice)
+        val searchViol = fromIdx.exceptAll(oneShot)
+          .select(lit("ivf_index_search_extra").as("violation"))
+          .unionByName(oneShot.exceptAll(fromIdx)
+            .select(lit("ivf_index_search_missing").as("violation")))
+        // violations are collected to the driver (tiny: pass = empty)
+        // BEFORE the finally deletes the parquet files they scan —
+        // a lazily-returned frame would recompute from deleted input
+        val out = assignViol.unionByName(searchViol)
+          .collect().map(_.getString(0)).toSeq
+        import s.implicits._
+        out.toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
+    // Semantic-dedup laws (same parameters as the dedup_semantic
+    // query): the clustered face must be SOUND — every reported pair
+    // exists in the exact O(N²) verifier's output at the same
+    // threshold with the same csim (1e-9: the faces normalize at
+    // different points — dot(a/|a|, b/|b|) vs dot(a,b)/(|a||b|) — so
+    // bitwise equality is not owed), each pair reported at most once —
+    // and its measured recall vs the exact verifier must clear 0.85.
+    // The fixture is the HARD case for cluster-local dedup: its pairs
+    // sit at cosine 0.45–0.51 (far from coincident — a real SemDeDup
+    // threshold is ~0.95 on near-identical vectors), so single-
+    // assignment recall is only 0.64 at sf0.1 and the spill (nAssign=3)
+    // is doing real work. Measured: 14/14 (sf0.01), 139/144 = 0.965
+    // (sf0.1) — deterministic, and a broken quantizer, a dropped
+    // cluster, or a spill regression scores far below the floor.
+    "check_semantic_dedup" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nClusters = math.max(4L, Tables.embeddingsCount(s, d) / 256L).toInt
+      val sem = scratchTable(s, d, "semdedup") {
+        Similarity.semanticNearDupPairs(embs, 0.45, nClusters, nAssign = 3)
+      }
+      val brute = scratchTable(s, d, "semdedup_exact") {
+        Similarity.cosineNearDupPairs(embs, 0.45)
+      }
+      val soundViol = sem.select("a", "b")
+        .join(brute.select("a", "b"), Seq("a", "b"), "left_anti")
+        .select(lit("semantic_not_exact").as("violation"))
+      val csimViol = sem.select(col("a"), col("b"), col("csim").as("cs"))
+        .join(brute, Seq("a", "b"))
+        .where(abs(col("cs") - col("csim")) > 1e-9)
+        .select(lit("semantic_csim_drift").as("violation"))
+      val dupViol = sem.groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(lit("semantic_dup_pair").as("violation"))
+      val recallViol = {
+        val nb = brute.count()
+        val hits = sem.select("a", "b")
+          .join(brute.select("a", "b"), Seq("a", "b"), "left_semi").count()
+        import s.implicits._
+        (if (hits.toDouble < 0.85 * nb) Seq(s"semantic_recall $hits/$nb")
+         else Nil).toDF("violation")
+      }
+      soundViol.unionByName(csimViol).unionByName(dupViol)
+        .unionByName(recallViol)
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty

@@ -324,6 +324,18 @@ object DocQueries extends QueryPack {
     "dedup_embedding" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.45)
         .select(col("a"), col("b"), round(col("csim"), 6).as("csim"))),
+    // SemDeDup-style semantic near-dup pairs: k-center cluster with
+    // spill assignment (each vector in its 3 nearest cells), exact
+    // cosine within shared cells only — ≤ nAssign²·Σ|cluster|² work,
+    // the scale path for dedup_embedding's O(N²) verifier. No SQL
+    // oracle (the FFT quantizer is not expressible);
+    // check_semantic_dedup pins soundness + csim parity + a 0.85
+    // recall floor vs the verifier
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, d), 0.45,
+          nClusters = math.max(4L, Tables.embeddingsCount(s, d) / 256L).toInt,
+          nAssign = 3)
+        .select(col("a"), col("b"), round(col("csim"), 6).as("csim"))),
     // int8 scalar quantization under the hash gate: plain and
     // position-weighted code sums pin every code value AND position
     // against DuckDB's recomputation from the float arrays (double

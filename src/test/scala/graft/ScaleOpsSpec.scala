@@ -99,6 +99,51 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfAssign/annIvfFromIndex: append == rebuild; index search == one-shot annIvf") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.ivfCentroids(embs, nlist = 8)
+    // centroid table round trip is lossless and order-restoring
+    val rt = Similarity.centroidsFromDF(
+      Similarity.centroidsToDF(spark, cents).orderBy(col("list").desc))
+    assert(rt.length == cents.length &&
+      rt.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    // appending per-batch assignment tables == one pass over the union
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    val appended = Similarity.ivfAssign(embs.where(!isNew), cents)
+      .unionByName(Similarity.ivfAssign(embs.where(isNew), cents))
+    val rebuilt = Similarity.ivfAssign(embs, cents)
+    assert(appended.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(appended).isEmpty,
+      "per-batch ivfAssign union must equal the single-pass assignment table")
+    // searching the appended index == the one-shot operator
+    val fromIdx = Similarity.annIvfFromIndex(appended, embs, 3, nprobe = 4, cents)
+    val oneShot = Similarity.annIvf(embs, 3, nlist = 8, nprobe = 4,
+      centroids = Some(cents))
+    assert(fromIdx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIdx).isEmpty,
+      "annIvfFromIndex over the appended index must equal annIvf")
+  }
+
+  test("semanticNearDupPairs: sound vs exact verifier, csim parity, recall >= 0.75") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val sem = Similarity.semanticNearDupPairs(embs, 0.45, nClusters = 4)
+      .select("a", "b", "csim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val brute = Similarity.cosineNearDupPairs(embs, 0.45)
+      .select("a", "b", "csim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(sem.nonEmpty, "fixture must contain near-dup pairs")
+    sem.foreach { case (pair, c) =>
+      assert(brute.contains(pair), s"semantic pair $pair not in exact verifier")
+      assert(math.abs(brute(pair) - c) <= 1e-9, s"csim drift at $pair")
+    }
+    // the default spill (nAssign=2) recovers most Voronoi-straddling
+    // pairs: 6/7 here vs 3/7 single-assignment — the fixture's pairs
+    // sit at cosine 0.45-0.51, far from coincident, so this is the
+    // HARD case for cluster-local dedup (the check law runs the
+    // product parameters, nAssign=3, floored at 0.85)
+    assert(sem.size >= math.ceil(0.75 * brute.size).toInt,
+      s"recall ${sem.size}/${brute.size}")
+  }
+
   test("kcenterAssign: every vector assigned, <=k clusters, distances in [0,2]") {
     val embs = Tables.embeddings(spark, sf0001)
     val got = Similarity.kcenterAssign(embs, k = 8)
