@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Frequent-items over a bounded stream — exact histogram, Reservoir
@@ -146,6 +146,55 @@ object Freq {
       .withColumn("_n", count(lit(1)).over(size))
       .where(col("_rk") <= ceil(col("_n") * lit(BigDecimal(frac))))
       .drop("_rk", "_n")
+  }
+
+  /** Token-budget mixture sampling — the data-mixing primitive a
+    * training run uses to hit a FIXED token budget per source/domain:
+    * within each group, docs are taken in a deterministic
+    * pseudo-random order (md5 of the id string — reproducible across
+    * engines AND runs, never encounter order) until the group's
+    * weight budget is exhausted; the doc that crosses the budget is
+    * kept (exclusive-prefix rule, `cum − w < budget`), so every
+    * non-empty group emits at least one doc and the kept weight is
+    * the least total ≥ budget. Exact — not Bernoulli-in-expectation,
+    * which misses small groups' budgets by ±√n.
+    *
+    * A naive per-group running sum is ONE sequential window per group
+    * — with a handful of sources that is a handful of reducers at
+    * 100 TB. This computes the running sum as a two-level distributed
+    * prefix sum instead (the [[graft.ops.Pack.chunkPack]] idiom):
+    * bucket each row by the FIRST HEX CHARS of its own sort key (so
+    * bucket order is a prefix of row order and offsets compose),
+    * window within (group, bucket) — `16^orderChars`-way parallel —
+    * then add per-bucket offsets from a window over the tiny
+    * (groups × buckets) totals table. Identical output to the
+    * single-window formulation; `sample_mixture_budget`'s DuckDB
+    * oracle IS that single window.
+    *
+    * Output: `group, id, w, cum` (one row per kept doc, cum = the
+    * group's running weight INCLUDING this doc). */
+  def tokenBudgetSample(df: DataFrame, weight: Column, budget: Long,
+                        groupCol: String, idCol: String,
+                        orderChars: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(orderChars >= 1 && orderChars <= 8, "orderChars in [1, 8]")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("group"), col(idCol).as("id"),
+        weight.cast("long").as("w"))
+      .withColumn("_k", md5(col("id").cast("string")))
+      .withColumn("_b", substring(col("_k"), 1, orderChars))
+    val inBucket = Window.partitionBy("group", "_b")
+      .orderBy(col("_k"), col("id"))
+    val cumIn = base.withColumn("_cin", sum(col("w")).over(inBucket))
+    val offsets = base.groupBy("group", "_b").agg(sum(col("w")).as("_bt"))
+      .withColumn("_off",
+        coalesce(sum(col("_bt")).over(Window.partitionBy("group")
+          .orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("group"), col("_b"), col("_off"))
+    cumIn.join(offsets, Seq("group", "_b"))
+      .withColumn("cum", col("_off") + col("_cin"))
+      .where(col("cum") - col("w") < budget)
+      .select(col("group"), col("id"), col("w"), col("cum"))
   }
 
   // ---------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Pack, Similarity, Text}
+import graft.ops.{Dedup, Freq, Pack, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,16 @@ object DocQueries extends QueryPack {
         .select(col("token"), col("cnt_a"), col("cnt_b"),
           round(col("share_delta"), 6).as("share_delta"), col("tvd"))
     }),
+    // token-budget mixture sampling: per-source docs in deterministic
+    // md5 order until 1000 tokens (exclusive-prefix rule keeps the
+    // crossing doc); the op's two-level distributed prefix sum must
+    // equal the oracle's single per-source window exactly
+    "sample_mixture_budget" -> ((s, d) =>
+      Freq.tokenBudgetSample(Tables.documents(s, d),
+          Text.tokenCount(col("text")), budget = 1000L,
+          groupCol = "source", idCol = "doc_id")
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("w").as("n_tok"), col("cum"))),
     // corpus-duplicated span fraction: which part of each doc is text
     // that also occurs elsewhere (n-gram-granular exact-substring
     // signal; one gram-key shuffle, Θ(tokens))
@@ -528,6 +538,18 @@ object DocQueries extends QueryPack {
          |    '${Text.ipv4Pattern}', '<IP>', 'g'),
          |    '${Text.phonePattern}', '<PHONE>', 'g')) AS clean_md5
          |FROM t""".stripMargin,
+    // the single-per-source-window formulation the distributed
+    // two-level prefix sum must reproduce exactly; md5 of the decimal
+    // id string is the cross-engine deterministic order
+    "sample_mixture_budget" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS cum
+         |FROM t)
+         |SELECT source, doc_id, n_tok, cum FROM c
+         |WHERE cum - n_tok < 1000""".stripMargin,
     // exact-integer TVD (HUGEINT sum mirrors the decimal widening),
     // identical double op order for the shares and the final division
     "corpus_drift" ->

@@ -56,6 +56,43 @@ class FreqSpec extends SparkSpec {
     assert(hits.max <= 20 && hits.min >= 0)
   }
 
+  test("tokenBudgetSample: two-level prefix sum == single window; budget laws") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups with lumpy weights; group "c" total < budget (kept whole)
+    val df = (1L to 200L).map(i =>
+        (if (i % 7 == 0) "c" else if (i % 2 == 0) "b" else "a",
+         i, 1L + i % 17)).toDF("g", "id", "w")
+    val budget = 150L
+    // reference: ONE window per group, inclusive running sum
+    val w1 = Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))
+    val ref = df.withColumn("cum", sum(col("w")).over(w1))
+      .where(col("cum") - col("w") < budget)
+      .select(col("g").as("group"), col("id"), col("w"), col("cum"))
+    for (oc <- Seq(1, 2)) {
+      val got = Freq.tokenBudgetSample(df, col("w"), budget, "g", "id", orderChars = oc)
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"orderChars=$oc diverged from the single-window reference")
+    }
+    val got = Freq.tokenBudgetSample(df, col("w"), budget, "g", "id")
+      .select("group", "id", "w", "cum").as[(String, Long, Long, Long)].collect()
+    // exclusive-prefix rule: weight BEFORE each kept doc is < budget
+    assert(got.forall { case (_, _, w, cum) => cum - w < budget })
+    val totals = df.groupBy("g").agg(sum("w").as("t"))
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      val kept = rows.map(_._3).sum
+      // kept weight is the least prefix total >= budget (or the whole
+      // group when it cannot reach the budget)
+      assert(kept == rows.map(_._4).max, s"$g: cum bookkeeping broken")
+      if (totals(g) >= budget) {
+        val lastW = rows.maxBy(_._4)._3
+        assert(kept >= budget && kept - lastW < budget,
+          s"$g: kept $kept not the least prefix total >= $budget")
+      } else assert(kept == totals(g), s"$g: under-budget group must be kept whole")
+    }
+    assert(got.map(_._1).toSet == Set("a", "b", "c"), "every group represented")
+  }
+
   test("stickyLocal: tracked items count every later occurrence") {
     // p = 1 => every item tracked from first occurrence => exact histogram
     val rnd = new scala.util.Random(2)

@@ -253,6 +253,26 @@ class ScalingSpec extends SparkSpec {
             ctx = 128, nShards = math.max(16L, dd.count() / 1000).toInt)
           .where(col("first_chunk") >= 0).count()
       }),
+      // segment shuffle + threshold join + doc-key reassembly —
+      // Θ(segments); vocab ∝ N keeps cross-doc segment collisions (and
+      // so the flagged side) negligible, which IS the claim: cost must
+      // track the segment stream, not the corpus². count(clean_md5)
+      // forces the md5-of-reassembly so pruning can't drop the
+      // collect_list/array_sort (the asof_join lesson)
+      Pipe("text_boilerplate", 1.5, i =>
+        Text.boilerplateScrub(rd(docs(i)),
+            Text.tokenSegments(col("text"), 3), minDocs = 3)
+          .agg(sum(col("n_boiler")), count(col("clean_md5"))).collect()),
+      // spill-clustered exact-cosine dedup: nClusters ∝ N keeps
+      // per-cell occupancy flat, so pair work ≈ N · occupancy ·
+      // nAssign² — linear-per-ratio (the product query's shape with
+      // the same occupancy discipline as ann_bucketed's nBitsFor)
+      Pipe("dedup_semantic", 1.5, { i =>
+        val e = rd(embs(i))
+        val n = e.count()
+        Similarity.semanticNearDupPairs(e, 0.9,
+          nClusters = math.max(4L, n / 128L).toInt, vecCol = "embedding").count()
+      }),
       // matched-row count depends on the window-carried right struct —
       // a bare count() would let ColumnPruning drop the window exec
       // entirely and time only the union scan (measured: flat 0.2 s
