@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ops.{Dedup, Freq, Pack, Similarity, Text}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries over `documents` and `embeddings`:
@@ -231,6 +231,46 @@ object DocQueries extends QueryPack {
         .limit(20)
         .select(col("token"), col("cnt_a"), col("cnt_b"),
           round(col("share_delta"), 6).as("share_delta"), col("tvd"))
+    }),
+    // the full curation pipeline as ONE composed dataflow — the funnel
+    // a corpus-curation run reports: quality filter → exact dedup
+    // (min-id per digest) → boilerplate scrub (threshold computed on
+    // the SURVIVORS — stage order is semantics, not style) →
+    // token-budget mixture over the CLEAN token counts. One row per
+    // stage with the docs/tokens that remain; every stage reuses the
+    // op the standalone query tests, so the composition is pinned
+    // end-to-end by the same DuckDB hash gate
+    "curation_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nt = Text.tokenCount(col("text")).cast("long")
+      val quality = docs.join(
+        Text.junkFilter(docs).where(col("keep")).select("doc_id"), Seq("doc_id"))
+      val dedup = quality
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("_rk") === 1).drop("_rk")
+      val seg = dedup.select(col("doc_id"), col("source"),
+        posexplode(Text.tokenSegments(col("text"), SegTokens)).as(Seq("idx", "seg")))
+      val boiler = seg.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= SegMinDocs).select(col("seg"), lit(true).as("_b"))
+      val clean = seg.join(boiler, Seq("seg"), "left").where(col("_b").isNull)
+        .groupBy("doc_id", "source")
+        .agg(sum(size(split(col("seg"), " ")).cast("long")).as("ct"))
+      val mix = Freq.tokenBudgetSample(clean, col("ct"), budget = 1000L,
+        groupCol = "source", idCol = "doc_id")
+      def stage(no: Int, name: String, df: DataFrame, tok: Column) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(tok), lit(0L)).as("n_tokens"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(1, "raw", docs, nt)
+        .unionByName(stage(2, "quality", quality, nt))
+        .unionByName(stage(3, "exact_dedup", dedup, nt))
+        .unionByName(stage(4, "boilerplate", clean, col("ct")))
+        .unionByName(stage(5, "mixture", mix, col("w")))
+        .orderBy("stage_no")
     }),
     // token-budget mixture sampling: per-source docs in deterministic
     // md5 order until 1000 tokens (exclusive-prefix rule keeps the
@@ -538,6 +578,44 @@ object DocQueries extends QueryPack {
          |    '${Text.ipv4Pattern}', '<IP>', 'g'),
          |    '${Text.phonePattern}', '<PHONE>', 'g')) AS clean_md5
          |FROM t""".stripMargin,
+    // each stage restated as a CTE over the previous one — the same
+    // quality CASE, min-id-per-md5 dedup, segment threshold on the
+    // SURVIVORS, and single-window budget the standalone oracles use
+    "curation_funnel" ->
+      s"""WITH raw AS (SELECT doc_id, source, text,
+         |  CAST(len($tokSql) AS BIGINT) AS nt FROM documents),
+         |q AS (SELECT * FROM raw WHERE (CASE
+         |  WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) < 5 THEN 'too_short'
+         |  WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |       / greatest(length(text), 1)::DOUBLE > 0.3 THEN 'too_numeric'
+         |  ELSE 'ok' END) = 'ok'),
+         |d AS (SELECT doc_id, source, text, nt FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |  FROM q) WHERE rk = 1),
+         |segs AS (SELECT doc_id, source, i,
+         |    array_to_string(tk[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
+         |  FROM (SELECT doc_id, source, $tokSql AS tk FROM d) t,
+         |  unnest(generate_series(0,
+         |    CAST(ceil(len(tk)::DOUBLE / $SegTokens) AS BIGINT) - 1)) AS u(i)
+         |  WHERE len(tk) > 0),
+         |b AS (SELECT seg FROM segs GROUP BY seg
+         |      HAVING count(DISTINCT doc_id) >= $SegMinDocs),
+         |ct AS (SELECT s.doc_id, s.source,
+         |    CAST(sum(len(string_split(s.seg, ' '))) AS BIGINT) AS ct
+         |  FROM segs s LEFT JOIN b ON s.seg = b.seg
+         |  WHERE b.seg IS NULL GROUP BY 1, 2),
+         |mix AS (SELECT * FROM (SELECT doc_id, source, ct,
+         |    CAST(sum(ct) OVER (PARTITION BY source
+         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS cum
+         |  FROM ct) WHERE cum - ct < 1000)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage_no, 'raw' AS stage, count(*) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM raw
+         |  UNION ALL SELECT 2, 'quality', count(*), CAST(sum(nt) AS BIGINT) FROM q
+         |  UNION ALL SELECT 3, 'exact_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM d
+         |  UNION ALL SELECT 4, 'boilerplate', count(*), CAST(sum(ct) AS BIGINT) FROM ct
+         |  UNION ALL SELECT 5, 'mixture', count(*), CAST(sum(ct) AS BIGINT) FROM mix)
+         |ORDER BY stage_no""".stripMargin,
     // the single-per-source-window formulation the distributed
     // two-level prefix sum must reproduce exactly; md5 of the decimal
     // id string is the cross-engine deterministic order
