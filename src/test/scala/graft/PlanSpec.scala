@@ -212,6 +212,37 @@ class PlanSpec extends SparkSpec {
       s"packing window collapsed to a single partition:\n${p2.take(1000)}")
   }
 
+  test("tokenBudgetSample: running-sum window is bucket-parallel, never single-partition") {
+    val docs = Tables.documents(spark, sf001)
+    val p = plan(graft.ops.Freq.tokenBudgetSample(docs,
+      graft.ops.Text.tokenCount(col("text")), 1000L, "source", "doc_id"))
+    // the corpus-sized window must partition by (group, _b) — the
+    // whole point of the two-level prefix sum; only the tiny
+    // bucket-totals window runs per group
+    assert(p.contains("Window"), p.take(800))
+    assert(p.linesIterator.exists(l => l.contains("_b#") && l.contains("partitionspec")
+      || l.contains("PartitionSpec: [group") && l.contains("_b")
+      || (l.contains("Arguments") && l.contains("windowspecdefinition") && l.contains("_b"))),
+      s"no window partitioned by the order-key bucket:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      s"prefix-sum window collapsed to a single partition:\n${p.take(1000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
+  }
+
+  test("semanticNearDupPairs: cluster equi-join with codegen'd kernels, no nested loop") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val p = plan(graft.ops.Similarity.semanticNearDupPairs(embs, 0.45, nClusters = 4))
+    assert(p.contains("graft_top_dot"), p.take(800)) // spill assignment
+    assert(p.contains("graft_dot"), p.take(800))     // pair scoring
+    // pairs must come from an equi-join on the cluster id — the a<b
+    // predicate is a post-join filter, never the join itself
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join on cluster:\n${p.take(1000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"semantic dedup fell back to an all-pairs join:\n${p.take(1000)}")
+  }
+
   test("partitioned warehouse layout: filter becomes PartitionFilters, values roundtrip") {
     import graft.sources.Warehouse
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsOf, Dedup, Outliers, Pack, RangeJoin, Similarity, Text}
+import graft.ops.{AsOf, Dedup, Freq, Outliers, Pack, RangeJoin, Similarity, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -273,6 +273,17 @@ class ScalingSpec extends SparkSpec {
         Similarity.semanticNearDupPairs(e, 0.9,
           nClusters = math.max(4L, n / 128L).toInt, vecCol = "embedding").count()
       }),
+      // the two-level prefix sum scans and windows EVERY row before
+      // the budget filter (the filter needs cum, so pruning cannot
+      // drop the window) — Θ(N) independent of the budget; 5 groups
+      // would be 5 reducers under the naive single window, but the
+      // bucket level keeps 16·5-way parallelism at every scale
+      Pipe("mixture_budget", 1.5, i =>
+        Freq.tokenBudgetSample(
+          rd(docs(i)).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(5)))),
+          Text.tokenCount(col("text")), budget = 10000L,
+          groupCol = "source", idCol = "doc_id").count()),
       // matched-row count depends on the window-carried right struct —
       // a bare count() would let ColumnPruning drop the window exec
       // entirely and time only the union scan (measured: flat 0.2 s
