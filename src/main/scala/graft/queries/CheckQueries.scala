@@ -608,11 +608,11 @@ object CheckQueries extends QueryPack {
     // and its measured recall vs the exact verifier must clear 0.85.
     // The fixture is the HARD case for cluster-local dedup: its pairs
     // sit at cosine 0.45–0.51 (far from coincident — a real SemDeDup
-    // threshold is ~0.95 on near-identical vectors), so single-
-    // assignment recall is only 0.64 at sf0.1 and the spill (nAssign=3)
-    // is doing real work. Measured: 14/14 (sf0.01), 139/144 = 0.965
-    // (sf0.1) — deterministic, and a broken quantizer, a dropped
-    // cluster, or a spill regression scores far below the floor.
+    // threshold is ~0.95 on near-identical vectors), so the spill is
+    // doing real work: measured recall 139/144 = 0.965 at nAssign=3
+    // vs 117/144 = 0.81 at nAssign=2 (sf0.1; 14/14 at sf0.01) —
+    // deterministic, and a broken quantizer, a dropped cluster, or a
+    // spill regression scores far below the floor.
     "check_semantic_dedup" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val nClusters = math.max(4L, Tables.embeddingsCount(s, d) / 256L).toInt
