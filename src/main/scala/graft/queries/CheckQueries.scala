@@ -161,6 +161,27 @@ object CheckQueries extends QueryPack {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Symmetric multiset diff of two same-schema frames as ONE
+    * aggregation: tag rows +1/−1, union, hash-aggregate over all value
+    * columns, keep nonzero sums. Same empty-iff-equal contract as
+    * `a.exceptAll(b) ∪ b.exceptAll(a)` (grouping applies the same
+    * value equality — floats normalized, arrays comparable — that
+    * exceptAll uses) at half the cost: two directional exceptAlls are
+    * two join-shaped subplans each re-scanning both inputs, this is
+    * one union scan + one shuffle. A value off by ±n copies emits one
+    * violation row rather than n — the laws only test emptiness, and
+    * the tag still names which side held the surplus. */
+  private[graft] def multisetDiffViolations(a: DataFrame, b: DataFrame,
+      extraTag: String, missingTag: String): DataFrame = {
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("_s", lit(1L))
+      .unionByName(b.select(cols: _*).withColumn("_s", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_s")).as("_d"))
+      .where(col("_d") =!= 0)
+      .select(when(col("_d") > 0, lit(extraTag))
+        .otherwise(lit(missingTag)).as("violation"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // St5 laws: |sample| == min(m, n) and sample ⊆ stream
     "check_reservoir" -> ((s, d) => {
@@ -217,9 +238,7 @@ object CheckQueries extends QueryPack {
       val full = Dedup.minhashLshPairs(docs, 3, 32, 8, 0.3, SEED)
         .where((pmod(col("a"), lit(5)) === 0) =!= (pmod(col("b"), lit(5)) === 0))
         .select("a", "b")
-      inc.exceptAll(full).select(lit("incremental_extra").as("violation"))
-        .unionByName(full.exceptAll(inc)
-          .select(lit("incremental_missing").as("violation")))
+      multisetDiffViolations(inc, full, "incremental_extra", "incremental_missing")
     }),
     // Maintained-keys equality law: the nightly face (stored band-key
     // table + semi-join fetch of candidate docs only,
@@ -238,9 +257,7 @@ object CheckQueries extends QueryPack {
         .select(col("a"), col("b"), round(col("jac"), 9).as("jac"))
       val direct = incDirectPairs(s, d)
         .select(col("a"), col("b"), round(col("jac"), 9).as("jac"))
-      viaKeys.exceptAll(direct).select(lit("keys_extra").as("violation"))
-        .unionByName(direct.exceptAll(viaKeys)
-          .select(lit("keys_missing").as("violation")))
+      multisetDiffViolations(viaKeys, direct, "keys_extra", "keys_missing")
     }),
     // Bloom-face equality law: incrementalNewBloom == incrementalNew
     // as multisets on the same split — and not vacuously: run the
@@ -257,9 +274,7 @@ object CheckQueries extends QueryPack {
       val bloom = Dedup.incrementalNewBloom(docs.where(isNew), corpus,
           expectedDigests = math.max(1L, corpus.count()), fpp = 0.2)
         .select("doc_id")
-      bloom.exceptAll(plain).select(lit("bloom_extra").as("violation"))
-        .unionByName(plain.exceptAll(bloom)
-          .select(lit("bloom_missing").as("violation")))
+      multisetDiffViolations(bloom, plain, "bloom_extra", "bloom_missing")
     }),
     // Bloom maintained-state law — the full nightly lifecycle on a
     // two-batch fixture: build a filter PER ingested half with
@@ -304,9 +319,8 @@ object CheckQueries extends QueryPack {
         .select("doc_id")
       val plain = Dedup.incrementalNew(docs.where(isNew), corpus)
         .select("doc_id")
-      loaded.exceptAll(plain).select(lit("bloom_persist_extra").as("violation"))
-        .unionByName(plain.exceptAll(loaded)
-          .select(lit("bloom_persist_missing").as("violation")))
+      multisetDiffViolations(loaded, plain,
+        "bloom_persist_extra", "bloom_persist_missing")
     }),
     // FFT law: radius is non-increasing in K. Checked on NESTED
     // prefixes of ONE greedy run (Gonzalez centers are greedy-nested:
@@ -571,19 +585,15 @@ object CheckQueries extends QueryPack {
         val appended = s.read.parquet(s"$dir/corpus")
           .unionByName(s.read.parquet(s"$dir/batch"))
         val rebuilt = Similarity.ivfAssign(embs, cents)
-        val assignViol = appended.exceptAll(rebuilt)
-          .select(lit("ivf_append_extra").as("violation"))
-          .unionByName(rebuilt.exceptAll(appended)
-            .select(lit("ivf_append_missing").as("violation")))
+        val assignViol = multisetDiffViolations(appended, rebuilt,
+          "ivf_append_extra", "ivf_append_missing")
         val slice = pmod(col("vec_id"), lit(5)) === 0
         val fromIdx = Similarity.annIvfFromIndex(appended,
           embs.where(slice), k = 3, nprobe = 4, cents)
         val oneShot = Similarity.annIvf(embs, 3, nlist = nlist, nprobe = 4,
           centroids = Some(cents), queryPred = slice)
-        val searchViol = fromIdx.exceptAll(oneShot)
-          .select(lit("ivf_index_search_extra").as("violation"))
-          .unionByName(oneShot.exceptAll(fromIdx)
-            .select(lit("ivf_index_search_missing").as("violation")))
+        val searchViol = multisetDiffViolations(fromIdx, oneShot,
+          "ivf_index_search_extra", "ivf_index_search_missing")
         // violations are collected to the driver (tiny: pass = empty)
         // BEFORE the finally deletes the parquet files they scan —
         // a lazily-returned frame would recompute from deleted input
@@ -709,8 +719,7 @@ object CheckQueries extends QueryPack {
         .select(lit("size_law").as("violation"))
       val memberViol = s1.join(docs, Seq("id", "w"), "left_anti")
         .select(lit("membership").as("violation"))
-      val twinViol = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
-        .select(lit("determinism").as("violation"))
+      val twinViol = multisetDiffViolations(s1, s2, "determinism", "determinism")
       val key = log((pmod(xxhash64(col("id"), lit(SEED)), lit(1L << 40)).cast("double")
         + lit(0.5)) / lit((1L << 40).toDouble)) / col("w")
       val keyed = docs.withColumn("k", key)
@@ -742,12 +751,11 @@ object CheckQueries extends QueryPack {
         .select(lit("stratum_size").as("violation"))
       val memberViol = s1.join(docs, Seq("doc_id", "lang", "n_chars"), "left_anti")
         .select(lit("membership").as("violation"))
-      val twinViol = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
-        .select(lit("determinism").as("violation"))
+      val twinViol = multisetDiffViolations(s1, s2, "determinism", "determinism")
       sizeViol.unionByName(memberViol).unionByName(twinViol)
     }),
     // JSONL interchange law (sources.Docs): parquet→JSONL→scan is a
-    // lossless multiset roundtrip (exceptAll both ways is empty) and
+    // lossless multiset roundtrip (symmetric diff is empty) and
     // nothing quarantines. Exercises the declared-schema scan + the
     // executor-side sink end to end under the driver's hash gate.
     "check_jsonl_roundtrip" -> ((s, d) => {
@@ -763,16 +771,14 @@ object CheckQueries extends QueryPack {
         .select(lit("jsonl_corrupt").as("violation"))
       val back = parsed.where(col("_corrupt").isNull)
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val missing = docs.exceptAll(back)
-        .select(lit("jsonl_lost_row").as("violation"))
-      val extra = back.exceptAll(docs)
-        .select(lit("jsonl_extra_row").as("violation"))
+      val diff = multisetDiffViolations(back, docs,
+        "jsonl_extra_row", "jsonl_lost_row")
       // eager localCheckpoint materializes the (expected-empty)
       // violations while the cache is live, so `parsed` can be
       // unpersisted HERE — each bench repetition rewrites the JSONL
       // dir, and the new file listing would otherwise pin a fresh
       // full-corpus cache entry per run
-      val out = corrupt.unionByName(missing).unionByName(extra)
+      val out = corrupt.unionByName(diff)
         .localCheckpoint()
       parsed.unpersist()
       out
@@ -788,9 +794,7 @@ object CheckQueries extends QueryPack {
       val tmp = CheckQueries.jsonlScratch
       graft.sources.Docs.toOrc(docs, s"$tmp/docs_orc", numFiles = 4)
       val back = graft.sources.Docs.fromOrc(s, s"$tmp/docs_orc")
-      docs.exceptAll(back).select(lit("orc_lost_row").as("violation"))
-        .unionByName(back.exceptAll(docs)
-          .select(lit("orc_extra_row").as("violation")))
+      multisetDiffViolations(back, docs, "orc_extra_row", "orc_lost_row")
     }),
     // Image-decode laws (the REAL decode path, javax.imageio): a
     // deterministic PNG corpus is synthesized from doc ids
@@ -847,7 +851,7 @@ object CheckQueries extends QueryPack {
     //  - shape: decoded sample_rate / n_samples / feature dim as
     //    declared;
     //  - decoded samples: window sums match the SQL twin both ways
-    //    (value + coverage in one exceptAll pair);
+    //    (value + coverage in one symmetric multiset diff);
     //  - feature face: each float equals sum/(n·32768) narrowed to
     //    float — audioFeatures is pinned BY the integer sums.
     // Sliced by ids, same harness-cost principle as check_image_decode
@@ -864,7 +868,7 @@ object CheckQueries extends QueryPack {
       val nSamp = 512; val nWin = 8; val rate = 8000
       val ids = Tables.documents(s, d).select(col("doc_id"))
         .where(pmod(col("doc_id"), lit(16)) === 2)
-      // sums feeds three consumers (shape, the exceptAll pair via
+      // sums feeds three consumers (shape, the multiset diff via
       // got, the feature join) — cache the small post-decode table,
       // not the binary payloads (re-encoding 2 × is cheaper than
       // memory-storing WAV bytes). Reclaimed by the session
@@ -885,22 +889,16 @@ object CheckQueries extends QueryPack {
         .agg(count(lit(1)).as("win_n"),
           sum(abs((lit(31L) * col("media_id") + lit(7L) * col("t"))
             % 65536L - 32768L)).as("sum_abs"))
-        // both exceptAll directions consume it — cache the POST-agg
-        // table (10k rows), so the 2.5M-row sample explode runs once
-        .cache()
       val got = sums.select("media_id", "win", "win_n", "sum_abs")
-      val missViol = expect.exceptAll(got)
-        .select(lit("audio_window_lost").as("violation"))
-      val extraViol = got.exceptAll(expect)
-        .select(lit("audio_window_extra").as("violation"))
+      val windowViol = multisetDiffViolations(got, expect,
+        "audio_window_extra", "audio_window_lost")
       val featViol = feats
         .select(col("media_id"), posexplode(col("feature")).as(Seq("win", "f")))
         .join(sums, Seq("media_id", "win"))
         .where(col("f") =!=
           (col("sum_abs") / (col("win_n") * lit(32768.0))).cast("float"))
         .select(lit("audio_feature").as("violation"))
-      shapeViol.unionByName(missViol).unionByName(extraViol)
-        .unionByName(featViol)
+      shapeViol.unionByName(windowViol).unionByName(featViol)
     }),
     // Int8-quantization laws (the float face next to quantize_codes'
     // exact integer oracle):

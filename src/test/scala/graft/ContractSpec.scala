@@ -24,6 +24,24 @@ class ContractSpec extends SparkSpec {
     assert(qs.contains("outlier_n3n7")) // entry()'s query
   }
 
+  test("multisetDiffViolations: empty iff equal, tags name the surplus side") {
+    import spark.implicits._
+    import graft.queries.CheckQueries.multisetDiffViolations
+    val a = Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("id", "v")
+    val b = Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("id", "v")
+    assert(multisetDiffViolations(a, b, "extra", "missing").count() === 0)
+    // a surplus copy on the left tags extra; a left-absent value tags
+    // missing — multiplicity differences count, not just set membership
+    val c = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val d = Seq((1L, "x"), (3L, "z")).toDF("id", "v")
+    val out = multisetDiffViolations(a, c, "extra", "missing")
+      .as[String].collect().toSeq
+    assert(out === Seq("extra"), s"dup-copy diff: $out")
+    val out2 = multisetDiffViolations(c, d, "extra", "missing")
+      .as[String].collect().sorted.toSeq
+    assert(out2 === Seq("extra", "missing"), s"value diff: $out2")
+  }
+
   test("oracle SQL mentions only real table names") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
