@@ -148,6 +148,28 @@ object Freq {
       .drop("_rk", "_n")
   }
 
+  /** Per-group quota — the RefinedWeb-style per-domain/source cap a
+    * curation run applies so no single domain dominates the mix: keep
+    * the `cap` rows with the smallest seeded order key in each group,
+    * drop the rest. The key is `md5(seed:id)` — deterministic across
+    * runs and engines, decorrelated from ingest order (a head-of-table
+    * cap would keep whatever the crawler saw first), id tie-broken.
+    *
+    * One shuffle on the group key; rank is a per-group window, so the
+    * same skew note as [[stratifiedSample]] applies (a pathologically
+    * hot group sorts in one task — pre-salt with a two-stage top-k if
+    * a group outweighs a task). Output: the kept input rows, original
+    * columns. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  cap: Int, seed: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= cap).drop("_rk")
+  }
+
   /** Token-budget mixture sampling — the data-mixing primitive a
     * training run uses to hit a FIXED token budget per source/domain:
     * within each group, docs are taken in a deterministic

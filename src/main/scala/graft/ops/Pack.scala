@@ -51,4 +51,59 @@ object Pack {
       .withColumn("first_chunk", expr(s"off div $ctx"))
       .withColumn("last_chunk", expr(s"(off + tok - 1) div $ctx"))
   }
+
+  /** Token-balanced shard plan — the export-layout step a training
+    * run does AFTER filtering/dedup: place every document at a
+    * deterministic position in a seeded global shuffle order, then
+    * cut that order into `nShards` contiguous token ranges of
+    * (near-)equal size. Each shard's token total is within one
+    * document of `ceil(total/nShards)` — unlike [[chunkPack]]'s
+    * `id mod nShards` placement (or any count-balanced split), which
+    * skews shard BYTES whenever document lengths skew. The seeded
+    * md5 order is the deterministic global shuffle training
+    * reproducibility requires: same corpus + seed ⇒ byte-identical
+    * shard layout, and the order is decorrelated from ingest order
+    * (no source/time runs inside a shard).
+    *
+    * Scale shape: the global token prefix sum is two-level — an
+    * in-bucket window cumsum partitioned by the first `orderChars`
+    * hex chars of the order key (16^orderChars buckets, each a
+    * distributed partition-local sort), plus a bucket-offset table of
+    * 16^orderChars rows whose window is the only single-partition
+    * step (256 rows at orderChars=2 — metadata, not data). Same
+    * machinery as `Freq.tokenBudgetSample`'s per-group prefix sum,
+    * global here. The corpus total joins in as a broadcast 1-row
+    * aggregate; no driver collect.
+    *
+    * Output: `doc_id, tok, cum` (inclusive global prefix sum in
+    * shuffle order), `shard` (0-based), `off` (the doc's first-token
+    * offset within its shard's range). All-integer arithmetic
+    * (`div`, no double roundtrip), so the `shard_plan` oracle is
+    * exact. Zero-token docs are dropped, as in [[chunkPack]]. */
+  def shardPlan(docs: DataFrame, tokCol: Column, nShards: Int, seed: Long,
+                idCol: String = "doc_id", orderChars: Int = 1): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(orderChars >= 1 && orderChars <= 8, "orderChars in [1, 8]")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokCol.cast("long").as("tok"))
+      .where(col("tok") > 0)
+      .withColumn("_k", md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))))
+      .withColumn("_b", substring(col("_k"), 1, orderChars))
+    val inBucket = Window.partitionBy("_b").orderBy(col("_k"), col("doc_id"))
+    val cumIn = base.withColumn("_cin", sum(col("tok")).over(inBucket))
+    val offsets = base.groupBy("_b").agg(sum(col("tok")).as("_bt"))
+      .withColumn("_off",
+        coalesce(sum(col("_bt")).over(Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val total = base.agg(sum(col("tok")).as("_t"))
+    cumIn.join(offsets, Seq("_b"))
+      .withColumn("cum", col("_off") + col("_cin"))
+      .crossJoin(broadcast(total))
+      .withColumn("_target", expr(s"(_t + ${nShards - 1}) div $nShards"))
+      .withColumn("shard", least(lit((nShards - 1).toLong),
+        expr("(cum - tok) div _target")))
+      .withColumn("off", col("cum") - col("tok") - col("shard") * col("_target"))
+      .select("doc_id", "tok", "cum", "shard", "off")
+  }
 }

@@ -110,6 +110,57 @@ object DocQueries extends QueryPack {
           expectedDigests = corpus.count(), fpp = 0.01)
         .select("doc_id", "lang", "n_chars")
     }),
+    // continuous-ingest replay (exact-only policy so the answer is
+    // SQL-expressible): the documents table arrives as 4 ascending
+    // doc_id-range micro-batches through ContinuousIngest.ingestBatch
+    // — the SAME op the foreachBatch streaming face drives — each
+    // batch deduplicated against the maintained digest-table + bloom
+    // state (real parquet partitions + a serialized filter in a
+    // per-call scratch dir) and its survivors appended forward.
+    // Ascending ranges make first-arrival == min doc_id per digest,
+    // which is exactly the oracle's window — so the whole replayed
+    // lifecycle sits under the full hash gate, INCLUDING crash-replay
+    // semantics: the last batch is re-delivered once (what foreachBatch
+    // does after a crash between sink call and checkpoint commit), so
+    // any replay-induced drift — a doubled append, a survivor dropped
+    // because the batch's own half-written state fed back into its
+    // dedup decision — breaks the oracle hash. Survivor rows are
+    // pinned (localCheckpoint) before the scratch state is deleted.
+    "ingest_dedup_replay" -> ((s, d) => {
+      import graft.streaming.ContinuousIngest
+      import graft.streaming.ContinuousIngest.{IngestParams, IngestState}
+      val docs = Tables.documents(s, d)
+      val p = IngestParams(
+        expectedDigests = math.max(1L, Tables.documentsCount(s, d)),
+        fpp = 0.05, nearDup = false)
+      val root = java.nio.file.Files.createTempDirectory("graft_ingest_q")
+      try {
+        val st = IngestState(root.toString)
+        ContinuousIngest.bootstrap(docs.limit(0), st, p)
+        val r = docs.agg(min("doc_id"), max("doc_id")).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val k = 4
+        def batchOf(i: Int): DataFrame = {
+          val b0 = lo + (hi - lo + 1) * i / k
+          val b1 = lo + (hi - lo + 1) * (i + 1) / k
+          docs.where(col("doc_id") >= b0 && col("doc_id") < b1)
+        }
+        (0 until k).foreach { i =>
+          ContinuousIngest.ingestBatch(batchOf(i), i.toLong, st, p) }
+        // crash-replay: re-deliver the final batch before reading the
+        // state — idempotent writes must absorb it or the hash breaks
+        ContinuousIngest.ingestBatch(batchOf(k - 1), (k - 1).toLong, st, p)
+        ContinuousIngest.readTable(s, st.docsPath)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .localCheckpoint()
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // exact n-gram Jaccard near-dup pairs (the verifier path)
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), NGRAM, MINJAC)
@@ -307,6 +358,21 @@ object DocQueries extends QueryPack {
     "pack_chunks" -> ((s, d) =>
       Pack.chunkPack(Tables.documents(s, d),
         Text.tokenCount(col("text")), ctx = PackCtx, nShards = PackShards)),
+    // token-balanced shard plan (training export layout): seeded
+    // deterministic global shuffle order cut into contiguous
+    // equal-token ranges — two-level distributed prefix sum,
+    // all-integer arithmetic, full hash gate vs the oracle's single
+    // global window
+    "shard_plan" -> ((s, d) =>
+      Pack.shardPlan(Tables.documents(s, d), Text.tokenCount(col("text")),
+        nShards = PackShards, seed = SEED)),
+    // per-source quota (RefinedWeb-style domain cap): keep the `cap`
+    // docs with the smallest seeded hash per source — deterministic,
+    // order-decorrelated, one per-group window
+    "sample_source_cap" -> ((s, d) =>
+      Freq.capPerGroup(Tables.documents(s, d), "source", "doc_id",
+          cap = 40, seed = SEED)
+        .select("doc_id", "source", "lang", "n_chars")),
     // benchmark-contamination scan: trigram SET overlap of each
     // training doc against a held-out eval slice (doc_id ≡ 0 mod 97),
     // benchmark grams broadcast — the pre-training decontamination pass
@@ -508,6 +574,13 @@ object DocQueries extends QueryPack {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 5 != 0
         |                    AND md5(c.text) = md5(n.text))""".stripMargin,
+    // the replayed ingest keeps the first arrival per digest; with
+    // ascending doc_id-range batches that is min(doc_id) per digest
+    "ingest_dedup_replay" ->
+      """SELECT doc_id, md5(text) AS digest FROM (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |  FROM documents) WHERE rk = 1""".stripMargin,
     // identical answer by construction: the bloom pre-filter only
     // reroutes rows around the verify join, never changes the multiset
     "dedup_incremental_bloom" ->
@@ -696,6 +769,28 @@ object DocQueries extends QueryPack {
          |  off // $PackCtx AS first_chunk,
          |  (off + tok - 1) // $PackCtx AS last_chunk
          |FROM p""".stripMargin,
+    // the two-level distributed prefix sum restated as ONE global
+    // window in seeded-md5 order; all-integer (`//`), so exact
+    "shard_plan" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS tok
+         |  FROM documents),
+         |tt AS (SELECT * FROM t WHERE tok > 0),
+         |c AS (SELECT doc_id, tok,
+         |    CAST(sum(tok) OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+         |      doc_id) AS BIGINT) AS cum FROM tt),
+         |x AS (SELECT CAST((sum(tok) + ${PackShards - 1}) // $PackShards
+         |      AS BIGINT) AS target FROM tt)
+         |SELECT doc_id, tok, cum,
+         |  least(${PackShards - 1}, (cum - tok) // target) AS shard,
+         |  cum - tok - least(${PackShards - 1}, (cum - tok) // target) * target
+         |    AS off
+         |FROM c, x""".stripMargin,
+    // per-group quota restated as a QUALIFY window over the same
+    // seeded order key
+    "sample_source_cap" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) <= 40""".stripMargin,
     // trigram sets restated with list_distinct/list_transform; the
     // LEFT JOIN's count(bg.gram) counts only matched grams
     "text_contamination" ->

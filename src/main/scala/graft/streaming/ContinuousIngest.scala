@@ -1,0 +1,165 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The maintained-state incremental-dedup lifecycle (digest table +
+  * band-key table + mergeable bloom — the README's nightly-ingest
+  * recipe) as ONE product operator, runnable both as a batch loop and
+  * as a Structured Streaming sink (`foreachBatch`): the nightly job
+  * and the continuous feed are the SAME code, differing only in who
+  * calls [[ingestBatch]].
+  *
+  * Exactly-once state under replay — foreachBatch delivers a batch
+  * AT LEAST once (a crash between the sink call and the checkpoint
+  * commit re-delivers the same batchId), so every state mutation here
+  * is idempotent BY CONSTRUCTION rather than by coordination:
+  *
+  *  - Each table append lands in a per-batch partition directory
+  *    (`<table>/batch=<id>/`) written with `mode("overwrite")` — a
+  *    replay overwrites the same directory with the same rows instead
+  *    of appending twice. Readers see the union of partitions through
+  *    ordinary partition discovery.
+  *  - The bloom update is a bitwise-OR merge ([[Dedup.mergeBloomBytes]])
+  *    — OR is idempotent, so merging a replayed batch's filter is a
+  *    no-op.
+  *  - While PROCESSING batch `id`, every state read excludes the
+  *    `batch=id` partitions (one pruned partition filter — metadata
+  *    cost, no scan). A replay after a partial crash therefore sees
+  *    exactly the pre-batch state regardless of which of the three
+  *    table writes survived: the batch's own half-written output can
+  *    never feed back into its own dedup decision (without the
+  *    exclusion, a crash after the digest write would make every doc
+  *    of the replayed batch look like a dup of itself and admit
+  *    nothing). The already-merged bloom may pre-claim the batch's
+  *    digests as maybe-hits — those go to the verify anti-join, which
+  *    reads the self-excluded digest table and admits them correctly;
+  *    a bloom false positive costs a join row, never an answer.
+  *
+  * 100 TB shape: state tables are append-only parquet partitioned by
+  * ingest batch — reads are partition-discovered unions, writes touch
+  * one new directory; compact old partitions periodically with
+  * `sources.Warehouse.compact` (batch id is a lineage tag, not
+  * semantics — dedup reads the union). The bloom stays a single
+  * broadcastable blob sized for the growth horizon (`expectedDigests`
+  * — see the sizing math on [[Dedup.incrementalNewBloom]]); the
+  * per-batch filter build aggregates only the batch's survivors.
+  *
+  * Coverage: the `ingest_dedup_replay` product query replays the real
+  * documents table in 4 batches INCLUDING a re-delivered final batch
+  * under the driver's full DuckDB hash gate (replay idempotence on
+  * real data); NightlyIngestSpec pins the three-batch composition
+  * against the stateless recompute twin on a fixture that exercises
+  * every drop path, and ContinuousIngestSpec runs the REAL streaming
+  * face (file-chunk micro-batches through [[start]]) including a
+  * mid-crash replay.
+  */
+object ContinuousIngest {
+
+  /** On-disk state layout rooted at `root` (any Hadoop-visible path). */
+  final case class IngestState(root: String) {
+    val docsPath: String = s"$root/docs"
+    val digestsPath: String = s"$root/digests"
+    val keysPath: String = s"$root/keys"
+    val bloomPath: java.nio.file.Path = java.nio.file.Paths.get(root, "state.bloom")
+    val checkpointPath: String = s"$root/_checkpoint"
+  }
+
+  /** Dedup policy, fixed per deployment. `expectedDigests` sizes every
+    * bloom (growth horizon — identical sizing is the merge contract);
+    * near-dup uses the maintained band-key table with these LSH
+    * parameters. `nearDup = false` runs exact-only ingest. */
+  final case class IngestParams(expectedDigests: Long, fpp: Double = 0.01,
+                                nearDup: Boolean = true, minJaccard: Double = 0.5,
+                                shingleN: Int = 3, numHashes: Int = 32,
+                                bands: Int = 8, seed: Long = 42L)
+
+  /** Read a state table (union of all batch partitions), optionally
+    * excluding one batch's partitions — the self-exclusion read used
+    * while that batch is being processed. The `batch` lineage column
+    * is dropped; callers see the plain table schema. */
+  def readTable(spark: SparkSession, path: String,
+                excludeBatch: Long = Long.MinValue): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+      .where(col("batch") =!= lit(excludeBatch)).drop("batch")
+
+  /** Initialize state from a (possibly empty) starting corpus, written
+    * as the reserved `batch=-1` partition (foreachBatch ids start at
+    * 0, so the bootstrap is never self-excluded). */
+  def bootstrap(corpus: DataFrame, st: IngestState, p: IngestParams): Unit = {
+    corpus.write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
+    corpus.select(md5(col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
+    // exact-only deployments maintain no band-key table (and pay no
+    // shingling); flipping nearDup on later requires re-bootstrapping
+    // the keys from the corpus (one minhashBandKeys run)
+    if (p.nearDup)
+      Dedup.minhashBandKeys(corpus, p.shingleN, p.numHashes, p.bands, p.seed)
+        .write.mode("overwrite").parquet(s"${st.keysPath}/batch=-1")
+    java.nio.file.Files.write(st.bloomPath, Dedup.bloomToBytes(
+      Dedup.buildDigestBloom(corpus, p.expectedDigests, p.fpp)))
+  }
+
+  /** One ingest batch against the maintained state; returns the
+    * surviving rows. Steps and ORDER are the nightly recipe's:
+    * within-batch exact dedup (min-id per digest) → bloom-probed
+    * digest anti-join (prebuilt filter, maintained digest table) →
+    * maintained-key near-dup scan → idempotent state appends
+    * (partition overwrite ×3, bloom OR-merge). Safe to call for the
+    * same `batchId` any number of times — see the replay contract in
+    * the object scaladoc. */
+  def ingestBatch(batch: DataFrame, batchId: Long, st: IngestState,
+                  p: IngestParams): DataFrame = {
+    require(batchId >= 0, s"batch ids are >= 0 (got $batchId; -1 is the bootstrap)")
+    val spark = batch.sparkSession
+    val local = batch.join(
+      Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val bloom = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(st.bloomPath))
+    val admitted = Dedup.incrementalNewBloom(local,
+      readTable(spark, st.digestsPath, excludeBatch = batchId),
+      expectedDigests = p.expectedDigests, fpp = p.fpp,
+      corpusIsDigests = true, prebuilt = Some(bloom))
+    val kept =
+      if (!p.nearDup) admitted
+      else {
+        val nearIds = Dedup.incrementalNearDupNewFromKeys(admitted,
+            readTable(spark, st.keysPath, excludeBatch = batchId),
+            readTable(spark, st.docsPath, excludeBatch = batchId),
+            p.shingleN, p.numHashes, p.bands, p.minJaccard, p.seed)
+          .select(col("a").as("doc_id")).distinct()
+        admitted.join(nearIds, Seq("doc_id"), "left_anti")
+      }
+    // pin the survivor rows BEFORE the state they were diffed against
+    // moves (the first write would otherwise change what a lazy
+    // recompute of `kept` reads), and compute them once for the three
+    // writes + the bloom build
+    val survivors = kept.localCheckpoint()
+    survivors.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
+    survivors.select(md5(col("text")).as("text"))
+      .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=$batchId")
+    if (p.nearDup)
+      Dedup.minhashBandKeys(survivors, p.shingleN, p.numHashes, p.bands, p.seed)
+        .write.mode("overwrite").parquet(s"${st.keysPath}/batch=$batchId")
+    java.nio.file.Files.write(st.bloomPath, Dedup.mergeBloomBytes(
+      java.nio.file.Files.readAllBytes(st.bloomPath),
+      Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp))))
+    survivors
+  }
+
+  /** The streaming face: drive [[ingestBatch]] from a document stream
+    * (columns `doc_id, text, ...`) via foreachBatch. With
+    * `availableNow` the query drains the source and stops (the
+    * catch-up/backfill run); without it, it runs until stopped (the
+    * continuous feed). Restart-safe: the checkpoint replays the
+    * in-flight batch and the idempotent state writes absorb it. */
+  def start(stream: DataFrame, st: IngestState, p: IngestParams,
+            availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => ingestBatch(b, id, st, p); () }
+      .option("checkpointLocation", st.checkpointPath)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.{Bounded, ContinuousIngest}
+import graft.streaming.ContinuousIngest.{IngestParams, IngestState}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The REAL streaming face of the ingest lifecycle: document batches
+  * arrive as file-chunk micro-batches (`maxFilesPerTrigger=1`, the
+  * repo's bounded-replay pattern) and flow through
+  * `ContinuousIngest.start` — foreachBatch driving the SAME
+  * `ingestBatch` the nightly job calls. Pins:
+  *
+  *  - streaming == batch-loop parity: the streamed state tables equal
+  *    a manual `ingestBatch` loop over the same chunks (multiset, all
+  *    three tables), so the foreachBatch plumbing adds nothing and
+  *    loses nothing;
+  *  - replay idempotence: re-delivering the LAST batch (what a crash
+  *    between sink and checkpoint-commit does) leaves every state
+  *    table and the bloom byte-identical;
+  *  - mid-crash replay: delete two of the three table partitions of
+  *    the last batch (simulating a crash partway through the state
+  *    writes, AFTER the bloom merge) and re-deliver — the state
+  *    self-heals to exactly the clean outcome, because in-flight
+  *    reads exclude the batch's own partitions and the bloom's
+  *    pre-claimed digests are re-verified against the digest table.
+  */
+class ContinuousIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = IngestParams(expectedDigests = 10000L, fpp = 0.1,
+    minJaccard = 0.5, seed = 42L)
+
+  private def text(i: Long, shift: Long = 0L): String =
+    (0 until 40).map(j => s"w${31 * i + j + shift}").mkString(" ")
+
+  // same drop-path coverage as NightlyIngestSpec: within-batch exact
+  // dup (104=101), cross-batch exact dup (201==102), cross-batch near
+  // dup (202≈103), near dup of a later survivor (301≈203), fresh docs
+  private val chunks = Seq(
+    Seq(101L -> text(1), 102L -> text(2), 103L -> text(3), 104L -> text(1)),
+    Seq(201L -> text(2), 202L -> text(3, shift = 1), 203L -> text(6)),
+    Seq(301L -> text(6, shift = 1), 302L -> text(8), 303L -> text(9)))
+
+  private def freshRoot(): java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cingest")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    root
+  }
+
+  private def bootstrapped(root: String): IngestState = {
+    val st = IngestState(root)
+    ContinuousIngest.bootstrap(Seq.empty[(Long, String)].toDF("doc_id", "text"), st, P)
+    st
+  }
+
+  /** All three state tables + bloom bytes, collected for comparison. */
+  private def snapshot(st: IngestState): (Set[String], Set[String], Set[String], Seq[Byte]) = {
+    def rows(path: String) = ContinuousIngest.readTable(spark, path)
+      .collect().map(_.mkString("|")).toSet
+    (rows(st.docsPath), rows(st.digestsPath), rows(st.keysPath),
+      java.nio.file.Files.readAllBytes(st.bloomPath).toSeq)
+  }
+
+  test("file-chunk stream through start() == manual ingestBatch loop; replay is idempotent; mid-crash replay self-heals") {
+    val root = freshRoot()
+    // write the chunk files the stream will consume (one per batch,
+    // distinct mtimes -> stable file order, the BoundedStreamSpec pattern)
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+
+    // streaming face
+    val stStream = bootstrapped(s"$root/stream")
+    val q = ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      stStream, P)
+    q.awaitTermination()
+
+    // batch-loop face over the same chunks
+    val stLoop = bootstrapped(s"$root/loop")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, stLoop, P)
+    }
+    assert(snapshot(stStream) === snapshot(stLoop),
+      "streamed state differs from the manual ingestBatch loop")
+
+    // the fixture exercised the drop paths (6 survivors of 10 docs)
+    val docs = ContinuousIngest.readTable(spark, stStream.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs === Set(101L, 102L, 103L, 203L, 302L, 303L), s"survivors: $docs")
+
+    // replay idempotence: re-deliver the last batch verbatim
+    val before = snapshot(stStream)
+    ContinuousIngest.ingestBatch(chunks(2).toDF("doc_id", "text"), 2L, stStream, P)
+    assert(snapshot(stStream) === before, "replaying the last batch changed state")
+
+    // mid-crash replay: crash simulated AFTER the docs write + bloom
+    // merge but BEFORE digests/keys landed — delete those two
+    // partitions, then re-deliver the batch
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Seq(s"${stStream.digestsPath}/batch=2", s"${stStream.keysPath}/batch=2")
+      .foreach { dir =>
+        Files.walk(Path.of(dir)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    ContinuousIngest.ingestBatch(chunks(2).toDF("doc_id", "text"), 2L, stStream, P)
+    assert(snapshot(stStream) === before, "mid-crash replay did not self-heal")
+  }
+}

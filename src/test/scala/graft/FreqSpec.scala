@@ -9,6 +9,25 @@ class FreqSpec extends SparkSpec {
   private def streamDF(xs: Seq[Long]) =
     xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("ord", "item")
 
+  test("capPerGroup: quota per group, small groups intact, deterministic") {
+    val df = (1L to 50L).map(i => (i, if (i <= 44) "big" else "small"))
+      .toDF("doc_id", "source")
+    val capped = Freq.capPerGroup(df, "source", "doc_id", cap = 10, seed = 42L)
+    val sizes = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes == Map("big" -> 10L, "small" -> 6L)) // min(cap, |group|)
+    // kept rows come from the input, and the same seed keeps the same rows
+    assert(capped.exceptAll(df.join(capped, Seq("doc_id", "source"), "left_semi"))
+      .isEmpty)
+    val again = Freq.capPerGroup(df, "source", "doc_id", cap = 10, seed = 42L)
+    assert(capped.exceptAll(again).isEmpty && again.exceptAll(capped).isEmpty)
+    // the seeded-hash order is not head-of-table: some kept big-group
+    // id exceeds 10 (a prefix cap would keep exactly 1..10)
+    val keptBig = capped.where(col("source") === "big")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBig.exists(_ > 10L), s"cap kept the table prefix: $keptBig")
+  }
+
   test("histogram + frequentItems threshold semantics") {
     val xs = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L)
     val freq = Freq.frequentItems(streamDF(xs), 0.25).as[(Long, Long)].collect().toMap

@@ -1,14 +1,18 @@
 package graft
 
 import graft.ops.Dedup
+import graft.streaming.ContinuousIngest
+import graft.streaming.ContinuousIngest.{IngestParams, IngestState}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end execution of the README's "maintained incremental-dedup
-  * state — the nightly ingest recipe": three document batches flow
-  * through REAL storage (parquet state tables + a serialized bloom
-  * file on disk), each batch deduplicated against the state and the
-  * survivors' state appended forward, exactly as the recipe orders it.
+  * state — the nightly ingest recipe", through the PRODUCT operator
+  * (`ContinuousIngest.ingestBatch` — the same code the streaming face
+  * drives): three document batches flow through REAL storage (parquet
+  * state tables + a serialized bloom file on disk), each batch
+  * deduplicated against the state and the survivors' state appended
+  * forward, exactly as the recipe orders it.
   *
   * The per-op laws (`check_bloom_persist`, `check_incremental_bloom`,
   * `check_incremental_lsh_keys`) each pin ONE maintained face against
@@ -28,6 +32,8 @@ class NightlyIngestSpec extends SparkSpec {
   private val FPP = 0.1
   private val CAP = 10000L // growth-horizon sizing, identical per batch
   private val MINJAC = 0.5
+  private val P = IngestParams(expectedDigests = CAP, fpp = FPP,
+    minJaccard = MINJAC, seed = SEED)
 
   /** 40 "w<k>" tokens starting at k = 31·i — far-apart streams don't
     * overlap (jac 0), a near-copy shifts the stream by one token
@@ -53,39 +59,6 @@ class NightlyIngestSpec extends SparkSpec {
     3001L -> text(6, shift = 1), 3002L -> text(4),
     3003L -> text(8), 3004L -> text(8), 3005L -> text(9)))
 
-  /** One nightly batch against the maintained state (parquet paths +
-    * bloom bytes): returns the surviving rows. Steps and ORDER are the
-    * README recipe's: within-batch exact dedup → bloom-probed digest
-    * anti-join (prebuilt filter, digest-table corpus) → maintained-key
-    * near-dup scan → append survivors' digests/keys, merge filter. */
-  private def runMaintained(batch: DataFrame, docsP: String, digP: String,
-                            keysP: String, bloomF: java.nio.file.Path): DataFrame = {
-    val survivedExactLocal = batch.join(
-      Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val bloom = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(bloomF))
-    // the digest table stores digests under the shared text column name
-    // (incrementalNew* hash/join col(textCol) on BOTH sides)
-    val admitted = Dedup.incrementalNewBloom(
-      survivedExactLocal, spark.read.parquet(digP),
-      expectedDigests = CAP, fpp = FPP, corpusIsDigests = true,
-      prebuilt = Some(bloom))
-    val nearDupIds = Dedup.incrementalNearDupNewFromKeys(
-        admitted, spark.read.parquet(keysP), spark.read.parquet(docsP),
-        3, 32, 8, MINJAC, SEED)
-      .select(col("a").as("doc_id")).distinct()
-    val survivors = admitted.join(nearDupIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // pin rows BEFORE the state they're diffed against moves
-    survivors.write.mode("append").parquet(docsP)
-    survivors.select(md5(col("text")).as("text")).write.mode("append").parquet(digP)
-    Dedup.minhashBandKeys(survivors, 3, 32, 8, SEED)
-      .write.mode("append").parquet(keysP)
-    java.nio.file.Files.write(bloomF, Dedup.mergeBloomBytes(
-      java.nio.file.Files.readAllBytes(bloomF),
-      Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, CAP, fpp = FPP))))
-    survivors
-  }
-
   /** The stateless twin: same batch policy, but the corpus is re-read
     * raw and every face recomputes from it (anti-join instead of
     * bloom, full re-shingle instead of stored keys). */
@@ -109,19 +82,16 @@ class NightlyIngestSpec extends SparkSpec {
         .forEach(f => Files.deleteIfExists(f))
       catch { case _: Throwable => () }
     }
-    val (docsP, digP, keysP) = (s"$root/docs", s"$root/digests", s"$root/keys")
-    val bloomF = root.resolve("state.bloom")
+    val st = IngestState(root.toString)
     // bootstrap: empty corpus state (schemas written, zero rows; the
     // bloom of an empty corpus rejects every probe — all definite-new)
     val empty = df(Seq.empty[(Long, String)])
-    empty.write.parquet(docsP)
-    empty.select(md5(col("text")).as("text")).write.parquet(digP)
-    Dedup.minhashBandKeys(empty, 3, 32, 8, SEED).write.parquet(keysP)
-    java.nio.file.Files.write(bloomF,
-      Dedup.bloomToBytes(Dedup.buildDigestBloom(empty, CAP, fpp = FPP)))
+    ContinuousIngest.bootstrap(empty, st, P)
 
     val batches = Seq(batch1, batch2, batch3)
-    val kept = batches.map(b => runMaintained(b, docsP, digP, keysP, bloomF))
+    val kept = batches.zipWithIndex.map { case (b, i) =>
+      ContinuousIngest.ingestBatch(b, i.toLong, st, P)
+    }
 
     // stateless twin over the same batch sequence
     var corpus = empty
@@ -148,19 +118,19 @@ class NightlyIngestSpec extends SparkSpec {
     }
 
     // state-table consistency against the final corpus
-    val finalDocs = spark.read.parquet(docsP)
+    val finalDocs = ContinuousIngest.readTable(spark, st.docsPath)
     assert(finalDocs.exceptAll(corpus).isEmpty && corpus.exceptAll(finalDocs).isEmpty,
       "final corpus differs from the stateless twin's")
-    val digests = spark.read.parquet(digP)
+    val digests = ContinuousIngest.readTable(spark, st.digestsPath)
     assert(digests.exceptAll(finalDocs.select(md5(col("text")).as("text"))).isEmpty &&
       finalDocs.select(md5(col("text")).as("text")).exceptAll(digests).isEmpty,
       "digest table out of sync with the corpus")
-    val keysStored = spark.read.parquet(keysP)
+    val keysStored = ContinuousIngest.readTable(spark, st.keysPath)
     val keysFresh = Dedup.minhashBandKeys(finalDocs, 3, 32, 8, SEED)
     assert(keysStored.exceptAll(keysFresh).isEmpty && keysFresh.exceptAll(keysStored).isEmpty,
       "band-key table differs from a from-scratch key run")
     // merged bloom has NO false negatives over the final digest set
-    val bf = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(bloomF))
+    val bf = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(st.bloomPath))
     val missed = digests.where(!graft.functions.Native.mightContainNative(
       spark, bf, xxhash64(col("text")))).count()
     assert(missed == 0, s"merged bloom false-negative on $missed stored digest(s)")

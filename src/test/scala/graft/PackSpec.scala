@@ -59,6 +59,43 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("shardPlan: two-level prefix sum == one global window; shards token-balanced") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = 8; val seed = 7L
+    val plan = Pack.shardPlan(docs, Text.tokenCount(col("text")), n, seed).cache()
+    // parity: the oracle formulation — ONE global window in seeded order
+    val brute = docs
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("tok"))
+      .where(col("tok") > 0)
+      .withColumn("cum", sum("tok").over(Window
+        .orderBy(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), col("doc_id"))))
+    val withTarget = brute.crossJoin(broadcast(
+      brute.agg(expr(s"(sum(tok) + ${n - 1}) div $n").as("_target"))))
+    val expect = withTarget
+      .withColumn("shard", least(lit((n - 1).toLong), expr("(cum - tok) div _target")))
+      .withColumn("off", col("cum") - col("tok") - col("shard") * col("_target"))
+      .select("doc_id", "tok", "cum", "shard", "off")
+    assert(plan.exceptAll(expect).isEmpty && expect.exceptAll(plan).isEmpty,
+      "two-level plan differs from the single-window formulation")
+    // balance: every shard present; totals within one max-doc of target
+    val totals = plan.groupBy("shard").agg(sum("tok").as("t"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("t")).toMap
+    assert(totals.keySet == (0L until n.toLong).toSet, s"missing shards: $totals")
+    val maxDoc = plan.agg(max("tok")).head().getLong(0)
+    val target = withTarget.select("_target").head().getLong(0)
+    totals.foreach { case (sh, t) =>
+      assert(t <= target + maxDoc - 1, s"shard $sh overweight: $t vs target $target")
+    }
+    // determinism + seed sensitivity
+    val again = Pack.shardPlan(docs, Text.tokenCount(col("text")), n, seed)
+    assert(plan.exceptAll(again).isEmpty && again.exceptAll(plan).isEmpty)
+    val other = Pack.shardPlan(docs, Text.tokenCount(col("text")), n, seed + 1)
+    assert(plan.join(other, Seq("doc_id", "cum"), "inner").count() < plan.count(),
+      "different seed produced the identical global order")
+    plan.unpersist()
+  }
+
   test("ngramContamination: hand-computed overlap, bench grams never self-report") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
