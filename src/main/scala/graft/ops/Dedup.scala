@@ -583,4 +583,40 @@ object Dedup {
         "not a near-dup-shaped graph; raise maxIters or enable shortcut")
     (labels.select(col("id").as(idCol), col("lbl").as("cluster")), iter)
   }
+
+  /** Leakage-safe train/val/test split — the eval-contamination guard
+    * a per-doc hash split lacks: two near-duplicate docs hashed
+    * independently land in DIFFERENT splits ~18% of the time (at
+    * 80/10/10), silently leaking paraphrases of training text into
+    * val/test. Here the split is assigned to the near-dup CLUSTER
+    * ([[dupClusters]] over `pairs`, min-label representative), so
+    * every member of a cluster — and trivially both ends of every
+    * pair — lands in the same split by construction. Singleton docs
+    * get their own id as representative, reducing to the plain
+    * deterministic split.
+    *
+    * Split rule is the same mod-10 bucketing as the `corpus_split`
+    * query (`cluster mod 10`: `< trainMod` → train, next `valMod`
+    * buckets → val, rest → test) — integer-exact, so the whole
+    * cluster-then-split composition sits under the DuckDB hash gate
+    * (`split_leak_safe`).
+    *
+    * Scale shape: the cluster labeling is the O(E)-per-round
+    * propagation of [[dupClusters]]; the split itself is one
+    * broadcast-free projection. Pair generation is the caller's
+    * choice of verifier ([[ngramJaccardPairs]] exact, or
+    * [[minhashLshPairs]] at scale). */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame,
+                    trainMod: Int = 8, valMod: Int = 1,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(trainMod >= 1 && valMod >= 1 && trainMod + valMod <= 9,
+      s"need 1 <= trainMod, 1 <= valMod, trainMod+valMod <= 9 " +
+        s"(got $trainMod/$valMod)")
+    val clusters = dupClusters(docs.select(idCol), pairs, idCol = idCol)
+    docs.select(col(idCol)).join(clusters, Seq(idCol))
+      .withColumn("split",
+        when(pmod(col("cluster"), lit(10)) < trainMod, "train")
+          .when(pmod(col("cluster"), lit(10)) < trainMod + valMod, "val")
+          .otherwise("test"))
+  }
 }

@@ -199,6 +199,17 @@ object Freq {
                         groupCol: String, idCol: String,
                         orderChars: Int = 1): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    groupPrefixSum(df, weight, groupCol, idCol, orderChars)
+      .where(col("cum") - col("w") < budget)
+      .select(col("group"), col("id"), col("w"), col("cum"))
+  }
+
+  /** The two-level distributed per-group prefix sum behind
+    * [[tokenBudgetSample]] and [[fairShareSample]]: every row gets its
+    * group's running weight (`cum`, inclusive) in the deterministic
+    * seedless md5-of-id order. Output: `group, id, w, cum`. */
+  private def groupPrefixSum(df: DataFrame, weight: Column, groupCol: String,
+                             idCol: String, orderChars: Int): DataFrame = {
     require(orderChars >= 1 && orderChars <= 8, "orderChars in [1, 8]")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).as("group"), col(idCol).as("id"),
@@ -215,8 +226,75 @@ object Freq {
       .select(col("group"), col("_b"), col("_off"))
     cumIn.join(offsets, Seq("group", "_b"))
       .withColumn("cum", col("_off") + col("_cin"))
-      .where(col("cum") - col("w") < budget)
       .select(col("group"), col("id"), col("w"), col("cum"))
+  }
+
+  /** Max-min fair (water-filling) token allocation across groups — the
+    * UniMax-style mixture budgeting step ("UniMax: Fairer and More
+    * Effective Language Sampling", Chung et al. 2023): split a TOTAL
+    * token budget across sources so that no source gets more than it
+    * has (`tot`) and the leftover is shared EQUALLY among the sources
+    * big enough to use it. Unlike proportional or temperature
+    * (`tot^α`) weighting this never over-asks a small source (no
+    * epoch blow-up on low-resource domains) and needs no float `pow`
+    * — the whole allocation is integer arithmetic, so the oracle is
+    * exact.
+    *
+    * Closed form instead of the iterative water-filling loop: sort
+    * groups by `tot` ascending; group i (1-based rank, inclusive
+    * prefix sum pᵢ, n groups) is SATURATED iff even granting every
+    * remaining group totᵢ stays within the remaining budget:
+    * `totᵢ·(n−i+1) ≤ B − pᵢ₋₁`. Saturation is prefix-closed under
+    * this order, so k = #saturated, and the water level
+    * `T = (B − p_k) div (n − k)` funds every unsaturated group.
+    * Allocation: `tot` if saturated else `T` (within n−k tokens of B
+    * — the div floor; never over).
+    *
+    * Scale shape: one groupBy shuffle to `tot`, then every window runs
+    * on the GROUPS table — sources/domains, metadata-size (the
+    * single-partition sort is over #groups rows, like [[graft.ops.Pack
+    * .shardPlan]]'s 256-row offset table). Overflow-safe to
+    * tot ≈ 10¹² × 10⁵ groups (10¹⁷ < 2⁶³).
+    *
+    * Output: `group, tot, budget`. */
+  def fairShareBudgets(df: DataFrame, weight: Column, budget: Long,
+                       groupCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("tot"), col("group"))
+    val ranked = df.groupBy(col(groupCol).as("group"))
+      .agg(sum(weight.cast("long")).as("tot"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_p", sum(col("tot")).over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_sat", col("tot") * (col("_n") - col("_rn") + 1)
+        <= lit(budget) - (col("_p") - col("tot")))
+    val levelRow = ranked.agg(
+      sum(when(col("_sat"), 1L).otherwise(0L)).as("_kk"),
+      coalesce(max(when(col("_sat"), col("_p"))), lit(0L)).as("_pk"),
+      count(lit(1)).as("_ng"))
+    ranked.crossJoin(broadcast(levelRow))
+      .withColumn("_lvl", when(col("_kk") < col("_ng"),
+        expr(s"($budget - _pk) div (_ng - _kk)")).otherwise(lit(0L)))
+      .withColumn("budget", when(col("_sat"), col("tot")).otherwise(col("_lvl")))
+      .select(col("group"), col("tot"), col("budget"))
+  }
+
+  /** [[fairShareBudgets]] composed with the [[tokenBudgetSample]]
+    * selection: each group takes docs in the deterministic md5 order
+    * until ITS fair-share budget is exhausted (same exclusive-prefix
+    * rule — the crossing doc is kept, so every funded group emits at
+    * least one doc). The budgets table is #groups rows, broadcast into
+    * the selection join. Output: `group, id, w, cum, budget`. */
+  def fairShareSample(df: DataFrame, weight: Column, budget: Long,
+                      groupCol: String, idCol: String,
+                      orderChars: Int = 1): DataFrame = {
+    val budgets = fairShareBudgets(df, weight, budget, groupCol)
+      .select(col("group"), col("budget"))
+    groupPrefixSum(df, weight, groupCol, idCol, orderChars)
+      .join(broadcast(budgets), Seq("group"))
+      .where(col("cum") - col("w") < col("budget"))
+      .select(col("group"), col("id"), col("w"), col("cum"), col("budget"))
   }
 
   // ---------------------------------------------------------------

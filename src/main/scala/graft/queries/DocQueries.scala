@@ -26,6 +26,9 @@ object DocQueries extends QueryPack {
     * docs share a segment (~9% of fixture segments). */
   private val SegTokens = 3
   private val SegMinDocs = 3
+  // sized so the sf0.01 fixture exercises BOTH allocation branches:
+  // 9 of 20 sources saturate (keep everything), 11 get the water level
+  private val FairBudget = 26000L
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
@@ -347,6 +350,27 @@ object DocQueries extends QueryPack {
           groupCol = "source", idCol = "doc_id")
         .select(col("group").as("source"), col("id").as("doc_id"),
           col("w").as("n_tok"), col("cum"))),
+    // max-min fair (UniMax water-filling) mixture: a TOTAL token
+    // budget split across sources — small sources keep everything,
+    // the leftover funds the big ones equally (closed-form water
+    // level, all-integer) — then the same deterministic prefix-sum
+    // selection as sample_mixture_budget against each source's OWN
+    // budget; the whole allocation+selection sits under the hash gate
+    "mixture_fairshare" -> ((s, d) =>
+      Freq.fairShareSample(Tables.documents(s, d),
+          Text.tokenCount(col("text")), budget = FairBudget,
+          groupCol = "source", idCol = "doc_id")
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("w").as("n_tok"), col("cum"), col("budget"))),
+    // leakage-safe split: near-dup clusters (exact n-gram Jaccard
+    // pairs -> min-label CC) assigned to train/val/test WHOLE — a
+    // paraphrase of a training doc can never land in val/test, the
+    // guard corpus_split's independent per-doc hash lacks
+    "split_leak_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.leakSafeSplit(docs, Dedup.ngramJaccardPairs(docs, NGRAM, MINJAC))
+        .select("doc_id", "cluster", "split")
+    }),
     // corpus-duplicated span fraction: which part of each doc is text
     // that also occurs elsewhere (n-gram-granular exact-substring
     // signal; one gram-key shuffle, Θ(tokens))
@@ -715,6 +739,36 @@ object DocQueries extends QueryPack {
          |FROM t)
          |SELECT source, doc_id, n_tok, cum FROM c
          |WHERE cum - n_tok < 1000""".stripMargin,
+    // the closed-form water level restated in SQL: saturation is
+    // prefix-closed in ascending-total order, so k = #saturated and
+    // T = (B - p_k) // (n - k); all-integer, exact
+    "mixture_fairshare" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tok FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+         |  FROM t GROUP BY 1),
+         |s AS (SELECT source, tot,
+         |    row_number() OVER (ORDER BY tot, source) AS rn,
+         |    CAST(sum(tot) OVER (ORDER BY tot, source) AS BIGINT) AS p,
+         |    count(*) OVER () AS n
+         |  FROM tot),
+         |s2 AS (SELECT *,
+         |    tot * (n - rn + 1) <= $FairBudget - (p - tot) AS sat FROM s),
+         |a AS (SELECT count(*) FILTER (WHERE sat) AS k,
+         |    coalesce(max(p) FILTER (WHERE sat), 0) AS pk,
+         |    count(*) AS n FROM s2),
+         |b AS (SELECT s2.source, CAST(CASE WHEN s2.sat THEN s2.tot
+         |    ELSE CASE WHEN a.k < a.n
+         |      THEN ($FairBudget - a.pk) // (a.n - a.k) ELSE 0 END
+         |    END AS BIGINT) AS budget
+         |  FROM s2, a),
+         |c AS (SELECT source, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS cum
+         |FROM t)
+         |SELECT c.source, c.doc_id, c.n_tok, c.cum, b.budget
+         |FROM c JOIN b USING (source)
+         |WHERE c.cum - c.n_tok < b.budget""".stripMargin,
     // exact-integer TVD (HUGEINT sum mirrors the decimal widening),
     // identical double op order for the shares and the final division
     "corpus_drift" ->
@@ -853,6 +907,36 @@ object DocQueries extends QueryPack {
          |  UNION
          |  SELECT e.a, lab.lbl FROM e JOIN lab ON lab.id = e.b)
          |SELECT id AS doc_id, min(lbl) AS cluster FROM lab GROUP BY 1""".stripMargin,
+    // same recursive-CTE clustering, then the split keyed on the
+    // CLUSTER representative (doc_ids are non-negative, so % == pmod)
+    "split_leak_safe" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(tk)-$NGRAM+1),
+         |    i -> array_to_string(tk[i:i+$NGRAM-1], ' '))) AS shs
+         |  FROM toks WHERE len(tk) >= $NGRAM),
+         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         |cand AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT p.a, p.b FROM cand p
+         |  JOIN sz za ON za.doc_id = p.a
+         |  JOIN sz zb ON zb.doc_id = p.b
+         |  WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC),
+         |e AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+         |lab(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, lab.lbl FROM e JOIN lab ON lab.id = e.b),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN cluster % 10 < 8 THEN 'train'
+         |       WHEN cluster % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl""".stripMargin,
     // NB: list_cosine_similarity computes in float32 — mirror the
     // engine's double-precision dot/(|a||b|) op order instead
     "dedup_embedding" ->

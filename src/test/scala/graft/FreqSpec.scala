@@ -28,6 +28,52 @@ class FreqSpec extends SparkSpec {
     assert(keptBig.exists(_ > 10L), s"cap kept the table prefix: $keptBig")
   }
 
+  test("fairShareBudgets: closed-form water level == hand-computed max-min") {
+    val df = (Seq.tabulate(10)(i => (s"a$i", "A", 1L)) ++
+      Seq.tabulate(5)(i => (s"b$i", "B", 10L)) ++
+      Seq.tabulate(10)(i => (s"c$i", "C", 10L))).toDF("id", "grp", "w")
+    def alloc(budget: Long) =
+      Freq.fairShareBudgets(df, col("w"), budget, "grp")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // tots A=10 B=50 C=100; B=100: A saturates (10*3 <= 100), B does
+    // not (50*2 > 90), level T = (100-10)//2 = 45 — allocation sums
+    // to the budget exactly
+    assert(alloc(100L) == Map("A" -> ((10L, 10L)), "B" -> ((50L, 45L)),
+      "C" -> ((100L, 45L))))
+    // budget >= total: every group saturates, allocation == tot
+    assert(alloc(200L) == Map("A" -> ((10L, 10L)), "B" -> ((50L, 50L)),
+      "C" -> ((100L, 100L))))
+    // budget below every fair share: nobody saturates, T = B div n
+    assert(alloc(9L) == Map("A" -> ((10L, 3L)), "B" -> ((50L, 3L)),
+      "C" -> ((100L, 3L))))
+  }
+
+  test("fairShareSample: each group honors ITS budget with the crossing-doc rule") {
+    val df = (Seq.tabulate(10)(i => (s"a$i", "A", 1L)) ++
+      Seq.tabulate(5)(i => (s"b$i", "B", 10L)) ++
+      Seq.tabulate(10)(i => (s"c$i", "C", 10L))).toDF("id", "grp", "w")
+    val sample = Freq.fairShareSample(df, col("w"), 100L, "grp", "id").cache()
+    // every kept row satisfies the exclusive-prefix rule vs its own
+    // group's budget (the budget column carried through)
+    assert(sample.where(col("cum") - col("w") >= col("budget")).isEmpty)
+    // saturated A keeps everything; unsaturated B/C stop at the first
+    // doc crossing 45: kept weight in [budget, budget + max w)
+    val kept = sample.groupBy("group").agg(sum("w").as("kw"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("A") == 10L)
+    Seq("B", "C").foreach { g =>
+      assert(kept(g) >= 45L && kept(g) < 45L + 10L, s"$g kept ${kept(g)}")
+    }
+    // kept rows are input rows, and the selection is deterministic
+    assert(sample.select("id", "group", "w").exceptAll(
+      df.select(col("id"), col("grp").as("group"), col("w"))
+        .join(sample.select("id"), Seq("id"), "left_semi")).isEmpty)
+    val again = Freq.fairShareSample(df, col("w"), 100L, "grp", "id")
+    assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+    sample.unpersist()
+  }
+
   test("histogram + frequentItems threshold semantics") {
     val xs = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L)
     val freq = Freq.frequentItems(streamDF(xs), 0.25).as[(Long, Long)].collect().toMap

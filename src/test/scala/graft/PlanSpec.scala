@@ -229,6 +229,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
   }
 
+  test("fairShareSample: corpus prefix window stays bucket-parallel; budgets broadcast") {
+    val docs = Tables.documents(spark, sf001)
+    val p = plan(graft.ops.Freq.fairShareSample(docs,
+      graft.ops.Text.tokenCount(col("text")), 26000L, "source", "doc_id"))
+    // the corpus-sized running sum must stay partitioned by
+    // (group, _b) — the groups-table windows (#sources rows) are the
+    // only single-partition steps, by design
+    assert(p.linesIterator.exists(l => (l.contains("PartitionSpec")
+      || l.contains("windowspecdefinition")) && l.contains("_b#")),
+      s"corpus prefix-sum window not bucket-parallel:\n${p.take(1500)}")
+    // the #groups-row budgets table joins the corpus broadcast-side
+    assert(p.contains("BroadcastHashJoin"),
+      s"budgets not broadcast into the selection join:\n${p.take(1000)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("semanticNearDupPairs: cluster equi-join with codegen'd kernels, no nested loop") {
     val embs = Tables.embeddings(spark, sf0001)
     val p = plan(graft.ops.Similarity.semanticNearDupPairs(embs, 0.45, nClusters = 4))
