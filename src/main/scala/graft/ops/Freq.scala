@@ -297,6 +297,38 @@ object Freq {
       .select(col("group"), col("id"), col("w"), col("cum"), col("budget"))
   }
 
+  /** Per-group exact-quantile threshold filter — the CCNet-style
+    * ADAPTIVE quality cut: instead of one global threshold (which
+    * over-prunes whole languages/sources whose signal distribution
+    * sits lower), each group computes its own exact q-quantile of
+    * `valueCol` and keeps rows at or above it. Deterministic and
+    * integer-exact: the quantile is the value at rank
+    * `ceil(q·n)` (decimal arithmetic — the [[stratifiedSample]] FP
+    * lesson) under (value, id) order, so the same corpus always cuts
+    * at the same row and the whole filter sits under a SQL hash gate
+    * (`text_quality_calibrated`).
+    *
+    * One shuffle on the group key for the rank window (same skew note
+    * as [[stratifiedSample]]); the per-group thresholds table
+    * (#groups rows) broadcasts back into the filter join. Output: the
+    * kept input rows + `_thr` (the group's threshold value). */
+  def quantileThresholdFilter(df: DataFrame, valueCol: Column,
+                              groupCol: String, idCol: String,
+                              q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.withColumn("_v", valueCol.cast("long"))
+    val thresholds = ranked
+      .withColumn("_rk", row_number().over(Window.partitionBy(groupCol)
+        .orderBy(col("_v"), col(idCol))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .where(col("_rk") === ceil(col("_n") * lit(BigDecimal(q))).cast("long"))
+      .select(col(groupCol), col("_v").as("_thr"))
+    ranked.join(broadcast(thresholds), Seq(groupCol))
+      .where(col("_v") >= col("_thr"))
+      .drop("_v")
+  }
+
   // ---------------------------------------------------------------
   // St6 — Sticky Sampling
   // ---------------------------------------------------------------

@@ -80,6 +80,70 @@ object Pack {
     * offset within its shard's range). All-integer arithmetic
     * (`div`, no double roundtrip), so the `shard_plan` oracle is
     * exact. Zero-token docs are dropped, as in [[chunkPack]]. */
+  /** First-fit-decreasing bin packing — the PADDING-MINIMIZING packing
+    * face ([[chunkPack]] is the padding-free but document-SPLITTING
+    * face; this one never splits a doc and instead fills fixed
+    * `ctx`-token bins as tightly as greedy allows, the layout used
+    * when cross-document attention contamination matters more than
+    * the padding tail). Each doc must fit a bin: rows with
+    * `tok ∉ [1, ctx]` are dropped — chunk long docs with [[chunkPack]]
+    * first if they must survive.
+    *
+    * Scale shape: docs hash into `nShards` independent streams
+    * (seeded xxhash64 — decorrelated from id order), each shard
+    * FFD-packed sequentially inside its task via `mapPartitions` with
+    * only the bins' remaining-capacity array as state. Greedy packing
+    * is inherently sequential PER SHARD — the knob is `nShards ∝ N`
+    * (same contract as [[chunkPack]]): per-shard doc lists stay
+    * task-sized, shards pack in parallel. Deterministic: shard
+    * assignment is seeded, in-shard order is (tok desc, id), so the
+    * same corpus + seed gives a byte-identical layout.
+    *
+    * Quality contract (the `check_binpack` law): no bin overflows
+    * `ctx`; within a shard AT MOST ONE bin is ≤ half full — the
+    * classic first-fit invariant (a later bin's first doc would have
+    * fit any earlier ≤-half bin, and fills only grow), which bounds
+    * bins ≤ 2·⌈tokens/ctx⌉ + 1 per shard, i.e. fill ≥ ~50% worst
+    * case (FFD is ≤ 11/9·OPT + 6/9 in theory; measured fill on the
+    * fixtures is far tighter).
+    *
+    * Output: `doc_id, tok, shard, bin, off` — bin is shard-local,
+    * `off` the doc's first-token offset inside its bin. */
+  def binPack(docs: DataFrame, tokCol: Column, ctx: Int, nShards: Int,
+              seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
+    require(ctx > 0, "ctx must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        tokCol.cast("int").as("tok"))
+      .where(col("tok") > 0 && col("tok") <= ctx)
+      .withColumn("shard",
+        pmod(xxhash64(col("doc_id"), lit(seed)), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("tok").desc, col("doc_id"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        // rows arrive grouped by shard (hash collisions co-locate
+        // whole shards, never split one), tok-descending within; FFD
+        // state resets on shard change
+        var curShard = -1
+        var rem = scala.collection.mutable.ArrayBuffer.empty[Int]
+        it.map { case (id, tok, shard) =>
+          if (shard != curShard) {
+            curShard = shard
+            rem = scala.collection.mutable.ArrayBuffer.empty[Int]
+          }
+          var b = 0
+          while (b < rem.length && rem(b) < tok) b += 1
+          if (b == rem.length) rem += ctx
+          val off = ctx - rem(b)
+          rem(b) -= tok
+          (id, tok, shard, b, off)
+        }
+      }.toDF("doc_id", "tok", "shard", "bin", "off")
+  }
+
   def shardPlan(docs: DataFrame, tokCol: Column, nShards: Int, seed: Long,
                 idCol: String = "doc_id", orderChars: Int = 1): DataFrame = {
     require(nShards > 0, "nShards must be positive")

@@ -754,6 +754,46 @@ object CheckQueries extends QueryPack {
       val twinViol = multisetDiffViolations(s1, s2, "determinism", "determinism")
       sizeViol.unionByName(memberViol).unionByName(twinViol)
     }),
+    // First-fit-decreasing bin packing laws (Pack.binPack):
+    //  - capacity: no (shard, bin) exceeds ctx tokens;
+    //  - exactly-once: the packed multiset == the eligible input docs
+    //    (1 <= tok <= ctx), nothing lost or duplicated;
+    //  - tiling: each bin's doc spans tile [0, fill) — min off 0,
+    //    max(off+tok) == sum(tok), which a gap or overlap breaks;
+    //  - first-fit tightness: at most ONE bin per shard is <= half
+    //    full (a later bin's first doc would have fit an earlier
+    //    <=-half bin, and fills only grow) — the invariant that
+    //    bounds padding waste at <2x optimal;
+    //  - determinism: two runs agree exactly.
+    "check_binpack" -> ((s, d) => {
+      import graft.ops.{Pack, Text}
+      val ctx = 128
+      val docs = Tables.documents(s, d)
+      val p1 = Pack.binPack(docs, Text.tokenCount(col("text")),
+        ctx = ctx, nShards = 8, seed = SEED).cache()
+      val p2 = Pack.binPack(docs, Text.tokenCount(col("text")),
+        ctx = ctx, nShards = 8, seed = SEED)
+      val bins = p1.groupBy("shard", "bin").agg(
+        sum(col("tok")).as("fill"), min(col("off")).as("o0"),
+        max(col("off") + col("tok")).as("oEnd")).cache()
+      val capViol = bins.where(col("fill") > ctx)
+        .select(lit("bin_overflow").as("violation"))
+      val eligible = docs.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("int").as("tok"))
+        .where(col("tok") > 0 && col("tok") <= ctx)
+      val onceViol = multisetDiffViolations(
+        p1.select("doc_id", "tok"), eligible, "extra_doc", "lost_doc")
+      val tileViol = bins
+        .where(col("o0") =!= 0 || col("oEnd") =!= col("fill"))
+        .select(lit("bin_gap_or_overlap").as("violation"))
+      val halfViol = bins.where(col("fill") * 2 <= ctx)
+        .groupBy("shard").agg(count(lit(1)).as("nHalf"))
+        .where(col("nHalf") > 1)
+        .select(lit("first_fit_slack").as("violation"))
+      val twinViol = multisetDiffViolations(p1, p2, "determinism", "determinism")
+      capViol.unionByName(onceViol).unionByName(tileViol)
+        .unionByName(halfViol).unionByName(twinViol)
+    }),
     // JSONL interchange law (sources.Docs): parquet→JSONL→scan is a
     // lossless multiset roundtrip (symmetric diff is empty) and
     // nothing quarantines. Exercises the declared-schema scan + the

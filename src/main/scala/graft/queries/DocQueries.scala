@@ -224,6 +224,18 @@ object DocQueries extends QueryPack {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+    // adaptive per-language quality cut (the CCNet-style calibrated
+    // threshold): each lang keeps docs at/above ITS OWN exact
+    // 0.2-quantile of token count — a global cut would over-prune
+    // languages whose length distribution sits lower; decimal rank
+    // arithmetic, value-based keep, integer-exact
+    "text_quality_calibrated" -> ((s, d) =>
+      Freq.quantileThresholdFilter(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("n_tok")),
+          col("n_tok"), "lang", "doc_id", q = 0.2)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("_thr").as("lang_thr"))),
     // segment-level boilerplate removal (the CCNet/RefinedWeb line
     // dedup): 3-token segments occurring in ≥3 distinct docs are
     // dropped, the rest reassembled order-exact; clean_md5 hash-pins
@@ -390,6 +402,14 @@ object DocQueries extends QueryPack {
     "shard_plan" -> ((s, d) =>
       Pack.shardPlan(Tables.documents(s, d), Text.tokenCount(col("text")),
         nShards = PackShards, seed = SEED)),
+    // padding-minimizing packing (no-split face): first-fit-decreasing
+    // into ctx-token bins per seeded shard — greedy, so not
+    // SQL-expressible (no oracle); every invariant (capacity, tiling,
+    // exactly-once, first-fit tightness, determinism) is law-gated by
+    // check_binpack
+    "pack_bins" -> ((s, d) =>
+      Pack.binPack(Tables.documents(s, d), Text.tokenCount(col("text")),
+        ctx = PackCtx, nShards = PackShards, seed = SEED)),
     // per-source quota (RefinedWeb-style domain cap): keep the `cap`
     // docs with the smallest seeded hash per source — deterministic,
     // order-decorrelated, one per-group window
@@ -739,6 +759,19 @@ object DocQueries extends QueryPack {
          |FROM t)
          |SELECT source, doc_id, n_tok, cum FROM c
          |WHERE cum - n_tok < 1000""".stripMargin,
+    // exact rank-based quantile per lang (0.2 is a DECIMAL literal in
+    // DuckDB, so ceil(c*0.2) is exact like the op's BigDecimal rank)
+    "text_quality_calibrated" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tok FROM documents),
+         |r AS (SELECT doc_id, lang, n_tok,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS c FROM t),
+         |thr AS (SELECT lang, n_tok AS lang_thr FROM r
+         |    WHERE rk = CAST(ceil(c * 0.2) AS BIGINT))
+         |SELECT t.doc_id, t.lang, t.n_tok, thr.lang_thr
+         |FROM t JOIN thr USING (lang)
+         |WHERE t.n_tok >= thr.lang_thr""".stripMargin,
     // the closed-form water level restated in SQL: saturation is
     // prefix-closed in ascending-total order, so k = #saturated and
     // T = (B - p_k) // (n - k); all-integer, exact

@@ -74,6 +74,25 @@ class FreqSpec extends SparkSpec {
     sample.unpersist()
   }
 
+  test("quantileThresholdFilter: exact rank, value-based keep, FP integer landing") {
+    // group X: values 1..10, q=0.2 -> rank ceil(2)=2 -> thr=2, keep 9
+    // group Y: 55 rows 1..55 -> 0.2*55 = 11 EXACTLY; double arithmetic
+    // would ceil(11.000000000000002)=12 (thr 12, keep 44) — decimal
+    // rank keeps thr=11 and 45 rows (the stratifiedSample FP lesson)
+    val df = ((1 to 10).map(i => (s"x$i", "X", i.toLong)) ++
+      (1 to 55).map(i => (s"y$i", "Y", i.toLong))).toDF("id", "grp", "v")
+    val kept = Freq.quantileThresholdFilter(df, col("v"), "grp", "id", 0.2)
+    val sizes = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("X" -> 9L, "Y" -> 45L), sizes.toString)
+    val thrs = kept.select("grp", "_thr").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(thrs == Map("X" -> 2L, "Y" -> 11L), thrs.toString)
+    // kept rows are exactly the at/above-threshold input rows
+    assert(kept.select("id", "grp", "v").exceptAll(df.where(
+      (col("grp") === "X" && col("v") >= 2) ||
+      (col("grp") === "Y" && col("v") >= 11))).isEmpty)
+  }
+
   test("histogram + frequentItems threshold semantics") {
     val xs = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L)
     val freq = Freq.frequentItems(streamDF(xs), 0.25).as[(Long, Long)].collect().toMap

@@ -96,6 +96,32 @@ class PackSpec extends SparkSpec {
     plan.unpersist()
   }
 
+  test("binPack: hand-computed FFD layout; oversize dropped; first-fit invariant") {
+    // one shard so the whole fixture packs sequentially: FFD on toks
+    // [6,5,4,3,2] at ctx=10 -> bin0: 6+4, bin1: 5+3+2 (perfect fill)
+    val docs = Seq((1L, 6), (2L, 5), (3L, 4), (4L, 3), (5L, 2), (6L, 11), (7L, 0))
+      .toDF("doc_id", "n_tok")
+    val got = Pack.binPack(docs, col("n_tok"), ctx = 10, nShards = 1)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    // doc 6 (tok 11 > ctx) and doc 7 (tok 0) are dropped
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), got.toString)
+    assert(got(1L) == ((0, 0)) && got(3L) == ((0, 6)), got.toString)   // bin0: 6,4
+    assert(got(2L) == ((1, 0)) && got(4L) == ((1, 5)) && got(5L) == ((1, 8)))
+    // multi-shard real corpus: capacity + exactly-once + determinism
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p1 = Pack.binPack(corpus, Text.tokenCount(col("text")), 128, 8).cache()
+    val fills = p1.groupBy("shard", "bin").agg(sum("tok").as("fill"))
+    assert(fills.where(col("fill") > 128).isEmpty, "bin overflow")
+    // at most one <=-half bin per shard (first-fit invariant)
+    val slack = fills.where(col("fill") * 2 <= 128)
+      .groupBy("shard").count().where(col("count") > 1)
+    assert(slack.isEmpty, "multiple half-empty bins in one shard")
+    val p2 = Pack.binPack(corpus, Text.tokenCount(col("text")), 128, 8)
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+    p1.unpersist()
+  }
+
   test("ngramContamination: hand-computed overlap, bench grams never self-report") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(

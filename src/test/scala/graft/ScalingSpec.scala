@@ -284,6 +284,16 @@ class ScalingSpec extends SparkSpec {
             concat(lit("s"), pmod(col("doc_id"), lit(5)))),
           Text.tokenCount(col("text")), budget = 10000L,
           groupCol = "source", idCol = "doc_id").count()),
+      // the GLOBAL two-level prefix sum (no group key at all — one
+      // logical order over the corpus): 16 md5-prefix buckets hold
+      // N/16 rows each, so in-bucket window sorts grow linearly and
+      // the single-partition offset window stays 16 rows at every
+      // scale; filtering on `off` (window-derived) keeps the cumsum
+      // in the timed plan (the asof_join lesson)
+      Pipe("shard_plan", 1.5, i =>
+        Pack.shardPlan(rd(docs(i)), Text.tokenCount(col("text")),
+            nShards = 16, seed = SEED)
+          .where(col("off") >= 0).count()),
       // matched-row count depends on the window-carried right struct —
       // a bare count() would let ColumnPruning drop the window exec
       // entirely and time only the union scan (measured: flat 0.2 s
