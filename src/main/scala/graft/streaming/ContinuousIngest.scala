@@ -63,6 +63,7 @@ object ContinuousIngest {
     val docsPath: String = s"$root/docs"
     val digestsPath: String = s"$root/digests"
     val keysPath: String = s"$root/keys"
+    val statsPath: String = s"$root/stats"
     val bloomPath: java.nio.file.Path = java.nio.file.Paths.get(root, "state.bloom")
     val checkpointPath: String = s"$root/_checkpoint"
   }
@@ -92,6 +93,7 @@ object ContinuousIngest {
     corpus.write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
     corpus.select(md5(col("text")).as("text"))
       .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
+    partialStats(corpus).write.mode("overwrite").parquet(s"${st.statsPath}/batch=-1")
     // exact-only deployments maintain no band-key table (and pay no
     // shingling); flipping nearDup on later requires re-bootstrapping
     // the keys from the corpus (one minhashBandKeys run)
@@ -143,11 +145,35 @@ object ContinuousIngest {
     if (p.nearDup)
       Dedup.minhashBandKeys(survivors, p.shingleN, p.numHashes, p.bands, p.seed)
         .write.mode("overwrite").parquet(s"${st.keysPath}/batch=$batchId")
+    partialStats(survivors)
+      .write.mode("overwrite").parquet(s"${st.statsPath}/batch=$batchId")
     java.nio.file.Files.write(st.bloomPath, Dedup.mergeBloomBytes(
       java.nio.file.Files.readAllBytes(st.bloomPath),
       Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp))))
     survivors
   }
+
+  /** One batch's contribution to the maintained corpus accounting —
+    * a 1-row mergeable partial aggregate (counts and sums only, no
+    * averages: those don't merge). Schema-agnostic on purpose: only
+    * `text` is assumed, like the rest of the lifecycle. */
+  private def partialStats(batch: DataFrame): DataFrame =
+    batch.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"),
+      coalesce(sum(size(split(col("text"), "\\s+")).cast("long")), lit(0L))
+        .as("n_ws_tokens"))
+
+  /** Corpus totals from the maintained stats table — incremental view
+    * maintenance for the accounting a nightly run reports: one
+    * metadata-sized scan over #batches 1-row partials instead of a
+    * full corpus re-aggregation. Same replay contract as every other
+    * state table (per-batch partition overwrite ⇒ idempotent), and
+    * equality with a from-scratch aggregation of the docs table is
+    * pinned by ContinuousIngestSpec. */
+  def readStats(spark: SparkSession, st: IngestState): DataFrame =
+    readTable(spark, st.statsPath)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_ws_tokens")).as("n_ws_tokens"))
 
   /** The streaming face: drive [[ingestBatch]] from a document stream
     * (columns `doc_id, text, ...`) via foreachBatch. With

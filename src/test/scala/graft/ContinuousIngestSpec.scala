@@ -60,11 +60,12 @@ class ContinuousIngestSpec extends SparkSpec {
     st
   }
 
-  /** All three state tables + bloom bytes, collected for comparison. */
-  private def snapshot(st: IngestState): (Set[String], Set[String], Set[String], Seq[Byte]) = {
+  /** All four state tables + bloom bytes, collected for comparison. */
+  private def snapshot(st: IngestState): (Set[String], Set[String], Set[String], Set[String], Seq[Byte]) = {
     def rows(path: String) = ContinuousIngest.readTable(spark, path)
       .collect().map(_.mkString("|")).toSet
     (rows(st.docsPath), rows(st.digestsPath), rows(st.keysPath),
+      rows(st.statsPath),
       java.nio.file.Files.readAllBytes(st.bloomPath).toSeq)
   }
 
@@ -116,5 +117,17 @@ class ContinuousIngestSpec extends SparkSpec {
       }
     ContinuousIngest.ingestBatch(chunks(2).toDF("doc_id", "text"), 2L, stStream, P)
     assert(snapshot(stStream) === before, "mid-crash replay did not self-heal")
+
+    // maintained corpus accounting: the #batches 1-row partials sum to
+    // exactly a from-scratch aggregation of the final docs table
+    // (same expressions), and survived both replays above
+    val gotStats = ContinuousIngest.readStats(spark, stStream)
+      .as[(Long, Long, Long)].head()
+    val wantStats = ContinuousIngest.readTable(spark, stStream.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotStats === wantStats,
+      s"maintained stats $gotStats != recomputed $wantStats")
   }
 }

@@ -143,6 +143,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: fairShareBudgets closed form == iterative water-filling") {
+    // reference: the textbook max-min loop — repeatedly grant every
+    // open group an equal share of what's left, close groups whose
+    // total is below their share, until no group closes; integer
+    // floors exactly as the op documents
+    def iterative(tots: Map[String, Long], budget: Long): Map[String, Long] = {
+      var alloc = Map.empty[String, Long]
+      var open = tots
+      var left = budget
+      var changed = true
+      while (changed && open.nonEmpty) {
+        val share = left / open.size
+        val closing = open.filter { case (_, t) => t <= share }
+        changed = closing.nonEmpty
+        if (changed) {
+          alloc ++= closing
+          left -= closing.values.sum
+          open --= closing.keySet
+        } else open.keys.foreach(g => alloc += g -> share)
+      }
+      alloc // loop exits only with every group assigned (closed or leveled)
+    }
+    import org.apache.spark.sql.functions.{col, sum}
+    for (s <- 1 to 10) {
+      val nG = draw(Gen.choose(1, 12), s)
+      val rnd = new scala.util.Random(s)
+      val rows = (0 until nG).flatMap { g =>
+        (0 to rnd.nextInt(6)).map(i => (s"g$g-$i", s"g$g", rnd.nextInt(500).toLong + 1L))
+      }.toDF("id", "grp", "w")
+      val tots = rows.groupBy("grp").agg(sum("w").as("t"))
+        .as[(String, Long)].collect().toMap
+      val budget = math.max(1L, (tots.values.sum * (0.2 + 0.7 * rnd.nextDouble())).toLong)
+      val got = graft.ops.Freq.fairShareBudgets(rows, col("w"), budget, "grp")
+        .select("group", "budget").as[(String, Long)].collect().toMap
+      assert(got == iterative(tots, budget),
+        s"seed=$s budget=$budget tots=$tots got=$got want=${iterative(tots, budget)}")
+    }
+  }
+
   test("property: stratifiedSample sizes are exact ceil(frac*|stratum|) for random fracs") {
     for (s <- 1 to 8) {
       val frac = draw(Gen.choose(0.05, 1.0), s + 30)
