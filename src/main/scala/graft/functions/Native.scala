@@ -44,6 +44,8 @@ object Native {
       // Codegen'd; same operator InjectRuntimeFilter plants.
       reg.createOrReplaceTempFunction("graft_might_contain",
         exprs => BloomFilterMightContain(exprs(0), exprs(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_pq_adc",
+        exprs => PqAdc(exprs(0), exprs(1)), "internal")
     }
   }
 
@@ -86,6 +88,16 @@ object Native {
   def wordNgramsNative(tokens: Column, n: Int): Column = {
     register(SparkSession.active)
     call_function("graft_word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** PQ asymmetric-distance (ADC) score: Σⱼ lut[j·ksub + codes[j]]
+    * of an m-byte PQ code column against a per-query flat lookup
+    * table of length m·ksub (see [[graft.ops.Similarity.pqLuts]]).
+    * One compiled loop of m table reads per candidate — the scoring
+    * inner loop of FAISS's IVFADC, in whole-stage codegen. */
+  def pqAdcNative(spark: SparkSession, codes: Column, lut: Column): Column = {
+    register(spark)
+    call_function("graft_pq_adc", codes, lut)
   }
 
   /** Bloom-filter membership probe: true when `hash64` (an xxhash64

@@ -263,6 +263,41 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jac"))
   }
 
+  /** Exact n-gram CONTAINMENT over all pairs sharing ≥1 shingle:
+    * `a, b, inter, na, nb, cont` with a < b,
+    * cont = |A∩B| / min(|A|, |B|) ≥ minContainment.
+    *
+    * Containment is the doc-in-doc signal Jaccard structurally
+    * misses: a 50-gram quote embedded verbatim in a 5000-gram page
+    * has jac ≈ 0.01 but cont = 1.0. Curation pipelines use it to
+    * catch boilerplate-wrapped copies, quotation mirrors, and
+    * train/eval leakage where the eval doc is a SUBSET of a training
+    * doc (the asymmetric case `text_contamination` handles for a
+    * known eval set; this is the corpus-vs-itself generalization).
+    *
+    * Same plan as `ngramJaccardPairs` — shingle equi-join, never a
+    * cross join — and the same 100 TB story: cost ∝ shingle
+    * collisions, with MinHash/LSH as the approximate scale path when
+    * the collision volume itself is too large. Only the final scalar
+    * differs (min-denominator instead of union-denominator), so the
+    * two verifiers share one cached shingle table when run together. */
+  def ngramContainmentPairs(docs0: DataFrame, n: Int, minContainment: Double,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docs = spread(docs0)
+    val rows = shingleRows(docs, textCol, idCol, n).cache()
+    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = rows.as("l").join(rows.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("cont", col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .where(col("cont") >= minContainment)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("cont"))
+  }
+
   /** MinHash signatures as `numHashes` codegen'd min-aggregates over
     * the exploded shingle rows (one shuffle on doc id; each hash is a
     * plain `min(xxhash64(sh, seed+i))` with map-side partial agg —

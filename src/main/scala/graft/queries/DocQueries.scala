@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object DocQueries extends QueryPack {
   private val NGRAM = 3
   private val MINJAC = 0.1
+  private val MINCONT = 0.6
   private val SEED = 42L
   /** pack_chunks parameters, shared with the oracle SQL. */
   private val PackCtx = 128
@@ -169,6 +170,15 @@ object DocQueries extends QueryPack {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), NGRAM, MINJAC)
         .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
           round(col("jac"), 6).as("jac"))),
+    // exact n-gram containment pairs: the doc-in-doc signal (a short
+    // doc quoted verbatim inside a long one scores cont≈1 where
+    // Jaccard ≈ |short|/|long|). Threshold 0.6 > MINJAC on purpose:
+    // containment is ≥ Jaccard pointwise, so a same-threshold run
+    // would be a superset and test nothing new.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), NGRAM, MINCONT)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+          round(col("cont"), 6).as("cont"))),
     // MinHash+LSH near-dup pairs (the scale path; seeded)
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), NGRAM,
@@ -652,6 +662,24 @@ object DocQueries extends QueryPack {
          |JOIN sz za ON za.doc_id = p.a
          |JOIN sz zb ON zb.doc_id = p.b
          |WHERE p.inter::DOUBLE / (za.sz + zb.sz - p.inter) >= $MINJAC""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(tk)-$NGRAM+1),
+         |    i -> array_to_string(tk[i:i+$NGRAM-1], ' '))) AS shs
+         |  FROM toks WHERE len(tk) >= $NGRAM),
+         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.inter, za.sz AS na, zb.sz AS nb,
+         |  round(p.inter::DOUBLE / least(za.sz, zb.sz), 6) AS cont
+         |FROM pairs p
+         |JOIN sz za ON za.doc_id = p.a
+         |JOIN sz zb ON zb.doc_id = p.b
+         |WHERE p.inter::DOUBLE / least(za.sz, zb.sz) >= $MINCONT""".stripMargin,
     "corpus_mixture" ->
       s"""WITH s AS (
          |  SELECT lang, count(*) AS n_docs,
