@@ -91,10 +91,11 @@ object Native {
   }
 
   /** PQ asymmetric-distance (ADC) score: Σⱼ lut[j·ksub + codes[j]]
-    * of an m-byte PQ code column against a per-query flat lookup
-    * table of length m·ksub (see [[graft.ops.Similarity.pqLuts]]).
-    * One compiled loop of m table reads per candidate — the scoring
-    * inner loop of FAISS's IVFADC, in whole-stage codegen. */
+    * of an m-byte PQ code column (binary, one unsigned byte per
+    * subspace) against a per-query flat lookup table of length m·ksub
+    * (see [[graft.ops.Similarity.pqLut]]). One compiled loop of m
+    * table reads per candidate — the scoring inner loop of product-
+    * quantization ADC search, in whole-stage codegen. */
   def pqAdcNative(spark: SparkSession, codes: Column, lut: Column): Column = {
     register(spark)
     call_function("graft_pq_adc", codes, lut)
@@ -153,6 +154,68 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** graft_pq_adc(codes: binary, lut: array<double>) → double:
+  * Σⱼ lut[j·ksub + (codes[j] & 0xFF)] with ksub = |lut| / m derived
+  * per row (m = |codes|). Code bytes are UNSIGNED subspace centroid
+  * indices (ksub ≤ 256). Fails loudly on a |lut| not divisible by m
+  * or a code ≥ ksub — a silent wrap/overread would score against a
+  * neighboring subspace's table slice. Empty codes with an empty LUT
+  * score 0.0 (the empty-vector dot analog). Bit-identical to the
+  * higher-order formulation
+  * `aggregate(sequence(0, m−1), 0d, (s, j) -> s + lut[j·ksub + code_j])`
+  * — same left-to-right IEEE add order — which is what
+  * `check_pq_adc` pins cross-formulation. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType == BinaryType &&
+      (right.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (binary, array<double>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(c: Any, l: Any): Any =
+    PqAdc.score(c.asInstanceOf[Array[Byte]], l.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) =>
+      s"${ev.value} = graft.functions.PqAdc.score($codes, $lut);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqAdc {
+  /** Static so codegen calls it directly (InterleaveBits pattern) —
+    * the loop is compiled Scala inside the whole-stage-generated
+    * consumer, one virtual call per row. */
+  def score(codes: Array[Byte], lut: ArrayData): Double = {
+    val m = codes.length
+    val lutLen = lut.numElements()
+    if (m == 0) {
+      if (lutLen != 0) throw new IllegalArgumentException(
+        s"graft_pq_adc: empty code against a $lutLen-entry LUT")
+      return 0.0
+    }
+    if (lutLen % m != 0) throw new IllegalArgumentException(
+      s"graft_pq_adc: LUT length $lutLen is not a multiple of code length $m")
+    val ksub = lutLen / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes(j) & 0xFF
+      if (c >= ksub) throw new IllegalArgumentException(
+        s"graft_pq_adc: code $c at subspace $j out of range (ksub=$ksub)")
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
 }
 
 /** min squared distance of (x,y) to centers packed flat as
