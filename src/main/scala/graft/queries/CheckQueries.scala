@@ -552,6 +552,89 @@ object CheckQueries extends QueryPack {
         .select(lit("quantized_coverage").as("violation"))
       recallViol.unionByName(selfViol).unionByName(coverViol)
     }),
+    // PQ-ADC laws (same m=8/ksub=16 books as the ann_pq query; one
+    // pqTrain call shared by every face). On slice queries × the full
+    // code table:
+    //  - scorer parity: the codegen'd graft_pq_adc over the BINARY
+    //    codes equals the higher-order formulation over the array<int>
+    //    twin, BIT-identical (same left-to-right IEEE add order) —
+    //    this also pins binary ↔ array code consistency, since a
+    //    diverging byte would shift one of the sums;
+    //  - Cauchy–Schwarz bound: |⟨q,x⟩ − adc(q, codes(x))| =
+    //    |⟨q, x − x̂⟩| ≤ ‖x − x̂‖ = rerr(x) per pair (q unit length) —
+    //    a transposed/misindexed LUT scores against the wrong
+    //    subspaces and breaks the bound, which no tuning can hide;
+    //  - shape: every code is exactly m bytes (array twin m entries);
+    //  - ε-recall@1 floors vs the exact NN on the original floats, at
+    //    ε = 0.15, for BOTH faces: pure ADC ≥ 0.40 (a 32× lossy code
+    //    genuinely blurs the isotropic fixture's ~0.03 best/2nd-best
+    //    gap — measured 0.55 sf0.01 / 0.475 sf0.1; a broken scorer
+    //    lands ≈ 0, so the low bar still gates the implementation)
+    //    and the rerank=32 production face ≥ 0.85 (exact scores on
+    //    the nq·32 shortlist decide the answer — measured 1.00
+    //    sf0.01 / 0.99 sf0.1);
+    //  - coverage + no self-pairs, as every ANN face.
+    "check_pq_adc" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val m = 8; val ksub = 16
+      val slice = pmod(col("vec_id"), lit(5)) === 0
+      val books = Similarity.pqTrain(embs, m, ksub)
+      val codes = scratchTable(s, d, "pq_codes") {
+        Similarity.pqEncode(embs, books)
+      }
+      val luts = scratchTable(s, d, "pq_luts") {
+        Similarity.pqQueryLuts(embs.where(slice), books)
+      }
+      val pairs = codes
+        .select(col("vec_id").as("nn_id"), col("codes"), col("codes_arr"), col("rerr"))
+        .join(broadcast(luts.select(col("vec_id"), col("qv"), col("lut"))),
+          col("vec_id") =!= col("nn_id"))
+      val adc = graft.functions.Native.pqAdcNative(s, col("codes"), col("lut"))
+      val hof = aggregate(
+        transform(col("codes_arr"),
+          (c, j) => element_at(col("lut"), j * lit(ksub) + c + lit(1))),
+        lit(0.0), (acc, x) => acc + x)
+      val parityViol = pairs.where(adc =!= hof)
+        .select(lit("adc_hof_parity").as("violation"))
+      val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+      val boundViol = pairs
+        .join(e.withColumnRenamed("eid", "nn_id").withColumnRenamed("v", "ve"), "nn_id")
+        .where(abs(Similarity.cosine(col("qv"), col("ve")) - adc)
+          > col("rerr") + 1e-6)
+        .select(lit("adc_cauchy_schwarz").as("violation"))
+      val shapeViol = codes
+        .where(octet_length(col("codes")) =!= m || size(col("codes_arr")) =!= m)
+        .select(lit("code_shape").as("violation"))
+      val pq = scratchTable(s, d, "ann_pq1") {
+        Similarity.annPq(embs, 1, m = m, ksub = ksub, queryPred = slice,
+            books = Some(books))
+          .select(col("vec_id"), col("nn_id").as("nn_p"))
+      }
+      val pqr = scratchTable(s, d, "ann_pqr1") {
+        Similarity.annPq(embs, 1, m = m, ksub = ksub, rerank = 32,
+            queryPred = slice, books = Some(books))
+          .select(col("vec_id"), col("nn_id").as("nn_r"))
+      }
+      val ex = exactTop3(s, d).where(col("rank") === 1)
+        .select(col("vec_id"), col("nn_id").as("nn_e"))
+      val (hp, nq) = recallAt1(e, ex, pq, "nn_p", eps = 0.15)
+      val (hr, _) = recallAt1(e, ex, pqr, "nn_r", eps = 0.15)
+      val recallViol = {
+        import s.implicits._
+        ((if (hp.toDouble < 0.40 * nq) Seq(s"pq_adc_recall $hp/$nq") else Nil) ++
+          (if (hr.toDouble < 0.85 * nq) Seq(s"pq_rerank_recall $hr/$nq") else Nil))
+          .toDF("violation")
+      }
+      val selfViol = pq.where(col("vec_id") === col("nn_p"))
+        .select(lit("self_pair").as("violation"))
+        .unionByName(pqr.where(col("vec_id") === col("nn_r"))
+          .select(lit("self_pair").as("violation")))
+      val coverViol = embs.where(slice).select("vec_id")
+        .join(pqr, Seq("vec_id"), "left_anti")
+        .select(lit("pq_coverage").as("violation"))
+      parityViol.unionByName(boundViol).unionByName(shapeViol)
+        .unionByName(recallViol).unionByName(selfViol).unionByName(coverViol)
+    }),
     // IVF maintained-index law — the ANN twin of check_bloom_persist's
     // nightly lifecycle, on the same ⅕-new/⅘-corpus split: train the
     // coarse quantizer ONCE, round-trip the centroid table AND each

@@ -498,6 +498,19 @@ object DocQueries extends QueryPack {
     // embedding k-center clustering (FFT centroids, sampled)
     "embed_kcenter" -> ((s, d) =>
       Similarity.kcenterAssign(Tables.embeddings(s, d), k = 8)),
+    // PQ-ADC ANN with exact rerank: corpus streams as 8-byte product-
+    // quantization codes (32× smaller than the floats), each query is
+    // one m·ksub inner-product LUT, candidates scored in the codegen'd
+    // graft_pq_adc loop, and only the ADC top-32 per query re-reads
+    // floats for exact scoring — the IVFADC-with-refinement shape.
+    // No SQL oracle (FFT-trained codebooks are not expressible);
+    // check_pq_adc pins scorer parity, the per-pair Cauchy–Schwarz
+    // bound, and ε-recall floors for both the pure-ADC and reranked
+    // faces
+    "ann_pq" -> ((s, d) =>
+      Similarity.annPq(Tables.embeddings(s, d), 1, m = 8, ksub = 16,
+          rerank = 32)
+        .select(col("vec_id"), col("nn_id"))),
     // multi-probe ANN: full coverage (no singleton-bucket holes)
     "ann_multiprobe" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)

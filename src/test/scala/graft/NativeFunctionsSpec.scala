@@ -102,6 +102,39 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("dim mismatch")), e.getMessage)
   }
 
+  test("PqAdc: hand-computed score, SQL surface, loud failures") {
+    Native.register(spark)
+    // codes X'0102' (m=2) against a 6-entry LUT → ksub=3:
+    // score = lut[0·3+1] + lut[1·3+2] = 20 + 3
+    val s = spark.sql(
+      "SELECT graft_pq_adc(X'0102', array(10D, 20D, 30D, 1D, 2D, 3D)) AS s")
+      .head().getDouble(0)
+    assert(s == 23.0)
+    // unsigned code bytes: X'FF' is centroid 255, not −1
+    val u = spark.sql(
+      s"SELECT graft_pq_adc(X'FF', array(${(0 to 255).map(i => s"${i}D").mkString(",")})) AS s")
+      .head().getDouble(0)
+    assert(u == 255.0)
+    // empty codes + empty LUT = 0.0 (the empty-dot analog)
+    val z = spark.sql(
+      "SELECT graft_pq_adc(X'', CAST(array() AS array<double>)) AS s")
+      .head().getDouble(0)
+    assert(z == 0.0)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // LUT length not a multiple of m — a truncating ksub would read
+    // a neighboring subspace's slice
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_pq_adc(X'0001', array(1D, 2D, 3D, 4D, 5D)) AS s").head()
+    }
+    assert(msgs(e1).exists(_.contains("not a multiple")), e1.getMessage)
+    // code ≥ ksub — an overread would score another subspace's slot
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_pq_adc(X'03', array(1D, 2D, 3D)) AS s").head()
+    }
+    assert(msgs(e2).exists(_.contains("out of range")), e2.getMessage)
+  }
+
   test("TopDot matches a driver-side twin on real embeddings") {
     import org.apache.spark.sql.functions._
     val embs = queries.Tables.embeddings(spark, sf0001)

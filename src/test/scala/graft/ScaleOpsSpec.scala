@@ -122,6 +122,49 @@ class ScaleOpsSpec extends SparkSpec {
       "annIvfFromIndex over the appended index must equal annIvf")
   }
 
+  test("PQ: encode append == rebuild; LUT twin parity; rerank answers near-exact") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val books = Similarity.pqTrain(embs, m = 8, ksub = 16)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    // encoding is deterministic under fixed books: per-batch code
+    // tables union to the single-pass table (the ivfAssign lifecycle)
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    val appended = Similarity.pqEncode(embs.where(!isNew), books)
+      .unionByName(Similarity.pqEncode(embs.where(isNew), books))
+    val rebuilt = Similarity.pqEncode(embs, books)
+    assert(appended.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(appended).isEmpty,
+      "per-batch pqEncode union must equal the single-pass code table")
+    // the LUT really holds subspace dots: scoring a vector's OWN codes
+    // against its own LUT reconstructs Σ_j ⟨q_j, centroid(code_j)⟩,
+    // which must equal the ADC score of (codes, lut) — native vs a
+    // driver-side fold over the books
+    val one = rebuilt.join(
+        Similarity.pqQueryLuts(embs, books), "vec_id")
+      .select(col("vec_id"), col("codes_arr"), col("lut"),
+        graft.functions.Native.pqAdcNative(spark, col("codes"), col("lut")).as("adc"))
+      .limit(100).collect()
+    one.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val lut = r.getSeq[Double](2)
+      var s = 0.0
+      codes.zipWithIndex.foreach { case (c, j) => s += lut(j * 16 + c) }
+      assert(s == r.getDouble(3), s"ADC diverged from driver fold for ${r.getLong(0)}")
+    }
+    // rerank=32 production face: argmax-recall vs brute force — same
+    // exact-match bar as the annMultiProbe test (0.5: on an isotropic
+    // corpus THE argmax is separated from 2nd-best by ~0.03 cosine, so
+    // exact-argmax recall is not the contract; the ε-quality floors —
+    // 0.85+, measured ~0.99 — live in check_pq_adc)
+    val exact = Similarity.cosineTopK(embs, 1)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val pqr = Similarity.annPq(embs, 1, rerank = 32, books = Some(books))
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(pqr.size == exact.size, "rerank face must cover every query")
+    val recall = pqr.count { case (v, nn) => exact(v) == nn }.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ rerank recall@1 $recall")
+  }
+
   test("semanticNearDupPairs: sound vs exact verifier, csim parity, recall >= 0.75") {
     val embs = Tables.embeddings(spark, sf0001)
     val sem = Similarity.semanticNearDupPairs(embs, 0.45, nClusters = 4)
