@@ -294,6 +294,56 @@ class ScalingSpec extends SparkSpec {
         Pack.shardPlan(rd(docs(i)), Text.tokenCount(col("text")),
             nShards = 16, seed = SEED)
           .where(col("off") >= 0).count()),
+      // FFD per seeded shard: greedy packing is sequential PER SHARD
+      // by nature, so the documented 100 TB knob is nShards ∝ N —
+      // per-shard doc lists stay task-sized and shards pack in
+      // parallel; the mapPartitions state is one remaining-capacity
+      // array, so time must track the doc stream
+      Pipe("pack_bins", 1.5, { i =>
+        val dd = rd(docs(i))
+        Pack.binPack(dd, Text.tokenCount(col("text")),
+            ctx = 128, nShards = math.max(16L, dd.count() / 1000).toInt)
+          .where(col("off") >= 0).count()
+      }),
+      // UniMax water-filling: the level computation windows ONLY the
+      // #groups metadata table (5 rows here at every scale); the
+      // per-row work is the same two-level prefix sum as
+      // mixture_budget plus a broadcast budgets join — Θ(N) total,
+      // with the fixed group count never becoming a 5-reducer stage
+      Pipe("mixture_fairshare", 1.5, i =>
+        Freq.fairShareSample(
+          rd(docs(i)).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(5)))),
+          Text.tokenCount(col("text")), budget = 10000L,
+          groupCol = "source", idCol = "doc_id").count()),
+      // the end-to-end curation chain (same stage composition as the
+      // curation_funnel product query: junk cut → exact dedup →
+      // boilerplate scrub → token-budget mixture) — each stage is
+      // individually slope-gated above/elsewhere; this pins that the
+      // COMPOSITION (with its cached intermediates and stage-to-stage
+      // joins) stays linear too, not just the parts
+      Pipe("curation_funnel", 1.5, { i =>
+        import org.apache.spark.sql.expressions.Window
+        val dd = rd(docs(i)).withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(5))))
+        val quality = dd.join(
+          Text.junkFilter(dd).where(col("keep")).select("doc_id"), Seq("doc_id"))
+        val dedup = quality
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .where(col("_rk") === 1).drop("_rk")
+        val seg = dedup.select(col("doc_id"), col("source"),
+          posexplode(Text.tokenSegments(col("text"), 3)).as(Seq("idx", "seg")))
+          .cache()
+        val boiler = seg.groupBy("seg")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 3).select(col("seg"), lit(true).as("_b"))
+        val clean = seg.join(boiler, Seq("seg"), "left").where(col("_b").isNull)
+          .groupBy("doc_id", "source")
+          .agg(sum(size(split(col("seg"), " ")).cast("long")).as("ct"))
+        Freq.tokenBudgetSample(clean, col("ct"), budget = 10000L,
+          groupCol = "source", idCol = "doc_id").count()
+      }),
       // matched-row count depends on the window-carried right struct —
       // a bare count() would let ColumnPruning drop the window exec
       // entirely and time only the union scan (measured: flat 0.2 s
