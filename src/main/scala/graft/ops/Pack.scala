@@ -52,34 +52,6 @@ object Pack {
       .withColumn("last_chunk", expr(s"(off + tok - 1) div $ctx"))
   }
 
-  /** Token-balanced shard plan — the export-layout step a training
-    * run does AFTER filtering/dedup: place every document at a
-    * deterministic position in a seeded global shuffle order, then
-    * cut that order into `nShards` contiguous token ranges of
-    * (near-)equal size. Each shard's token total is within one
-    * document of `ceil(total/nShards)` — unlike [[chunkPack]]'s
-    * `id mod nShards` placement (or any count-balanced split), which
-    * skews shard BYTES whenever document lengths skew. The seeded
-    * md5 order is the deterministic global shuffle training
-    * reproducibility requires: same corpus + seed ⇒ byte-identical
-    * shard layout, and the order is decorrelated from ingest order
-    * (no source/time runs inside a shard).
-    *
-    * Scale shape: the global token prefix sum is two-level — an
-    * in-bucket window cumsum partitioned by the first `orderChars`
-    * hex chars of the order key (16^orderChars buckets, each a
-    * distributed partition-local sort), plus a bucket-offset table of
-    * 16^orderChars rows whose window is the only single-partition
-    * step (256 rows at orderChars=2 — metadata, not data). Same
-    * machinery as `Freq.tokenBudgetSample`'s per-group prefix sum,
-    * global here. The corpus total joins in as a broadcast 1-row
-    * aggregate; no driver collect.
-    *
-    * Output: `doc_id, tok, cum` (inclusive global prefix sum in
-    * shuffle order), `shard` (0-based), `off` (the doc's first-token
-    * offset within its shard's range). All-integer arithmetic
-    * (`div`, no double roundtrip), so the `shard_plan` oracle is
-    * exact. Zero-token docs are dropped, as in [[chunkPack]]. */
   /** First-fit-decreasing bin packing — the PADDING-MINIMIZING packing
     * face ([[chunkPack]] is the padding-free but document-SPLITTING
     * face; this one never splits a doc and instead fills fixed
@@ -144,6 +116,34 @@ object Pack {
       }.toDF("doc_id", "tok", "shard", "bin", "off")
   }
 
+  /** Token-balanced shard plan — the export-layout step a training
+    * run does AFTER filtering/dedup: place every document at a
+    * deterministic position in a seeded global shuffle order, then
+    * cut that order into `nShards` contiguous token ranges of
+    * (near-)equal size. Each shard's token total is within one
+    * document of `ceil(total/nShards)` — unlike [[chunkPack]]'s
+    * `id mod nShards` placement (or any count-balanced split), which
+    * skews shard BYTES whenever document lengths skew. The seeded
+    * md5 order is the deterministic global shuffle training
+    * reproducibility requires: same corpus + seed ⇒ byte-identical
+    * shard layout, and the order is decorrelated from ingest order
+    * (no source/time runs inside a shard).
+    *
+    * Scale shape: the global token prefix sum is two-level — an
+    * in-bucket window cumsum partitioned by the first `orderChars`
+    * hex chars of the order key (16^orderChars buckets, each a
+    * distributed partition-local sort), plus a bucket-offset table of
+    * 16^orderChars rows whose window is the only single-partition
+    * step (256 rows at orderChars=2 — metadata, not data). Same
+    * machinery as `Freq.tokenBudgetSample`'s per-group prefix sum,
+    * global here. The corpus total joins in as a broadcast 1-row
+    * aggregate; no driver collect.
+    *
+    * Output: `doc_id, tok, cum` (inclusive global prefix sum in
+    * shuffle order), `shard` (0-based), `off` (the doc's first-token
+    * offset within its shard's range). All-integer arithmetic
+    * (`div`, no double roundtrip), so the `shard_plan` oracle is
+    * exact. Zero-token docs are dropped, as in [[chunkPack]]. */
   def shardPlan(docs: DataFrame, tokCol: Column, nShards: Int, seed: Long,
                 idCol: String = "doc_id", orderChars: Int = 1): DataFrame = {
     require(nShards > 0, "nShards must be positive")
