@@ -294,24 +294,78 @@ object Similarity {
     * exact with equal csim) and floors the measured recall. */
   def semanticNearDupPairs(embs: DataFrame, minCosine: Double, nClusters: Int,
                            nAssign: Int = 2, sampleSize: Int = 2048,
-                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nAssign >= 1 && nAssign <= nClusters,
       s"nAssign=$nAssign must be in [1, nClusters=$nClusters]")
+    val cents = centroids
+      .getOrElse(ivfCentroids(embs, nClusters, sampleSize, idCol, vecCol))
+    semanticPairsFromIndex(
+      semanticAssign(embs, cents, nAssign, idCol, vecCol), minCosine)
+  }
+
+  /** The appendable spill-assignment table for one ingest batch under
+    * a FIXED quantizer — [[semanticNearDupPairs]]' build stage as a
+    * maintained index ([[ivfAssign]]'s lifecycle, nAssign cells per
+    * vector instead of one): `cluster, id, v` with `v` the
+    * unit-normalized vector. Deterministic given the centroids, so
+    * per-batch tables union to exactly the single-pass table
+    * (`check_semantic_append`); persist the centroids beside it via
+    * [[centroidsToDF]] and a nightly run assigns ONLY the new batch. */
+  def semanticAssign(embs: DataFrame, centroids: Array[Array[Double]],
+                     nAssign: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nAssign >= 1 && nAssign <= centroids.length,
+      s"nAssign=$nAssign must be in [1, nClusters=${centroids.length}]")
     val spark = embs.sparkSession
-    val cents = ivfCentroids(embs, nClusters, sampleSize, idCol, vecCol)
-    val flat = lit(cents.flatten)
+    val flat = lit(centroids.flatten)
     // normalized once, so the pair stage is a bare dot — and csim is
     // computed on the SAME normalized doubles as cosineNearDupPairs'
     // norm-divided face (1e-9 parity, pinned by the check law)
-    val assigned = normalized(embs, idCol, vecCol, "id", "v")
+    normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"), col("v"),
         explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nAssign)
           .getField("list")).as("cluster"))
-    val l = assigned.select(col("cluster"), col("id").as("a"), col("v").as("va"))
-    val r = assigned.select(col("cluster"), col("id").as("b"), col("v").as("vb"))
+  }
+
+  /** Exact-cosine near-dup pairs within the shared cells of an
+    * assignment table ([[semanticAssign]] output, typically
+    * parquet-loaded): `a, b, csim` with a < b, each pair once
+    * (max-over-cells dedup — per-cell scores are identical, so the
+    * dedup is value-deterministic). [[semanticNearDupPairs]] is this
+    * over a freshly-built table, so the faces cannot drift. */
+  def semanticPairsFromIndex(index: DataFrame, minCosine: Double): DataFrame = {
+    val spark = index.sparkSession
+    val l = index.select(col("cluster"), col("id").as("a"), col("v").as("va"))
+    val r = index.select(col("cluster"), col("id").as("b"), col("v").as("vb"))
     l.join(r, Seq("cluster")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("csim"))
+      .where(col("csim") >= minCosine)
+      .groupBy("a", "b").agg(max(col("csim")).as("csim"))
+  }
+
+  /** Incremental semantic dedup for one ingest batch: the pairs that
+    * involve AT LEAST ONE batch vector, computed as batch-assignments
+    * × full-index within shared cells — cost ∝ |batch| · occupancy ·
+    * nAssign², never a corpus re-score. `allIndex` must already
+    * contain the batch rows (assign the batch, append, then call with
+    * the union — the [[graft.streaming.ContinuousIngest]] order).
+    * Law (`check_semantic_append`): old pairs ⊎ these new pairs ==
+    * the one-shot pairs over the full corpus, exactly — nightly
+    * ingest loses nothing vs a rebuild. Both orientations of a pair
+    * arise when both endpoints are new (and per-pair once per shared
+    * cell); the same max-dedup as [[semanticPairsFromIndex]] collapses
+    * them, value-deterministically. */
+  def semanticNewPairs(batchIndex: DataFrame, allIndex: DataFrame,
+                       minCosine: Double): DataFrame = {
+    val spark = batchIndex.sparkSession
+    val l = batchIndex.select(col("cluster"), col("id").as("na"), col("v").as("va"))
+    val r = allIndex.select(col("cluster"), col("id").as("nb"), col("v").as("vb"))
+    l.join(r, Seq("cluster")).where(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"),
         graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("csim"))
       .where(col("csim") >= minCosine)
       .groupBy("a", "b").agg(max(col("csim")).as("csim"))

@@ -736,6 +736,69 @@ object CheckQueries extends QueryPack {
       soundViol.unionByName(csimViol).unionByName(dupViol)
         .unionByName(recallViol)
     }),
+    // Semantic-dedup maintained-index laws — the SemDeDup twin of
+    // check_ivf_append's nightly lifecycle, on the same ⅕-new/⅘-corpus
+    // split with the same parameters as dedup_semantic: train the
+    // quantizer ONCE, round-trip the centroid table AND each batch's
+    // spill-assignment table (semanticAssign) through real parquet,
+    // then pin, all exact:
+    //  - append == rebuild: per-batch assignment tables union to the
+    //    single-pass table row-for-row (multiset, stored vectors
+    //    included — assignment is deterministic given centroids);
+    //  - pairs-from-index == one-shot: semanticPairsFromIndex over the
+    //    file-round-tripped appended index equals semanticNearDupPairs
+    //    under the same centroids (the faces share code, but the law
+    //    holds through REAL parquet — schema drift or float narrowing
+    //    in the persisted index would break it);
+    //  - incremental completeness: old-corpus pairs ⊎ semanticNewPairs
+    //    (batch × appended index) == the full pairs, multiset-exact
+    //    including csim doubles — so a nightly batch scores only
+    //    |batch|·occupancy·nAssign² candidates and loses NOTHING vs
+    //    re-clustering the corpus.
+    "check_semantic_append" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nClusters = math.max(4L, Tables.embeddingsCount(s, d) / 256L).toInt
+      val isNew = pmod(col("vec_id"), lit(5)) === 0
+      val dir = java.nio.file.Files.createTempDirectory("graft_sem_rt")
+      try {
+        val cents0 = Similarity.ivfCentroids(embs, nClusters)
+        Similarity.centroidsToDF(s, cents0)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        val cents = Similarity.centroidsFromDF(s.read.parquet(s"$dir/centroids"))
+        Seq(("corpus", embs.where(!isNew)), ("batch", embs.where(isNew)))
+          .foreach { case (name, part) =>
+            Similarity.semanticAssign(part, cents, nAssign = 3)
+              .write.mode("overwrite").parquet(s"$dir/$name")
+          }
+        val oldIdx = s.read.parquet(s"$dir/corpus")
+        val batchIdx = s.read.parquet(s"$dir/batch")
+        val appended = oldIdx.unionByName(batchIdx)
+        val rebuilt = Similarity.semanticAssign(embs, cents, nAssign = 3)
+        val assignViol = multisetDiffViolations(appended, rebuilt,
+          "sem_append_extra", "sem_append_missing")
+        val fromIdx = Similarity.semanticPairsFromIndex(appended, 0.45)
+        val oneShot = Similarity.semanticNearDupPairs(embs, 0.45, nClusters,
+          nAssign = 3, centroids = Some(cents))
+        val pairViol = multisetDiffViolations(fromIdx, oneShot,
+          "sem_index_pairs_extra", "sem_index_pairs_missing")
+        val incremental = Similarity.semanticPairsFromIndex(oldIdx, 0.45)
+          .unionByName(Similarity.semanticNewPairs(batchIdx, appended, 0.45))
+        val incViol = multisetDiffViolations(incremental, oneShot,
+          "sem_incremental_extra", "sem_incremental_missing")
+        // violations are collected BEFORE the finally deletes the
+        // parquet files they scan (the check_ivf_append lesson)
+        val out = assignViol.unionByName(pairViol).unionByName(incViol)
+          .collect().map(_.getString(0)).toSeq
+        import s.implicits._
+        out.toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty

@@ -187,6 +187,34 @@ class ScaleOpsSpec extends SparkSpec {
       s"recall ${sem.size}/${brute.size}")
   }
 
+  test("semanticAssign/semanticNewPairs: append == rebuild; old + new pairs == one-shot") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.ivfCentroids(embs, 8)
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    // appending per-batch spill-assignment tables == one pass
+    val oldIdx = Similarity.semanticAssign(embs.where(!isNew), cents, nAssign = 3)
+    val batchIdx = Similarity.semanticAssign(embs.where(isNew), cents, nAssign = 3)
+    val appended = oldIdx.unionByName(batchIdx)
+    val rebuilt = Similarity.semanticAssign(embs, cents, nAssign = 3)
+    assert(appended.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(appended).isEmpty,
+      "per-batch semanticAssign union must equal the single-pass table")
+    // pairs from the appended index == the one-shot operator
+    val fromIdx = Similarity.semanticPairsFromIndex(appended, 0.45)
+    val oneShot = Similarity.semanticNearDupPairs(embs, 0.45, nClusters = 8,
+      nAssign = 3, centroids = Some(cents))
+    assert(fromIdx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIdx).isEmpty,
+      "semanticPairsFromIndex over the appended index must equal the one-shot")
+    // incremental completeness: both-old pairs ⊎ batch-touching pairs
+    // == the full pair set, csim doubles included
+    val incremental = Similarity.semanticPairsFromIndex(oldIdx, 0.45)
+      .unionByName(Similarity.semanticNewPairs(batchIdx, appended, 0.45))
+    assert(incremental.exceptAll(oneShot).isEmpty && oneShot.exceptAll(incremental).isEmpty,
+      "old pairs + semanticNewPairs must equal the one-shot pair set")
+    // the batch actually contributes pairs (the law is not vacuous)
+    assert(Similarity.semanticNewPairs(batchIdx, appended, 0.45).count() > 0,
+      "fixture planted no batch-touching semantic pairs")
+  }
+
   test("kcenterAssign: every vector assigned, <=k clusters, distances in [0,2]") {
     val embs = Tables.embeddings(spark, sf0001)
     val got = Similarity.kcenterAssign(embs, k = 8)
