@@ -771,15 +771,66 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"),
         graft.functions.Native.pqAdcNative(spark, col("codes"), col("lut")).as("cos"))
     if (rerank <= 0) topKByCos(scored, k)
-    else {
-      require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
-      val shortlist = topKByCos(scored, rerank).select("vec_id", "nn_id")
-      val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
-      val c = normalized(embs, idCol, vecCol, "nn_id", "vb")
-      val exact = shortlist.join(broadcast(q), "vec_id").join(c, "nn_id")
-        .select(col("vec_id"), col("nn_id"),
-          graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
-      topKByCos(exact, k)
-    }
+    else rerankExact(scored, embs, k, rerank, idCol, vecCol, queryPred)
+  }
+
+  /** Exact-cosine refinement of a lossy candidate ranking: keep the
+    * approximate top-`rerank` per query, join ONLY those nq·rerank
+    * rows back to the float corpus, score exactly, return the true
+    * top-k of the shortlist — float reads ∝ answer, not corpus. */
+  private def rerankExact(scored: DataFrame, embs: DataFrame, k: Int,
+                          rerank: Int, idCol: String, vecCol: String,
+                          queryPred: Column): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
+    val spark = embs.sparkSession
+    val shortlist = topKByCos(scored, rerank).select("vec_id", "nn_id")
+    val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
+    val c = normalized(embs, idCol, vecCol, "nn_id", "vb")
+    val exact = shortlist.join(broadcast(q), "vec_id").join(c, "nn_id")
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+    topKByCos(exact, k)
+  }
+
+  /** IVFADC (Jégou et al. §V): IVF candidate generation composed with
+    * PQ-ADC scoring — the shape a billion-vector deployment actually
+    * runs. The index is the join of the two MAINTAINED tables this
+    * file already audits (ivfAssign's list assignment ⊎ pqEncode's
+    * m-byte codes, both append == rebuild under their persisted
+    * quantizers), so a query probes its `nprobe` nearest lists and
+    * streams ONLY those lists' codes through the codegen'd ADC loop:
+    * candidate cost ∝ N·nprobe/nlist pairs × m bytes each — the
+    * corpus's floats are touched only by the final exact rerank
+    * (∝ nq·rerank rows). Degenerate law (`check_ivfpq`):
+    * nprobe = nlist with rerank = 0 equals [[annPq]]'s pure-ADC
+    * ranking exactly — same books ⇒ same codes, LUTs, scores, and
+    * tie-breaks. Both quantizers train once (pass `centroids`/`books`
+    * to share with other faces). */
+  def annIvfPq(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
+               m: Int = 8, ksub: Int = 16, rerank: Int = 0,
+               sampleSize: Int = 2048,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               queryPred: Column = lit(true),
+               centroids: Option[Array[Array[Double]]] = None,
+               books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val spark = embs.sparkSession
+    val cents = centroids
+      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
+    val bks = books.getOrElse(pqTrain(embs, m, ksub, sampleSize, idCol, vecCol))
+    val index = ivfAssign(embs, cents, idCol, vecCol).select("nn_id", "list")
+      .join(pqEncode(embs, bks, idCol, vecCol)
+        .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+    val flat = lit(cents.flatten)
+    val probe = pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("lut"),
+        explode(graft.functions.Native.topDotNative(spark, col("qv"), flat, nprobe)
+          .getField("list")).as("list"))
+    val scored = probe.join(index, Seq("list"))
+      .where(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.pqAdcNative(spark, col("codes"), col("lut")).as("cos"))
+    if (rerank <= 0) topKByCos(scored, k)
+    else rerankExact(scored, embs, k, rerank, idCol, vecCol, queryPred)
   }
 }

@@ -736,6 +736,61 @@ object CheckQueries extends QueryPack {
       soundViol.unionByName(csimViol).unionByName(dupViol)
         .unionByName(recallViol)
     }),
+    // IVFADC laws (same nlist/nprobe as ann_ivf, same m/ksub books as
+    // ann_pq — both quantizers trained once and shared):
+    //  - degenerate equality: nprobe = nlist with rerank = 0 equals
+    //    annPq's pure-ADC ranking multiset-exact — probing every list
+    //    makes the candidate set the full corpus (each vector lives in
+    //    exactly one inverted list), and shared books make every ADC
+    //    double and tie-break identical, so ANY drift between the
+    //    IVF-routed and flat scorers (a dropped list, a double-counted
+    //    candidate, a LUT mismatch) breaks exact equality;
+    //  - ε-recall@1 floor at nprobe = 4 + rerank = 32 vs the exact NN
+    //    on the original floats: ≥ 0.80 at ε = 0.15 (two stacked
+    //    approximations — probe misses plus code blur; rerank recovers
+    //    within the probed set — measured 1.00 sf0.01 / 0.955 sf0.1);
+    //  - coverage + no self-pairs.
+    "check_ivfpq" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
+      val m = 8; val ksub = 16
+      val slice = pmod(col("vec_id"), lit(5)) === 0
+      val cents = Similarity.ivfCentroids(embs, nlist)
+      val books = Similarity.pqTrain(embs, m, ksub)
+      val degen = scratchTable(s, d, "ivfpq_degen") {
+        Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = nlist,
+          m = m, ksub = ksub, queryPred = slice,
+          centroids = Some(cents), books = Some(books))
+      }
+      val flatAdc = scratchTable(s, d, "ivfpq_flat") {
+        Similarity.annPq(embs, 1, m = m, ksub = ksub, queryPred = slice,
+          books = Some(books))
+      }
+      val degenViol = multisetDiffViolations(degen, flatAdc,
+        "ivfpq_degen_extra", "ivfpq_degen_missing")
+      val ipq = scratchTable(s, d, "ivfpq1") {
+        Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = 4,
+            m = m, ksub = ksub, rerank = 32, queryPred = slice,
+            centroids = Some(cents), books = Some(books))
+          .select(col("vec_id"), col("nn_id").as("nn_i"))
+      }
+      val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+      val ex = exactTop3(s, d).where(col("rank") === 1)
+        .select(col("vec_id"), col("nn_id").as("nn_e"))
+      val (hi, nq) = recallAt1(e, ex, ipq, "nn_i", eps = 0.15)
+      val recallViol = {
+        import s.implicits._
+        (if (hi.toDouble < 0.80 * nq) Seq(s"ivfpq_recall $hi/$nq") else Nil)
+          .toDF("violation")
+      }
+      val selfViol = ipq.where(col("vec_id") === col("nn_i"))
+        .select(lit("self_pair").as("violation"))
+      val coverViol = embs.where(slice).select("vec_id")
+        .join(ipq, Seq("vec_id"), "left_anti")
+        .select(lit("ivfpq_coverage").as("violation"))
+      degenViol.unionByName(recallViol).unionByName(selfViol)
+        .unionByName(coverViol)
+    }),
     // Semantic-dedup maintained-index laws — the SemDeDup twin of
     // check_ivf_append's nightly lifecycle, on the same ⅕-new/⅘-corpus
     // split with the same parameters as dedup_semantic: train the

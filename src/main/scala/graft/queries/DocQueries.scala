@@ -511,6 +511,18 @@ object DocQueries extends QueryPack {
       Similarity.annPq(Tables.embeddings(s, d), 1, m = 8, ksub = 16,
           rerank = 32)
         .select(col("vec_id"), col("nn_id"))),
+    // IVFADC: IVF candidate routing (nprobe inverted lists) over the
+    // PQ code table, ADC-scored in codegen, exact rerank of the
+    // top-32 — probe cost ∝ N·nprobe/nlist code rows, float reads
+    // ∝ answers. check_ivfpq pins exact degeneration to annPq at
+    // nprobe=nlist plus an 0.80 ε-recall floor at nprobe=4
+    "ann_ivfadc" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.annIvfPq(embs, 1,
+          nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d)),
+          nprobe = 4, m = 8, ksub = 16, rerank = 32)
+        .select(col("vec_id"), col("nn_id"))
+    }),
     // multi-probe ANN: full coverage (no singleton-bucket holes)
     "ann_multiprobe" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)

@@ -187,6 +187,29 @@ class ScaleOpsSpec extends SparkSpec {
       s"recall ${sem.size}/${brute.size}")
   }
 
+  test("annIvfPq: nprobe=nlist degenerates to annPq exactly; nprobe<nlist covers and ranks well") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.ivfCentroids(embs, 8)
+    val books = Similarity.pqTrain(embs, m = 8, ksub = 16)
+    val degen = Similarity.annIvfPq(embs, 1, nlist = 8, nprobe = 8,
+      centroids = Some(cents), books = Some(books))
+    val flat = Similarity.annPq(embs, 1, books = Some(books))
+    assert(degen.exceptAll(flat).isEmpty && flat.exceptAll(degen).isEmpty,
+      "probing every list must equal the flat ADC ranking exactly")
+    // the partial-probe reranked face: full coverage, and exact-argmax
+    // recall at the annIvf-test bar (the ε-quality floor lives in
+    // check_ivfpq)
+    val exact = Similarity.cosineTopK(embs, 1)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val part = Similarity.annIvfPq(embs, 1, nlist = 16, nprobe = 4,
+        rerank = 32, centroids = Some(Similarity.ivfCentroids(embs, 16)),
+        books = Some(books))
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(part.size == exact.size, "every query probes ≥ 1 non-empty list")
+    val recall = part.count { case (v, nn) => exact(v) == nn }.toDouble / exact.size
+    assert(recall >= 0.4, s"IVFADC recall@1 $recall")
+  }
+
   test("semanticAssign/semanticNewPairs: append == rebuild; old + new pairs == one-shot") {
     val embs = Tables.embeddings(spark, sf0001)
     val cents = Similarity.ivfCentroids(embs, 8)
