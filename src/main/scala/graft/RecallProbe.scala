@@ -45,6 +45,19 @@ object RecallProbe {
         1, dim = 64, nBits = nBits, seed = 42L, vecCol = "vec",
         queryPred = slice)
       .select(col("vec_id"), col("nn_id").as("nn_q"))
+    // the PQ family shares one trained book set (and the IVFADC path
+    // one coarse quantizer), like the product queries
+    val books = Similarity.pqTrain(embs, m = 8, ksub = 16)
+    val cents = Similarity.ivfCentroids(embs, nlist)
+    val adc = Similarity.annPq(embs, 1, queryPred = slice, books = Some(books))
+      .select(col("vec_id"), col("nn_id").as("nn_a"))
+    val pqr = Similarity.annPq(embs, 1, rerank = 32, queryPred = slice,
+        books = Some(books))
+      .select(col("vec_id"), col("nn_id").as("nn_r"))
+    val ipq = Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = 4,
+        rerank = 32, queryPred = slice,
+        centroids = Some(cents), books = Some(books))
+      .select(col("vec_id"), col("nn_id").as("nn_v"))
 
     println(s"RECALL n=$n nBits=$nBits nlist=$nlist")
     for (eps <- Seq(0.0, 0.02, 0.05, 0.10, 0.15, 0.20)) {
@@ -52,9 +65,13 @@ object RecallProbe {
       val (hm, _) = CheckQueries.recallAt1(e, ex, mp, "nn_m", eps)
       val (hi, _) = CheckQueries.recallAt1(e, ex, ivf, "nn_i", eps)
       val (hq, _) = CheckQueries.recallAt1(e, ex, mpq, "nn_q", eps)
+      val (ha, _) = CheckQueries.recallAt1(e, ex, adc, "nn_a", eps)
+      val (hr, _) = CheckQueries.recallAt1(e, ex, pqr, "nn_r", eps)
+      val (hv, _) = CheckQueries.recallAt1(e, ex, ipq, "nn_v", eps)
       println(f"RECALL eps=$eps%.2f bucketed ${hb.toDouble / nq}%.3f " +
         f"multiprobe ${hm.toDouble / nq}%.3f ivf ${hi.toDouble / nq}%.3f " +
-        f"quantized_mp ${hq.toDouble / nq}%.3f (n=$nq)")
+        f"quantized_mp ${hq.toDouble / nq}%.3f pq_adc ${ha.toDouble / nq}%.3f " +
+        f"pq_rerank ${hr.toDouble / nq}%.3f ivfadc ${hv.toDouble / nq}%.3f (n=$nq)")
     }
     // recall@3 of the top-k (rank window) paths — the numbers behind
     // the bucketed/multiprobe/ivf *_recall_at3 floors

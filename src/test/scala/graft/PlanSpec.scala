@@ -259,6 +259,30 @@ class PlanSpec extends SparkSpec {
       s"semantic dedup fell back to an all-pairs join:\n${p.take(1000)}")
   }
 
+  test("PQ paths: broadcast LUTs + codegen'd ADC; IVFADC routes via an equi-join on list") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val books = graft.ops.Similarity.pqTrain(embs, m = 8, ksub = 16)
+    val pq = plan(graft.ops.Similarity.annPq(embs, 1, books = Some(books)))
+    assert(pq.contains("graft_pq_adc"), pq.take(800))
+    // the query batch (with LUTs) must broadcast against the code
+    // stream — a shuffled/cartesian pair join would move the corpus
+    assert(pq.contains("BroadcastNestedLoopJoin"),
+      s"LUT side not broadcast:\n${pq.take(1000)}")
+    assert(!pq.contains("CartesianProduct"), pq.take(800))
+    val ipq = plan(graft.ops.Similarity.annIvfPq(embs, 1, nlist = 8,
+      nprobe = 4, centroids = Some(graft.ops.Similarity.ivfCentroids(embs, 8)),
+      books = Some(books)))
+    assert(ipq.contains("graft_pq_adc") && ipq.contains("graft_top_dot"),
+      ipq.take(800))
+    // candidates come from probing inverted lists — an equi-join on
+    // the list id, never an all-pairs fallback
+    assert(ipq.contains("SortMergeJoin") || ipq.contains("ShuffledHashJoin")
+      || ipq.contains("BroadcastHashJoin"),
+      s"no equi-join on list:\n${ipq.take(1000)}")
+    assert(!ipq.contains("CartesianProduct") && !ipq.contains("NestedLoop"),
+      s"IVFADC fell back to an all-pairs join:\n${ipq.take(1000)}")
+  }
+
   test("partitioned warehouse layout: filter becomes PartitionFilters, values roundtrip") {
     import graft.sources.Warehouse
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString
