@@ -644,6 +644,25 @@ object Similarity {
   private def flatBooks(books: Array[Array[Array[Double]]]): Array[Double] =
     books.flatMap(_.flatMap(identity))
 
+  /** PQ codebook table ↔ driver array round trip — the persistence
+    * face ([[centroidsToDF]]'s twin for the sub-quantizers): one row
+    * per (subspace, centroid), `j, c, v`. Write beside the code table;
+    * [[booksFromDF]] restores the exact nested layout (order by (j, c)
+    * — lossless, like the centroid round trip). */
+  def booksToDF(spark: org.apache.spark.sql.SparkSession,
+                books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (sub, j) <- books.zipWithIndex
+      (cent, c) <- sub.zipWithIndex
+    } yield (j, c, cent.toSeq)).toSeq.toDF("j", "c", "v")
+  }
+
+  def booksFromDF(df: DataFrame): Array[Array[Array[Double]]] =
+    df.select("j", "c", "v").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
   case class PqCodeRow(vec_id: Long, codes: Array[Byte], codes_arr: Array[Int], rerr: Double)
 
   /** PQ-encode the corpus under FIXED codebooks: `vec_id, codes

@@ -553,8 +553,14 @@ object CheckQueries extends QueryPack {
       recallViol.unionByName(selfViol).unionByName(coverViol)
     }),
     // PQ-ADC laws (same m=8/ksub=16 books as the ann_pq query; one
-    // pqTrain call shared by every face). On slice queries × the full
-    // code table:
+    // pqTrain call shared by every face). The per-PAIR laws (parity,
+    // bound) are audited on a deterministic 1/25-ids query slice ×
+    // the full code table — they are per-pair, so the slice version
+    // is exactly as sound per audited pair while the join pays
+    // slice × corpus with an INTERPRETED HOF side (the parity
+    // reference is deliberately the slow formulation); the
+    // whole-operator laws (recall, coverage) run on the standard ⅕
+    // slice like every ANN check. Laws:
     //  - scorer parity: the codegen'd graft_pq_adc over the BINARY
     //    codes equals the higher-order formulation over the array<int>
     //    twin, BIT-identical (same left-to-right IEEE add order) —
@@ -582,8 +588,9 @@ object CheckQueries extends QueryPack {
       val codes = scratchTable(s, d, "pq_codes") {
         Similarity.pqEncode(embs, books)
       }
+      val pairSlice = pmod(col("vec_id"), lit(25)) === 0
       val luts = scratchTable(s, d, "pq_luts") {
-        Similarity.pqQueryLuts(embs.where(slice), books)
+        Similarity.pqQueryLuts(embs.where(pairSlice), books)
       }
       val pairs = codes
         .select(col("vec_id").as("nn_id"), col("codes"), col("codes_arr"), col("rerr"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -55,6 +55,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * every drop path, and ContinuousIngestSpec runs the REAL streaming
   * face (file-chunk micro-batches through [[start]]) including a
   * mid-crash replay.
+  *
+  * With [[IngestParams.ann]] set, each batch's SURVIVORS also append
+  * to the three maintained embedding-index tables (IVF inverted
+  * lists, PQ codes, semantic spill assignments) under quantizers
+  * trained once at [[bootstrap]] and persisted beside them — same
+  * per-batch partition-overwrite idempotency (the
+  * assignments/encodings are deterministic given fixed quantizers, so
+  * a replay overwrites identical rows). Query the maintained tables
+  * with `readTable` + `Similarity.annIvfFromIndex` /
+  * `semanticPairsFromIndex` / the PQ ADC faces; ContinuousIngestSpec
+  * pins each table against the from-scratch rebuild over the final
+  * corpus, through the replayed batch.
   */
 object ContinuousIngest {
 
@@ -66,16 +78,36 @@ object ContinuousIngest {
     val statsPath: String = s"$root/stats"
     val bloomPath: java.nio.file.Path = java.nio.file.Paths.get(root, "state.bloom")
     val checkpointPath: String = s"$root/_checkpoint"
+    // embedding-index tables (maintained only when IngestParams.ann is
+    // set and the batch carries the embedding column)
+    val centroidsPath: String = s"$root/centroids"
+    val booksPath: String = s"$root/books"
+    val ivfPath: String = s"$root/ivf"
+    val pqPath: String = s"$root/pq"
+    val semPath: String = s"$root/sem"
   }
+
+  /** Embedding-index policy: quantizer sizes for the three maintained
+    * ANN/semantic tables. The quantizers (IVF centroids + PQ books)
+    * train ONCE at [[bootstrap]] on the starting corpus and are then
+    * fixed — the train-once/add-many lifecycle every index face in
+    * [[graft.ops.Similarity]] assumes (retraining moves every cell
+    * boundary and is by definition a rebuild). */
+  final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
+                             nAssign: Int = 3, sampleSize: Int = 2048,
+                             vecCol: String = "embedding")
 
   /** Dedup policy, fixed per deployment. `expectedDigests` sizes every
     * bloom (growth horizon — identical sizing is the merge contract);
     * near-dup uses the maintained band-key table with these LSH
-    * parameters. `nearDup = false` runs exact-only ingest. */
+    * parameters. `nearDup = false` runs exact-only ingest. `ann`
+    * additionally maintains the IVF inverted lists, PQ code table,
+    * and semantic spill-assignment table per batch. */
   final case class IngestParams(expectedDigests: Long, fpp: Double = 0.01,
                                 nearDup: Boolean = true, minJaccard: Double = 0.5,
                                 shingleN: Int = 3, numHashes: Int = 32,
-                                bands: Int = 8, seed: Long = 42L)
+                                bands: Int = 8, seed: Long = 42L,
+                                ann: Option[AnnParams] = None)
 
   /** Read a state table (union of all batch partitions), optionally
     * excluding one batch's partitions — the self-exclusion read used
@@ -102,6 +134,38 @@ object ContinuousIngest {
         .write.mode("overwrite").parquet(s"${st.keysPath}/batch=-1")
     java.nio.file.Files.write(st.bloomPath, Dedup.bloomToBytes(
       Dedup.buildDigestBloom(corpus, p.expectedDigests, p.fpp)))
+    p.ann.foreach { a =>
+      // train-once: the quantizers persist beside the index tables and
+      // every later batch loads them — never retrains (see AnnParams)
+      require(corpus.limit(1).count() > 0,
+        "ann-enabled bootstrap needs a non-empty training corpus for the quantizers")
+      val spark = corpus.sparkSession
+      val cents = Similarity.ivfCentroids(corpus, a.nlist, a.sampleSize,
+        idCol = "doc_id", vecCol = a.vecCol)
+      Similarity.centroidsToDF(spark, cents)
+        .write.mode("overwrite").parquet(st.centroidsPath)
+      val books = Similarity.pqTrain(corpus, a.m, a.ksub, a.sampleSize,
+        idCol = "doc_id", vecCol = a.vecCol)
+      Similarity.booksToDF(spark, books)
+        .write.mode("overwrite").parquet(st.booksPath)
+      appendIndexes(corpus, -1L, st, a, cents, books)
+    }
+  }
+
+  /** One batch's rows appended to the three embedding-index tables —
+    * the same per-batch partition-overwrite idempotency as the dedup
+    * state (all three assignments/encodings are deterministic given
+    * the fixed quantizers, so a replay overwrites identical rows). */
+  private def appendIndexes(batch: DataFrame, batchId: Long, st: IngestState,
+                            a: AnnParams, cents: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]]): Unit = {
+    Similarity.ivfAssign(batch, cents, idCol = "doc_id", vecCol = a.vecCol)
+      .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
+    Similarity.pqEncode(batch, books, idCol = "doc_id", vecCol = a.vecCol)
+      .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
+    Similarity.semanticAssign(batch, cents, a.nAssign,
+        idCol = "doc_id", vecCol = a.vecCol)
+      .write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")
   }
 
   /** One ingest batch against the maintained state; returns the
@@ -150,6 +214,11 @@ object ContinuousIngest {
     java.nio.file.Files.write(st.bloomPath, Dedup.mergeBloomBytes(
       java.nio.file.Files.readAllBytes(st.bloomPath),
       Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp))))
+    p.ann.foreach { a =>
+      appendIndexes(survivors, batchId, st, a,
+        Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath)),
+        Similarity.booksFromDF(spark.read.parquet(st.booksPath)))
+    }
     survivors
   }
 

@@ -130,4 +130,59 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(gotStats === wantStats,
       s"maintained stats $gotStats != recomputed $wantStats")
   }
+
+  test("ann-enabled ingest maintains IVF/PQ/semantic tables: append == rebuild through replay") {
+    import graft.ops.Similarity
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    // bootstrap corpus: fresh texts (no dedup interaction with the
+    // chunks) + embeddings — trains the persisted quantizers
+    val boot = (1L to 20L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+    val st = IngestState(s"$root/ann")
+    ContinuousIngest.bootstrap(
+      boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(
+        rows.map { case (id, t) => (id, t, emb(id)) }
+          .toDF("doc_id", "text", "embedding"), i.toLong, st, Pa)
+    }
+    val cents = Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath))
+    val books = Similarity.booksFromDF(spark.read.parquet(st.booksPath))
+    val finalDocs = ContinuousIngest.readTable(spark, st.docsPath)
+    def assertSame(name: String, maintained: DataFrame, rebuilt: DataFrame): Unit =
+      assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty,
+        s"$name: maintained table != from-scratch rebuild over the final corpus")
+    // pinned (materialized) copies — binary columns have identity
+    // toString, so set-of-mkString snapshots would never compare
+    // equal; and the replay OVERWRITES the parquet these lazily read
+    def snapshotIdx(): Seq[DataFrame] =
+      Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
+        ContinuousIngest.readTable(spark, p).localCheckpoint())
+    assertSame("ivf", ContinuousIngest.readTable(spark, st.ivfPath),
+      Similarity.ivfAssign(finalDocs, cents, idCol = "doc_id"))
+    assertSame("pq", ContinuousIngest.readTable(spark, st.pqPath),
+      Similarity.pqEncode(finalDocs, books, idCol = "doc_id"))
+    assertSame("sem", ContinuousIngest.readTable(spark, st.semPath),
+      Similarity.semanticAssign(finalDocs, cents, ann.nAssign, idCol = "doc_id"))
+    // the search face over the maintained index == the one-shot
+    // operator under the same persisted quantizer
+    assertSame("ivf_search",
+      Similarity.annIvfFromIndex(ContinuousIngest.readTable(spark, st.ivfPath),
+        finalDocs, k = 1, nprobe = 2, cents, idCol = "doc_id"),
+      Similarity.annIvf(finalDocs, 1, nlist = 4, nprobe = 2,
+        centroids = Some(cents), idCol = "doc_id"))
+    // replaying the last batch leaves all three index tables identical
+    val before = snapshotIdx()
+    ContinuousIngest.ingestBatch(
+      chunks(2).map { case (id, t) => (id, t, emb(id)) }
+        .toDF("doc_id", "text", "embedding"), 2L, st, Pa)
+    snapshotIdx().zip(before).zip(Seq("ivf", "pq", "sem")).foreach {
+      case ((after, b4), name) =>
+        assertSame(s"replay_$name", after, b4)
+    }
+  }
 }
