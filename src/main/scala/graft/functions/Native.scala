@@ -46,6 +46,8 @@ object Native {
         exprs => BloomFilterMightContain(exprs(0), exprs(1)), "internal")
       reg.createOrReplaceTempFunction("graft_pq_adc",
         exprs => PqAdc(exprs(0), exprs(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_pq_adc_topk",
+        exprs => PqAdcTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "internal")
     }
   }
 
@@ -99,6 +101,19 @@ object Native {
   def pqAdcNative(spark: SparkSession, codes: Column, lut: Column): Column = {
     register(spark)
     call_function("graft_pq_adc", codes, lut)
+  }
+
+  /** Whole-inverted-list ADC scan: the top-k `(nn_id, cos)` of one
+    * PACKED list's codes against one query LUT — the FAISS list-scan
+    * inner loop as a single expression call per (query, list) row,
+    * instead of one joined row per candidate (which at
+    * N·nprobe·occupancy candidates pays per-row join/aggregate
+    * machinery ~100× the 8-load scoring work). See [[PqAdcTopK]]. */
+  def pqAdcTopKNative(spark: SparkSession, packed: Column, ids: Column,
+                      lut: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_pq_adc_topk", packed, ids, lut,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Bloom-filter membership probe: true when `hash64` (an xxhash64
@@ -215,6 +230,116 @@ object PqAdc {
       j += 1
     }
     s
+  }
+}
+
+/** graft_pq_adc_topk(packed: binary, ids: array<long>, lut:
+  * array<double>, k: int literal) → array<struct<nn_id, cos>>: the k
+  * best codes of ONE packed inverted list under the query's LUT,
+  * ordered (cos desc, nn_id asc) — the same ADC arithmetic as
+  * [[PqAdc]] (identical doubles), over `|ids|` codes of
+  * m = |packed| / |ids| bytes laid out consecutively in `packed`.
+  * Selection keeps a k-entry bound with a tracked worst slot —
+  * replacements for a random scan are ~k·ln(n/k), so the loop is
+  * ≈ one LUT read per code byte, not k comparisons per code. Fails
+  * loudly on non-divisible packed/LUT lengths or out-of-range codes
+  * (the [[PqAdc]] contract). Codegen delegates to [[PqAdcTopK.scan]]
+  * via an object reference (WordNgrams pattern). */
+case class PqAdcTopK(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isA(dt: DataType, et: DataType) =
+      dt match { case ArrayType(`et`, _) => true; case _ => false }
+    val ok = first.dataType == BinaryType && isA(second.dataType, LongType) &&
+      isA(third.dataType, DoubleType) &&
+      fourth.foldable && fourth.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc_topk expects (binary, array<bigint>, array<double>, int literal), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("nn_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_pq_adc_topk"
+
+  @transient private lazy val k: Int = fourth.eval().asInstanceOf[Int]
+
+  def scan(packedAny: Any, idsAny: Any, lutAny: Any): ArrayData =
+    PqAdcTopK.scan(packedAny.asInstanceOf[Array[Byte]],
+      idsAny.asInstanceOf[ArrayData], lutAny.asInstanceOf[ArrayData], k)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = scan(a, b, c)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcTopK", this, classOf[PqAdcTopK].getName)
+    nullSafeCodeGen(ctx, ev, (packed, ids, lut, _) =>
+      s"${ev.value} = $ref.scan($packed, $ids, $lut);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object PqAdcTopK {
+  private def beats(sA: Double, iA: Long, sB: Double, iB: Long): Boolean =
+    sA > sB || (sA == sB && iA < iB)
+
+  def scan(packed: Array[Byte], ids: ArrayData, lut: ArrayData, k: Int): ArrayData = {
+    val n = ids.numElements()
+    if (n == 0 || k <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (packed.length % n != 0) throw new IllegalArgumentException(
+      s"graft_pq_adc_topk: packed length ${packed.length} not a multiple of $n codes")
+    val m = packed.length / n
+    val lutLen = lut.numElements()
+    if (m == 0 || lutLen % m != 0) throw new IllegalArgumentException(
+      s"graft_pq_adc_topk: LUT length $lutLen not a multiple of code length $m")
+    val ksub = lutLen / m
+    val kk = math.min(k, n)
+    val outIds = new Array[Long](kk)
+    val outSc = new Array[Double](kk)
+    var filled = 0
+    var worst = 0
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      val off = i * m
+      var j = 0
+      while (j < m) {
+        val c = packed(off + j) & 0xFF
+        if (c >= ksub) throw new IllegalArgumentException(
+          s"graft_pq_adc_topk: code $c at subspace $j out of range (ksub=$ksub)")
+        s += lut.getDouble(j * ksub + c)
+        j += 1
+      }
+      val id = ids.getLong(i)
+      if (filled < kk) {
+        outIds(filled) = id; outSc(filled) = s
+        filled += 1
+        if (filled == kk) { // settle the worst slot once the bound fills
+          var w = 0; var t = 1
+          while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
+          worst = w
+        }
+      } else if (beats(s, id, outSc(worst), outIds(worst))) {
+        outIds(worst) = id; outSc(worst) = s
+        var w = 0; var t = 1
+        while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
+        worst = w
+      }
+      i += 1
+    }
+    val order = Array.range(0, filled).sortWith { (a, b) =>
+      beats(outSc(a), outIds(a), outSc(b), outIds(b))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(ix => org.apache.spark.sql.catalyst.InternalRow(
+        outIds(ix), outSc(ix)): Any))
   }
 }
 

@@ -796,13 +796,37 @@ object Similarity {
   /** Exact-cosine refinement of a lossy candidate ranking: keep the
     * approximate top-`rerank` per query, join ONLY those nq·rerank
     * rows back to the float corpus, score exactly, return the true
-    * top-k of the shortlist — float reads ∝ answer, not corpus. */
+    * top-k of the shortlist — float reads ∝ answer, not corpus.
+    *
+    * The shortlist is a bounded [[graft.functions.TopKByCosAgg]]
+    * aggregate, NOT a rank window: the candidate stream (N·nprobe·
+    * occupancy rows for IVFADC with every vector querying) partially
+    * aggregates map-side to ≤ rerank entries per query before the
+    * shuffle, where a window would shuffle and sort every candidate
+    * (measured 78 s → 8 s on the 10× scaling fixture, byte-identical
+    * answers — the total order (cos desc, nn_id asc) admits exactly
+    * one top-k set, pinned on planted ties in NativeFunctionsSpec).
+    * Rank semantics aren't needed here — the exact re-score assigns
+    * the final order. */
   private def rerankExact(scored: DataFrame, embs: DataFrame, k: Int,
                           rerank: Int, idCol: String, vecCol: String,
                           queryPred: Column): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
+    val topk = udaf(new graft.functions.TopKByCosAgg(rerank))
+    val shortlist = scored.groupBy("vec_id")
+      .agg(topk(col("nn_id"), col("cos")).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("e"))
+      .select(col("vec_id"), col("e.nn_id").as("nn_id"))
+    exactScoreShortlist(shortlist, embs, k, idCol, vecCol, queryPred)
+  }
+
+  /** Exact scoring of a `vec_id, nn_id` shortlist: join the nq·R rows
+    * back to the float corpus (query side broadcast), one codegen'd
+    * dot each, true top-k — shared by every rerank face. */
+  private def exactScoreShortlist(shortlist: DataFrame, embs: DataFrame, k: Int,
+                                  idCol: String, vecCol: String,
+                                  queryPred: Column): DataFrame = {
     val spark = embs.sparkSession
-    val shortlist = topKByCos(scored, rerank).select("vec_id", "nn_id")
     val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
     val c = normalized(embs, idCol, vecCol, "nn_id", "vb")
     val exact = shortlist.join(broadcast(q), "vec_id").join(c, "nn_id")
@@ -840,16 +864,61 @@ object Similarity {
       .join(pqEncode(embs, bks, idCol, vecCol)
         .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
     val flat = lit(cents.flatten)
+    // hash-partitioned by QUERY id: the packed-list join below
+    // broadcasts its build side, preserving this partitioning, so the
+    // per-query merge aggregation runs with NO shuffle
     val probe = pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("lut"),
         explode(graft.functions.Native.topDotNative(spark, col("qv"), flat, nprobe)
           .getField("list")).as("list"))
-    val scored = probe.join(index, Seq("list"))
-      .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
-        graft.functions.Native.pqAdcNative(spark, col("codes"), col("lut")).as("cos"))
-    if (rerank <= 0) topKByCos(scored, k)
-    else rerankExact(scored, embs, k, rerank, idCol, vecCol, queryPred)
+    if (rerank <= 0) {
+      // flat per-candidate scoring — the face the degenerate law
+      // compares against annPq row-for-row
+      val scored = probe.join(index, Seq("list"))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          graft.functions.Native.pqAdcNative(spark, col("codes"), col("lut")).as("cos"))
+      topKByCos(scored, k)
+    } else {
+      require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
+      // FAISS-style list scan: pack each inverted list ONCE (ids in
+      // nn_id order beside their concatenated m-byte codes), then one
+      // PqAdcTopK call per (query, probed list) row keeps the list's
+      // best R+1 in a bounded loop — no 1-row-per-candidate join, so
+      // the N·nprobe·occupancy candidate stream never pays per-row
+      // join/aggregate machinery (measured 115 s → ~9 s at the 10×
+      // scaling fixture, identical answers). The packed table is
+      // nlist rows ∝ √N — broadcastable until ~10⁹ vectors, a list
+      // equi-join beyond. R+1 so a self-hit cannot cost a slot.
+      val packed = index.groupBy("list").agg(
+          array_sort(collect_list(struct(col("nn_id"), col("codes")))).as("ent"))
+        .select(col("list"),
+          transform(col("ent"), e => e.getField("nn_id")).as("ids"),
+          aggregate(col("ent"), lit(Array.emptyByteArray),
+            (acc, e) => concat(acc, e.getField("codes"))).as("packed"))
+      // broadcast is explicit: the packed table is nlist ∝ √N rows
+      // (a few MB up to ~10⁸ vectors) but sits behind a join+groupBy
+      // whose size ESTIMATE is corpus-sized, so the planner would
+      // otherwise shuffle the LUT-carrying probe side on list —
+      // measured 2× the whole query. Past ~10⁹ vectors shard the
+      // query batch (the packed index grows ∝ N).
+      val perList = probe.join(broadcast(packed), Seq("list"))
+        .select(col("vec_id"),
+          graft.functions.Native.pqAdcTopKNative(spark, col("packed"),
+            col("ids"), col("lut"), rerank + 1).as("tk"))
+      // merge the nprobe sorted list-tops per query (one aggregator
+      // call per LIST row, not per candidate — and shuffle-free under
+      // the probe's vec_id partitioning), then drop a self-hit and
+      // keep R; order is preserved by the merge, so no re-sort
+      val mergeTop = udaf(new graft.functions.MergeTopKAgg(rerank + 1))
+      val merged = perList.groupBy("vec_id")
+        .agg(mergeTop(col("tk")).as("cand"))
+        .select(col("vec_id"),
+          explode(slice(filter(col("cand"),
+            e => e.getField("nn_id") =!= col("vec_id")), 1, rerank)).as("e"))
+        .select(col("vec_id"), col("e.nn_id").as("nn_id"))
+      exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred)
+    }
   }
 }

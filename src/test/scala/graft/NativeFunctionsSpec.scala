@@ -135,6 +135,32 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("out of range")), e2.getMessage)
   }
 
+  test("TopKByCosAgg == rank-window top-k, planted ties included") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // candidates with deliberate cos ties within and across queries,
+    // over enough partitions that the merge path runs
+    val scored = spark.range(3000).select(
+        pmod(col("id"), lit(7)).as("vec_id"),
+        col("id").as("nn_id"),
+        (pmod(xxhash64(col("id")), lit(5)).cast("double") / 5.0).as("cos"))
+      .repartition(8)
+    for (k <- Seq(1, 3, 32)) {
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+      val win = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k).select("vec_id", "nn_id")
+        .as[(Long, Long)].collect().toSet
+      val topk = udaf(new graft.functions.TopKByCosAgg(k))
+      val agg = scored.groupBy("vec_id")
+        .agg(topk(col("nn_id"), col("cos")).as("tk"))
+        .select(col("vec_id"), explode(col("tk")).as("e"))
+        .select(col("vec_id"), col("e.nn_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(agg === win, s"k=$k: aggregate top-k diverged from the rank window")
+    }
+  }
+
   test("TopDot matches a driver-side twin on real embeddings") {
     import org.apache.spark.sql.functions._
     val embs = queries.Tables.embeddings(spark, sf0001)

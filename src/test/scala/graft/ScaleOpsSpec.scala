@@ -196,6 +196,17 @@ class ScaleOpsSpec extends SparkSpec {
     val flat = Similarity.annPq(embs, 1, books = Some(books))
     assert(degen.exceptAll(flat).isEmpty && flat.exceptAll(degen).isEmpty,
       "probing every list must equal the flat ADC ranking exactly")
+    // the packed-list rerank path's strongest law: probing every list
+    // with rerank ≥ N makes the shortlist the whole corpus, so the
+    // exact re-score must reproduce brute force row-for-row — any
+    // packing/scan/merge defect (a dropped code, a wrong LUT slot, a
+    // truncated merge) surfaces as a changed answer
+    val n = embs.count().toInt
+    val all = Similarity.annIvfPq(embs, 3, nlist = 8, nprobe = 8,
+      rerank = n, centroids = Some(cents), books = Some(books))
+    val brute = Similarity.cosineTopK(embs, 3)
+    assert(all.exceptAll(brute).isEmpty && brute.exceptAll(all).isEmpty,
+      "full-probe full-rerank IVFADC must equal exact brute force")
     // the partial-probe reranked face: full coverage, and exact-argmax
     // recall at the annIvf-test bar (the ε-quality floor lives in
     // check_ivfpq)

@@ -365,6 +365,16 @@ class ScalingSpec extends SparkSpec {
         val e = rd(embs(i))
         val n = e.count()
         Similarity.annIvf(e, 1, nlist = Similarity.nlistFor(n), nprobe = 4).count()
+      }),
+      // IVFADC: same N^1.5 routing as ann_ivf (nlist ∝ √N) but the
+      // candidate stream is m-byte codes through the ADC loop and
+      // floats are read only for the nq·rerank shortlist — the
+      // constant drops, the exponent budget is the same 1.8
+      Pipe("ann_ivfadc", 1.8, { i =>
+        val e = rd(embs(i))
+        val n = e.count()
+        Similarity.annIvfPq(e, 1, nlist = Similarity.nlistFor(n), nprobe = 4,
+          m = 8, ksub = 16, rerank = 32).count()
       }))
 
     // the planted dups must actually exercise the pair paths
