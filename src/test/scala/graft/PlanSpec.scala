@@ -281,6 +281,17 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on list:\n${ipq.take(1000)}")
     assert(!ipq.contains("CartesianProduct") && !ipq.contains("NestedLoop"),
       s"IVFADC fell back to an all-pairs join:\n${ipq.take(1000)}")
+    // the reranked face must scan PACKED lists behind a broadcast —
+    // a shuffled list join would move the LUT-carrying probe side
+    // (measured 2× the whole query), and per-candidate scoring would
+    // reintroduce the 179M-row stream the packed scan exists to avoid
+    val ipr = plan(graft.ops.Similarity.annIvfPq(embs, 1, nlist = 8,
+      nprobe = 4, rerank = 16,
+      centroids = Some(graft.ops.Similarity.ivfCentroids(embs, 8)),
+      books = Some(books)))
+    assert(ipr.contains("graft_pq_adc_topk"), ipr.take(800))
+    assert(ipr.contains("BroadcastHashJoin"),
+      s"packed list table not broadcast:\n${ipr.take(1000)}")
   }
 
   test("partitioned warehouse layout: filter becomes PartitionFilters, values roundtrip") {
