@@ -95,7 +95,7 @@ object Native {
   /** PQ asymmetric-distance (ADC) score: Σⱼ lut[j·ksub + codes[j]]
     * of an m-byte PQ code column (binary, one unsigned byte per
     * subspace) against a per-query flat lookup table of length m·ksub
-    * (see [[graft.ops.Similarity.pqLut]]). One compiled loop of m
+    * (see [[graft.ops.Similarity.pqQueryLuts]]). One compiled loop of m
     * table reads per candidate — the scoring inner loop of product-
     * quantization ADC search, in whole-stage codegen. */
   def pqAdcNative(spark: SparkSession, codes: Column, lut: Column): Column = {
