@@ -856,13 +856,32 @@ object Similarity {
                queryPred: Column = lit(true),
                centroids: Option[Array[Array[Double]]] = None,
                books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    val spark = embs.sparkSession
     val cents = centroids
       .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
     val bks = books.getOrElse(pqTrain(embs, m, ksub, sampleSize, idCol, vecCol))
     val index = ivfAssign(embs, cents, idCol, vecCol).select("nn_id", "list")
       .join(pqEncode(embs, bks, idCol, vecCol)
         .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+    annIvfPqFromIndex(index, embs, k, nprobe, cents, bks, rerank,
+      idCol, vecCol, queryPred)
+  }
+
+  /** IVFADC search against MAINTAINED tables: `index` is the join of
+    * the stored list assignments and PQ codes (`nn_id, list, codes` —
+    * e.g. `readTable(ivfPath) ⋈ readTable(pqPath)` from the
+    * [[graft.streaming.ContinuousIngest]] lifecycle, under the
+    * persisted quantizers), so a nightly deployment searches without
+    * re-assigning or re-encoding the corpus. `embs` supplies the
+    * query vectors and the rerank float store. [[annIvfPq]] is
+    * exactly this over a freshly-built index, so the faces cannot
+    * drift (the ContinuousIngestSpec law compares them through real
+    * parquet round trips). */
+  def annIvfPqFromIndex(index: DataFrame, embs: DataFrame, k: Int, nprobe: Int,
+                        cents: Array[Array[Double]],
+                        bks: Array[Array[Array[Double]]], rerank: Int = 0,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        queryPred: Column = lit(true)): DataFrame = {
+    val spark = embs.sparkSession
     val flat = lit(cents.flatten)
     // hash-partitioned by QUERY id: the packed-list join below
     // broadcasts its build side, preserving this partitioning, so the

@@ -168,13 +168,23 @@ class ContinuousIngestSpec extends SparkSpec {
       Similarity.pqEncode(finalDocs, books, idCol = "doc_id"))
     assertSame("sem", ContinuousIngest.readTable(spark, st.semPath),
       Similarity.semanticAssign(finalDocs, cents, ann.nAssign, idCol = "doc_id"))
-    // the search face over the maintained index == the one-shot
-    // operator under the same persisted quantizer
+    // the search faces over the maintained tables == the one-shot
+    // operators under the same persisted quantizers
     assertSame("ivf_search",
       Similarity.annIvfFromIndex(ContinuousIngest.readTable(spark, st.ivfPath),
         finalDocs, k = 1, nprobe = 2, cents, idCol = "doc_id"),
       Similarity.annIvf(finalDocs, 1, nlist = 4, nprobe = 2,
         centroids = Some(cents), idCol = "doc_id"))
+    assertSame("ivfadc_search",
+      Similarity.annIvfPqFromIndex(
+        ContinuousIngest.readTable(spark, st.ivfPath).select("nn_id", "list")
+          .join(ContinuousIngest.readTable(spark, st.pqPath)
+            .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
+        finalDocs, k = 1, nprobe = 2, cents, books, rerank = 8,
+        idCol = "doc_id"),
+      Similarity.annIvfPq(finalDocs, 1, nlist = 4, nprobe = 2,
+        m = ann.m, ksub = ann.ksub, rerank = 8,
+        centroids = Some(cents), books = Some(books), idCol = "doc_id"))
     // replaying the last batch leaves all three index tables identical
     val before = snapshotIdx()
     ContinuousIngest.ingestBatch(
