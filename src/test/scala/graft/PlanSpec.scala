@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
     assert(!ivf.contains("InMemoryRelation"), "IVF must not cache the assignment table")
   }
 
+  test("k>1 rank windows carry a PARTIAL WindowGroupLimit (pre-shuffle top-k prune)") {
+    // Spark's InferWindowGroupLimit turns `row_number ≤ k` into a
+    // partial per-partition top-k BEFORE the shuffle — the reason the
+    // k>1 ranking paths are scale-safe without a custom aggregate.
+    // The rule needs the rank filter adjacent to the window; a
+    // refactor that breaks adjacency silently reverts to shuffling
+    // every candidate row, which this pin catches.
+    val embs = Tables.embeddings(spark, sf0001)
+    val p = graft.ops.Similarity.cosineTopK(embs, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no partial WindowGroupLimit under the k=3 rank window:\n${p.take(1200)}")
+  }
+
   test("multi-probe k=1 ranks via map-side max_by: no Window, no dedup") {
     val embs = Tables.embeddings(spark, sf0001)
     val p = plan(graft.ops.Similarity.annMultiProbe(embs, 1, dim = 64, nBits = 4, seed = 42L))
