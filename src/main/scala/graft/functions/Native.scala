@@ -286,12 +286,20 @@ case class PqAdcTopK(first: Expression, second: Expression,
 }
 
 object PqAdcTopK {
+  // the ONE definition of the (cos desc, nn_id asc) total order —
+  // shared with the merge aggregator so the packed-list scan and the
+  // per-query merge can never disagree on a tie
   private def beats(sA: Double, iA: Long, sB: Double, iB: Long): Boolean =
-    sA > sB || (sA == sB && iA < iB)
+    TopKByCosAgg.beats(sA, iA, sB, iB)
 
   def scan(packed: Array[Byte], ids: ArrayData, lut: ArrayData, k: Int): ArrayData = {
     val n = ids.numElements()
-    if (n == 0 || k <= 0)
+    if (n == 0) {
+      if (packed.length != 0) throw new IllegalArgumentException(
+        s"graft_pq_adc_topk: ${packed.length} packed bytes with an empty id array")
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    }
+    if (k <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     if (packed.length % n != 0) throw new IllegalArgumentException(
       s"graft_pq_adc_topk: packed length ${packed.length} not a multiple of $n codes")

@@ -52,17 +52,23 @@ class TopKByCosAgg(k: Int)
     }
   }
 
+  // sortWith(beats), NOT sortBy((-c, id)): Scala's Double
+  // TotalOrdering distinguishes −0.0 from 0.0, which `beats` (and
+  // Spark's sort after NormalizeFloatingNumbers) treat as equal —
+  // mixing the two orders makes the kept set partitioning-dependent
+  // on ±0.0 ties
   override def merge(a: Buf, b: Buf): Buf = {
     if (b.ids.isEmpty) return a
     if (a.ids.isEmpty) return b
     val all = (a.ids.zip(a.cos) ++ b.ids.zip(b.cos))
-      .sortBy { case (id, c) => (-c, id) }
+      .sortWith { case ((iA, cA), (iB, cB)) => beats(cA, iA, cB, iB) }
       .take(k)
     Buf(all.map(_._1), all.map(_._2))
   }
 
   override def finish(b: Buf): Seq[Ent] =
-    b.ids.zip(b.cos).sortBy { case (id, c) => (-c, id) }
+    b.ids.zip(b.cos)
+      .sortWith { case ((iA, cA), (iB, cB)) => beats(cA, iA, cB, iB) }
       .map { case (id, c) => Ent(id, c) }.toSeq
 
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -778,10 +778,15 @@ object Similarity {
             sampleSize: Int = 2048, rerank: Int = 0,
             idCol: String = "vec_id", vecCol: String = "embedding",
             queryPred: Column = lit(true),
-            books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+            books: Option[Array[Array[Array[Double]]]] = None,
+            precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val spark = embs.sparkSession
     val bks = books.getOrElse(pqTrain(embs, m, ksub, sampleSize, idCol, vecCol))
-    val codes = pqEncode(embs, bks, idCol, vecCol)
+    // precomputedCodes: a pqEncode output under the SAME books (the
+    // maintained code table, or a scratch copy shared across faces) —
+    // skips the full-corpus encode pass, the costliest PQ build step
+    val codes = precomputedCodes
+      .getOrElse(pqEncode(embs, bks, idCol, vecCol))
       .select(col("vec_id").as("nn_id"), col("codes"))
       .repartition(spark.sparkContext.defaultParallelism)
     val luts = pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
@@ -855,12 +860,13 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding",
                queryPred: Column = lit(true),
                centroids: Option[Array[Array[Double]]] = None,
-               books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+               books: Option[Array[Array[Array[Double]]]] = None,
+               precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val cents = centroids
       .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
     val bks = books.getOrElse(pqTrain(embs, m, ksub, sampleSize, idCol, vecCol))
     val index = ivfAssign(embs, cents, idCol, vecCol).select("nn_id", "list")
-      .join(pqEncode(embs, bks, idCol, vecCol)
+      .join(precomputedCodes.getOrElse(pqEncode(embs, bks, idCol, vecCol))
         .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
     annIvfPqFromIndex(index, embs, k, nprobe, cents, bks, rerank,
       idCol, vecCol, queryPred)

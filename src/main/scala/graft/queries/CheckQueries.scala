@@ -614,12 +614,13 @@ object CheckQueries extends QueryPack {
         .select(lit("code_shape").as("violation"))
       val pq = scratchTable(s, d, "ann_pq1") {
         Similarity.annPq(embs, 1, m = m, ksub = ksub, queryPred = slice,
-            books = Some(books))
+            books = Some(books), precomputedCodes = Some(codes))
           .select(col("vec_id"), col("nn_id").as("nn_p"))
       }
       val pqr = scratchTable(s, d, "ann_pqr1") {
         Similarity.annPq(embs, 1, m = m, ksub = ksub, rerank = 32,
-            queryPred = slice, books = Some(books))
+            queryPred = slice, books = Some(books),
+            precomputedCodes = Some(codes))
           .select(col("vec_id"), col("nn_id").as("nn_r"))
       }
       val ex = exactTop3(s, d).where(col("rank") === 1)
@@ -636,9 +637,15 @@ object CheckQueries extends QueryPack {
         .select(lit("self_pair").as("violation"))
         .unionByName(pqr.where(col("vec_id") === col("nn_r"))
           .select(lit("self_pair").as("violation")))
+      // coverage for BOTH faces — recall floors are computed over
+      // surviving rows, so a face silently dropping queries would
+      // otherwise go unseen
       val coverViol = embs.where(slice).select("vec_id")
         .join(pqr, Seq("vec_id"), "left_anti")
         .select(lit("pq_coverage").as("violation"))
+        .unionByName(embs.where(slice).select("vec_id")
+          .join(pq, Seq("vec_id"), "left_anti")
+          .select(lit("pq_adc_coverage").as("violation")))
       parityViol.unionByName(boundViol).unionByName(shapeViol)
         .unionByName(recallViol).unionByName(selfViol).unionByName(coverViol)
     }),

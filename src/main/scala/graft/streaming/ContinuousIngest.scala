@@ -81,6 +81,7 @@ object ContinuousIngest {
     // embedding-index tables (maintained only when IngestParams.ann is
     // set and the batch carries the embedding column)
     val centroidsPath: String = s"$root/centroids"
+    val semCentroidsPath: String = s"$root/sem_centroids"
     val booksPath: String = s"$root/books"
     val ivfPath: String = s"$root/ivf"
     val pqPath: String = s"$root/pq"
@@ -88,14 +89,43 @@ object ContinuousIngest {
   }
 
   /** Embedding-index policy: quantizer sizes for the three maintained
-    * ANN/semantic tables. The quantizers (IVF centroids + PQ books)
-    * train ONCE at [[bootstrap]] on the starting corpus and are then
-    * fixed — the train-once/add-many lifecycle every index face in
+    * ANN/semantic tables. The quantizers (IVF centroids + PQ books,
+    * and optionally a separate semantic quantizer) train ONCE at
+    * [[bootstrap]] on the starting corpus and are then fixed — the
+    * train-once/add-many lifecycle every index face in
     * [[graft.ops.Similarity]] assumes (retraining moves every cell
-    * boundary and is by definition a rebuild). */
+    * boundary and is by definition a rebuild).
+    *
+    * `semClusters` sizes the semantic spill-assignment quantizer
+    * INDEPENDENTLY of the IVF one — the two disciplines oppose:
+    * IVF balances assignment against probe cost at nlist ≈ √(nprobe·N)
+    * ([[graft.ops.Similarity.nlistFor]]), while semantic dedup holds
+    * per-cell occupancy flat at nClusters ∝ N (the `dedup_semantic`
+    * sizing), and one shared knob cannot satisfy both at scale.
+    * `None` shares the IVF quantizer (fine for small deployments). */
   final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
                              nAssign: Int = 3, sampleSize: Int = 2048,
-                             vecCol: String = "embedding")
+                             vecCol: String = "embedding",
+                             semClusters: Option[Int] = None)
+
+  /** The fixed quantizers, loaded from the persisted state — pass one
+    * [[loadQuantizers]] result through a batch loop (as [[start]]
+    * does) so a continuous feed doesn't re-read and re-collect the
+    * immutable centroid/book tables on every micro-batch. */
+  final case class AnnQuantizers(cents: Array[Array[Double]],
+                                 semCents: Array[Array[Double]],
+                                 books: Array[Array[Array[Double]]])
+
+  def loadQuantizers(spark: SparkSession, st: IngestState,
+                     a: AnnParams): AnnQuantizers = {
+    val cents = Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath))
+    val sem =
+      if (a.semClusters.isDefined)
+        Similarity.centroidsFromDF(spark.read.parquet(st.semCentroidsPath))
+      else cents
+    AnnQuantizers(cents, sem,
+      Similarity.booksFromDF(spark.read.parquet(st.booksPath)))
+  }
 
   /** Dedup policy, fixed per deployment. `expectedDigests` sizes every
     * bloom (growth horizon — identical sizing is the merge contract);
@@ -144,11 +174,20 @@ object ContinuousIngest {
         idCol = "doc_id", vecCol = a.vecCol)
       Similarity.centroidsToDF(spark, cents)
         .write.mode("overwrite").parquet(st.centroidsPath)
+      val semCents = a.semClusters match {
+        case Some(nc) =>
+          val sc = Similarity.ivfCentroids(corpus, nc, a.sampleSize,
+            idCol = "doc_id", vecCol = a.vecCol)
+          Similarity.centroidsToDF(spark, sc)
+            .write.mode("overwrite").parquet(st.semCentroidsPath)
+          sc
+        case None => cents
+      }
       val books = Similarity.pqTrain(corpus, a.m, a.ksub, a.sampleSize,
         idCol = "doc_id", vecCol = a.vecCol)
       Similarity.booksToDF(spark, books)
         .write.mode("overwrite").parquet(st.booksPath)
-      appendIndexes(corpus, -1L, st, a, cents, books)
+      appendIndexes(corpus, -1L, st, a, AnnQuantizers(cents, semCents, books))
     }
   }
 
@@ -157,13 +196,12 @@ object ContinuousIngest {
     * state (all three assignments/encodings are deterministic given
     * the fixed quantizers, so a replay overwrites identical rows). */
   private def appendIndexes(batch: DataFrame, batchId: Long, st: IngestState,
-                            a: AnnParams, cents: Array[Array[Double]],
-                            books: Array[Array[Array[Double]]]): Unit = {
-    Similarity.ivfAssign(batch, cents, idCol = "doc_id", vecCol = a.vecCol)
+                            a: AnnParams, q: AnnQuantizers): Unit = {
+    Similarity.ivfAssign(batch, q.cents, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
-    Similarity.pqEncode(batch, books, idCol = "doc_id", vecCol = a.vecCol)
+    Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
-    Similarity.semanticAssign(batch, cents, a.nAssign,
+    Similarity.semanticAssign(batch, q.semCents, a.nAssign,
         idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")
   }
@@ -177,7 +215,8 @@ object ContinuousIngest {
     * same `batchId` any number of times — see the replay contract in
     * the object scaladoc. */
   def ingestBatch(batch: DataFrame, batchId: Long, st: IngestState,
-                  p: IngestParams): DataFrame = {
+                  p: IngestParams,
+                  quantizers: Option[AnnQuantizers] = None): DataFrame = {
     require(batchId >= 0, s"batch ids are >= 0 (got $batchId; -1 is the bootstrap)")
     val spark = batch.sparkSession
     val local = batch.join(
@@ -216,8 +255,7 @@ object ContinuousIngest {
       Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp))))
     p.ann.foreach { a =>
       appendIndexes(survivors, batchId, st, a,
-        Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath)),
-        Similarity.booksFromDF(spark.read.parquet(st.booksPath)))
+        quantizers.getOrElse(loadQuantizers(spark, st, a)))
     }
     survivors
   }
@@ -252,8 +290,12 @@ object ContinuousIngest {
     * in-flight batch and the idempotent state writes absorb it. */
   def start(stream: DataFrame, st: IngestState, p: IngestParams,
             availableNow: Boolean = true): StreamingQuery = {
+    // the quantizers are immutable post-bootstrap — load once for the
+    // whole stream instead of re-reading + re-collecting per batch
+    val quant = p.ann.map(a => loadQuantizers(stream.sparkSession, st, a))
     val writer = stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => ingestBatch(b, id, st, p); () }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatch(b, id, st, p, quant); () }
       .option("checkpointLocation", st.checkpointPath)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

@@ -135,7 +135,11 @@ class ContinuousIngestSpec extends SparkSpec {
     import graft.ops.Similarity
     import graft.streaming.ContinuousIngest.AnnParams
     val root = freshRoot()
-    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    // semClusters ≠ nlist: the semantic table must run under its OWN
+    // persisted quantizer (the opposing sizing disciplines — see
+    // AnnParams), which the rebuild comparisons below verify
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2,
+      semClusters = Some(6))
     val Pa = P.copy(ann = Some(ann))
     def emb(i: Long): Seq[Float] =
       (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
@@ -150,8 +154,11 @@ class ContinuousIngestSpec extends SparkSpec {
         rows.map { case (id, t) => (id, t, emb(id)) }
           .toDF("doc_id", "text", "embedding"), i.toLong, st, Pa)
     }
-    val cents = Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath))
-    val books = Similarity.booksFromDF(spark.read.parquet(st.booksPath))
+    val q = ContinuousIngest.loadQuantizers(spark, st, ann)
+    val cents = q.cents
+    val books = q.books
+    assert(q.semCents.length == 6 && cents.length == 4,
+      "semantic quantizer must be its own 6-centroid table")
     val finalDocs = ContinuousIngest.readTable(spark, st.docsPath)
     def assertSame(name: String, maintained: DataFrame, rebuilt: DataFrame): Unit =
       assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty,
@@ -167,7 +174,7 @@ class ContinuousIngestSpec extends SparkSpec {
     assertSame("pq", ContinuousIngest.readTable(spark, st.pqPath),
       Similarity.pqEncode(finalDocs, books, idCol = "doc_id"))
     assertSame("sem", ContinuousIngest.readTable(spark, st.semPath),
-      Similarity.semanticAssign(finalDocs, cents, ann.nAssign, idCol = "doc_id"))
+      Similarity.semanticAssign(finalDocs, q.semCents, ann.nAssign, idCol = "doc_id"))
     // the search faces over the maintained tables == the one-shot
     // operators under the same persisted quantizers
     assertSame("ivf_search",
