@@ -49,10 +49,12 @@ object RecallProbe {
     // one coarse quantizer), like the product queries
     val books = Similarity.pqTrain(embs, m = 8, ksub = 16)
     val cents = Similarity.ivfCentroids(embs, nlist)
-    val adc = Similarity.annPq(embs, 1, queryPred = slice, books = Some(books))
+    val codes = Similarity.pqEncode(embs, books)
+    val adc = Similarity.annPq(embs, 1, queryPred = slice, books = Some(books),
+        precomputedCodes = Some(codes))
       .select(col("vec_id"), col("nn_id").as("nn_a"))
     val pqr = Similarity.annPq(embs, 1, rerank = 32, queryPred = slice,
-        books = Some(books))
+        books = Some(books), precomputedCodes = Some(codes))
       .select(col("vec_id"), col("nn_id").as("nn_r"))
     val ipq = Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = 4,
         rerank = 32, queryPred = slice,

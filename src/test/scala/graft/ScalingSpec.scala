@@ -273,6 +273,22 @@ class ScalingSpec extends SparkSpec {
         Similarity.semanticNearDupPairs(e, 0.9,
           nClusters = math.max(4L, n / 128L).toInt, vecCol = "embedding").count()
       }),
+      // the nightly-ingest face of semantic dedup: assign a 1/5 batch
+      // under a fixed quantizer and score ONLY batch × index within
+      // shared cells (semanticNewPairs) — cost ∝ |batch| · occupancy
+      // · nAssign², which under weak scaling is linear like the batch;
+      // a regression to re-clustering the corpus would show the
+      // one-shot pipeline's steeper curve plus its constant
+      Pipe("dedup_semantic_incr", 1.5, { i =>
+        val e = rd(embs(i))
+        val n = e.count()
+        val cents = Similarity.ivfCentroids(e, math.max(4L, n / 128L).toInt)
+        val isNew = pmod(col("vec_id"), lit(5)) === 0
+        val idx = Similarity.semanticAssign(e, cents, nAssign = 2)
+        Similarity.semanticNewPairs(
+          Similarity.semanticAssign(e.where(isNew), cents, nAssign = 2),
+          idx, 0.9).count()
+      }),
       // the two-level prefix sum scans and windows EVERY row before
       // the budget filter (the filter needs cum, so pruning cannot
       // drop the window) — Θ(N) independent of the budget; 5 groups
