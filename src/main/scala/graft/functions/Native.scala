@@ -174,9 +174,10 @@ case class DotProduct(left: Expression, right: Expression)
 /** graft_pq_adc(codes: binary, lut: array<double>) → double:
   * Σⱼ lut[j·ksub + (codes[j] & 0xFF)] with ksub = |lut| / m derived
   * per row (m = |codes|). Code bytes are UNSIGNED subspace centroid
-  * indices (ksub ≤ 256). Fails loudly on a |lut| not divisible by m
-  * or a code ≥ ksub — a silent wrap/overread would score against a
-  * neighboring subspace's table slice. Empty codes with an empty LUT
+  * indices (ksub ≤ 256). Fails loudly on a |lut| not divisible by m,
+  * a code ≥ ksub, or a NULL lut element — a silent wrap/overread
+  * would score against a neighboring subspace's table slice, and a
+  * null element would score as 0.0. Empty codes with an empty LUT
   * score 0.0 (the empty-vector dot analog). Bit-identical to the
   * higher-order formulation
   * `aggregate(sequence(0, m−1), 0d, (s, j) -> s + lut[j·ksub + code_j])`
@@ -226,7 +227,13 @@ object PqAdc {
       val c = codes(j) & 0xFF
       if (c >= ksub) throw new IllegalArgumentException(
         s"graft_pq_adc: code $c at subspace $j out of range (ksub=$ksub)")
-      s += lut.getDouble(j * ksub + c)
+      val slot = j * ksub + c
+      // a null LUT element would read as 0.0 from UnsafeArrayData —
+      // a silently wrong score; the fail-loud contract covers elements,
+      // not just the array (LUT schemas may carry containsNull=true)
+      if (lut.isNullAt(slot)) throw new IllegalArgumentException(
+        s"graft_pq_adc: null LUT entry at slot $slot (subspace $j, code $c)")
+      s += lut.getDouble(slot)
       j += 1
     }
     s
@@ -322,9 +329,16 @@ object PqAdcTopK {
         val c = packed(off + j) & 0xFF
         if (c >= ksub) throw new IllegalArgumentException(
           s"graft_pq_adc_topk: code $c at subspace $j out of range (ksub=$ksub)")
-        s += lut.getDouble(j * ksub + c)
+        val slot = j * ksub + c
+        // null elements read as 0.0/0L from UnsafeArrayData — fail
+        // loudly instead (the PqAdc element-null contract)
+        if (lut.isNullAt(slot)) throw new IllegalArgumentException(
+          s"graft_pq_adc_topk: null LUT entry at slot $slot (subspace $j, code $c)")
+        s += lut.getDouble(slot)
         j += 1
       }
+      if (ids.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_pq_adc_topk: null id at position $i")
       val id = ids.getLong(i)
       if (filled < kk) {
         outIds(filled) = id; outSc(filled) = s
