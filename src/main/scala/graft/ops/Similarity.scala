@@ -41,6 +41,12 @@ object Similarity {
       .select(col(idCol).as(outId),
         transform(col(vecCol), x => x.cast("double")).as("_vd"))
       .withColumn("_nrm", sqrt(graft.functions.Native.dotNative(spark, col("_vd"), col("_vd"))))
+      // a zero-norm vector would divide to NaN components, and NaN
+      // cosines break the strict-weak-order assumption of every top-k
+      // sort downstream — fail loudly instead (normalizeUnit matches)
+      .withColumn("_nrm", when(col("_nrm") > 0, col("_nrm"))
+        .otherwise(raise_error(format_string(
+          "normalized: zero-norm embedding for id %s", col(outId).cast("string")))))
       .select(col(outId), transform(col("_vd"), x => x / col("_nrm")).as(outVec))
   }
 
@@ -92,14 +98,33 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  /** Effective quantizer-training sample size: the explicit value when
+    * positive, else `max(2048, 8·k)` for a k-cell quantizer. The
+    * sample must GROW with the cell count: carving k cells from a
+    * fixed sample stops being occupancy-flat once k approaches the
+    * sample size (every FFT centroid is a sample point, so a 2048-row
+    * sample caps the quantizer at 2048 distinct cells and degrades
+    * well before that) — the cause of `dedup_semantic`'s steep fitted
+    * slope in SCALING.md before round 12. 8 sampled vectors per cell
+    * keeps each Voronoi cell anchored; training cost is
+    * O(sample·k·dim) = O(k²·dim) on the driver — at the nlistFor /
+    * occupancy-∝-N disciplines k ≤ ~10⁴ even for billion-vector
+    * corpora, which is sub-second. Past that, train hierarchically
+    * (coarse FFT over a cap, then per-cell refinement) — not needed
+    * at any scale this library's sizing rules produce. */
+  def trainSampleFor(k: Int, sampleSize: Int = 0): Int =
+    if (sampleSize > 0) sampleSize else math.max(2048, 8 * k)
+
   /** Coarse quantizer shared by IVF and k-center: FFT centroids over a
     * deterministic driver-sized sample (sorted by id) of the normalized
     * vectors. Unit-length output (inputs are normalized), so
-    * argmin distance == argmax dot downstream. */
-  def ivfCentroids(embs: DataFrame, nlist: Int, sampleSize: Int = 2048,
+    * argmin distance == argmax dot downstream. `sampleSize = 0` (the
+    * default) auto-scales the sample with `nlist`
+    * ([[trainSampleFor]]). */
+  def ivfCentroids(embs: DataFrame, nlist: Int, sampleSize: Int = 0,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val sample = normalized(embs, idCol, vecCol, "id", "v")
-      .orderBy("id").limit(sampleSize)
+      .orderBy("id").limit(trainSampleFor(nlist, sampleSize))
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     graft.ops.Fft.seqFFTVec(sample, nlist)
   }
@@ -109,7 +134,7 @@ object Similarity {
     * checks recompute probe membership from this. Pass `centroids`
     * (from one [[ivfCentroids]] call) when also running [[annIvf]] on
     * the same corpus, so the quantizer trains once, not per operator. */
-  def ivfProbeLists(embs: DataFrame, nlist: Int, nprobe: Int, sampleSize: Int = 2048,
+  def ivfProbeLists(embs: DataFrame, nlist: Int, nprobe: Int, sampleSize: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = embs.sparkSession
@@ -199,7 +224,7 @@ object Similarity {
     * Cost ∝ Σ_list |probe(list)|·|list| — at 1000 executors both sides
     * shuffle on the list id and each list's pairs stay co-located. */
   def annIvf(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
-             sampleSize: Int = 2048,
+             sampleSize: Int = 0,
              idCol: String = "vec_id", vecCol: String = "embedding",
              queryPred: Column = lit(true),
              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
@@ -214,7 +239,7 @@ object Similarity {
   /** Embedding k-center clustering: FFT centroids over a sample, every
     * vector assigned to its nearest centroid in one codegen'd argmax
     * pass (no explode, no window): `vec_id, cluster, cdist`. */
-  def kcenterAssign(embs: DataFrame, k: Int, sampleSize: Int = 2048,
+  def kcenterAssign(embs: DataFrame, k: Int, sampleSize: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embs.sparkSession
     val flat = lit(ivfCentroids(embs, k, sampleSize, idCol, vecCol).flatten)
@@ -235,10 +260,10 @@ object Similarity {
     * the same FFT centroids. Law: every SAMPLED vector's assignment
     * distance is ≤ this radius (FFT's guarantee covers exactly the
     * points it traversed; non-sample points carry no bound). */
-  def kcenterSampleRadius(embs: DataFrame, k: Int, sampleSize: Int = 2048,
+  def kcenterSampleRadius(embs: DataFrame, k: Int, sampleSize: Int = 0,
                           idCol: String = "vec_id", vecCol: String = "embedding"): (Array[Long], Double) = {
     val rows = normalized(embs, idCol, vecCol, "id", "v")
-      .orderBy("id").limit(sampleSize).select("id", "v").collect()
+      .orderBy("id").limit(trainSampleFor(k, sampleSize)).select("id", "v").collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Double](1).toArray)
     val centroids = graft.ops.Fft.seqFFTVec(vecs, k)
@@ -293,7 +318,7 @@ object Similarity {
     * argmax differs. `check_semantic_dedup` pins soundness (reported ⊆
     * exact with equal csim) and floors the measured recall. */
   def semanticNearDupPairs(embs: DataFrame, minCosine: Double, nClusters: Int,
-                           nAssign: Int = 2, sampleSize: Int = 2048,
+                           nAssign: Int = 2, sampleSize: Int = 0,
                            idCol: String = "vec_id", vecCol: String = "embedding",
                            centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nAssign >= 1 && nAssign <= nClusters,
@@ -371,6 +396,65 @@ object Similarity {
       .groupBy("a", "b").agg(max(col("csim")).as("csim"))
   }
 
+  /** Per-cell occupancy drift between a REFERENCE assignment table
+    * and a RECENT one (any `cellCol, …` shape — [[ivfAssign]]'s
+    * `list`, [[semanticAssign]]'s `cluster`): per-cell counts,
+    * occupancy-share deltas, and the total-variation distance of the
+    * two occupancy distributions. The embedding twin of the
+    * token-level `corpus_drift` monitor, and the STALENESS SIGNAL the
+    * train-once quantizer lifecycle otherwise lacks: the quantizers
+    * ([[ivfCentroids]]/[[pqTrain]]) are fixed at bootstrap, so when
+    * the corpus distribution moves, recall decays silently — but cell
+    * occupancy IS the quantizer's view of the distribution, so its
+    * TVD against the bootstrap-era index rises exactly when the fixed
+    * Voronoi geometry stops fitting (0 for identically-distributed
+    * batches, → 1 as mass concentrates in cells the bootstrap rarely
+    * saw). When the monitor trips, schedule a re-train + rebuild; the
+    * threshold is deployment policy (`check_index_drift` pins that a
+    * planted shift trips 0.2 while stationary batches stay under it,
+    * and that identical tables score exactly 0).
+    *
+    * Arithmetic is the `corpus_drift` discipline: exact integers —
+    * Σ_cell |cnt_ref·tot_new − cnt_new·tot_ref|, decimal-widened so
+    * 100 TB counts cannot overflow — with one final double division,
+    * so the result is deterministic and cross-engine reproducible.
+    * Cost: two metadata-sized groupBys over the assignment tables
+    * (cells rows out — nlist ∝ √N); empty inputs fail loudly (a
+    * drift of nothing is a monitoring bug, not a 0).
+    *
+    * Output: `cell, cnt_ref, cnt_new, share_delta, tvd` (one row per
+    * cell seen by either side; tvd repeated — the report shape of
+    * `corpus_drift`). */
+  def occupancyDrift(ref: DataFrame, recent: DataFrame,
+                     cellCol: String = "cluster"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = ref.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_ref"))
+    val b = recent.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_new"))
+    val j = a.join(b, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+    val tot = j.agg(sum("cnt_ref").as("_ta"), sum("cnt_new").as("_tb"))
+    val wj = j.crossJoin(broadcast(tot))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val tvdRow = wj
+      .agg(sum(abs(dec(col("cnt_ref")) * dec(col("_tb"))
+        - dec(col("cnt_new")) * dec(col("_ta")))).as("_sn"),
+        first("_ta").as("_ta"), first("_tb").as("_tb"))
+      .select(when(col("_ta") > 0 && col("_tb") > 0,
+        lit(0.5) * col("_sn").cast("double")
+          / (col("_ta").cast("double") * col("_tb").cast("double")))
+        .otherwise(raise_error(format_string(
+          "occupancyDrift: empty assignment table (ref=%s rows, recent=%s rows)",
+          col("_ta").cast("string"), col("_tb").cast("string")))).as("_tvd"))
+    wj.crossJoin(broadcast(tvdRow))
+      .select(col("cell"), col("cnt_ref"), col("cnt_new"),
+        round(col("cnt_ref").cast("double") / col("_ta").cast("double")
+          - col("cnt_new").cast("double") / col("_tb").cast("double"), 6)
+          .as("share_delta"),
+        round(col("_tvd"), 6).as("tvd"))
+  }
+
   /** Hyperplane component h(i,b) ∈ [−0.5, 0.5): identical bits to the
     * Column expression
     * `pmod(xxhash64(i, b, seed), 2^32)/2^32 − 0.5` — xxhash64's chained
@@ -412,12 +496,12 @@ object Similarity {
   /** List-count rule for [[annIvf]]: the classic √N balance between
     * assignment cost (N·nlist dot products) and probe cost
     * (N·nprobe·N/nlist candidate pairs) — equal at nlist ≈ √(nprobe·N).
-    * Clamped to [16, 1024]: the upper cap keeps nlist well under the
-    * driver-side training sample (`sampleSize` = 2048) so every list
-    * is anchored by ≥ 2 sampled vectors; beyond ~10^6 vectors the
-    * per-list size grows linearly again, which stays tractable because
-    * the candidate join is list-partitioned (raise `sampleSize` and
-    * the cap together if a corpus demands finer lists). */
+    * Clamped to [16, 1024]: the driver-side training sample scales
+    * with nlist ([[trainSampleFor]] — 8 sampled vectors anchor every
+    * list); beyond ~10^6 vectors the per-list size grows linearly
+    * again, which stays tractable because the candidate join is
+    * list-partitioned (raise the cap if a corpus demands finer
+    * lists — the sample follows automatically). */
   def nlistFor(n: Long, nprobe: Int = 4): Int = {
     require(n > 0, "corpus size must be positive")
     val raw = math.ceil(math.sqrt(nprobe.toDouble * n.toDouble)).toInt
@@ -609,6 +693,11 @@ object Similarity {
     i = 0
     while (i < v.length) { s += d(i) * d(i); i += 1 }
     val nrm = math.sqrt(s)
+    // the `normalized` Column face fails loudly on zero norms too —
+    // NaN components would poison every (cos desc, id) sort's strict
+    // weak order ("Comparison method violates its general contract")
+    if (!(nrm > 0)) sys.error(
+      s"normalizeUnit: zero-norm embedding (dim ${v.length})")
     i = 0
     while (i < v.length) { d(i) = d(i) / nrm; i += 1 }
     d
@@ -622,11 +711,11 @@ object Similarity {
     * [[ivfCentroids]]: re-training moves every cell boundary, so a
     * maintained code table keeps its original books. `dim` must be a
     * multiple of `m`; ksub ≤ 256 so a code fits one unsigned byte. */
-  def pqTrain(embs: DataFrame, m: Int, ksub: Int, sampleSize: Int = 2048,
+  def pqTrain(embs: DataFrame, m: Int, ksub: Int, sampleSize: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit an unsigned byte")
     val sample = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy("id").limit(sampleSize)
+      .orderBy("id").limit(trainSampleFor(ksub, sampleSize))
       .select("v").collect()
       .map(r => normalizeUnit(r.getSeq[Float](0).toArray))
     require(sample.nonEmpty, "pqTrain: empty corpus")
@@ -775,7 +864,7 @@ object Similarity {
     * `rerank = 0` returns the pure-ADC ranking (the face the
     * Cauchy–Schwarz law audits). */
   def annPq(embs: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
-            sampleSize: Int = 2048, rerank: Int = 0,
+            sampleSize: Int = 0, rerank: Int = 0,
             idCol: String = "vec_id", vecCol: String = "embedding",
             queryPred: Column = lit(true),
             books: Option[Array[Array[Array[Double]]]] = None,
@@ -856,7 +945,7 @@ object Similarity {
     * to share with other faces). */
   def annIvfPq(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
                m: Int = 8, ksub: Int = 16, rerank: Int = 0,
-               sampleSize: Int = 2048,
+               sampleSize: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding",
                queryPred: Column = lit(true),
                centroids: Option[Array[Array[Double]]] = None,
@@ -914,9 +1003,27 @@ object Similarity {
       // the N·nprobe·occupancy candidate stream never pays per-row
       // join/aggregate machinery (measured 115 s → ~9 s at the 10×
       // scaling fixture, identical answers). The packed table is
-      // nlist rows ∝ √N — broadcastable until ~10⁹ vectors, a list
+      // ~nlist rows ∝ √N — broadcastable until ~10⁹ vectors, a list
       // equi-join beyond. R+1 so a self-hit cannot cost a slot.
-      val packed = index.groupBy("list").agg(
+      //
+      // Skew guard: a packed row is O(|list|·m) bytes, so ONE hot
+      // Voronoi cell could blow past single-row/broadcast limits long
+      // before the balanced-occupancy estimate says it would. Lists
+      // are therefore split into ≤ 64Ki-entry segments (512 KiB of
+      // codes at m=8) before packing: a probe row joins every segment
+      // of its list, each segment returns its own sorted top-(R+1),
+      // and MergeTopKAgg merges them per query exactly like the
+      // nprobe list-tops — byte-identical answers (each candidate
+      // lives in exactly one segment and the total order is shared).
+      // The segment window adds a per-list sort but NO extra shuffle:
+      // HashPartitioning(list) already satisfies the (list, _seg)
+      // grouping.
+      val segSize = 1 << 16
+      val segW = org.apache.spark.sql.expressions.Window
+        .partitionBy("list").orderBy("nn_id")
+      val packed = index
+        .withColumn("_seg", ((row_number().over(segW) - 1) / segSize).cast("int"))
+        .groupBy("list", "_seg").agg(
           array_sort(collect_list(struct(col("nn_id"), col("codes")))).as("ent"))
         .select(col("list"),
           transform(col("ent"), e => e.getField("nn_id")).as("ids"),
