@@ -58,7 +58,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * With [[IngestParams.ann]] set, each batch's SURVIVORS also append
   * to the three maintained embedding-index tables (IVF inverted
-  * lists, PQ codes, semantic spill assignments) under quantizers
+  * lists, PQ codes, semantic spill assignments) — every batch must
+  * then carry the embedding column (enforced loudly) — under quantizers
   * trained once at [[bootstrap]] and persisted beside them — same
   * per-batch partition-overwrite idempotency (the
   * assignments/encodings are deterministic given fixed quantizers, so
@@ -78,8 +79,10 @@ object ContinuousIngest {
     val statsPath: String = s"$root/stats"
     val bloomPath: java.nio.file.Path = java.nio.file.Paths.get(root, "state.bloom")
     val checkpointPath: String = s"$root/_checkpoint"
-    // embedding-index tables (maintained only when IngestParams.ann is
-    // set and the batch carries the embedding column)
+    // embedding-index tables (maintained when IngestParams.ann is
+    // set; every batch must then carry the embedding column — a
+    // batch without it fails loudly in appendIndexes, because
+    // skipping it would silently desync index tables from the corpus)
     val centroidsPath: String = s"$root/centroids"
     val semCentroidsPath: String = s"$root/sem_centroids"
     val booksPath: String = s"$root/books"
@@ -102,9 +105,12 @@ object ContinuousIngest {
     * ([[graft.ops.Similarity.nlistFor]]), while semantic dedup holds
     * per-cell occupancy flat at nClusters ∝ N (the `dedup_semantic`
     * sizing), and one shared knob cannot satisfy both at scale.
-    * `None` shares the IVF quantizer (fine for small deployments). */
+    * `None` shares the IVF quantizer (fine for small deployments).
+    * `sampleSize = 0` (the default) auto-scales each quantizer's
+    * training sample with its own cell count
+    * ([[graft.ops.Similarity.trainSampleFor]]). */
   final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
-                             nAssign: Int = 3, sampleSize: Int = 2048,
+                             nAssign: Int = 3, sampleSize: Int = 0,
                              vecCol: String = "embedding",
                              semClusters: Option[Int] = None)
 
@@ -197,6 +203,13 @@ object ContinuousIngest {
     * the fixed quantizers, so a replay overwrites identical rows). */
   private def appendIndexes(batch: DataFrame, batchId: Long, st: IngestState,
                             a: AnnParams, q: AnnQuantizers): Unit = {
+    // fail loudly, not with a deep AnalysisException: when ann is
+    // enabled the column is REQUIRED on every batch — admitting a
+    // vector-less batch would leave docs the index tables never saw
+    require(batch.columns.contains(a.vecCol),
+      s"ann-enabled ingest: batch $batchId lacks the embedding column " +
+        s"'${a.vecCol}' — every batch must carry it (columns: " +
+        s"${batch.columns.mkString(", ")})")
     Similarity.ivfAssign(batch, q.cents, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
     Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
@@ -281,6 +294,83 @@ object ContinuousIngest {
     readTable(spark, st.statsPath)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
         sum(col("n_ws_tokens")).as("n_ws_tokens"))
+
+  /** Quantizer-staleness monitor for the maintained embedding indexes:
+    * per-cell occupancy drift ([[graft.ops.Similarity.occupancyDrift]])
+    * of the batches at/after `sinceBatch` against everything before
+    * them, read from the maintained semantic spill-assignment table.
+    * The train-once quantizers ([[bootstrap]]) never re-check that the
+    * corpus still looks like their training sample — this is the
+    * nightly probe that does: run it with `sinceBatch` = the retrain
+    * horizon (e.g. the last week's first batch); when the TVD trips
+    * the deployment threshold, schedule a quantizer re-train + index
+    * rebuild. Cost: one metadata-sized aggregation over the
+    * assignment table — never touches the corpus or the floats. */
+  def indexDrift(spark: SparkSession, st: IngestState,
+                 sinceBatch: Long): DataFrame = {
+    val sem = spark.read.option("basePath", st.semPath).parquet(st.semPath)
+    graft.ops.Similarity.occupancyDrift(
+      sem.where(col("batch") < lit(sinceBatch)),
+      sem.where(col("batch") >= lit(sinceBatch)))
+  }
+
+  /** Periodic state-table maintenance: consolidate every `batch=`
+    * partition with id ≤ `upToBatch` into ONE compacted
+    * `batch=<upToBatch>` partition per table (docs, digests, keys,
+    * stats, and the embedding-index tables when present), leaving
+    * later partitions untouched. Micro-batch sinks accrue one
+    * directory + file set per batch; after thousands of batches the
+    * listing/footer costs dominate every state read (the classic
+    * small-files problem `sources.Warehouse.compact` exists for) —
+    * this is that maintenance pass applied to the ingest lifecycle.
+    *
+    * SAFE BY THE LINEAGE CONTRACT: batch ids are lineage tags, not
+    * semantics — every reader takes the partition UNION and the
+    * dedup/index decisions key on content (digests, band keys, cell
+    * assignments), so collapsing committed batches under one id
+    * preserves every answer (NightlyIngestSpec pins the compacted
+    * run against the untouched twin, state tables and survivors
+    * both). Two rules: run it BETWEEN batches (the self-exclusion
+    * read of an in-flight batch must still see its own id distinctly
+    * — committed batches are the only ones compacted), and never
+    * compact past ids the stream may still re-deliver (a replay of
+    * batch `b` overwrites `batch=b/`, so compact only ids strictly
+    * below the checkpoint's committed horizon — after an
+    * AvailableNow drain, that is every id). The directory swap is
+    * not atomic on a plain filesystem: quiesce readers, or compact
+    * to a fresh root and switch paths. */
+  def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
+                   targetRowsPerFile: Long = 1000000L): Unit =
+    Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
+        st.ivfPath, st.pqPath, st.semPath)
+      .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  private def compactTable(spark: SparkSession, path: String, upToBatch: Long,
+                           targetRowsPerFile: Long): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) return
+    val parts = dir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+    if (parts.length <= 1) return // nothing to consolidate
+    // materialize the merged rows to a sibling dir FIRST (the read is
+    // lazy — deleting sources before the write would lose the table)
+    val merged = spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*)
+    val n = merged.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = s"$path.compact_tmp"
+    rmTree(new java.io.File(tmp))
+    merged.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    parts.foreach(rmTree)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(path, s"batch=$upToBatch"))
+    ()
+  }
 
   /** The streaming face: drive [[ingestBatch]] from a document stream
     * (columns `doc_id, text, ...`) via foreachBatch. With
