@@ -31,8 +31,45 @@ object DocQueries extends QueryPack {
   // 9 of 20 sources saturate (keep everything), 11 get the water level
   private val FairBudget = 26000L
 
+  // total-token budget for the export plan's fair-share allocation,
+  // sized against the CLEAN (post-scrub) token totals so the sf0.01
+  // fixture exercises both allocation branches (7 of 20 sources
+  // saturate and keep everything, 13 get the water level)
+  private val ExportBudget = 24000L
+
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+  /** The quality-cut → exact-dedup → boilerplate-scrub chain shared
+    * by `curation_funnel` and `export_plan` — ONE definition, so the
+    * reporting query and the export composition cannot drift. Returns
+    * (quality, dedup, clean): the post-quality doc table, the
+    * post-dedup doc table, and the per-doc clean token counts
+    * `doc_id, source, ct`. Shared stages are
+    * cached because both consumers fan out (see the stage-reuse note
+    * on `curation_funnel`); the session clears the cache between
+    * queries. */
+  private def funnelClean(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = docs.join(
+      Text.junkFilter(docs).where(col("keep")).select("doc_id"), Seq("doc_id"))
+      .cache()
+    val dedup = quality
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("_rk") === 1).drop("_rk")
+    val seg = dedup.select(col("doc_id"), col("source"),
+      posexplode(Text.tokenSegments(col("text"), SegTokens)).as(Seq("idx", "seg")))
+      .cache()
+    val boiler = seg.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= SegMinDocs).select(col("seg"), lit(true).as("_b"))
+    val clean = seg.join(boiler, Seq("seg"), "left").where(col("_b").isNull)
+      .groupBy("doc_id", "source")
+      .agg(sum(size(split(col("seg"), " ")).cast("long")).as("ct"))
+      .cache()
+    (quality, dedup, clean)
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + quality scoring (ratios, punct/digit counts)
@@ -328,26 +365,9 @@ object DocQueries extends QueryPack {
     // same single-computation dataflow. The session clears the cache
     // between queries, so nothing leaks across the bench.
     "curation_funnel" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val nt = Text.tokenCount(col("text")).cast("long")
-      val quality = docs.join(
-        Text.junkFilter(docs).where(col("keep")).select("doc_id"), Seq("doc_id"))
-        .cache()
-      val dedup = quality
-        .withColumn("_rk", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("_rk") === 1).drop("_rk")
-      val seg = dedup.select(col("doc_id"), col("source"),
-        posexplode(Text.tokenSegments(col("text"), SegTokens)).as(Seq("idx", "seg")))
-        .cache()
-      val boiler = seg.groupBy("seg")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") >= SegMinDocs).select(col("seg"), lit(true).as("_b"))
-      val clean = seg.join(boiler, Seq("seg"), "left").where(col("_b").isNull)
-        .groupBy("doc_id", "source")
-        .agg(sum(size(split(col("seg"), " ")).cast("long")).as("ct"))
-        .cache()
+      val (quality, dedup, clean) = funnelClean(docs)
       val mix = Freq.tokenBudgetSample(clean, col("ct"), budget = 1000L,
         groupCol = "source", idCol = "doc_id")
       def stage(no: Int, name: String, df: DataFrame, tok: Column) =
@@ -361,6 +381,43 @@ object DocQueries extends QueryPack {
         .unionByName(stage(4, "boilerplate", clean, col("ct")))
         .unionByName(stage(5, "mixture", mix, col("w")))
         .orderBy("stage_no")
+    }),
+    // the full export lifecycle as ONE composed dataflow — what a
+    // training-data export actually runs after the funnel: clean token
+    // counts (quality → exact dedup → boilerplate scrub, the same
+    // funnelClean stages curation_funnel reports) → max-min fair-share
+    // budgets across sources (UniMax water-filling over the CLEAN
+    // counts) → deterministic per-source selection against each
+    // source's own budget → token-balanced shard plan over the
+    // SELECTED docs (seeded global shuffle order cut into contiguous
+    // equal-token ranges) → ctx-token chunk ids within each shard.
+    // Every stage reuses the op its standalone query gates
+    // (mixture_fairshare, shard_plan, pack_chunks), so the whole
+    // five-stage composition sits under one DuckDB hash gate —
+    // all-integer output, exact. Scale shape: each stage's own 100 TB
+    // story (broadcast budgets, two-level prefix sums, per-shard
+    // windows) composes; nothing new shuffles.
+    "export_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, _, clean) = funnelClean(docs)
+      // the selection is budget-bounded (tiny) but its lineage is the
+      // whole funnel + fair-share chain, and shardPlan's two-level
+      // prefix sum references its input three times — cache it or the
+      // upstream chain runs ~5× (the curation_funnel stage-reuse
+      // lesson; a 100 TB run writes the selection to the warehouse)
+      val sel = Freq.fairShareSample(clean, col("ct"), budget = ExportBudget,
+          groupCol = "source", idCol = "doc_id")
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("w").as("n_tok"), col("cum").as("src_cum"), col("budget"))
+        .cache()
+      val plan = Pack.shardPlan(sel, col("n_tok"),
+        nShards = PackShards, seed = SEED)
+      sel.join(plan.select(col("doc_id"), col("cum"), col("shard"), col("off")),
+          Seq("doc_id"))
+        .withColumn("first_chunk", expr(s"off div $PackCtx"))
+        .withColumn("last_chunk", expr(s"(off + n_tok - 1) div $PackCtx"))
+        .select("doc_id", "source", "n_tok", "src_cum", "budget", "cum",
+          "shard", "off", "first_chunk", "last_chunk")
     }),
     // token-budget mixture sampling: per-source docs in deterministic
     // md5 order until 1000 tokens (exclusive-prefix rule keeps the
@@ -545,6 +602,26 @@ object DocQueries extends QueryPack {
           nClusters = math.max(4L, Tables.embeddingsCount(s, d) / 256L).toInt,
           nAssign = 3)
         .select(col("a"), col("b"), round(col("csim"), 6).as("csim"))),
+    // embedding-index drift monitor (quantizer staleness): per-cell
+    // occupancy TVD of a "recent" half (odd ids) against the
+    // "bootstrap" half (even ids) under an IVF quantizer trained on
+    // the bootstrap half ONLY — the probe a train-once index
+    // deployment runs nightly (ContinuousIngest.indexDrift is the
+    // maintained-table face). No SQL oracle (the FFT quantizer is not
+    // expressible); check_index_drift pins exact-zero on identical
+    // tables, the stationary/planted bracket around the 0.2 trip
+    // line, and integer-arithmetic parity of the TVD.
+    "index_drift" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val ref = embs.where(pmod(col("vec_id"), lit(2)) === 0)
+      val recent = embs.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cents = Similarity.ivfCentroids(ref,
+        Similarity.nlistFor(Tables.embeddingsCount(s, d)))
+      Similarity.occupancyDrift(
+        Similarity.ivfAssign(ref, cents).select("list"),
+        Similarity.ivfAssign(recent, cents).select("list"),
+        cellCol = "list")
+    }),
     // int8 scalar quantization under the hash gate: plain and
     // position-weighted code sums pin every code value AND position
     // against DuckDB's recomputation from the float arrays (double
@@ -800,6 +877,72 @@ object DocQueries extends QueryPack {
          |  UNION ALL SELECT 4, 'boilerplate', count(*), CAST(sum(ct) AS BIGINT) FROM ct
          |  UNION ALL SELECT 5, 'mixture', count(*), CAST(sum(ct) AS BIGINT) FROM mix)
          |ORDER BY stage_no""".stripMargin,
+    // the five-stage export composition restated as one CTE chain:
+    // the curation_funnel clean-count CTEs, the mixture_fairshare
+    // water-level allocation + per-source selection window (over the
+    // CLEAN counts), and the shard_plan global window + chunk
+    // arithmetic over the SELECTED docs — every formulation identical
+    // to its standalone oracle, `//` integer division throughout
+    "export_plan" ->
+      s"""WITH raw AS (SELECT doc_id, source, text FROM documents),
+         |q AS (SELECT * FROM raw WHERE (CASE
+         |  WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) < 5 THEN 'too_short'
+         |  WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |       / greatest(length(text), 1)::DOUBLE > 0.3 THEN 'too_numeric'
+         |  ELSE 'ok' END) = 'ok'),
+         |dd AS (SELECT doc_id, source, text FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |  FROM q) WHERE rk = 1),
+         |segs AS (SELECT doc_id, source, i,
+         |    array_to_string(tk[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
+         |  FROM (SELECT doc_id, source, $tokSql AS tk FROM dd) t,
+         |  unnest(generate_series(0,
+         |    CAST(ceil(len(tk)::DOUBLE / $SegTokens) AS BIGINT) - 1)) AS u(i)
+         |  WHERE len(tk) > 0),
+         |b AS (SELECT seg FROM segs GROUP BY seg
+         |      HAVING count(DISTINCT doc_id) >= $SegMinDocs),
+         |ct AS (SELECT s.doc_id, s.source,
+         |    CAST(sum(len(string_split(s.seg, ' '))) AS BIGINT) AS ct
+         |  FROM segs s LEFT JOIN b ON s.seg = b.seg
+         |  WHERE b.seg IS NULL GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(ct) AS BIGINT) AS tot
+         |  FROM ct GROUP BY 1),
+         |s AS (SELECT source, tot,
+         |    row_number() OVER (ORDER BY tot, source) AS rn,
+         |    CAST(sum(tot) OVER (ORDER BY tot, source) AS BIGINT) AS p,
+         |    count(*) OVER () AS n
+         |  FROM tot),
+         |s2 AS (SELECT *,
+         |    tot * (n - rn + 1) <= $ExportBudget - (p - tot) AS sat FROM s),
+         |a AS (SELECT count(*) FILTER (WHERE sat) AS k,
+         |    coalesce(max(p) FILTER (WHERE sat), 0) AS pk,
+         |    count(*) AS n FROM s2),
+         |bb AS (SELECT s2.source, CAST(CASE WHEN s2.sat THEN s2.tot
+         |    ELSE CASE WHEN a.k < a.n
+         |      THEN ($ExportBudget - a.pk) // (a.n - a.k) ELSE 0 END
+         |    END AS BIGINT) AS budget
+         |  FROM s2, a),
+         |c AS (SELECT source, doc_id, ct AS n_tok,
+         |  CAST(sum(ct) OVER (PARTITION BY source
+         |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS src_cum
+         |FROM ct),
+         |sel AS (SELECT c.source, c.doc_id, c.n_tok, c.src_cum, bb.budget
+         |  FROM c JOIN bb USING (source)
+         |  WHERE c.src_cum - c.n_tok < bb.budget),
+         |g AS (SELECT *,
+         |    CAST(sum(n_tok) OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+         |      doc_id) AS BIGINT) AS cum FROM sel),
+         |x AS (SELECT CAST((sum(n_tok) + ${PackShards - 1}) // $PackShards
+         |      AS BIGINT) AS target FROM sel),
+         |p2 AS (SELECT doc_id, source, n_tok, src_cum, budget, cum,
+         |    least(${PackShards - 1}, (cum - n_tok) // target) AS shard,
+         |    cum - n_tok
+         |      - least(${PackShards - 1}, (cum - n_tok) // target) * target AS off
+         |  FROM g, x)
+         |SELECT doc_id, source, n_tok, src_cum, budget, cum, shard, off,
+         |  off // $PackCtx AS first_chunk,
+         |  (off + n_tok - 1) // $PackCtx AS last_chunk
+         |FROM p2""".stripMargin,
     // the single-per-source-window formulation the distributed
     // two-level prefix sum must reproduce exactly; md5 of the decimal
     // id string is the cross-engine deterministic order
