@@ -74,6 +74,28 @@ object CheckQueries extends QueryPack {
     s.read.parquet(path)
   }
 
+  /** Trained quantizers memoized per (JVM, sf dir, params) — the
+    * scratchTable principle applied to the driver-side arrays: several
+    * checks audit the same operator family with the same parameters,
+    * and training is deterministic given (dir, params), so every law
+    * still evaluates against identical quantizers while the FFT
+    * training (and the full-corpus encode that scratch-shares the
+    * resulting code table) runs once per JVM instead of once per
+    * check × bench repetition. `graft.Verify` pays the full build once
+    * in its own JVM, like every other shared check input. */
+  private val booksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def sharedBooks(s: SparkSession, d: String,
+                          m: Int, ksub: Int): Array[Array[Array[Double]]] =
+    booksCache.computeIfAbsent(s"$d#$m#$ksub", _ =>
+      Similarity.pqTrain(Tables.embeddings(s, d), m, ksub))
+  private val centsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def sharedCents(s: SparkSession, d: String,
+                          nlist: Int): Array[Array[Double]] =
+    centsCache.computeIfAbsent(s"$d#$nlist", _ =>
+      Similarity.ivfCentroids(Tables.embeddings(s, d), nlist))
+
   /** The exact top-3 slice NN (rank ≤ 3 over the full corpus for the
     * ⅕-ids query slice) — the recall bar both ANN checks score
     * against. */
@@ -455,12 +477,12 @@ object CheckQueries extends QueryPack {
     "check_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
-      // one quantizer training shared by the operator under test and
-      // the probe-membership recomputation (identical centroids are
-      // the premise of the shared-list law anyway); lazy because all
-      // three consumers are scratch-materialized — after the first
-      // build per JVM the training never reruns
-      lazy val cents = Some(Similarity.ivfCentroids(embs, nlist))
+      // one quantizer training shared by the operator under test, the
+      // probe-membership recomputation, AND check_ivfpq (identical
+      // centroids are the premise of the shared-list law anyway);
+      // lazy because all three consumers are scratch-materialized —
+      // after the first build per JVM the training never reruns
+      lazy val cents = Some(sharedCents(s, d, nlist))
       val slice = pmod(col("vec_id"), lit(5)) === 0
       val ivf = scratchTable(s, d, "ivf1") {
         Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4, centroids = cents)
@@ -584,7 +606,7 @@ object CheckQueries extends QueryPack {
       val embs = Tables.embeddings(s, d)
       val m = 8; val ksub = 16
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val books = Similarity.pqTrain(embs, m, ksub)
+      val books = sharedBooks(s, d, m, ksub)
       val codes = scratchTable(s, d, "pq_codes") {
         Similarity.pqEncode(embs, books)
       }
@@ -769,23 +791,32 @@ object CheckQueries extends QueryPack {
       val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
       val m = 8; val ksub = 16
       val slice = pmod(col("vec_id"), lit(5)) === 0
-      val cents = Similarity.ivfCentroids(embs, nlist)
-      val books = Similarity.pqTrain(embs, m, ksub)
+      // quantizers and the full-corpus code table shared with
+      // check_ivf / check_pq_adc (memoized + scratch) — one training
+      // and one encode pass feed all three checks' faces; lazy so a
+      // fully-scratched repetition never trains at all
+      lazy val cents = sharedCents(s, d, nlist)
+      lazy val books = sharedBooks(s, d, m, ksub)
+      lazy val codes = scratchTable(s, d, "pq_codes") {
+        Similarity.pqEncode(embs, books)
+      }
       val degen = scratchTable(s, d, "ivfpq_degen") {
         Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = nlist,
           m = m, ksub = ksub, queryPred = slice,
-          centroids = Some(cents), books = Some(books))
+          centroids = Some(cents), books = Some(books),
+          precomputedCodes = Some(codes))
       }
       val flatAdc = scratchTable(s, d, "ivfpq_flat") {
         Similarity.annPq(embs, 1, m = m, ksub = ksub, queryPred = slice,
-          books = Some(books))
+          books = Some(books), precomputedCodes = Some(codes))
       }
       val degenViol = multisetDiffViolations(degen, flatAdc,
         "ivfpq_degen_extra", "ivfpq_degen_missing")
       val ipq = scratchTable(s, d, "ivfpq1") {
         Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = 4,
             m = m, ksub = ksub, rerank = 32, queryPred = slice,
-            centroids = Some(cents), books = Some(books))
+            centroids = Some(cents), books = Some(books),
+            precomputedCodes = Some(codes))
           .select(col("vec_id"), col("nn_id").as("nn_i"))
       }
       val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
@@ -804,6 +835,63 @@ object CheckQueries extends QueryPack {
         .select(lit("ivfpq_coverage").as("violation"))
       degenViol.unionByName(recallViol).unionByName(selfViol)
         .unionByName(coverViol)
+    }),
+    // Index-drift laws (the quantizer-staleness monitor, same
+    // quantizer params as the index_drift product query):
+    //  - exact zero: occupancyDrift(X, X) scores tvd == 0 and every
+    //    share_delta == 0 EXACTLY (the integer cross-products cancel
+    //    cell by cell — any FP summation in the plumbing would break
+    //    the equality);
+    //  - stationary bracket: the even/odd halves of the isotropic
+    //    fixture are identically distributed, so their drift stays
+    //    UNDER the 0.2 trip line;
+    //  - planted shift: folding every recent vector into the positive
+    //    orthant (abs of each component) collapses occupancy onto the
+    //    positive-region cells and must TRIP 0.2 — a monitor that
+    //    cannot see a full orthant collapse is broken;
+    //  - parity: the op's decimal-plumbed tvd equals a driver-side
+    //    recomputation from the emitted integer counts (tolerance
+    //    1e-6 — the output is rounded to 6 decimals).
+    "check_index_drift" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
+      val isRef = pmod(col("vec_id"), lit(2)) === 0
+      // one quantizer — trained on the reference half only, like a
+      // real bootstrap — shared by all three assignment tables
+      val cents = Similarity.ivfCentroids(embs.where(isRef), nlist)
+      val refIdx = scratchTable(s, d, "drift_ref") {
+        Similarity.ivfAssign(embs.where(isRef), cents).select("list")
+      }
+      val newIdx = scratchTable(s, d, "drift_new") {
+        Similarity.ivfAssign(embs.where(!isRef), cents).select("list")
+      }
+      val shiftIdx = scratchTable(s, d, "drift_shift") {
+        Similarity.ivfAssign(
+          embs.where(!isRef).withColumn("embedding",
+            transform(col("embedding"), x => abs(x))),
+          cents).select("list")
+      }
+      val selfViol = Similarity.occupancyDrift(refIdx, refIdx, "list")
+        .where(col("tvd") =!= 0.0 || col("share_delta") =!= 0.0)
+        .select(lit("drift_self_nonzero").as("violation"))
+      val stat = Similarity.occupancyDrift(refIdx, newIdx, "list")
+      val statRows = stat.select("cnt_ref", "cnt_new", "tvd").collect()
+      val statTvd = statRows.head.getDouble(2)
+      val shiftTvd = Similarity.occupancyDrift(refIdx, shiftIdx, "list")
+        .select("tvd").head().getDouble(0)
+      // independent recomputation from the emitted integer counts
+      val ta = statRows.map(_.getLong(0)).sum.toDouble
+      val tb = statRows.map(_.getLong(1)).sum.toDouble
+      val tvd2 = 0.5 * statRows
+        .map(r => math.abs(r.getLong(0) / ta - r.getLong(1) / tb)).sum
+      import s.implicits._
+      val scalarViol =
+        ((if (statTvd >= 0.2) Seq(f"drift_stationary_tripped $statTvd%.4f") else Nil) ++
+          (if (shiftTvd <= 0.2) Seq(f"drift_shift_missed $shiftTvd%.4f") else Nil) ++
+          (if (math.abs(statTvd - tvd2) > 1e-6) Seq(
+            f"drift_tvd_parity $statTvd%.8f vs $tvd2%.8f") else Nil))
+          .toDF("violation")
+      selfViol.unionByName(scalarViol)
     }),
     // Semantic-dedup maintained-index laws — the SemDeDup twin of
     // check_ivf_append's nightly lifecycle, on the same ⅕-new/⅘-corpus
@@ -864,6 +952,83 @@ object CheckQueries extends QueryPack {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
         try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
+    // Maintained-ANN replay law — the embedding-index twin of the
+    // ingest_dedup_replay product query, driver-certifying the
+    // round-11 flagship end to end: run the REAL ann-enabled ingest
+    // lifecycle (bootstrap on a ⅘ corpus trains the quantizers and
+    // builds the index tables; one ⅕ batch ingests; the SAME batch is
+    // RE-DELIVERED, as foreachBatch does after a crash between sink
+    // call and checkpoint commit) against real parquet state, then
+    // pin, all exact:
+    //  - append == rebuild through the replay: the maintained IVF
+    //    assignment and PQ code tables equal a from-scratch
+    //    assignment/encode of the final corpus under the persisted
+    //    quantizers (multiset — a doubled replay append or a dropped
+    //    row breaks it);
+    //  - maintained search == one-shot: IVFADC (nprobe=4, rerank=8)
+    //    over the maintained tables equals annIvfPq over the final
+    //    corpus with the same quantizers, row for row — the search
+    //    face a nightly deployment actually queries cannot drift.
+    // (the whole lifecycle is deterministic — seeded quantizers, fixed
+    // split — so the violation table is scratch-materialized per JVM
+    // like the other expensive deterministic check inputs; graft.Verify
+    // runs in its own JVM and always pays the full build once)
+    "check_ingest_ann_replay" -> ((s, d) => scratchTable(s, d, "ingest_ann_replay") {
+      import graft.streaming.ContinuousIngest
+      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+      val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
+      // embeddings as an ingestable doc table: unique synthetic text
+      // (no dedup drops — every vector must reach the index)
+      val docs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"),
+          concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val p = IngestParams(
+        expectedDigests = math.max(1L, Tables.embeddingsCount(s, d)),
+        fpp = 0.05, nearDup = false,
+        ann = Some(AnnParams(nlist = nlist)))
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_replay")
+      try {
+        val st = IngestState(root.toString)
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
+        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+        // crash-replay: the same batch id re-delivered — idempotent
+        // partition overwrites must absorb it or the diffs below break
+        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+        val ivfTab = ContinuousIngest.readTable(s, st.ivfPath)
+        val pqTab = ContinuousIngest.readTable(s, st.pqPath)
+        val ivfViol = multisetDiffViolations(ivfTab,
+          Similarity.ivfAssign(docs, quant.cents, idCol = "doc_id"),
+          "ingest_ivf_extra", "ingest_ivf_missing")
+        val pqViol = multisetDiffViolations(pqTab,
+          Similarity.pqEncode(docs, quant.books, idCol = "doc_id"),
+          "ingest_pq_extra", "ingest_pq_missing")
+        val index = ivfTab.select("nn_id", "list")
+          .join(pqTab.select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+        val slice = pmod(col("doc_id"), lit(5)) === 0
+        val fromIdx = Similarity.annIvfPqFromIndex(index, docs, k = 3,
+          nprobe = 4, quant.cents, quant.books, rerank = 8,
+          idCol = "doc_id", queryPred = slice)
+        val oneShot = Similarity.annIvfPq(docs, 3, nlist = nlist, nprobe = 4,
+          rerank = 8, centroids = Some(quant.cents), books = Some(quant.books),
+          idCol = "doc_id", queryPred = slice)
+        val searchViol = multisetDiffViolations(fromIdx, oneShot,
+          "ingest_search_extra", "ingest_search_missing")
+        // collect BEFORE the finally deletes the parquet the frames
+        // scan (the check_ivf_append lesson)
+        val out = ivfViol.unionByName(pqViol).unionByName(searchViol)
+          .collect().map(_.getString(0)).toSeq
+        import s.implicits._
+        out.toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
         catch { case _: Throwable => () }
       }
