@@ -135,4 +135,64 @@ class NightlyIngestSpec extends SparkSpec {
       spark, bf, xxhash64(col("text")))).count()
     assert(missed == 0, s"merged bloom false-negative on $missed stored digest(s)")
   }
+
+  /** Batch ids are LINEAGE, not semantics: consolidating committed
+    * `batch=` partitions mid-lifecycle (compactState after batch 2)
+    * must leave every later dedup decision, every state table, and
+    * even post-compaction replay idempotence identical to the
+    * untouched twin — the law that makes periodic small-files
+    * maintenance safe on a live ingest deployment. */
+  test("mid-lifecycle compaction: compacted run == untouched twin, replay still idempotent") {
+    def newRoot() = {
+      val r = java.nio.file.Files.createTempDirectory("graft_ingest_cmp")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(r).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+      r
+    }
+    val stA = IngestState(newRoot().toString) // compacts mid-run
+    val stB = IngestState(newRoot().toString) // untouched twin
+    val empty = df(Seq.empty[(Long, String)])
+    ContinuousIngest.bootstrap(empty, stA, P)
+    ContinuousIngest.bootstrap(empty, stB, P)
+    val batches = Seq(batch1, batch2, batch3)
+    val keptB = batches.zipWithIndex.map { case (b, i) =>
+      ContinuousIngest.ingestBatch(b, i.toLong, stB, P)
+    }
+    ContinuousIngest.ingestBatch(batch1, 0L, stA, P)
+    ContinuousIngest.ingestBatch(batch2, 1L, stA, P)
+    // consolidate the committed batches (-1, 0, 1) into batch=1
+    ContinuousIngest.compactState(spark, stA, upToBatch = 1L,
+      targetRowsPerFile = 1000L)
+    def partDirs(path: String): Int =
+      new java.io.File(path).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(partDirs(stA.docsPath) == 1 && partDirs(stA.digestsPath) == 1 &&
+      partDirs(stA.keysPath) == 1 && partDirs(stA.statsPath) == 1,
+      "compaction left more than one committed partition")
+    val k3 = ContinuousIngest.ingestBatch(batch3, 2L, stA, P)
+    assert(k3.exceptAll(keptB(2)).isEmpty && keptB(2).exceptAll(k3).isEmpty,
+      "batch-3 survivors differ after compaction")
+    def sameTable(sub: String, what: String): Unit = {
+      val a = ContinuousIngest.readTable(spark, s"${stA.root}/$sub")
+      val b = ContinuousIngest.readTable(spark, s"${stB.root}/$sub")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$what table differs between compacted and untouched runs")
+    }
+    sameTable("docs", "docs")
+    sameTable("digests", "digest")
+    sameTable("keys", "band-key")
+    // stats MERGE to the same totals (partial rows differ by lineage)
+    val totA = ContinuousIngest.readStats(spark, stA).head()
+    val totB = ContinuousIngest.readStats(spark, stB).head()
+    assert(totA == totB, s"merged stats differ: $totA vs $totB")
+    // post-compaction replay of the in-flight batch is still a no-op
+    ContinuousIngest.ingestBatch(batch3, 2L, stA, P)
+    sameTable("docs", "replayed docs")
+    sameTable("digests", "replayed digest")
+  }
 }
