@@ -360,6 +360,40 @@ class ScalingSpec extends SparkSpec {
         Freq.tokenBudgetSample(clean, col("ct"), budget = 10000L,
           groupCol = "source", idCol = "doc_id").count()
       }),
+      // the export composition (the export_plan product query's
+      // shape: curation chain → fair-share budgets → per-source
+      // selection → token-balanced shard plan → chunk ids). Budget ∝
+      // corpus so the SELECTED set scales too — a fixed budget would
+      // make the post-selection stages constant-size and the fit
+      // vacuous. Each stage is individually slope-gated; this pins
+      // the composition.
+      Pipe("export_plan", 1.5, { i =>
+        import org.apache.spark.sql.expressions.Window
+        val dd = rd(docs(i)).withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(5))))
+        val quality = dd.join(
+          Text.junkFilter(dd).where(col("keep")).select("doc_id"), Seq("doc_id"))
+        val dedup = quality
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .where(col("_rk") === 1).drop("_rk")
+        val seg = dedup.select(col("doc_id"), col("source"),
+          posexplode(Text.tokenSegments(col("text"), 3)).as(Seq("idx", "seg")))
+          .cache()
+        val boiler = seg.groupBy("seg")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 3).select(col("seg"), lit(true).as("_b"))
+        val clean = seg.join(boiler, Seq("seg"), "left").where(col("_b").isNull)
+          .groupBy("doc_id", "source")
+          .agg(sum(size(split(col("seg"), " ")).cast("long")).as("ct"))
+        val sel = Freq.fairShareSample(clean, col("ct"),
+            budget = dd.count() * 4, groupCol = "source", idCol = "doc_id")
+          .select(col("group").as("source"), col("id").as("doc_id"),
+            col("w").as("n_tok"))
+          .cache()
+        Pack.shardPlan(sel, col("n_tok"), nShards = 16, seed = SEED)
+          .where(col("off") >= 0).count()
+      }),
       // matched-row count depends on the window-carried right struct —
       // a bare count() would let ColumnPruning drop the window exec
       // entirely and time only the union scan (measured: flat 0.2 s
@@ -449,5 +483,35 @@ class ScalingSpec extends SparkSpec {
     assert(r10 <= 16,
       s"$r10 rounds for a ~110-diameter chain — far above the ~log₂ " +
         "budget, shortcutting is not effective")
+  }
+
+  test("10x scale: IVFADC ε-recall@1 floor holds — fast AND still correct at scale") {
+    // the slope test proves ann_ivfadc stays CHEAP at 10×; this is the
+    // other half of the claim — that it stays CORRECT: at the 10×
+    // fixture (200k vectors, nlist/nprobe/sample all derived from N by
+    // the production sizing rules, quantizers trained by the operator
+    // itself) the ε-recall@1 of the full IVFADC+rerank face against
+    // the exact NN must clear the same 0.80 floor check_ivfpq pins at
+    // the sf fixtures — closing the "fast but silently degrading"
+    // blind spot. The exact side is slice × corpus (1k × 200k codegen
+    // dots), not corpus².
+    val n = 200000L
+    val p = materialize("embrecall", genEmbeddings(n))
+    val e = rd(p)
+    val slice = pmod(col("vec_id"), lit(200)) === 0
+    val ex = Similarity.cosineTopK(e, 1, queryPred = slice)
+      .select(col("vec_id"), col("nn_id").as("nn_e"))
+    val ipq = Similarity.annIvfPq(e, 1, nlist = Similarity.nlistFor(n),
+        nprobe = 4, m = 8, ksub = 16, rerank = 32, queryPred = slice)
+      .select(col("vec_id"), col("nn_id").as("nn_i"))
+    val ev = e.select(col("vec_id").as("eid"), col("embedding").as("v"))
+    val (h, nq) = graft.queries.CheckQueries.recallAt1(ev, ex, ipq, "nn_i",
+      eps = 0.15)
+    info(f"ivfadc 10x recall@1(eps=0.15): $h/$nq = ${h.toDouble / nq}%.3f")
+    assert(nq >= 500, s"recall probe audited only $nq queries")
+    assert(h.toDouble >= 0.80 * nq,
+      f"IVFADC ε-recall@1 at the 10× fixture is ${h.toDouble / nq}%.3f " +
+        "— below the 0.80 floor check_ivfpq holds at sf scale; the index " +
+        "is fast but silently degrading as the corpus grows")
   }
 }
