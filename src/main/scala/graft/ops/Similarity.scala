@@ -317,16 +317,35 @@ object Similarity {
     * rank the same centroids near the top even when their single
     * argmax differs. `check_semantic_dedup` pins soundness (reported ⊆
     * exact with equal csim) and floors the measured recall. */
+  /** Above this cell count, [[semanticNearDupPairs]] trains and
+    * assigns through the two-level [[CentroidTree]] instead of a flat
+    * centroid array — flat assignment is N·k dots, quadratic under
+    * the occupancy-flat k ∝ N sizing, while routing is N^1.5. Small
+    * counts stay flat (cheaper in absolute terms, and the sf-fixture
+    * faces keep their byte-stable outputs). */
+  val RoutedClustersThreshold = 64
+
   def semanticNearDupPairs(embs: DataFrame, minCosine: Double, nClusters: Int,
                            nAssign: Int = 2, sampleSize: Int = 0,
                            idCol: String = "vec_id", vecCol: String = "embedding",
                            centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nAssign >= 1 && nAssign <= nClusters,
       s"nAssign=$nAssign must be in [1, nClusters=$nClusters]")
-    val cents = centroids
-      .getOrElse(ivfCentroids(embs, nClusters, sampleSize, idCol, vecCol))
-    semanticPairsFromIndex(
-      semanticAssign(embs, cents, nAssign, idCol, vecCol), minCosine)
+    // explicit centroids pin the flat maintained-index face (the
+    // check_semantic_append premise: callers persist THAT quantizer);
+    // otherwise large cell counts auto-route through the two-level
+    // quantizer — same exact-cosine pair machinery downstream
+    if (centroids.isEmpty && nClusters > RoutedClustersThreshold) {
+      val tree = hierarchicalCentroids(embs, nClusters, sampleSize, idCol, vecCol)
+      semanticPairsFromIndex(
+        semanticAssignRouted(embs, tree, nAssign, nRoute = 2, idCol, vecCol),
+        minCosine)
+    } else {
+      val cents = centroids
+        .getOrElse(ivfCentroids(embs, nClusters, sampleSize, idCol, vecCol))
+      semanticPairsFromIndex(
+        semanticAssign(embs, cents, nAssign, idCol, vecCol), minCosine)
+    }
   }
 
   /** The appendable spill-assignment table for one ingest batch under
@@ -352,6 +371,141 @@ object Similarity {
       .select(col("id"), col("v"),
         explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nAssign)
           .getField("list")).as("cluster"))
+  }
+
+  /** A two-level quantizer: `coarse(c)` routes a vector to cell `c`,
+    * whose children `childFlat(c)` (row-major, `childIds(c)` the
+    * GLOBAL cluster ids, assigned sequentially in (cell, child)
+    * order) are the actual clusters. The scale answer to flat
+    * k-cell assignment: flat costs N·k dots — quadratic in N under
+    * the occupancy-flat k ∝ N sizing — where routing costs
+    * N·(√k + nRoute·k/√k) dots, i.e. N^1.5 total.
+    * Empty coarse cells simply have no children (routing there finds
+    * no candidates; the spill covers). */
+  final case class CentroidTree(coarse: Array[Array[Double]],
+                                childIds: Array[Array[Int]],
+                                childFlat: Array[Array[Double]]) {
+    def k: Int = childIds.map(_.length).sum
+    /** All clusters concatenated in global-id order — the flat
+      * centroid array the full-route degeneration law compares
+      * against. */
+    def concat: Array[Array[Double]] = {
+      val dim = coarse.head.length
+      val out = new Array[Array[Double]](k)
+      var c = 0
+      while (c < childIds.length) {
+        var j = 0
+        while (j < childIds(c).length) {
+          out(childIds(c)(j)) = childFlat(c).slice(j * dim, (j + 1) * dim)
+          j += 1
+        }
+        c += 1
+      }
+      out
+    }
+  }
+
+  /** Two-level quantizer TRAINING — the hierarchical twin of
+    * [[ivfCentroids]] for cell counts where flat training/assignment
+    * stops scaling: FFT-train ⌈√k⌉ coarse cells on the (auto-scaled)
+    * sample, route each sample point to its nearest coarse cell, then
+    * FFT-train each cell's children on ITS points with child counts ∝
+    * cell occupancy (Σ ≈ k — the total is a target, not a contract,
+    * like every clustering size knob). Training cost O(sample·√k·dim)
+    * twice + balanced per-cell work — k^1.5 where flat is k²; same
+    * train-once/add-many lifecycle (the tree is the quantizer
+    * identity). Deterministic given (corpus, k). */
+  def hierarchicalCentroids(embs: DataFrame, k: Int, sampleSize: Int = 0,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): CentroidTree = {
+    require(k >= 1, s"k=$k must be positive")
+    val sample = normalized(embs, idCol, vecCol, "id", "v")
+      .orderBy("id").limit(trainSampleFor(k, sampleSize))
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "hierarchicalCentroids: empty corpus")
+    val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = graft.ops.Fft.seqFFTVec(sample, nCoarse)
+    def dSq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byCell = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach { v =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < coarse.length) {
+        val d = dSq(v, coarse(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      byCell(best) += v
+    }
+    val childIds = new Array[Array[Int]](coarse.length)
+    val childFlat = new Array[Array[Double]](coarse.length)
+    var nextId = 0
+    var c = 0
+    while (c < coarse.length) {
+      val pts = byCell(c).toArray
+      // child count ∝ occupancy, ≥ 1 for any non-empty cell
+      val kc = if (pts.isEmpty) 0
+        else math.max(1, math.round(k.toDouble * pts.length / sample.length).toInt)
+      val kids = graft.ops.Fft.seqFFTVec(pts, kc)
+      childIds(c) = Array.tabulate(kids.length)(j => nextId + j)
+      childFlat(c) = kids.flatten
+      nextId += kids.length
+      c += 1
+    }
+    CentroidTree(coarse, childIds, childFlat)
+  }
+
+  /** Routed spill assignment under a [[CentroidTree]] — the scale
+    * face of [[semanticAssign]]: each vector probes its `nRoute`
+    * nearest coarse cells and takes the global top `nAssign` clusters
+    * among THEIR children only, so per-row work is
+    * (√k + nRoute·occupancy)·dim dots instead of k·dim. Same output
+    * schema (`id, v, cluster`) and the same downstream machinery
+    * ([[semanticPairsFromIndex]]/[[semanticNewPairs]]). Deterministic
+    * given the tree; with `nRoute` = #coarse cells it degenerates
+    * EXACTLY to `semanticAssign(embs, tree.concat, nAssign)` — every
+    * child considered, same (dot desc, id asc) tie-break — the
+    * RoutedAssignSpec law. Partial routing can miss a boundary
+    * cluster (the vector's nAssign-th cluster living under an
+    * unprobed coarse cell) — the spill-vs-recall trade the spec
+    * floors on planted near-dups.
+    *
+    * The candidate rank is a per-id window over N·nRoute·nAssign
+    * small rows; `v` (dim doubles) rides the shuffle — at very large
+    * dim, rank on ids alone and semi-join vectors back. */
+  def semanticAssignRouted(embs: DataFrame, tree: CentroidTree,
+                           nAssign: Int = 2, nRoute: Int = 2,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nAssign >= 1, s"nAssign=$nAssign must be >= 1")
+    require(nRoute >= 1 && nRoute <= tree.coarse.length,
+      s"nRoute=$nRoute must be in [1, ${tree.coarse.length}]")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val coarseFlat = lit(tree.coarse.flatten)
+    val cells = tree.childIds.indices
+      .filter(c => tree.childIds(c).nonEmpty)
+      .map(c => (c, tree.childIds(c).toSeq, tree.childFlat(c).toSeq))
+      .toDF("_cc", "_cids", "_cflat")
+    val cand = normalized(embs, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), col("v"),
+        explode(graft.functions.Native.topDotNative(spark, col("v"), coarseFlat, nRoute)
+          .getField("list")).as("_cc"))
+      .join(broadcast(cells), Seq("_cc"))
+      .select(col("id"), col("v"), col("_cids"),
+        explode(graft.functions.Native.topDotNative(spark, col("v"), col("_cflat"), nAssign))
+          .as("_e"))
+      .select(col("id"), col("v"),
+        element_at(col("_cids"), col("_e.list") + 1).as("cluster"),
+        col("_e.dot").as("_dot"))
+    val w = Window.partitionBy("id").orderBy(col("_dot").desc, col("cluster"))
+    cand.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= nAssign)
+      .select(col("id"), col("v"), col("cluster"))
   }
 
   /** Exact-cosine near-dup pairs within the shared cells of an

@@ -264,9 +264,12 @@ class ScalingSpec extends SparkSpec {
             Text.tokenSegments(col("text"), 3), minDocs = 3)
           .agg(sum(col("n_boiler")), count(col("clean_md5"))).collect()),
       // spill-clustered exact-cosine dedup: nClusters ∝ N keeps
-      // per-cell occupancy flat, so pair work ≈ N · occupancy ·
-      // nAssign² — linear-per-ratio (the product query's shape with
-      // the same occupancy discipline as ann_bucketed's nBitsFor)
+      // per-cell occupancy flat, so PAIR work ≈ N · occupancy ·
+      // nAssign² — and above RoutedClustersThreshold the operator
+      // auto-trains/assigns through the two-level CentroidTree, so
+      // the ASSIGNMENT is N·(√k + nRoute·√k) dots too (flat N·k
+      // assignment is quadratic under k ∝ N — the round-12 fix to
+      // this pipe's creeping slope)
       Pipe("dedup_semantic", 1.5, { i =>
         val e = rd(embs(i))
         val n = e.count()
@@ -278,15 +281,17 @@ class ScalingSpec extends SparkSpec {
       // shared cells (semanticNewPairs) — cost ∝ |batch| · occupancy
       // · nAssign², which under weak scaling is linear like the batch;
       // a regression to re-clustering the corpus would show the
-      // one-shot pipeline's steeper curve plus its constant
+      // one-shot pipeline's steeper curve plus its constant. Routed
+      // through the same CentroidTree as the one-shot face.
       Pipe("dedup_semantic_incr", 1.5, { i =>
         val e = rd(embs(i))
         val n = e.count()
-        val cents = Similarity.ivfCentroids(e, math.max(4L, n / 128L).toInt)
+        val tree = Similarity.hierarchicalCentroids(e,
+          math.max(4L, n / 128L).toInt)
         val isNew = pmod(col("vec_id"), lit(5)) === 0
-        val idx = Similarity.semanticAssign(e, cents, nAssign = 2)
+        val idx = Similarity.semanticAssignRouted(e, tree, nAssign = 2)
         Similarity.semanticNewPairs(
-          Similarity.semanticAssign(e.where(isNew), cents, nAssign = 2),
+          Similarity.semanticAssignRouted(e.where(isNew), tree, nAssign = 2),
           idx, 0.9).count()
       }),
       // the two-level prefix sum scans and windows EVERY row before
