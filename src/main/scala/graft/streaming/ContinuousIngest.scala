@@ -175,26 +175,65 @@ object ContinuousIngest {
       // every later batch loads them — never retrains (see AnnParams)
       require(corpus.limit(1).count() > 0,
         "ann-enabled bootstrap needs a non-empty training corpus for the quantizers")
-      val spark = corpus.sparkSession
-      val cents = Similarity.ivfCentroids(corpus, a.nlist, a.sampleSize,
-        idCol = "doc_id", vecCol = a.vecCol)
-      Similarity.centroidsToDF(spark, cents)
-        .write.mode("overwrite").parquet(st.centroidsPath)
-      val semCents = a.semClusters match {
-        case Some(nc) =>
-          val sc = Similarity.ivfCentroids(corpus, nc, a.sampleSize,
-            idCol = "doc_id", vecCol = a.vecCol)
-          Similarity.centroidsToDF(spark, sc)
-            .write.mode("overwrite").parquet(st.semCentroidsPath)
-          sc
-        case None => cents
-      }
-      val books = Similarity.pqTrain(corpus, a.m, a.ksub, a.sampleSize,
-        idCol = "doc_id", vecCol = a.vecCol)
-      Similarity.booksToDF(spark, books)
-        .write.mode("overwrite").parquet(st.booksPath)
-      appendIndexes(corpus, -1L, st, a, AnnQuantizers(cents, semCents, books))
+      appendIndexes(corpus, -1L, st, a, trainQuantizers(corpus, st, a))
     }
+  }
+
+  /** Train the quantizers on `corpus` and persist them beside the
+    * index tables (overwriting any previous set) — the shared step of
+    * [[bootstrap]] and [[rebuildIndexes]]. */
+  private def trainQuantizers(corpus: DataFrame, st: IngestState,
+                              a: AnnParams): AnnQuantizers = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, a.nlist, a.sampleSize,
+      idCol = "doc_id", vecCol = a.vecCol)
+    Similarity.centroidsToDF(spark, cents)
+      .write.mode("overwrite").parquet(st.centroidsPath)
+    val semCents = a.semClusters match {
+      case Some(nc) =>
+        val sc = Similarity.ivfCentroids(corpus, nc, a.sampleSize,
+          idCol = "doc_id", vecCol = a.vecCol)
+        Similarity.centroidsToDF(spark, sc)
+          .write.mode("overwrite").parquet(st.semCentroidsPath)
+        sc
+      case None => cents
+    }
+    val books = Similarity.pqTrain(corpus, a.m, a.ksub, a.sampleSize,
+      idCol = "doc_id", vecCol = a.vecCol)
+    Similarity.booksToDF(spark, books)
+      .write.mode("overwrite").parquet(st.booksPath)
+    AnnQuantizers(cents, semCents, books)
+  }
+
+  /** The drift response: retrain the quantizers on the CURRENT corpus
+    * and rebuild the three embedding-index tables from it, written as
+    * one consolidated bootstrap partition (`batch=-1` — later batch
+    * ids continue unaffected, and the next [[ingestBatch]] appends
+    * under the NEW quantizers via its `loadQuantizers` read). This is
+    * deliberately a REBUILD: retraining moves every Voronoi boundary,
+    * which is exactly why the nightly path never does it (the
+    * train-once/add-many discipline) — run this when [[indexDrift]]
+    * trips the deployment threshold, not on a schedule. Dedup state
+    * (docs/digests/keys/bloom/stats) is untouched.
+    *
+    * Cost: quantizer training (driver sample) + one assignment /
+    * encode pass over the corpus per table — the same work
+    * [[bootstrap]] did, and ~#batches× cheaper than the accumulated
+    * ingest it replaces. NOT crash-atomic: the old index partitions
+    * are removed before the rewrite lands (run quiesced, or point a
+    * fresh state root at the same dedup tables and swap). The
+    * rebuilt corpus must be non-empty — quantizers cannot train on
+    * nothing. */
+  def rebuildIndexes(spark: SparkSession, st: IngestState,
+                     a: AnnParams): AnnQuantizers = {
+    val corpus = readTable(spark, st.docsPath)
+    require(corpus.limit(1).count() > 0,
+      "rebuildIndexes needs a non-empty corpus to retrain the quantizers")
+    val q = trainQuantizers(corpus, st, a)
+    Seq(st.ivfPath, st.pqPath, st.semPath)
+      .foreach(p => rmTree(new java.io.File(p)))
+    appendIndexes(corpus, -1L, st, a, q)
+    q
   }
 
   /** One batch's rows appended to the three embedding-index tables —

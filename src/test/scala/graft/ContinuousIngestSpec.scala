@@ -202,4 +202,67 @@ class ContinuousIngestSpec extends SparkSpec {
         assertSame(s"replay_$name", after, b4)
     }
   }
+
+  /** The monitor → response loop: indexDrift sees a planted
+    * distribution shift in the maintained semantic table, and
+    * rebuildIndexes (retrain on the current corpus + rewrite) brings
+    * the maintained tables and search face back to exactly what a
+    * fresh bootstrap over the same corpus would build. */
+  test("index drift trips on a shifted batch; rebuildIndexes == fresh bootstrap over the current corpus") {
+    import graft.ops.Similarity
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    // the shifted embedding folds into the positive orthant — the
+    // planted drift check_index_drift also uses
+    def embShift(i: Long): Seq[Float] = emb(i).map(x => math.abs(x) + 1.0f)
+    val st = IngestState(s"$root/drift")
+    val boot = (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, ann)
+    // batch 0: stationary (same generator) — drift stays small
+    ContinuousIngest.ingestBatch(
+      (1L to 15L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa, Some(quant))
+    val tvdStationary = ContinuousIngest.indexDrift(spark, st, sinceBatch = 0L)
+      .select("tvd").head().getDouble(0)
+    // batch 1: shifted — occupancy collapses, drift must rise above it
+    ContinuousIngest.ingestBatch(
+      (1L to 15L).map(i => (3000L + i, text(3000L + i), embShift(3000L + i)))
+        .toDF("doc_id", "text", "embedding"), 1L, st, Pa, Some(quant))
+    val tvdShifted = ContinuousIngest.indexDrift(spark, st, sinceBatch = 1L)
+      .select("tvd").head().getDouble(0)
+    assert(tvdShifted > tvdStationary,
+      s"planted shift did not raise drift: stationary $tvdStationary, shifted $tvdShifted")
+    // respond: retrain + rebuild, then every maintained table and the
+    // search face must equal a FRESH bootstrap over the same corpus
+    val q2 = ContinuousIngest.rebuildIndexes(spark, st, ann)
+    val corpus = ContinuousIngest.readTable(spark, st.docsPath).localCheckpoint()
+    val stFresh = IngestState(s"$root/fresh")
+    ContinuousIngest.bootstrap(corpus, stFresh, Pa)
+    val qf = ContinuousIngest.loadQuantizers(spark, stFresh, ann)
+    assert(q2.cents.flatten.toSeq == qf.cents.flatten.toSeq &&
+      q2.books.flatten.flatten.toSeq == qf.books.flatten.flatten.toSeq,
+      "rebuilt quantizers differ from a fresh bootstrap's")
+    def assertSame(name: String, a: DataFrame, b: DataFrame): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name: rebuilt table != fresh-bootstrap table")
+    Seq("ivf", "pq", "sem").foreach { t =>
+      assertSame(t, ContinuousIngest.readTable(spark, s"${st.root}/$t"),
+        ContinuousIngest.readTable(spark, s"${stFresh.root}/$t"))
+    }
+    assertSame("search_after_rebuild",
+      Similarity.annIvfPqFromIndex(
+        ContinuousIngest.readTable(spark, st.ivfPath).select("nn_id", "list")
+          .join(ContinuousIngest.readTable(spark, st.pqPath)
+            .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
+        corpus, k = 1, nprobe = 2, q2.cents, q2.books, rerank = 8,
+        idCol = "doc_id"),
+      Similarity.annIvfPq(corpus, 1, nlist = 4, nprobe = 2,
+        m = ann.m, ksub = ann.ksub, rerank = 8,
+        centroids = Some(q2.cents), books = Some(q2.books), idCol = "doc_id"))
+  }
 }
