@@ -325,10 +325,22 @@ object Similarity {
     * faces keep their byte-stable outputs). */
   val RoutedClustersThreshold = 64
 
+  /** `nRoute` is the routed path's recall/cost knob, and the trade is
+    * THRESHOLD-DEPENDENT: at real SemDeDup thresholds (near-identical
+    * vectors, cosine ≳ 0.9) both members of a pair route to the same
+    * coarse cells, so nRoute = 2 loses almost nothing (RoutedAssignSpec
+    * measures ≥ 0.9 of the flat face's pairs on planted near-copies);
+    * at BORDERLINE thresholds (the 0.45-cos driver fixtures) members
+    * route nearly independently and nRoute = 2 recovers only ~½ of the
+    * flat face's pairs — raise nRoute toward the coarse-cell count
+    * (cost ∝ nRoute, exact flat equality at full fan-out — the
+    * check_semantic_routed degeneration law) or pin the flat face with
+    * explicit `centroids` when mining loose similarity. */
   def semanticNearDupPairs(embs: DataFrame, minCosine: Double, nClusters: Int,
                            nAssign: Int = 2, sampleSize: Int = 0,
                            idCol: String = "vec_id", vecCol: String = "embedding",
-                           centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+                           centroids: Option[Array[Array[Double]]] = None,
+                           nRoute: Int = 2): DataFrame = {
     require(nAssign >= 1 && nAssign <= nClusters,
       s"nAssign=$nAssign must be in [1, nClusters=$nClusters]")
     // explicit centroids pin the flat maintained-index face (the
@@ -338,7 +350,8 @@ object Similarity {
     if (centroids.isEmpty && nClusters > RoutedClustersThreshold) {
       val tree = hierarchicalCentroids(embs, nClusters, sampleSize, idCol, vecCol)
       semanticPairsFromIndex(
-        semanticAssignRouted(embs, tree, nAssign, nRoute = 2, idCol, vecCol),
+        semanticAssignRouted(embs, tree, nAssign,
+          math.min(nRoute, tree.coarse.length), idCol, vecCol),
         minCosine)
     } else {
       val cents = centroids
@@ -403,6 +416,42 @@ object Similarity {
       }
       out
     }
+  }
+
+  /** [[CentroidTree]] ↔ table round trip — [[centroidsToDF]]'s twin
+    * for the two-level quantizer, so a maintained ROUTED semantic
+    * index can persist its quantizer beside the assignment table
+    * (the train-once lifecycle): coarse rows are `(0, cell, -1, v)`,
+    * child rows `(1, cell, globalId, v)`. [[treeFromDF]] restores the
+    * exact nested layout (children sorted by global id within their
+    * cell — ids are assigned consecutively per cell, so the order is
+    * lossless; RoutedAssignSpec pins the round trip). */
+  def treeToDF(spark: org.apache.spark.sql.SparkSession,
+               tree: CentroidTree): DataFrame = {
+    import spark.implicits._
+    val dim = tree.coarse.head.length
+    val coarseRows = tree.coarse.zipWithIndex.map { case (v, c) =>
+      (0, c, -1, v.toSeq) }
+    val childRows = for {
+      c <- tree.childIds.indices
+      j <- tree.childIds(c).indices
+    } yield (1, c, tree.childIds(c)(j),
+      tree.childFlat(c).slice(j * dim, (j + 1) * dim).toSeq)
+    (coarseRows.toSeq ++ childRows).toDF("kind", "cell", "gid", "v")
+  }
+
+  def treeFromDF(df: DataFrame): CentroidTree = {
+    val rows = df.select("kind", "cell", "gid", "v").collect()
+    val coarse = rows.filter(_.getInt(0) == 0)
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toArray)
+    val byCell = rows.filter(_.getInt(0) == 1)
+      .groupBy(_.getInt(1)).view.mapValues(_.sortBy(_.getInt(2))).toMap
+    val childIds = Array.tabulate(coarse.length)(c =>
+      byCell.get(c).map(_.map(_.getInt(2)).toArray).getOrElse(Array.empty[Int]))
+    val childFlat = Array.tabulate(coarse.length)(c =>
+      byCell.get(c).map(_.flatMap(_.getSeq[Double](3)).toArray)
+        .getOrElse(Array.empty[Double]))
+    CentroidTree(coarse, childIds, childFlat)
   }
 
   /** Two-level quantizer TRAINING — the hierarchical twin of
@@ -470,8 +519,12 @@ object Similarity {
     * child considered, same (dot desc, id asc) tie-break — the
     * RoutedAssignSpec law. Partial routing can miss a boundary
     * cluster (the vector's nAssign-th cluster living under an
-    * unprobed coarse cell) — the spill-vs-recall trade the spec
-    * floors on planted near-dups.
+    * unprobed coarse cell) — a THRESHOLD-DEPENDENT trade: near-dup
+    * pairs (cos ≳ 0.9) route together and lose ≈ nothing (spec
+    * floor ≥ 0.9 on planted near-copies), while borderline-cos pairs
+    * route nearly independently and nRoute = 2 recovers only ~½ of
+    * the flat face's — see the sizing note on
+    * [[semanticNearDupPairs]].
     *
     * The candidate rank is a per-id window over N·nRoute·nAssign
     * small rows; `v` (dim doubles) rides the shuffle — at very large

@@ -772,6 +772,51 @@ object CheckQueries extends QueryPack {
       soundViol.unionByName(csimViol).unionByName(dupViol)
         .unionByName(recallViol)
     }),
+    // Routed-quantizer laws — the two-level CentroidTree face
+    // semanticNearDupPairs auto-switches to above 64 cells, forced on
+    // here (k = 64 regardless of fixture size) so the driver
+    // certifies it at sf scale. Scratch-materialized per JVM (fully
+    // deterministic — the check_ingest_ann_replay pattern):
+    //  - soundness: every routed pair exists in the exact O(N²)
+    //    verifier's output at the same threshold with the same csim
+    //    (1e-9 — the check_semantic_dedup tolerance), each pair at
+    //    most once;
+    //  - full-route degeneration: with nRoute = #coarse cells the
+    //    routed ASSIGNMENT equals the flat assignment over the tree's
+    //    concatenated centroids, row-for-row (multiset, stored
+    //    vectors included — same (dot desc, id asc) tie-break), so
+    //    the routing machinery provably loses nothing beyond its
+    //    fan-out; partial-route recall is the documented
+    //    threshold-dependent trade (RoutedAssignSpec floors it at
+    //    ≥ 0.9 on planted near-copies — the SemDeDup regime; this
+    //    fixture's 0.45-cos pairs are the hard borderline case).
+    "check_semantic_routed" -> ((s, d) => scratchTable(s, d, "sem_routed") {
+      val embs = Tables.embeddings(s, d)
+      val tree = Similarity.hierarchicalCentroids(embs, 64)
+      val routed = Similarity.semanticPairsFromIndex(
+        Similarity.semanticAssignRouted(embs, tree, nAssign = 3, nRoute = 2),
+        0.45)
+      val brute = scratchTable(s, d, "semdedup_exact") {
+        Similarity.cosineNearDupPairs(embs, 0.45)
+      }
+      val soundViol = routed.select("a", "b")
+        .join(brute.select("a", "b"), Seq("a", "b"), "left_anti")
+        .select(lit("routed_not_exact").as("violation"))
+      val csimViol = routed.select(col("a"), col("b"), col("csim").as("cs"))
+        .join(brute, Seq("a", "b"))
+        .where(abs(col("cs") - col("csim")) > 1e-9)
+        .select(lit("routed_csim_drift").as("violation"))
+      val dupViol = routed.groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(lit("routed_dup_pair").as("violation"))
+      val degenViol = multisetDiffViolations(
+        Similarity.semanticAssignRouted(embs, tree, nAssign = 3,
+          nRoute = tree.coarse.length),
+        Similarity.semanticAssign(embs, tree.concat, nAssign = 3),
+        "routed_degen_extra", "routed_degen_missing")
+      soundViol.unionByName(csimViol).unionByName(dupViol)
+        .unionByName(degenViol)
+    }),
     // IVFADC laws (same nlist/nprobe as ann_ivf, same m/ksub books as
     // ann_pq — both quantizers trained once and shared):
     //  - degenerate equality: nprobe = nlist with rerank = 0 equals
