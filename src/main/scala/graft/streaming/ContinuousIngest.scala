@@ -85,6 +85,7 @@ object ContinuousIngest {
     // skipping it would silently desync index tables from the corpus)
     val centroidsPath: String = s"$root/centroids"
     val semCentroidsPath: String = s"$root/sem_centroids"
+    val semTreePath: String = s"$root/sem_tree"
     val booksPath: String = s"$root/books"
     val ivfPath: String = s"$root/ivf"
     val pqPath: String = s"$root/pq"
@@ -112,25 +113,46 @@ object ContinuousIngest {
   final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
                              nAssign: Int = 3, sampleSize: Int = 0,
                              vecCol: String = "embedding",
-                             semClusters: Option[Int] = None)
+                             semClusters: Option[Int] = None,
+                             semNRoute: Int = 2)
+
+  /** A `semClusters` above [[graft.ops.Similarity.RoutedClustersThreshold]]
+    * maintains the semantic table under the two-level
+    * [[graft.ops.Similarity.CentroidTree]] (persisted at
+    * `semTreePath`, routed assignment with `semNRoute` coarse probes)
+    * instead of a flat centroid array — flat per-batch assignment is
+    * |batch|·k dots, quadratic at the occupancy-flat k ∝ N sizing,
+    * and the BOOTSTRAP pays corpus·k. Same append == rebuild contract
+    * (routed assignment is deterministic given the persisted tree). */
+  private def semRouted(a: AnnParams): Boolean =
+    a.semClusters.exists(_ > Similarity.RoutedClustersThreshold)
 
   /** The fixed quantizers, loaded from the persisted state — pass one
     * [[loadQuantizers]] result through a batch loop (as [[start]]
     * does) so a continuous feed doesn't re-read and re-collect the
     * immutable centroid/book tables on every micro-batch. */
+  /** `semTree` is Some exactly when the deployment routes its
+    * semantic quantizer (see [[semRouted]]); `semCents` is then
+    * unused (empty). */
   final case class AnnQuantizers(cents: Array[Array[Double]],
                                  semCents: Array[Array[Double]],
-                                 books: Array[Array[Array[Double]]])
+                                 books: Array[Array[Array[Double]]],
+                                 semTree: Option[Similarity.CentroidTree] = None)
 
   def loadQuantizers(spark: SparkSession, st: IngestState,
                      a: AnnParams): AnnQuantizers = {
     val cents = Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath))
+    val tree =
+      if (semRouted(a))
+        Some(Similarity.treeFromDF(spark.read.parquet(st.semTreePath)))
+      else None
     val sem =
-      if (a.semClusters.isDefined)
+      if (tree.isDefined) Array.empty[Array[Double]]
+      else if (a.semClusters.isDefined)
         Similarity.centroidsFromDF(spark.read.parquet(st.semCentroidsPath))
       else cents
     AnnQuantizers(cents, sem,
-      Similarity.booksFromDF(spark.read.parquet(st.booksPath)))
+      Similarity.booksFromDF(spark.read.parquet(st.booksPath)), tree)
   }
 
   /** Dedup policy, fixed per deployment. `expectedDigests` sizes every
@@ -189,7 +211,17 @@ object ContinuousIngest {
       idCol = "doc_id", vecCol = a.vecCol)
     Similarity.centroidsToDF(spark, cents)
       .write.mode("overwrite").parquet(st.centroidsPath)
+    val tree = a.semClusters match {
+      case Some(nc) if semRouted(a) =>
+        val t = Similarity.hierarchicalCentroids(corpus, nc, a.sampleSize,
+          idCol = "doc_id", vecCol = a.vecCol)
+        Similarity.treeToDF(spark, t)
+          .write.mode("overwrite").parquet(st.semTreePath)
+        Some(t)
+      case _ => None
+    }
     val semCents = a.semClusters match {
+      case _ if tree.isDefined => Array.empty[Array[Double]]
       case Some(nc) =>
         val sc = Similarity.ivfCentroids(corpus, nc, a.sampleSize,
           idCol = "doc_id", vecCol = a.vecCol)
@@ -202,7 +234,7 @@ object ContinuousIngest {
       idCol = "doc_id", vecCol = a.vecCol)
     Similarity.booksToDF(spark, books)
       .write.mode("overwrite").parquet(st.booksPath)
-    AnnQuantizers(cents, semCents, books)
+    AnnQuantizers(cents, semCents, books, tree)
   }
 
   /** The drift response: retrain the quantizers on the CURRENT corpus
@@ -253,9 +285,12 @@ object ContinuousIngest {
       .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
     Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
-    Similarity.semanticAssign(batch, q.semCents, a.nAssign,
+    (q.semTree match {
+      case Some(t) => Similarity.semanticAssignRouted(batch, t, a.nAssign,
+        math.min(a.semNRoute, t.coarse.length), idCol = "doc_id", vecCol = a.vecCol)
+      case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
         idCol = "doc_id", vecCol = a.vecCol)
-      .write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")
+    }).write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")
   }
 
   /** One ingest batch against the maintained state; returns the

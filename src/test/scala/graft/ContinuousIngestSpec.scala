@@ -203,6 +203,46 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  /** The ROUTED maintained semantic index: a semClusters above the
+    * routing threshold trains and persists the two-level CentroidTree
+    * at bootstrap, every batch's spill assignment routes through it,
+    * and the maintained table still equals a from-scratch routed
+    * assignment of the final corpus under the loaded tree — append ==
+    * rebuild, through real parquet AND the tree's own table round
+    * trip, including a replayed batch. */
+  test("routed semantic maintenance: semClusters > threshold persists the tree; append == rebuild through replay") {
+    import graft.ops.Similarity
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2,
+      semClusters = Some(80)) // > RoutedClustersThreshold (64)
+    val Pa = P.copy(ann = Some(ann))
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    val boot = (1L to 40L).map(i => (5000L + i, text(5000L + i), emb(5000L + i)))
+    val st = IngestState(s"$root/routed")
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    val q = ContinuousIngest.loadQuantizers(spark, st, ann)
+    assert(q.semTree.isDefined, "routed deployment must carry the tree")
+    assert(q.semTree.get.coarse.length == math.ceil(math.sqrt(80)).toInt,
+      "tree coarse-cell count off")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(
+        rows.map { case (id, t) => (id, t, emb(id)) }
+          .toDF("doc_id", "text", "embedding"), i.toLong, st, Pa, Some(q))
+    }
+    // replay the last batch — idempotent partition overwrite
+    ContinuousIngest.ingestBatch(
+      chunks(2).map { case (id, t) => (id, t, emb(id)) }
+        .toDF("doc_id", "text", "embedding"), 2L, st, Pa, Some(q))
+    val finalDocs = ContinuousIngest.readTable(spark, st.docsPath)
+    val maintained = ContinuousIngest.readTable(spark, st.semPath)
+    val rebuilt = Similarity.semanticAssignRouted(finalDocs, q.semTree.get,
+      ann.nAssign, ann.semNRoute, idCol = "doc_id")
+    assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty,
+      "routed maintained semantic table != from-scratch routed rebuild")
+  }
+
   /** The monitor → response loop: indexDrift sees a planted
     * distribution shift in the maintained semantic table, and
     * rebuildIndexes (retrain on the current corpus + rewrite) brings

@@ -63,6 +63,16 @@ class RoutedAssignSpec extends SparkSpec {
       s"${tree.coarse.length} coarse cells for k=$K")
   }
 
+  test("tree table round trip is lossless (treeToDF -> treeFromDF)") {
+    val back = Similarity.treeFromDF(Similarity.treeToDF(spark, tree))
+    assert(back.coarse.map(_.toSeq).toSeq == tree.coarse.map(_.toSeq).toSeq,
+      "coarse centroids drifted through the table round trip")
+    assert(back.childIds.map(_.toSeq).toSeq == tree.childIds.map(_.toSeq).toSeq,
+      "child ids drifted through the table round trip")
+    assert(back.childFlat.map(_.toSeq).toSeq == tree.childFlat.map(_.toSeq).toSeq,
+      "child centroids drifted through the table round trip")
+  }
+
   test("full-route degeneration: nRoute = #coarse equals flat assignment on tree.concat") {
     val routed = Similarity.semanticAssignRouted(embs, tree,
       nAssign = 3, nRoute = tree.coarse.length)
