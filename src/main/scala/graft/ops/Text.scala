@@ -263,4 +263,44 @@ object Text {
         ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, v) => pmod(acc * 31 + v, lit(2147483647L)))
+
+  /** Corpus-frequency rarity signal — the integer-exact proxy for the
+    * CCNet-style LM-perplexity quality filter: character n-grams whose
+    * CORPUS frequency is low mark garbled/OOV-ish text (a KenLM-filter
+    * run scores the same thing with a trained LM; this needs no model
+    * and no floats until the final ratio). Per doc: `n_tri` (char
+    * n-gram occurrences), `sum_freq`/`min_freq` (sum and minimum of
+    * each occurrence's corpus count — a min of 1 means the doc
+    * contains text seen NOWHERE else), `n_rare` (occurrences whose
+    * corpus count ≤ `rareMax`) and `rare_ratio` (the junk-filter knob,
+    * one exact integer division rounded at the end). Docs shorter than
+    * `n` chars emit no row. All counts are exact integers, so the
+    * whole signal sits under the cross-engine hash gate — no
+    * order-dependent double summation (the corpus_drift discipline),
+    * unlike a log-prob formulation whose micro-rounded logs could
+    * flip on a 1-ulp libm divergence (the text_tfidf lesson).
+    *
+    * Scale shape: two shuffles over the char-gram stream (corpus
+    * count groupBy, per-doc agg) plus a gram equi-join; the counts
+    * table is bounded by charset^n (n = 3 over a byte-ish charset →
+    * ≤ ~2M rows at ANY corpus size), so at 100 TB the join broadcasts
+    * the counts and the whole signal is Θ(chars). Char n-grams are
+    * the [[graft.functions.WordNgrams]] loop over the char array —
+    * identical keys to DuckDB's array_to_string slices. */
+  def corpusRarity(docs: DataFrame, n: Int = 3, rareMax: Long = 2L): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(rareMax >= 1, "rareMax must be positive")
+    val chars = filter(split(lower(col("text")), ""), ch => ch =!= lit(""))
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.Native.wordNgramsNative(chars, n)).as("g"))
+    val cnts = grams.groupBy("g").agg(count(lit(1)).as("cf"))
+    grams.join(cnts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(col("cf")).as("sum_freq"),
+        min(col("cf")).as("min_freq"),
+        sum(when(col("cf") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        round(col("n_rare").cast("double") / col("n_tri").cast("double"), 6))
+  }
 }

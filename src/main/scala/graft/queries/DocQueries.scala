@@ -112,6 +112,12 @@ object DocQueries extends QueryPack {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    // corpus-frequency rarity signal (the integer-exact LM-filter
+    // proxy): per-doc char-trigram corpus-count stats — garbled/OOV
+    // text carries grams the rest of the corpus never produces; all
+    // counts exact, one final division, full hash gate
+    "text_rarity" -> ((s, d) =>
+      Text.corpusRarity(Tables.documents(s, d))),
     // boilerplate/spam repetition signal (top n-gram share)
     "text_repetition" -> ((s, d) =>
       Text.repetitionRatio(Tables.documents(s, d), 2)
@@ -690,6 +696,26 @@ object DocQueries extends QueryPack {
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a*31 + b) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    // same char-trigram keys (space-joined slices of the empty-split
+    // char array), corpus counts recomputed, same integer aggregates
+    "text_rarity" ->
+      """WITH ch AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ''), c -> c != '') AS cs
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(cs) - 2),
+        |      i -> array_to_string(cs[i:i+2], ' '))) AS g
+        |  FROM ch WHERE len(cs) >= 3),
+        |cf AS (SELECT g, count(*) AS cf FROM g GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(cf) AS BIGINT) AS sum_freq,
+        |  CAST(min(cf) AS BIGINT) AS min_freq,
+        |  CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS rare_ratio
+        |FROM g JOIN cf USING (g)
+        |GROUP BY 1""".stripMargin,
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |g AS (SELECT doc_id,
