@@ -259,6 +259,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("export_plan: composed dataflow keeps the stage plans — bucket-parallel windows, broadcast budgets, no cartesian") {
+    val p = plan(graft.SparkEntry.queries("export_plan")(spark, sf001))
+    // the funnel + fair-share prefix sums stay bucket-parallel
+    assert(p.linesIterator.exists(l => (l.contains("PartitionSpec")
+      || l.contains("windowspecdefinition")) && l.contains("_b#")),
+      s"prefix-sum window not bucket-parallel in the composition:\n${p.take(1500)}")
+    // metadata-sized sides (budgets, shard target) join broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"budgets not broadcast in the composition:\n${p.take(1000)}")
+    // the only nested-loop shapes are the 1-row scalar cross joins
+    // (corpus total / shard target) — never a data × data cartesian
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("semanticAssignRouted: coarse routing in the scan, broadcast cell table, no cartesian") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val tree = graft.ops.Similarity.hierarchicalCentroids(embs, 8)
+    val p = plan(graft.ops.Similarity.semanticAssignRouted(embs, tree,
+      nAssign = 2, nRoute = 2))
+    assert(p.contains("graft_top_dot"), p.take(800)) // coarse + child argmax
+    // the per-cell child table (≤ √k rows) must broadcast into the
+    // routed join — shuffling the corpus on the coarse cell id would
+    // serialize the explode
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell table not broadcast:\n${p.take(1000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"routed assignment fell back to an all-pairs join:\n${p.take(1000)}")
+  }
+
   test("semanticNearDupPairs: cluster equi-join with codegen'd kernels, no nested loop") {
     val embs = Tables.embeddings(spark, sf0001)
     val p = plan(graft.ops.Similarity.semanticNearDupPairs(embs, 0.45, nClusters = 4))

@@ -253,6 +253,14 @@ class ScalingSpec extends SparkSpec {
             ctx = 128, nShards = math.max(16L, dd.count() / 1000).toInt)
           .where(col("first_chunk") >= 0).count()
       }),
+      // Θ(chars): char-gram count groupBy + gram equi-join + per-doc
+      // agg; the counts table is bounded by charset³ at ANY corpus
+      // size, so the join side stays flat while the gram stream grows
+      // linearly. The rare_ratio filter keeps the n_rare aggregate
+      // (and with it the count join) in the timed plan.
+      Pipe("text_rarity", 1.5, i =>
+        Text.corpusRarity(rd(docs(i)))
+          .where(col("rare_ratio") >= 0).count()),
       // segment shuffle + threshold join + doc-key reassembly —
       // Θ(segments); vocab ∝ N keeps cross-doc segment collisions (and
       // so the flagged side) negligible, which IS the claim: cost must
