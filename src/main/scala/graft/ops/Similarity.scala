@@ -43,10 +43,15 @@ object Similarity {
       .withColumn("_nrm", sqrt(graft.functions.Native.dotNative(spark, col("_vd"), col("_vd"))))
       // a zero-norm vector would divide to NaN components, and NaN
       // cosines break the strict-weak-order assumption of every top-k
-      // sort downstream — fail loudly instead (normalizeUnit matches)
-      .withColumn("_nrm", when(col("_nrm") > 0, col("_nrm"))
+      // sort downstream — fail loudly instead (normalizeUnit matches).
+      // The explicit !isnan matters: Spark SQL orders NaN ABOVE every
+      // number, so a NaN norm (a NaN component upstream) would pass a
+      // bare `> 0` and sail through — while the JVM face rejects it
+      // (JVM NaN > 0 is false), silently diverging the twins
+      .withColumn("_nrm",
+        when(col("_nrm") > 0 && !isnan(col("_nrm")), col("_nrm"))
         .otherwise(raise_error(format_string(
-          "normalized: zero-norm embedding for id %s", col(outId).cast("string")))))
+          "normalized: zero-norm or NaN embedding for id %s", col(outId).cast("string")))))
       .select(col(outId), transform(col("_vd"), x => x / col("_nrm")).as(outVec))
   }
 
@@ -99,21 +104,30 @@ object Similarity {
   }
 
   /** Effective quantizer-training sample size: the explicit value when
-    * positive, else `max(2048, 8·k)` for a k-cell quantizer. The
-    * sample must GROW with the cell count: carving k cells from a
-    * fixed sample stops being occupancy-flat once k approaches the
-    * sample size (every FFT centroid is a sample point, so a 2048-row
-    * sample caps the quantizer at 2048 distinct cells and degrades
-    * well before that) — the cause of `dedup_semantic`'s steep fitted
-    * slope in SCALING.md before round 12. 8 sampled vectors per cell
-    * keeps each Voronoi cell anchored; training cost is
-    * O(sample·k·dim) = O(k²·dim) on the driver — at the nlistFor /
-    * occupancy-∝-N disciplines k ≤ ~10⁴ even for billion-vector
-    * corpora, which is sub-second. Past that, train hierarchically
-    * (coarse FFT over a cap, then per-cell refinement) — not needed
-    * at any scale this library's sizing rules produce. */
+    * positive, else `max(2048, 8·k)` for a k-cell quantizer, capped at
+    * 2¹⁸ rows. The sample must GROW with the cell count: carving k
+    * cells from a fixed sample stops being occupancy-flat once k
+    * approaches the sample size (every FFT centroid is a sample point,
+    * so a 2048-row sample caps the quantizer at 2048 distinct cells
+    * and degrades well before that) — the cause of `dedup_semantic`'s
+    * steep fitted slope in SCALING.md before round 12. 8 sampled
+    * vectors per cell keeps each Voronoi cell anchored.
+    *
+    * The 2¹⁸ CAP bounds the driver collect: the auto sample is Θ(k),
+    * and the semantic occupancy-flat sizing makes k ∝ N — uncapped,
+    * a 10⁸-vector corpus would collect millions of vectors to the
+    * driver. Under the cap, quantizers stay fully anchored to
+    * k = 32 768 cells (≈ 8 × 10⁹ vectors at the N/256 semantic
+    * sizing; nlistFor's IVF cap is far below); past that, per-cell
+    * anchoring thins gracefully toward 1 sample/cell at k = 2¹⁸ —
+    * the flat-2048 degeneracy pushed out 128×. Corpora beyond it
+    * should train the tree's SECOND level distributedly (per-coarse-
+    * cell FFT over each cell's own partition — a mapPartitions over
+    * the routed sample, not driver work); this library's sizing
+    * rules don't reach that regime on the fixtures it certifies. */
   def trainSampleFor(k: Int, sampleSize: Int = 0): Int =
-    if (sampleSize > 0) sampleSize else math.max(2048, 8 * k)
+    if (sampleSize > 0) sampleSize
+    else math.min(1 << 18, math.max(2048, 8 * k))
 
   /** Coarse quantizer shared by IVF and k-center: FFT centroids over a
     * deterministic driver-sized sample (sorted by id) of the normalized
@@ -393,8 +407,9 @@ object Similarity {
     * k-cell assignment: flat costs N·k dots — quadratic in N under
     * the occupancy-flat k ∝ N sizing — where routing costs
     * N·(√k + nRoute·k/√k) dots, i.e. N^1.5 total.
-    * Empty coarse cells simply have no children (routing there finds
-    * no candidates; the spill covers). */
+    * INVARIANT: every coarse cell has ≥ 1 child —
+    * [[hierarchicalCentroids]] prunes empty cells at build time, so a
+    * routed probe can never land on a dead end and drop its vector. */
   final case class CentroidTree(coarse: Array[Array[Double]],
                                 childIds: Array[Array[Int]],
                                 childFlat: Array[Array[Double]]) {
@@ -489,22 +504,30 @@ object Similarity {
       }
       byCell(best) += v
     }
-    val childIds = new Array[Array[Int]](coarse.length)
-    val childFlat = new Array[Array[Double]](coarse.length)
+    // EMPTY coarse cells (possible only when duplicate sample points
+    // become duplicate FFT centroids — the earlier index absorbs all
+    // assignments) are PRUNED from the tree entirely: a retained
+    // childless cell would make routing a dead end, and a vector
+    // whose nRoute probes all landed on dead ends would silently
+    // vanish from the assignment — so the invariant is structural:
+    // every coarse cell a probe can hit has ≥ 1 child.
+    val kept = coarse.indices.filter(c => byCell(c).nonEmpty)
+    val prunedCoarse = kept.map(coarse(_)).toArray
+    val childIds = new Array[Array[Int]](kept.length)
+    val childFlat = new Array[Array[Double]](kept.length)
     var nextId = 0
-    var c = 0
-    while (c < coarse.length) {
-      val pts = byCell(c).toArray
+    var ci = 0
+    while (ci < kept.length) {
+      val pts = byCell(kept(ci)).toArray
       // child count ∝ occupancy, ≥ 1 for any non-empty cell
-      val kc = if (pts.isEmpty) 0
-        else math.max(1, math.round(k.toDouble * pts.length / sample.length).toInt)
+      val kc = math.max(1, math.round(k.toDouble * pts.length / sample.length).toInt)
       val kids = graft.ops.Fft.seqFFTVec(pts, kc)
-      childIds(c) = Array.tabulate(kids.length)(j => nextId + j)
-      childFlat(c) = kids.flatten
+      childIds(ci) = Array.tabulate(kids.length)(j => nextId + j)
+      childFlat(ci) = kids.flatten
       nextId += kids.length
-      c += 1
+      ci += 1
     }
-    CentroidTree(coarse, childIds, childFlat)
+    CentroidTree(prunedCoarse, childIds, childFlat)
   }
 
   /** Routed spill assignment under a [[CentroidTree]] — the scale
@@ -539,8 +562,9 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val coarseFlat = lit(tree.coarse.flatten)
+    // every coarse cell has children (the tree-build invariant), so
+    // this inner join can never drop a routed vector
     val cells = tree.childIds.indices
-      .filter(c => tree.childIds(c).nonEmpty)
       .map(c => (c, tree.childIds(c).toSeq, tree.childFlat(c).toSeq))
       .toDF("_cc", "_cids", "_cflat")
     val cand = normalized(embs, idCol, vecCol, "id", "v")
@@ -621,10 +645,11 @@ object Similarity {
     * planted shift trips 0.2 while stationary batches stay under it,
     * and that identical tables score exactly 0).
     *
-    * Arithmetic is the `corpus_drift` discipline: exact integers —
-    * Σ_cell |cnt_ref·tot_new − cnt_new·tot_ref|, decimal-widened so
-    * 100 TB counts cannot overflow — with one final double division,
-    * so the result is deterministic and cross-engine reproducible.
+    * Arithmetic is the shared exact-TVD plumbing
+    * ([[graft.ops.Drift.withExactTvd]] — ONE definition with the
+    * token-level `corpus_drift` monitor): exact decimal-widened
+    * integers with one final double division, so the result is
+    * deterministic and cross-engine reproducible.
     * Cost: two metadata-sized groupBys over the assignment tables
     * (cells rows out — nlist ∝ √N); empty inputs fail loudly (a
     * drift of nothing is a monitoring bug, not a 0).
@@ -634,27 +659,13 @@ object Similarity {
     * `corpus_drift`). */
   def occupancyDrift(ref: DataFrame, recent: DataFrame,
                      cellCol: String = "cluster"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val a = ref.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_ref"))
     val b = recent.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_new"))
     val j = a.join(b, Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
         coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
-    val tot = j.agg(sum("cnt_ref").as("_ta"), sum("cnt_new").as("_tb"))
-    val wj = j.crossJoin(broadcast(tot))
-    val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val tvdRow = wj
-      .agg(sum(abs(dec(col("cnt_ref")) * dec(col("_tb"))
-        - dec(col("cnt_new")) * dec(col("_ta")))).as("_sn"),
-        first("_ta").as("_ta"), first("_tb").as("_tb"))
-      .select(when(col("_ta") > 0 && col("_tb") > 0,
-        lit(0.5) * col("_sn").cast("double")
-          / (col("_ta").cast("double") * col("_tb").cast("double")))
-        .otherwise(raise_error(format_string(
-          "occupancyDrift: empty assignment table (ref=%s rows, recent=%s rows)",
-          col("_ta").cast("string"), col("_tb").cast("string")))).as("_tvd"))
-    wj.crossJoin(broadcast(tvdRow))
+    Drift.withExactTvd(j, "cnt_ref", "cnt_new")
       .select(col("cell"), col("cnt_ref"), col("cnt_new"),
         round(col("cnt_ref").cast("double") / col("_ta").cast("double")
           - col("cnt_new").cast("double") / col("_tb").cast("double"), 6)
@@ -900,11 +911,12 @@ object Similarity {
     i = 0
     while (i < v.length) { s += d(i) * d(i); i += 1 }
     val nrm = math.sqrt(s)
-    // the `normalized` Column face fails loudly on zero norms too —
-    // NaN components would poison every (cos desc, id) sort's strict
-    // weak order ("Comparison method violates its general contract")
+    // the `normalized` Column face fails loudly on zero/NaN norms too
+    // — NaN components would poison every (cos desc, id) sort's strict
+    // weak order ("Comparison method violates its general contract");
+    // !(NaN > 0) is true on the JVM, so this rejects NaN as well
     if (!(nrm > 0)) sys.error(
-      s"normalizeUnit: zero-norm embedding (dim ${v.length})")
+      s"normalizeUnit: zero-norm or NaN embedding (dim ${v.length})")
     i = 0
     while (i < v.length) { d(i) = d(i) / nrm; i += 1 }
     d

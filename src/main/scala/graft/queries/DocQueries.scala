@@ -324,7 +324,6 @@ object DocQueries extends QueryPack {
     // division — no per-row transcendental, no order-dependent double
     // summation, so the hash gate holds cross-engine.
     "corpus_drift" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
       val docs = Tables.documents(s, d)
       def cnts(m: Int) = docs.where(pmod(col("doc_id"), lit(2)) === m)
         .select(explode(Text.tokens(col("text"))).as("token"))
@@ -333,23 +332,17 @@ object DocQueries extends QueryPack {
         .select(col("token"),
           coalesce(col("c0"), lit(0L)).as("cnt_a"),
           coalesce(col("c1"), lit(0L)).as("cnt_b"))
-      val tot = j.agg(sum("cnt_a").as("ta"), sum("cnt_b").as("tb"))
-      val wj = j.crossJoin(broadcast(tot))
-      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-      val tvdRow = wj
-        .agg(sum(abs(dec(col("cnt_a")) * dec(col("tb"))
-          - dec(col("cnt_b")) * dec(col("ta")))).as("sn"),
-          first("ta").as("ta"), first("tb").as("tb"))
-        .select(round(lit(0.5) * col("sn").cast("double")
-          / (col("ta").cast("double") * col("tb").cast("double")), 6).as("tvd"))
-      wj.crossJoin(broadcast(tvdRow))
+      // exact-TVD plumbing shared with the embedding-index monitor
+      // (graft.ops.Drift) — one definition of the decimal arithmetic
+      graft.ops.Drift.withExactTvd(j, "cnt_a", "cnt_b")
         .withColumn("share_delta",
-          col("cnt_a").cast("double") / col("ta").cast("double")
-            - col("cnt_b").cast("double") / col("tb").cast("double"))
+          col("cnt_a").cast("double") / col("_ta").cast("double")
+            - col("cnt_b").cast("double") / col("_tb").cast("double"))
         .orderBy(abs(col("share_delta")).desc, col("token"))
         .limit(20)
         .select(col("token"), col("cnt_a"), col("cnt_b"),
-          round(col("share_delta"), 6).as("share_delta"), col("tvd"))
+          round(col("share_delta"), 6).as("share_delta"),
+          round(col("_tvd"), 6).as("tvd"))
     }),
     // the full curation pipeline as ONE composed dataflow — the funnel
     // a corpus-curation run reports: quality filter → exact dedup

@@ -255,16 +255,39 @@ object ContinuousIngest {
     * are removed before the rewrite lands (run quiesced, or point a
     * fresh state root at the same dedup tables and swap). The
     * rebuilt corpus must be non-empty — quantizers cannot train on
-    * nothing. */
+    * nothing.
+    *
+    * `inFlightBatch`: when the stream may still RE-DELIVER its last
+    * batch (a crash between sink call and checkpoint commit — the
+    * foreachBatch at-least-once window), pass that batch id: its
+    * docs are kept OUT of the consolidated `batch=-1` partition and
+    * rewritten as their own `batch=<id>` partitions under the new
+    * quantizers, so the replay's partition overwrite lands on
+    * identical rows instead of double-appending docs the
+    * consolidation already absorbed. After a clean AvailableNow
+    * drain there is no replay window — None is correct. */
   def rebuildIndexes(spark: SparkSession, st: IngestState,
-                     a: AnnParams): AnnQuantizers = {
+                     a: AnnParams,
+                     inFlightBatch: Option[Long] = None): AnnQuantizers = {
     val corpus = readTable(spark, st.docsPath)
     require(corpus.limit(1).count() > 0,
       "rebuildIndexes needs a non-empty corpus to retrain the quantizers")
+    // quantizers train on the FULL corpus (training is sampling, not
+    // lineage); only the table layout respects the replay window
     val q = trainQuantizers(corpus, st, a)
     Seq(st.ivfPath, st.pqPath, st.semPath)
       .foreach(p => rmTree(new java.io.File(p)))
-    appendIndexes(corpus, -1L, st, a, q)
+    inFlightBatch match {
+      case None =>
+        appendIndexes(corpus, -1L, st, a, q)
+      case Some(b) =>
+        appendIndexes(readTable(spark, st.docsPath, excludeBatch = b),
+          -1L, st, a, q)
+        appendIndexes(spark.read.option("basePath", st.docsPath)
+            .parquet(st.docsPath)
+            .where(col("batch") === lit(b)).drop("batch"),
+          b, st, a, q)
+    }
     q
   }
 
@@ -389,10 +412,12 @@ object ContinuousIngest {
   }
 
   /** Periodic state-table maintenance: consolidate every `batch=`
-    * partition with id ≤ `upToBatch` into ONE compacted
-    * `batch=<upToBatch>` partition per table (docs, digests, keys,
-    * stats, and the embedding-index tables when present), leaving
-    * later partitions untouched. Micro-batch sinks accrue one
+    * partition with id ≤ `upToBatch` into ONE compacted partition per
+    * table (docs, digests, keys, stats, and the embedding-index
+    * tables when present) — under the HIGHEST COMMITTED id among
+    * them, never `upToBatch` itself, so a horizon above the committed
+    * ids cannot park state under a future batch id — leaving later
+    * partitions untouched. Micro-batch sinks accrue one
     * directory + file set per batch; after thousands of batches the
     * listing/footer costs dominate every state read (the classic
     * small-files problem `sources.Warehouse.compact` exists for) —
@@ -410,8 +435,10 @@ object ContinuousIngest {
     * compact past ids the stream may still re-deliver (a replay of
     * batch `b` overwrites `batch=b/`, so compact only ids strictly
     * below the checkpoint's committed horizon — after an
-    * AvailableNow drain, that is every id). The directory swap is
-    * not atomic on a plain filesystem: quiesce readers, or compact
+    * AvailableNow drain, that is every id). The swap is CRASH-SAFE
+    * (the merged rows land in a hidden tmp dir first, and a pending
+    * move is completed on the next run) but not reader-atomic on a
+    * plain filesystem: quiesce readers during the swap, or compact
     * to a fresh root and switch paths. */
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
                    targetRowsPerFile: Long = 1000000L): Unit =
@@ -426,23 +453,45 @@ object ContinuousIngest {
 
   private def compactTable(spark: SparkSession, path: String, upToBatch: Long,
                            targetRowsPerFile: Long): Unit = {
+    import java.nio.file.{Files, Paths}
     val dir = new java.io.File(path)
     if (!dir.isDirectory) return
-    val parts = dir.listFiles()
+    def partsUpTo(id: Long): Array[java.io.File] = dir.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+      .filter(_.getName.stripPrefix("batch=").toLong <= id)
+    // crash recovery: a hidden `.compact_tmp_batch=<id>` dir (ignored
+    // by partition discovery) is always the COMPLETE union of the
+    // parts ≤ id as of its write, and no parts ≤ id can appear later
+    // (batch ids are monotone; compaction runs below the replay
+    // horizon) — so finishing a crashed run is always: delete the
+    // remaining source parts, move the tmp in. Without this, a crash
+    // between the source deletes and the move would strand the only
+    // copy of the table in the tmp dir.
+    dir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact_tmp_batch="))
+      .foreach { tmp =>
+        val id = tmp.getName.stripPrefix(".compact_tmp_batch=").toLong
+        partsUpTo(id).foreach(rmTree)
+        Files.move(tmp.toPath, Paths.get(path, s"batch=$id"))
+      }
+    val parts = partsUpTo(upToBatch)
     if (parts.length <= 1) return // nothing to consolidate
-    // materialize the merged rows to a sibling dir FIRST (the read is
-    // lazy — deleting sources before the write would lose the table)
+    // the consolidated partition takes the HIGHEST COMMITTED id ≤
+    // upToBatch — never upToBatch itself, which may exceed the
+    // committed horizon: parking state under a FUTURE batch id would
+    // make that batch's later delivery both self-exclude the whole
+    // corpus (re-admitting every duplicate) and overwrite-destroy it
+    val targetId = parts.map(_.getName.stripPrefix("batch=").toLong).max
+    // materialize the merged rows to the hidden tmp FIRST (the read
+    // is lazy — deleting sources before the write would lose data)
     val merged = spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*)
     val n = merged.count()
     val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val tmp = s"$path.compact_tmp"
-    rmTree(new java.io.File(tmp))
-    merged.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    val tmp = new java.io.File(dir, s".compact_tmp_batch=$targetId")
+    rmTree(tmp)
+    merged.coalesce(nFiles).write.mode("overwrite").parquet(tmp.getAbsolutePath)
     parts.foreach(rmTree)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(path, s"batch=$upToBatch"))
+    Files.move(tmp.toPath, Paths.get(path, s"batch=$targetId"))
     ()
   }
 

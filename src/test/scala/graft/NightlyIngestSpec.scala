@@ -194,5 +194,24 @@ class NightlyIngestSpec extends SparkSpec {
     ContinuousIngest.ingestBatch(batch3, 2L, stA, P)
     sameTable("docs", "replayed docs")
     sameTable("digests", "replayed digest")
+
+    // crash recovery: simulate a compaction that died AFTER writing
+    // the hidden tmp and deleting the sources but BEFORE the final
+    // move — the next compactState run must complete it losslessly
+    val docsDir = new java.io.File(stA.docsPath)
+    val before = ContinuousIngest.readTable(spark, stA.docsPath)
+      .localCheckpoint()
+    ContinuousIngest.compactState(spark, stA, upToBatch = 2L,
+      targetRowsPerFile = 1000L)
+    val part = docsDir.listFiles().filter(_.getName.startsWith("batch=")).maxBy(
+      _.getName.stripPrefix("batch=").toLong)
+    val id = part.getName.stripPrefix("batch=")
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(docsDir, s".compact_tmp_batch=$id").toPath)
+    ContinuousIngest.compactState(spark, stA, upToBatch = 2L,
+      targetRowsPerFile = 1000L)
+    val after = ContinuousIngest.readTable(spark, stA.docsPath)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "stranded compaction tmp not recovered losslessly")
   }
 }

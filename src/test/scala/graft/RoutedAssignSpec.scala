@@ -59,8 +59,13 @@ class RoutedAssignSpec extends SparkSpec {
     // per-cell rounding can drift the total by at most #cells
     assert(math.abs(tree.k - K) <= tree.coarse.length,
       s"total children ${tree.k} too far from requested $K")
-    assert(tree.coarse.length == math.ceil(math.sqrt(K)).toInt,
+    // ≤: empty coarse cells (duplicate sample points chosen twice by
+    // the FFT) are pruned at build — see hierarchicalCentroids
+    assert(tree.coarse.length >= 1 &&
+      tree.coarse.length <= math.ceil(math.sqrt(K)).toInt,
       s"${tree.coarse.length} coarse cells for k=$K")
+    assert(tree.childIds.forall(_.nonEmpty),
+      "tree-build invariant broken: a coarse cell has no children")
   }
 
   test("tree table round trip is lossless (treeToDF -> treeFromDF)") {
