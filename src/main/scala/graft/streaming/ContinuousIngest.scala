@@ -404,11 +404,19 @@ object ContinuousIngest {
     * rebuild. Cost: one metadata-sized aggregation over the
     * assignment table — never touches the corpus or the floats. */
   def indexDrift(spark: SparkSession, st: IngestState,
-                 sinceBatch: Long): DataFrame = {
-    val sem = spark.read.option("basePath", st.semPath).parquet(st.semPath)
+                 sinceBatch: Long, table: String = "sem"): DataFrame = {
+    // both maintained cell tables are monitorable: the semantic
+    // spill assignments (cluster) and the IVF inverted lists (list)
+    val (path, cellCol) = table match {
+      case "sem" => (st.semPath, "cluster")
+      case "ivf" => (st.ivfPath, "list")
+      case other => sys.error(
+        s"indexDrift: unknown table '$other' (expected 'sem' or 'ivf')")
+    }
+    val idx = spark.read.option("basePath", path).parquet(path)
     graft.ops.Similarity.occupancyDrift(
-      sem.where(col("batch") < lit(sinceBatch)),
-      sem.where(col("batch") >= lit(sinceBatch)))
+      idx.where(col("batch") < lit(sinceBatch)),
+      idx.where(col("batch") >= lit(sinceBatch)), cellCol)
   }
 
   /** Periodic state-table maintenance: consolidate every `batch=`

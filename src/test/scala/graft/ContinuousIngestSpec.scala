@@ -278,6 +278,13 @@ class ContinuousIngestSpec extends SparkSpec {
       .select("tvd").head().getDouble(0)
     assert(tvdShifted > tvdStationary,
       s"planted shift did not raise drift: stationary $tvdStationary, shifted $tvdShifted")
+    // the IVF-table face of the same monitor runs end to end on the
+    // list column and reports a well-formed TVD
+    val ivfDrift = ContinuousIngest.indexDrift(spark, st, sinceBatch = 1L,
+      table = "ivf").localCheckpoint()
+    val tvdIvf = ivfDrift.select("tvd").head().getDouble(0)
+    assert(ivfDrift.count() > 0 && tvdIvf >= 0.0 && tvdIvf <= 1.0,
+      s"ivf-table drift implausible: $tvdIvf over ${ivfDrift.count()} cells")
     // respond: retrain + rebuild, then every maintained table and the
     // search face must equal a FRESH bootstrap over the same corpus
     val q2 = ContinuousIngest.rebuildIndexes(spark, st, ann)
