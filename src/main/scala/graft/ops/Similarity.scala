@@ -339,17 +339,19 @@ object Similarity {
     * faces keep their byte-stable outputs). */
   val RoutedClustersThreshold = 64
 
-  /** `nRoute` is the routed path's recall/cost knob, and the trade is
-    * THRESHOLD-DEPENDENT: at real SemDeDup thresholds (near-identical
-    * vectors, cosine ≳ 0.9) both members of a pair route to the same
-    * coarse cells, so nRoute = 2 loses almost nothing (RoutedAssignSpec
-    * measures ≥ 0.9 of the flat face's pairs on planted near-copies);
-    * at BORDERLINE thresholds (the 0.45-cos driver fixtures) members
-    * route nearly independently and nRoute = 2 recovers only ~½ of the
-    * flat face's pairs — raise nRoute toward the coarse-cell count
-    * (cost ∝ nRoute, exact flat equality at full fan-out — the
-    * check_semantic_routed degeneration law) or pin the flat face with
-    * explicit `centroids` when mining loose similarity. */
+  /** The routed path's recall/cost story is THRESHOLD-AWARE: the tree
+    * is built with child spill [[spillFor]]`(minCosine)` and probed
+    * with the adaptive margin [[routeMarginFor]]`(minCosine)` on top
+    * of the `nRoute` floor, so at real SemDeDup thresholds (cosine ≳
+    * 0.9, where pair members route together) the spill and margin
+    * shrink toward zero and the face costs what fixed-2 routing cost,
+    * while at BORDERLINE thresholds (the 0.45-cos fixtures, where
+    * fixed-2 routing loses ~half the flat face's pairs) the boundary
+    * children replicate and the boundary VECTORS probe wider — the
+    * RoutedAssignSpec borderline floor pins ≥ 0.8 of the flat face's
+    * pairs at ≈ `nRoute` average probes. Exact flat equality remains
+    * available (full fan-out — the check_semantic_routed degeneration
+    * law — or explicit `centroids` pinning the flat face). */
   def semanticNearDupPairs(embs: DataFrame, minCosine: Double, nClusters: Int,
                            nAssign: Int = 2, sampleSize: Int = 0,
                            idCol: String = "vec_id", vecCol: String = "embedding",
@@ -362,10 +364,14 @@ object Similarity {
     // otherwise large cell counts auto-route through the two-level
     // quantizer — same exact-cosine pair machinery downstream
     if (centroids.isEmpty && nClusters > RoutedClustersThreshold) {
-      val tree = hierarchicalCentroids(embs, nClusters, sampleSize, idCol, vecCol)
+      val tree = hierarchicalCentroids(embs, nClusters, sampleSize,
+        idCol, vecCol, spill = spillFor(minCosine))
       semanticPairsFromIndex(
-        semanticAssignRouted(embs, tree, nAssign,
-          math.min(nRoute, tree.coarse.length), idCol, vecCol),
+        semanticAssignRoutedAdaptive(embs, tree, nAssign,
+          routeMargin = routeMarginFor(minCosine),
+          minRoute = math.min(nRoute, tree.coarse.length),
+          maxRoute = math.max(4, 2 * nRoute),
+          idCol = idCol, vecCol = vecCol),
         minCosine)
     } else {
       val cents = centroids
@@ -413,10 +419,16 @@ object Similarity {
   final case class CentroidTree(coarse: Array[Array[Double]],
                                 childIds: Array[Array[Int]],
                                 childFlat: Array[Array[Double]]) {
-    def k: Int = childIds.map(_.length).sum
+    /** Distinct cluster count — a SPILLED tree ([[hierarchicalCentroids]]
+      * `spill` > 0) replicates boundary children into adjacent coarse
+      * cells under the SAME global id, so slots ≥ clusters. */
+    def k: Int = childIds.iterator.flatten.toSet.size
+    /** Total child slots across cells (replicas counted) — the probe-
+      * cost denominator; == [[k]] for an unspilled tree. */
+    def slots: Int = childIds.map(_.length).sum
     /** All clusters concatenated in global-id order — the flat
       * centroid array the full-route degeneration law compares
-      * against. */
+      * against. Replicas collapse (identical vector per global id). */
     def concat: Array[Array[Double]] = {
       val dim = coarse.head.length
       val out = new Array[Array[Double]](k)
@@ -437,10 +449,11 @@ object Similarity {
     * for the two-level quantizer, so a maintained ROUTED semantic
     * index can persist its quantizer beside the assignment table
     * (the train-once lifecycle): coarse rows are `(0, cell, -1, v)`,
-    * child rows `(1, cell, globalId, v)`. [[treeFromDF]] restores the
-    * exact nested layout (children sorted by global id within their
-    * cell — ids are assigned consecutively per cell, so the order is
-    * lossless; RoutedAssignSpec pins the round trip). */
+    * child rows `(1, cell, globalId, v)` — spill replicas are just
+    * repeated global ids under other cells. [[treeFromDF]] restores
+    * the exact nested layout (children are KEPT sorted by global id
+    * within their cell — the build contract, spilled or not — so the
+    * order is lossless; RoutedAssignSpec pins the round trip). */
   def treeToDF(spark: org.apache.spark.sql.SparkSession,
                tree: CentroidTree): DataFrame = {
     import spark.implicits._
@@ -478,10 +491,18 @@ object Similarity {
     * like every clustering size knob). Training cost O(sample·√k·dim)
     * twice + balanced per-cell work — k^1.5 where flat is k²; same
     * train-once/add-many lifecycle (the tree is the quantizer
-    * identity). Deterministic given (corpus, k). */
+    * identity). Deterministic given (corpus, k, spill).
+    *
+    * `spill` > 0 additionally REPLICATES boundary children (same
+    * global id) into every coarse cell whose centroid dot is within
+    * `spill` of the home cell's — see the inline note below and
+    * [[spillFor]] for sizing; [[CentroidTree.slots]] vs
+    * [[CentroidTree.k]] exposes the inflation. */
   def hierarchicalCentroids(embs: DataFrame, k: Int, sampleSize: Int = 0,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): CentroidTree = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            spill: Double = 0.0): CentroidTree = {
     require(k >= 1, s"k=$k must be positive")
+    require(spill >= 0.0, s"spill=$spill must be >= 0")
     val sample = normalized(embs, idCol, vecCol, "id", "v")
       .orderBy("id").limit(trainSampleFor(k, sampleSize))
       .select("v").collect().map(_.getSeq[Double](0).toArray)
@@ -527,7 +548,53 @@ object Similarity {
       nextId += kids.length
       ci += 1
     }
-    CentroidTree(prunedCoarse, childIds, childFlat)
+    if (spill <= 0.0)
+      CentroidTree(prunedCoarse, childIds, childFlat)
+    else {
+      // CHILD SPILL (the spill-tree idea applied at BUILD time): a
+      // child centroid sitting near a coarse Voronoi boundary is
+      // REPLICATED — same global id, same vector — into every other
+      // coarse cell whose centroid dot is within `spill` of its
+      // parent's, so a query probing only its own best cell still
+      // sees the boundary children of the neighbors. This moves the
+      // borderline-pair recall cost from QUERY fan-out (every vector
+      // pays nRoute probes forever) to TREE size (metadata, built
+      // once): probe counts stay at nRoute while the straddled-
+      // boundary children — exactly the ones borderline pairs share —
+      // become visible from both sides of the boundary.
+      val dim = prunedCoarse.head.length
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val cellKids = Array.tabulate(childIds.length) { c =>
+        scala.collection.mutable.ArrayBuffer.tabulate(childIds(c).length)(j =>
+          (childIds(c)(j), childFlat(c).slice(j * dim, (j + 1) * dim)))
+      }
+      var c = 0
+      while (c < childIds.length) {
+        var j = 0
+        while (j < childIds(c).length) {
+          val x = childFlat(c).slice(j * dim, (j + 1) * dim)
+          val dHome = dot(x, prunedCoarse(c))
+          var c2 = 0
+          while (c2 < prunedCoarse.length) {
+            if (c2 != c && dot(x, prunedCoarse(c2)) >= dHome - spill)
+              cellKids(c2) += ((childIds(c)(j), x))
+            c2 += 1
+          }
+          j += 1
+        }
+        c += 1
+      }
+      // per-cell children stay sorted by global id (replicas land
+      // wherever) — the treeToDF round trip and the per-cell topDot
+      // index-asc tie-break both assume id order within a cell
+      val sorted = cellKids.map(_.sortBy(_._1).toArray)
+      CentroidTree(prunedCoarse,
+        sorted.map(_.map(_._1)), sorted.map(_.flatMap(_._2)))
+    }
   }
 
   /** Routed spill assignment under a [[CentroidTree]] — the scale
@@ -545,9 +612,11 @@ object Similarity {
     * unprobed coarse cell) — a THRESHOLD-DEPENDENT trade: near-dup
     * pairs (cos ≳ 0.9) route together and lose ≈ nothing (spec
     * floor ≥ 0.9 on planted near-copies), while borderline-cos pairs
-    * route nearly independently and nRoute = 2 recovers only ~½ of
-    * the flat face's — see the sizing note on
-    * [[semanticNearDupPairs]].
+    * route nearly independently and a bare fixed fan-out of 2
+    * recovers only ~½ of the flat face's — closed by building the
+    * tree with child spill ([[spillFor]]) and probing with the
+    * adaptive margin face ([[semanticAssignRoutedAdaptive]]), which
+    * [[semanticNearDupPairs]]'s auto-routed path does.
     *
     * The candidate rank is a per-id window over N·nRoute·nAssign
     * small rows; `v` (dim doubles) rides the shuffle — at very large
@@ -555,9 +624,116 @@ object Similarity {
   def semanticAssignRouted(embs: DataFrame, tree: CentroidTree,
                            nAssign: Int = 2, nRoute: Int = 2,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nAssign >= 1, s"nAssign=$nAssign must be >= 1")
     require(nRoute >= 1 && nRoute <= tree.coarse.length,
       s"nRoute=$nRoute must be in [1, ${tree.coarse.length}]")
+    routedAssignCore(embs, tree, nAssign, minRoute = nRoute,
+      maxRoute = nRoute, routeMargin = 0.0, idCol, vecCol)
+  }
+
+  /** Threshold-derived sizing for the routed borderline-recall
+    * machinery. The geometry: a pair with cos ≥ t has ‖u−w‖ ≤
+    * δ(t) = √(2−2t) on unit vectors, so every recall device should
+    * scale with δ — near-dup thresholds (t ≥ 0.9, δ ≤ 0.45) need
+    * almost none of it (both members route together; the fixed-2 face
+    * already measures ≥ 0.9 recall there), while borderline
+    * thresholds (t ≈ 0.45, δ ≈ 1.05) are where a fixed fan-out loses
+    * ~half the flat face's pairs. The constants are MEASURED, not
+    * derived (coarse-dot spreads are data/dim-dependent, so a pure
+    * geometric margin over- or under-probes): on both the isotropic
+    * dim-16 fixture (20k–80k vectors, k = N/128, 2% planted
+    * borderline pairs) and the sf0.1 embeddings at t = 0.45, tree
+    * spill 0.4·(1−t) ≈ 0.22 with 2 average probes recovers 0.82–0.94
+    * of the flat face's pairs (vs 0.30–0.54 unspilled fixed-2), at a
+    * 3.7–5.2× child-slot inflation that keeps routed assignment ≈ 2×
+    * cheaper than flat and shrinking relative to flat as k grows —
+    * the RoutedAssignSpec borderline floor pins ≥ 0.8. */
+  def spillFor(minCosine: Double): Double =
+    0.4 * math.max(0.0, 1.0 - minCosine)
+
+  /** Adaptive probe margin, sized as δ(t)/8 (see [[spillFor]] for why
+    * not the geometric δ/2 — at embedding dims the coarse dots pack
+    * within ~±0.1, so δ/2 would probe every cell): measured +0.02–0.04
+    * recall for +0.3 average probes on top of the spilled tree. */
+  def routeMarginFor(minCosine: Double): Double =
+    0.125 * math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+
+  /** The adaptive scale face of [[semanticAssignRouted]]: instead of a
+    * FIXED probe count, each vector probes its nearest coarse cell
+    * plus every cell whose coarse dot is within `routeMargin` of the
+    * best (at least `minRoute`, at most `maxRoute`; 0 = #coarse).
+    * Vectors deep inside a Voronoi cell pay 1–2 probes; only the
+    * boundary vectors — exactly the ones whose pairs a fixed fan-out
+    * loses — fan wider, so the AVERAGE probe count stays near
+    * `minRoute`. Together with a [[spillFor]]-spilled tree (which
+    * carries most of the borderline recall) this is how
+    * [[semanticNearDupPairs]]' auto-routed path holds the ≥ 0.8
+    * borderline floor at ≈ 2 average probes (RoutedAssignSpec;
+    * margin sizing on [[routeMarginFor]]). Deterministic given
+    * (tree, margin); with
+    * margin ≥ 2 (the dot range) and maxRoute = 0 it degenerates to
+    * the full-fan-out face and hence to flat assignment. */
+  def semanticAssignRoutedAdaptive(embs: DataFrame, tree: CentroidTree,
+                                   nAssign: Int = 2, routeMargin: Double = 0.3,
+                                   minRoute: Int = 1, maxRoute: Int = 0,
+                                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(routeMargin >= 0.0, s"routeMargin=$routeMargin must be >= 0")
+    require(minRoute >= 1, s"minRoute=$minRoute must be >= 1")
+    val effMax =
+      if (maxRoute <= 0) tree.coarse.length
+      else math.min(math.max(maxRoute, minRoute), tree.coarse.length)
+    routedAssignCore(embs, tree, nAssign,
+      minRoute = math.min(minRoute, tree.coarse.length),
+      maxRoute = effMax, routeMargin = routeMargin, idCol, vecCol)
+  }
+
+  /** The probed coarse-cell ids for one (normalized) vector column:
+    * the top-`maxRoute` coarse dots, margin-filtered — entry i
+    * survives when i < `minRoute` (the guaranteed floor) or its dot
+    * is within `routeMargin` of the best. With minRoute == maxRoute
+    * this is exactly the fixed-fan-out probe set; codegen'd either
+    * way. ONE definition shared by the assignment and the probe-count
+    * monitor, so the measured cost is the paid cost. */
+  private def probeCellsCol(spark: org.apache.spark.sql.SparkSession,
+                            v: Column, coarseFlat: Column,
+                            minRoute: Int, maxRoute: Int,
+                            routeMargin: Double): Column = {
+    val arr = graft.functions.Native.topDotNative(spark, v, coarseFlat, maxRoute)
+    if (minRoute == maxRoute) arr.getField("list")
+    else {
+      val bestDot = element_at(arr, 1).getField("dot")
+      filter(arr, (e, i) =>
+        i < lit(minRoute) ||
+          e.getField("dot") >= bestDot - lit(routeMargin))
+        .getField("list")
+    }
+  }
+
+  /** Per-vector probe counts of [[semanticAssignRoutedAdaptive]] —
+    * `id, n_probes` — the cost monitor for the adaptive fan-out: its
+    * mean is the average per-vector coarse-probe multiplier (the
+    * thing the margin is sized to keep near `minRoute`), and its tail
+    * shows how many boundary vectors fan wide. Same expression as the
+    * assignment itself, so this IS the paid probe count. */
+  def routedProbeCounts(embs: DataFrame, tree: CentroidTree,
+                        routeMargin: Double, minRoute: Int = 1,
+                        maxRoute: Int = 0,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val effMax =
+      if (maxRoute <= 0) tree.coarse.length
+      else math.min(math.max(maxRoute, minRoute), tree.coarse.length)
+    normalized(embs, idCol, vecCol, "id", "v")
+      .select(col("id"),
+        size(probeCellsCol(spark, col("v"), lit(tree.coarse.flatten),
+          math.min(minRoute, tree.coarse.length), effMax, routeMargin))
+          .as("n_probes"))
+  }
+
+  private def routedAssignCore(embs: DataFrame, tree: CentroidTree,
+                               nAssign: Int, minRoute: Int, maxRoute: Int,
+                               routeMargin: Double,
+                               idCol: String, vecCol: String): DataFrame = {
+    require(nAssign >= 1, s"nAssign=$nAssign must be >= 1")
     val spark = embs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -567,11 +743,11 @@ object Similarity {
     val cells = tree.childIds.indices
       .map(c => (c, tree.childIds(c).toSeq, tree.childFlat(c).toSeq))
       .toDF("_cc", "_cids", "_cflat")
+    val probeCells = probeCellsCol(spark, col("v"), coarseFlat,
+      minRoute, maxRoute, routeMargin)
     val cand = normalized(embs, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id"), col("v"),
-        explode(graft.functions.Native.topDotNative(spark, col("v"), coarseFlat, nRoute)
-          .getField("list")).as("_cc"))
+      .select(col("id"), col("v"), explode(probeCells).as("_cc"))
       .join(broadcast(cells), Seq("_cc"))
       .select(col("id"), col("v"), col("_cids"),
         explode(graft.functions.Native.topDotNative(spark, col("v"), col("_cflat"), nAssign))
@@ -579,8 +755,16 @@ object Similarity {
       .select(col("id"), col("v"),
         element_at(col("_cids"), col("_e.list") + 1).as("cluster"),
         col("_e.dot").as("_dot"))
+    // a SPILLED tree can surface the same replica from two probed
+    // cells — collapse duplicates before the rank, or a replicated
+    // cluster would occupy two nAssign slots. The duplicate rows are
+    // VALUE-IDENTICAL (same vector, same child, hence same dot), so
+    // a plain distinct() is a correct, deterministic dedup (and keeps
+    // the plan free of first()-style nondeterminism that would break
+    // exceptAll-based law checks); unspilled trees skip the exchange
+    val deduped = if (tree.slots > tree.k) cand.distinct() else cand
     val w = Window.partitionBy("id").orderBy(col("_dot").desc, col("cluster"))
-    cand.withColumn("_rk", row_number().over(w))
+    deduped.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= nAssign)
       .select(col("id"), col("v"), col("cluster"))
   }
@@ -658,10 +842,20 @@ object Similarity {
     * cell seen by either side; tvd repeated — the report shape of
     * `corpus_drift`). */
   def occupancyDrift(ref: DataFrame, recent: DataFrame,
-                     cellCol: String = "cluster"): DataFrame = {
-    val a = ref.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_ref"))
-    val b = recent.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_new"))
-    val j = a.join(b, Seq("cell"), "full_outer")
+                     cellCol: String = "cluster"): DataFrame =
+    occupancyDriftFromCounts(
+      ref.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_ref")),
+      recent.groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_new")))
+
+  /** [[occupancyDrift]] over PRE-AGGREGATED per-cell counts —
+    * `refCnt: (cell, cnt_ref)`, `newCnt: (cell, cnt_new)` — for
+    * callers whose reference era is a persisted count snapshot rather
+    * than a row table (the compaction-proof
+    * [[graft.streaming.ContinuousIngest.indexDrift]] face). Same
+    * join/arithmetic/output as the row face, so the two cannot
+    * drift. */
+  def occupancyDriftFromCounts(refCnt: DataFrame, newCnt: DataFrame): DataFrame = {
+    val j = refCnt.join(newCnt, Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
         coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))

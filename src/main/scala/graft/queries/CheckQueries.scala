@@ -827,8 +827,46 @@ object CheckQueries extends QueryPack {
           nRoute = tree.coarse.length),
         Similarity.semanticAssign(embs, tree.concat, nAssign = 3),
         "routed_degen_extra", "routed_degen_missing")
+      // the BORDERLINE config the product face auto-routes with at
+      // this threshold (spilled tree + adaptive margin probing —
+      // round 13): same soundness/at-most-once laws, the spilled
+      // full-fan-out degeneration (replica dedup must collapse to the
+      // flat answer exactly), and a ≥ 0.8 recall floor vs the FLAT
+      // face — the gap a bare fixed fan-out measurably loses to ~½
+      val treeS = Similarity.hierarchicalCentroids(embs, 64,
+        spill = Similarity.spillFor(0.45))
+      val adaptive = Similarity.semanticPairsFromIndex(
+        Similarity.semanticAssignRoutedAdaptive(embs, treeS, nAssign = 3,
+          routeMargin = Similarity.routeMarginFor(0.45),
+          minRoute = 2, maxRoute = 4),
+        0.45)
+      val soundViolS = adaptive.select("a", "b")
+        .join(brute.select("a", "b"), Seq("a", "b"), "left_anti")
+        .select(lit("spilled_not_exact").as("violation"))
+      val dupViolS = adaptive.groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .select(lit("spilled_dup_pair").as("violation"))
+      val degenViolS = multisetDiffViolations(
+        Similarity.semanticAssignRouted(embs, treeS, nAssign = 3,
+          nRoute = treeS.coarse.length),
+        Similarity.semanticAssign(embs, treeS.concat, nAssign = 3),
+        "spilled_degen_extra", "spilled_degen_missing")
+      val recallViolS = {
+        val flatPairs = Similarity.semanticPairsFromIndex(
+          Similarity.semanticAssign(embs, treeS.concat, nAssign = 3), 0.45)
+          .select("a", "b").localCheckpoint()
+        val nFlat = flatPairs.count()
+        val hits = adaptive.select("a", "b")
+          .join(flatPairs, Seq("a", "b"), "left_semi").count()
+        import s.implicits._
+        (if (hits.toDouble < 0.8 * nFlat)
+          Seq(s"spilled_borderline_recall $hits/$nFlat") else Nil)
+          .toDF("violation")
+      }
       soundViol.unionByName(csimViol).unionByName(dupViol)
-        .unionByName(degenViol)
+        .unionByName(degenViol).unionByName(soundViolS)
+        .unionByName(dupViolS).unionByName(degenViolS)
+        .unionByName(recallViolS)
     }),
     // IVFADC laws (same nlist/nprobe as ann_ivf, same m/ksub books as
     // ann_pq — both quantizers trained once and shared):

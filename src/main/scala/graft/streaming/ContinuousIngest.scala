@@ -90,6 +90,9 @@ object ContinuousIngest {
     val ivfPath: String = s"$root/ivf"
     val pqPath: String = s"$root/pq"
     val semPath: String = s"$root/sem"
+    // per-cell occupancy snapshot of the index tables as of the last
+    // (re)train — the compaction-proof reference era for [[indexDrift]]
+    val driftBasePath: String = s"$root/drift_base"
   }
 
   /** Embedding-index policy: quantizer sizes for the three maintained
@@ -141,6 +144,10 @@ object ContinuousIngest {
 
   def loadQuantizers(spark: SparkSession, st: IngestState,
                      a: AnnParams): AnnQuantizers = {
+    // complete (or roll back) any crashed rebuildIndexes swap before
+    // reading the quantizer tables — cheap (one existence check) and
+    // makes every loadQuantizers-routed reader crash-consistent
+    recoverIndexSwap(spark, st)
     val cents = Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath))
     val tree =
       if (semRouted(a))
@@ -198,7 +205,23 @@ object ContinuousIngest {
       require(corpus.limit(1).count() > 0,
         "ann-enabled bootstrap needs a non-empty training corpus for the quantizers")
       appendIndexes(corpus, -1L, st, a, trainQuantizers(corpus, st, a))
+      writeDriftBase(corpus.sparkSession, st)
     }
+  }
+
+  /** Persist the per-cell occupancy of the (just-written) sem and ivf
+    * tables as the drift monitor's REFERENCE era — metadata-sized
+    * (one row per occupied cell), taken at exactly the moment the
+    * quantizers trained, and immune to [[compactState]] (it is not a
+    * `batch=` table, and batch ids play no role in it). */
+  private def writeDriftBase(spark: SparkSession, st: IngestState): Unit = {
+    val ivf = spark.read.option("basePath", st.ivfPath).parquet(st.ivfPath)
+      .groupBy(col("list").as("cell")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tbl", lit("ivf"))
+    val sem = spark.read.option("basePath", st.semPath).parquet(st.semPath)
+      .groupBy(col("cluster").as("cell")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tbl", lit("sem"))
+    ivf.unionByName(sem).write.mode("overwrite").parquet(st.driftBasePath)
   }
 
   /** Train the quantizers on `corpus` and persist them beside the
@@ -251,9 +274,16 @@ object ContinuousIngest {
     * Cost: quantizer training (driver sample) + one assignment /
     * encode pass over the corpus per table — the same work
     * [[bootstrap]] did, and ~#batches× cheaper than the accumulated
-    * ingest it replaces. NOT crash-atomic: the old index partitions
-    * are removed before the rewrite lands (run quiesced, or point a
-    * fresh state root at the same dedup tables and swap). The
+    * ingest it replaces. CRASH-ATOMIC via the hidden-tmp + marker
+    * pattern ([[compactState]]'s): quantizers AND index tables are
+    * built complete under `.rebuild_tmp/`, a swap marker is written
+    * only after every write commits, and the swap (delete old dir,
+    * rename tmp dir in, per table) is completed — or, pre-marker,
+    * rolled back — by [[recoverIndexSwap]], which [[loadQuantizers]]
+    * runs automatically. A crash at ANY point leaves either the old
+    * quantizer+index set or the new one, never a mix, once recovery
+    * runs. Like compaction, the swap is not READER-atomic on a plain
+    * filesystem — quiesce queries during the swap itself. The
     * rebuilt corpus must be non-empty — quantizers cannot train on
     * nothing.
     *
@@ -269,26 +299,91 @@ object ContinuousIngest {
   def rebuildIndexes(spark: SparkSession, st: IngestState,
                      a: AnnParams,
                      inFlightBatch: Option[Long] = None): AnnQuantizers = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    // complete or roll back a previously crashed rebuild first — the
+    // corpus read below must not race a half-swapped index set
+    recoverIndexSwap(spark, st)
     val corpus = readTable(spark, st.docsPath)
     require(corpus.limit(1).count() > 0,
       "rebuildIndexes needs a non-empty corpus to retrain the quantizers")
+    val fs = fsFor(spark, st.root)
+    val tmpSt = IngestState(s"${st.root}/$RebuildTmpDir")
+    fs.delete(new HPath(tmpSt.root), true)
     // quantizers train on the FULL corpus (training is sampling, not
-    // lineage); only the table layout respects the replay window
-    val q = trainQuantizers(corpus, st, a)
-    Seq(st.ivfPath, st.pqPath, st.semPath)
-      .foreach(p => rmTree(new java.io.File(p)))
+    // lineage); only the table layout respects the replay window.
+    // Everything builds under the hidden tmp root — IngestState
+    // derives all subpaths, so the build is byte-for-byte the
+    // bootstrap layout, just parked one directory down.
+    val q = trainQuantizers(corpus, tmpSt, a)
     inFlightBatch match {
       case None =>
-        appendIndexes(corpus, -1L, st, a, q)
+        appendIndexes(corpus, -1L, tmpSt, a, q)
       case Some(b) =>
         appendIndexes(readTable(spark, st.docsPath, excludeBatch = b),
-          -1L, st, a, q)
+          -1L, tmpSt, a, q)
         appendIndexes(spark.read.option("basePath", st.docsPath)
             .parquet(st.docsPath)
             .where(col("batch") === lit(b)).drop("batch"),
-          b, st, a, q)
+          b, tmpSt, a, q)
     }
+    // fresh reference era for the drift monitor: the rebuild IS a
+    // retrain, so drift restarts from this corpus snapshot
+    writeDriftBase(spark, tmpSt)
+    // every tmp write has committed — publish the marker (the point of
+    // no return: recovery completes the swap from here) and swap
+    fs.create(new HPath(tmpSt.root, SwapMarker), true).close()
+    completeIndexSwap(spark, st)
     q
+  }
+
+  private val RebuildTmpDir = ".rebuild_tmp"
+  private val SwapMarker = "_GRAFT_SWAP_READY"
+  /** The quantizer + index subdirs a rebuild replaces, relative to the
+    * state root — exactly the paths [[trainQuantizers]] and
+    * [[appendIndexes]] write. `sem_tree`/`sem_centroids` are absent
+    * when the deployment doesn't use them; a stale old copy of an
+    * OPTIONAL dir is left behind (harmless — nothing reads it under
+    * an unchanged AnnParams) because the swap must stay re-entrant:
+    * on recovery, "source absent" must always mean "already moved". */
+  private val IndexSubdirs =
+    Seq("centroids", "sem_centroids", "sem_tree", "books", "ivf", "pq", "sem",
+      "drift_base")
+
+  /** Complete — or, before the marker, roll back — a [[rebuildIndexes]]
+    * swap interrupted by a crash. Idempotent and cheap when there is
+    * nothing to do (one existence check); [[loadQuantizers]] and
+    * [[rebuildIndexes]] call it automatically, so any reader that goes
+    * through the quantizers is crash-consistent without ceremony. */
+  def recoverIndexSwap(spark: SparkSession, st: IngestState): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.root)
+    val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
+    if (!fs.exists(tmpRoot)) return
+    if (fs.exists(new HPath(tmpRoot, SwapMarker))) completeIndexSwap(spark, st)
+    else {
+      // crash mid-BUILD: the tmp is partial and the live index set is
+      // untouched — discard the tmp, the old quantizers stay valid
+      fs.delete(tmpRoot, true); ()
+    }
+  }
+
+  private def completeIndexSwap(spark: SparkSession, st: IngestState): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.root)
+    val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
+    IndexSubdirs.foreach { sub =>
+      val src = new HPath(tmpRoot, sub)
+      // re-entrant: a subdir already moved by a crashed earlier pass is
+      // simply absent from the tmp and skipped
+      if (fs.exists(src)) {
+        val dst = new HPath(s"${st.root}/$sub")
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+        ()
+      }
+    }
+    fs.delete(tmpRoot, true)
+    ()
   }
 
   /** One batch's rows appended to the three embedding-index tables —
@@ -392,27 +487,75 @@ object ContinuousIngest {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
         sum(col("n_ws_tokens")).as("n_ws_tokens"))
 
-  /** Quantizer-staleness monitor for the maintained embedding indexes:
-    * per-cell occupancy drift ([[graft.ops.Similarity.occupancyDrift]])
-    * of the batches at/after `sinceBatch` against everything before
-    * them, read from the maintained semantic spill-assignment table.
-    * The train-once quantizers ([[bootstrap]]) never re-check that the
-    * corpus still looks like their training sample — this is the
-    * nightly probe that does: run it with `sinceBatch` = the retrain
-    * horizon (e.g. the last week's first batch); when the TVD trips
-    * the deployment threshold, schedule a quantizer re-train + index
-    * rebuild. Cost: one metadata-sized aggregation over the
-    * assignment table — never touches the corpus or the floats. */
-  def indexDrift(spark: SparkSession, st: IngestState,
-                 sinceBatch: Long, table: String = "sem"): DataFrame = {
-    // both maintained cell tables are monitorable: the semantic
-    // spill assignments (cluster) and the IVF inverted lists (list)
-    val (path, cellCol) = table match {
+  // both maintained cell tables are monitorable: the semantic
+  // spill assignments (cluster) and the IVF inverted lists (list)
+  private def driftTable(st: IngestState, table: String): (String, String) =
+    table match {
       case "sem" => (st.semPath, "cluster")
       case "ivf" => (st.ivfPath, "list")
       case other => sys.error(
         s"indexDrift: unknown table '$other' (expected 'sem' or 'ivf')")
     }
+
+  /** Quantizer-staleness monitor for the maintained embedding indexes:
+    * per-cell occupancy drift
+    * ([[graft.ops.Similarity.occupancyDriftFromCounts]]) of everything
+    * ingested SINCE the last (re)train against the snapshot taken AT
+    * the (re)train — the reference era is the persisted
+    * `drift_base` occupancy snapshot ([[writeDriftBase]], refreshed by
+    * [[bootstrap]] and [[rebuildIndexes]]), and the recent era is the
+    * current per-cell counts minus that snapshot. The train-once
+    * quantizers never re-check that the corpus still looks like their
+    * training sample — this is the nightly probe that does: when the
+    * TVD trips the deployment threshold, run [[rebuildIndexes]].
+    *
+    * COMPACTION-PROOF BY CONSTRUCTION: neither side depends on batch
+    * ids — the snapshot is a plain parquet table [[compactState]]
+    * never touches, and the current counts are a partition-union
+    * aggregate that consolidation preserves row-for-row — so the
+    * monitor survives any interleaving of compaction and ingest
+    * (batch-id era splits do not: collapsing ids below the horizon
+    * empties the reference side, see [[indexDriftSinceBatch]]). Cells
+    * that gained nothing since the snapshot drop out of the recent
+    * era (count 0), and a cell whose count SHRANK below its snapshot
+    * fails loudly — appends and id-collapsing compaction can never
+    * shrink a cell, so that is a state mutation outside the lifecycle.
+    * Cost: one metadata-sized aggregation over the assignment table —
+    * never touches the corpus or the floats. */
+  def indexDrift(spark: SparkSession, st: IngestState,
+                 table: String = "sem"): DataFrame = {
+    recoverIndexSwap(spark, st)
+    val (path, cellCol) = driftTable(st, table)
+    val base = spark.read.parquet(st.driftBasePath)
+      .where(col("tbl") === lit(table))
+      .select(col("cell"), col("cnt").as("cnt_ref"))
+    val tot = spark.read.option("basePath", path).parquet(path)
+      .groupBy(col(cellCol).as("cell")).agg(count(lit(1)).as("cnt_tot"))
+    val recent = tot.join(base.select(col("cell"), col("cnt_ref").as("_base")),
+        Seq("cell"), "full_outer")
+      .select(col("cell"),
+        (coalesce(col("cnt_tot"), lit(0L))
+          - coalesce(col("_base"), lit(0L))).as("cnt_new"))
+      .select(col("cell"),
+        when(col("cnt_new") >= 0, col("cnt_new"))
+          .otherwise(raise_error(format_string(
+            "indexDrift: cell %s shrank below its drift_base snapshot " +
+              "— state was mutated outside the append/compact lifecycle",
+            col("cell").cast("string")))).as("cnt_new"))
+      .where(col("cnt_new") > 0)
+    graft.ops.Similarity.occupancyDriftFromCounts(base, recent)
+  }
+
+  /** Batch-id era split of the same monitor: batches ≥ `sinceBatch`
+    * against everything before them. Useful for AD-HOC windows ("last
+    * week vs before"), but NOT compaction-proof — [[compactState]]
+    * collapses committed ids, so a split below the compaction horizon
+    * sees an empty reference era (loud [[graft.ops.Drift]] error, not
+    * a silent wrong answer). The deployment monitor is [[indexDrift]];
+    * use this face only on windows above the last compaction. */
+  def indexDriftSinceBatch(spark: SparkSession, st: IngestState,
+                           sinceBatch: Long, table: String = "sem"): DataFrame = {
+    val (path, cellCol) = driftTable(st, table)
     val idx = spark.read.option("basePath", path).parquet(path)
     graft.ops.Similarity.occupancyDrift(
       idx.where(col("batch") < lit(sinceBatch)),
@@ -443,44 +586,61 @@ object ContinuousIngest {
     * compact past ids the stream may still re-deliver (a replay of
     * batch `b` overwrites `batch=b/`, so compact only ids strictly
     * below the checkpoint's committed horizon — after an
-    * AvailableNow drain, that is every id). The swap is CRASH-SAFE
-    * (the merged rows land in a hidden tmp dir first, and a pending
-    * move is completed on the next run) but not reader-atomic on a
-    * plain filesystem: quiesce readers during the swap, or compact
-    * to a fresh root and switch paths. */
+    * AvailableNow drain, that is every id). The swap is CRASH-SAFE —
+    * the merged rows land in a hidden tmp dir first, and the tmp is
+    * authoritative ONLY once it carries Spark's `_SUCCESS` commit
+    * marker: a pending move (marker present) is completed on the next
+    * run; a tmp WITHOUT the marker is a mid-write crash whose sources
+    * are still intact, so it is discarded and the compaction re-runs
+    * from the sources — but not reader-atomic on a plain filesystem:
+    * quiesce readers during the swap, or compact to a fresh root and
+    * switch paths. All listing/delete/rename goes through the Hadoop
+    * FileSystem API, so maintenance works on whatever filesystem the
+    * state tables live on (HDFS/S3/local), same as the table I/O. */
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
                    targetRowsPerFile: Long = 1000000L): Unit =
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
         st.ivfPath, st.pqPath, st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(); ()
-  }
+  private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def compactTable(spark: SparkSession, path: String, upToBatch: Long,
                            targetRowsPerFile: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    val dir = new java.io.File(path)
-    if (!dir.isDirectory) return
-    def partsUpTo(id: Long): Array[java.io.File] = dir.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, path)
+    val root = new HPath(path)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return
+    def partsUpTo(id: Long): Array[HPath] = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
       .filter(_.getName.stripPrefix("batch=").toLong <= id)
     // crash recovery: a hidden `.compact_tmp_batch=<id>` dir (ignored
-    // by partition discovery) is always the COMPLETE union of the
-    // parts ≤ id as of its write, and no parts ≤ id can appear later
-    // (batch ids are monotone; compaction runs below the replay
-    // horizon) — so finishing a crashed run is always: delete the
-    // remaining source parts, move the tmp in. Without this, a crash
-    // between the source deletes and the move would strand the only
-    // copy of the table in the tmp dir.
-    dir.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact_tmp_batch="))
-      .foreach { tmp =>
+    // by partition discovery) is authoritative ONLY when it carries
+    // the `_SUCCESS` marker Spark writes on commit — then it is the
+    // COMPLETE union of the parts ≤ id as of its write, no parts ≤ id
+    // can appear later (batch ids are monotone; compaction runs below
+    // the replay horizon), and finishing the crashed run is: delete
+    // the remaining source parts, move the tmp in. Without the marker
+    // the write itself crashed — the tmp is PARTIAL and the sources
+    // are all still present (deletes only happen after the marker
+    // check below), so the only safe move is to discard the tmp and
+    // re-compact from the intact sources. Installing an unmarked tmp
+    // would replace intact data with a partial copy — permanent loss.
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_batch="))
+      .foreach { tmpSt =>
+        val tmp = tmpSt.getPath
         val id = tmp.getName.stripPrefix(".compact_tmp_batch=").toLong
-        partsUpTo(id).foreach(rmTree)
-        Files.move(tmp.toPath, Paths.get(path, s"batch=$id"))
+        if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+          partsUpTo(id).foreach(p => fs.delete(p, true))
+          fs.rename(tmp, new HPath(root, s"batch=$id"))
+        } else {
+          fs.delete(tmp, true)
+        }
+        ()
       }
     val parts = partsUpTo(upToBatch)
     if (parts.length <= 1) return // nothing to consolidate
@@ -492,14 +652,22 @@ object ContinuousIngest {
     val targetId = parts.map(_.getName.stripPrefix("batch=").toLong).max
     // materialize the merged rows to the hidden tmp FIRST (the read
     // is lazy — deleting sources before the write would lose data)
-    val merged = spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*)
+    val merged = spark.read.parquet(parts.map(_.toString).toSeq: _*)
     val n = merged.count()
     val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val tmp = new java.io.File(dir, s".compact_tmp_batch=$targetId")
-    rmTree(tmp)
-    merged.coalesce(nFiles).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    parts.foreach(rmTree)
-    Files.move(tmp.toPath, Paths.get(path, s"batch=$targetId"))
+    val tmp = new HPath(root, s".compact_tmp_batch=$targetId")
+    fs.delete(tmp, true)
+    merged.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // the recovery contract above hangs on the marker: if this
+    // deployment disabled marksuccessfuljobs, deleting the sources
+    // would leave a tmp that recovery must treat as partial — fail
+    // loudly BEFORE any delete instead
+    require(fs.exists(new HPath(tmp, "_SUCCESS")),
+      s"compactTable: $tmp committed without a _SUCCESS marker " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
+        "enabled for crash-safe compaction) — sources left untouched")
+    parts.foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new HPath(root, s"batch=$targetId"))
     ()
   }
 

@@ -268,19 +268,19 @@ class ContinuousIngestSpec extends SparkSpec {
     ContinuousIngest.ingestBatch(
       (1L to 15L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
         .toDF("doc_id", "text", "embedding"), 0L, st, Pa, Some(quant))
-    val tvdStationary = ContinuousIngest.indexDrift(spark, st, sinceBatch = 0L)
+    val tvdStationary = ContinuousIngest.indexDriftSinceBatch(spark, st, sinceBatch = 0L)
       .select("tvd").head().getDouble(0)
     // batch 1: shifted — occupancy collapses, drift must rise above it
     ContinuousIngest.ingestBatch(
       (1L to 15L).map(i => (3000L + i, text(3000L + i), embShift(3000L + i)))
         .toDF("doc_id", "text", "embedding"), 1L, st, Pa, Some(quant))
-    val tvdShifted = ContinuousIngest.indexDrift(spark, st, sinceBatch = 1L)
+    val tvdShifted = ContinuousIngest.indexDriftSinceBatch(spark, st, sinceBatch = 1L)
       .select("tvd").head().getDouble(0)
     assert(tvdShifted > tvdStationary,
       s"planted shift did not raise drift: stationary $tvdStationary, shifted $tvdShifted")
     // the IVF-table face of the same monitor runs end to end on the
     // list column and reports a well-formed TVD
-    val ivfDrift = ContinuousIngest.indexDrift(spark, st, sinceBatch = 1L,
+    val ivfDrift = ContinuousIngest.indexDriftSinceBatch(spark, st, sinceBatch = 1L,
       table = "ivf").localCheckpoint()
     val tvdIvf = ivfDrift.select("tvd").head().getDouble(0)
     assert(ivfDrift.count() > 0 && tvdIvf >= 0.0 && tvdIvf <= 1.0,
@@ -335,5 +335,212 @@ class ContinuousIngestSpec extends SparkSpec {
     assertSame("rebuild_inflight_ivf",
       ContinuousIngest.readTable(spark, st.ivfPath),
       Similarity.ivfAssign(corpus, q3.cents, idCol = "doc_id"))
+  }
+
+  /** Crash atomicity of rebuildIndexes (the hidden-tmp + marker swap):
+    * a crash BEFORE the swap marker leaves a partial tmp whose
+    * recovery ROLLS BACK (old quantizers + tables untouched); a crash
+    * MID-SWAP (marker present, some subdirs moved) recovers FORWARD to
+    * exactly the completed rebuild — quantizers, all three index
+    * tables, and the drift_base snapshot. Both recoveries ride
+    * loadQuantizers, so any reader path heals the state without
+    * ceremony. */
+  test("rebuildIndexes crash recovery: unmarked tmp rolls back, marked mid-swap tmp completes forward") {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    val st = IngestState(s"$root/cr")
+    val boot = (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    ContinuousIngest.ingestBatch(
+      (1L to 10L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa)
+
+    // mid-BUILD crash: tmp exists with junk, NO marker → recovery
+    // discards it and the live (old) set stays exactly as it was
+    val qOld = ContinuousIngest.loadQuantizers(spark, st, ann)
+    val tmpRoot = new java.io.File(s"${st.root}/.rebuild_tmp")
+    assert(tmpRoot.mkdir(), "could not stage the partial rebuild tmp")
+    java.nio.file.Files.write(
+      new java.io.File(tmpRoot, "books").toPath, Array[Byte](9, 9, 9))
+    val qRec = ContinuousIngest.loadQuantizers(spark, st, ann)
+    assert(!tmpRoot.exists(), "unmarked rebuild tmp not rolled back")
+    assert(qRec.cents.flatten.toSeq == qOld.cents.flatten.toSeq &&
+      qRec.books.flatten.flatten.toSeq == qOld.books.flatten.flatten.toSeq,
+      "rollback of a partial rebuild changed the live quantizers")
+
+    // complete a real rebuild and snapshot the NEW set
+    val q2 = ContinuousIngest.rebuildIndexes(spark, st, ann)
+    def snapIdx(): Seq[DataFrame] =
+      Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
+        ContinuousIngest.readTable(spark, p).localCheckpoint())
+    val wantIdx = snapIdx()
+    val wantBase = spark.read.parquet(st.driftBasePath)
+      .collect().map(_.toString).sorted.toSeq
+
+    // mid-SWAP crash: marker written, some subdirs NOT yet moved out of
+    // the tmp (staged by moving them back under it) → recovery must
+    // complete the swap forward, not roll back
+    assert(tmpRoot.mkdir(), "could not stage the mid-swap tmp")
+    Seq("centroids", "ivf", "drift_base").foreach { sub =>
+      java.nio.file.Files.move(
+        java.nio.file.Path.of(s"${st.root}/$sub"),
+        new java.io.File(tmpRoot, sub).toPath)
+    }
+    java.nio.file.Files.write(
+      new java.io.File(tmpRoot, "_GRAFT_SWAP_READY").toPath,
+      Array.emptyByteArray)
+    val q3 = ContinuousIngest.loadQuantizers(spark, st, ann)
+    assert(!tmpRoot.exists(), "marked mid-swap tmp not completed")
+    assert(q3.cents.flatten.toSeq == q2.cents.flatten.toSeq,
+      "mid-swap recovery lost the rebuilt quantizers")
+    snapIdx().zip(wantIdx).zip(Seq("ivf", "pq", "sem")).foreach {
+      case ((a, b), name) =>
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$name differs after mid-swap recovery")
+    }
+    assert(spark.read.parquet(st.driftBasePath)
+      .collect().map(_.toString).sorted.toSeq == wantBase,
+      "drift_base snapshot differs after mid-swap recovery")
+  }
+
+  /** The FULL drift-response loop, composed against the real streaming
+    * face: a stream drains (stationary then shifted batches) → the
+    * snapshot-face monitor TRIPS → `rebuildIndexes` retrains under the
+    * drained checkpoint (no in-flight window) → the NEXT streamed
+    * batch appends under the NEW quantizers through the same
+    * checkpoint → a replay of that batch is still a no-op → the
+    * maintained tables equal a from-scratch assignment of the final
+    * corpus under the rebuilt quantizers, and the monitor has a fresh
+    * reference era. Each piece is law-gated elsewhere; this pins the
+    * composition a deployment actually runs. */
+  test("drift loop at the streaming face: trip -> rebuild -> stream appends under new quantizers -> replay") {
+    import graft.ops.Similarity
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    def embShift(i: Long): Seq[Float] = emb(i).map(x => math.abs(x) + 1.0f)
+    val st = IngestState(s"$root/loop")
+    val boot = (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    // chunk 0: stationary; chunk 1: the planted orthant shift
+    val chunk0 = (1L to 15L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+    val chunk1 = (1L to 15L).map(i => (3000L + i, text(3000L + i), embShift(3000L + i)))
+    val ddl = "doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>"
+    Seq(chunk0, chunk1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "embedding").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*", schemaDDL = ddl),
+      st, Pa).awaitTermination()
+    // the monitor trips on the shifted era
+    val tvdTripped = ContinuousIngest.indexDrift(spark, st)
+      .select("tvd").head().getDouble(0)
+    assert(tvdTripped > 0.2,
+      f"planted orthant shift should trip the 0.2 line, got $tvdTripped%.3f")
+    // respond: retrain + rebuild (clean AvailableNow drain -> no
+    // replay window -> inFlightBatch = None is correct)
+    val q2 = ContinuousIngest.rebuildIndexes(spark, st, ann)
+    // next stationary chunk arrives; SAME checkpoint continues the
+    // batch ids, and the batch appends under the NEW quantizers via
+    // start()'s loadQuantizers
+    val chunk2 = (1L to 15L).map(i => (4000L + i, text(4000L + i), emb(4000L + i)))
+    chunk2.toDF("doc_id", "text", "embedding").coalesce(1)
+      .write.parquet(s"$root/in/chunk_2")
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*", schemaDDL = ddl),
+      st, Pa).awaitTermination()
+    val corpus = ContinuousIngest.readTable(spark, st.docsPath).localCheckpoint()
+    def assertSame(name: String, a: DataFrame, b: DataFrame): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name differs from the from-scratch twin")
+    assertSame("ivf_after_loop",
+      ContinuousIngest.readTable(spark, st.ivfPath),
+      Similarity.ivfAssign(corpus, q2.cents, idCol = "doc_id"))
+    assertSame("pq_after_loop",
+      ContinuousIngest.readTable(spark, st.pqPath),
+      Similarity.pqEncode(corpus, q2.books, idCol = "doc_id"))
+    assertSame("sem_after_loop",
+      ContinuousIngest.readTable(spark, st.semPath),
+      Similarity.semanticAssign(corpus, q2.semCents, ann.nAssign, idCol = "doc_id"))
+    // a crash replay of the post-rebuild batch is still a no-op
+    val before = Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
+      ContinuousIngest.readTable(spark, p).localCheckpoint())
+    ContinuousIngest.ingestBatch(
+      chunk2.toDF("doc_id", "text", "embedding"), 2L, st, Pa,
+      Some(ContinuousIngest.loadQuantizers(spark, st, ann)))
+    Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
+      ContinuousIngest.readTable(spark, p).localCheckpoint())
+      .zip(before).zip(Seq("ivf", "pq", "sem")).foreach {
+        case ((a, b), n) => assertSame(s"replay_$n", a, b)
+      }
+    // the monitor runs against the FRESH reference era (snapshot taken
+    // at rebuild time) and reports a well-formed TVD for the new batch
+    val tvdAfter = ContinuousIngest.indexDrift(spark, st)
+      .select("tvd").head().getDouble(0)
+    assert(tvdAfter >= 0.0 && tvdAfter <= 1.0,
+      s"post-rebuild snapshot drift implausible: $tvdAfter")
+  }
+
+  /** The deployment drift monitor must survive state compaction: the
+    * snapshot face (reference = persisted drift_base occupancy, recent
+    * = current counts minus snapshot) reports the IDENTICAL per-cell
+    * table before and after compactState collapses every batch id —
+    * while the batch-id era face run below the horizon fails loudly
+    * (empty reference era), which is exactly the wart the snapshot
+    * face exists to close. */
+  test("snapshot-face indexDrift is compaction-proof; era face below the horizon fails loudly") {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    def embShift(i: Long): Seq[Float] = emb(i).map(x => math.abs(x) + 1.0f)
+    val st = IngestState(s"$root/cp")
+    val boot = (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, ann)
+    ContinuousIngest.ingestBatch(
+      (1L to 15L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa, Some(quant))
+    val tvdStationary = ContinuousIngest.indexDrift(spark, st)
+      .select("tvd").head().getDouble(0)
+    ContinuousIngest.ingestBatch(
+      (1L to 15L).map(i => (3000L + i, text(3000L + i), embShift(3000L + i)))
+        .toDF("doc_id", "text", "embedding"), 1L, st, Pa, Some(quant))
+    val reportBefore = ContinuousIngest.indexDrift(spark, st)
+      .collect().map(_.toString).sorted.toSeq
+    val tvdShifted = ContinuousIngest.indexDrift(spark, st)
+      .select("tvd").head().getDouble(0)
+    assert(tvdShifted > tvdStationary,
+      s"planted shift did not raise snapshot-face drift: " +
+        s"$tvdStationary -> $tvdShifted")
+    // compact past the drift horizon: every committed id collapses
+    ContinuousIngest.compactState(spark, st, upToBatch = 1L,
+      targetRowsPerFile = 1000L)
+    val reportAfter = ContinuousIngest.indexDrift(spark, st)
+      .collect().map(_.toString).sorted.toSeq
+    assert(reportAfter == reportBefore,
+      "snapshot-face drift report changed across compaction")
+    // the ivf-table face of the same monitor also survives
+    val tvdIvf = ContinuousIngest.indexDrift(spark, st, table = "ivf")
+      .select("tvd").head().getDouble(0)
+    assert(tvdIvf >= 0.0 && tvdIvf <= 1.0, s"ivf snapshot drift: $tvdIvf")
+    // the era face under the collapsed horizon: loud empty-side error
+    val e = intercept[Throwable] {
+      ContinuousIngest.indexDriftSinceBatch(spark, st, sinceBatch = 1L)
+        .select("tvd").head()
+    }
+    assert(msgs(e).exists(_.contains("empty side")),
+      s"era face below the horizon should fail loudly, got: ${msgs(e)}")
   }
 }

@@ -213,5 +213,28 @@ class NightlyIngestSpec extends SparkSpec {
     val after = ContinuousIngest.readTable(spark, stA.docsPath)
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
       "stranded compaction tmp not recovered losslessly")
+
+    // mid-WRITE crash: a tmp WITHOUT the _SUCCESS commit marker is a
+    // partial write whose source partitions are all still intact —
+    // recovery must DISCARD it and leave the sources alone. Installing
+    // it (what id-only recovery would do: delete sources ≤ id, move
+    // the tmp in) would replace the only intact copy of the table with
+    // a partial one — permanent data loss.
+    val part2 = docsDir.listFiles().filter(_.getName.startsWith("batch="))
+      .maxBy(_.getName.stripPrefix("batch=").toLong)
+    val id2 = part2.getName.stripPrefix("batch=")
+    val partialTmp = new java.io.File(docsDir, s".compact_tmp_batch=$id2")
+    assert(partialTmp.mkdir(), "could not stage the partial tmp")
+    java.nio.file.Files.write(
+      new java.io.File(partialTmp, "part-00000.parquet").toPath,
+      Array[Byte](1, 2, 3)) // torn write: garbage bytes, no _SUCCESS
+    ContinuousIngest.compactState(spark, stA, upToBatch = 2L,
+      targetRowsPerFile = 1000L)
+    val afterPartial = ContinuousIngest.readTable(spark, stA.docsPath)
+    assert(afterPartial.exceptAll(before).isEmpty &&
+      before.exceptAll(afterPartial).isEmpty,
+      "an unmarked (mid-write-crash) compaction tmp corrupted the table")
+    assert(!docsDir.listFiles().exists(_.getName.startsWith(".compact_tmp")),
+      "partial compaction tmp not discarded on recovery")
   }
 }

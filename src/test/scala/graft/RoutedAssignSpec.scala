@@ -109,4 +109,88 @@ class RoutedAssignSpec extends SparkSpec {
     assert(plantedHit.toDouble >= 0.9 * nPlanted,
       s"routed face found $plantedHit of $nPlanted planted near-copy pairs")
   }
+
+  // ---- the BORDERLINE regime (the hard case fixed fan-out loses) ----
+
+  private val NB = 20000L
+  private val KB = (NB / 128L).toInt // 156 > RoutedClustersThreshold
+  private val BORDER_COS = 0.45
+
+  /** Isotropic dim-16 vectors with 2% planted BORDERLINE pairs:
+    * member = base + 1.9·noise ⇒ E[cos] ≈ 0.47 — far from the
+    * near-copy regime, members route nearly independently. */
+  private def genBorderline(n: Long): DataFrame = {
+    val base = when(pmod(col("id"), lit(50)) === 0 && col("id") > 0,
+      col("id") - 1).otherwise(col("id"))
+    val isCopy = col("id") =!= base
+    val vec = transform(sequence(lit(0), lit(15)), j =>
+      (((pmod(xxhash64(base, j, lit(SEED)), lit(2000L)).cast("double")
+        / 1000.0) - 1.0)
+        + when(isCopy,
+          lit(1.9) * ((pmod(xxhash64(col("id"), j, lit(SEED + 99)), lit(2000L))
+            .cast("double") / 1000.0) - 1.0)).otherwise(0.0))
+        .cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
+  private lazy val embsB = genBorderline(NB).localCheckpoint()
+
+  test("spilled tree: round trip lossless, replicas share ids, degeneration to flat still exact") {
+    val spill = Similarity.spillFor(BORDER_COS)
+    val ts = Similarity.hierarchicalCentroids(embsB, KB, spill = spill)
+    assert(ts.slots > ts.k, "borderline spill produced no replicas")
+    // distinct ids are still a 0..k-1 permutation; every replica's
+    // vector is byte-identical to its home copy (concat collapses)
+    assert(ts.childIds.flatten.toSet == (0 until ts.k).toSet,
+      "spilled tree's distinct global ids are not 0..k-1")
+    val back = Similarity.treeFromDF(Similarity.treeToDF(spark, ts))
+    assert(back.childIds.map(_.toSeq).toSeq == ts.childIds.map(_.toSeq).toSeq &&
+      back.childFlat.map(_.toSeq).toSeq == ts.childFlat.map(_.toSeq).toSeq,
+      "spilled tree drifted through the table round trip")
+    // full fan-out over the SPILLED tree still equals flat assignment
+    // on the deduplicated concat — the replica dedup keeps the
+    // degeneration law intact
+    val sub = embsB.where(col("vec_id") < 2000) // degeneration is O(N·k) — law holds per-row
+    val routed = Similarity.semanticAssignRouted(sub, ts,
+      nAssign = 3, nRoute = ts.coarse.length)
+    val flat = Similarity.semanticAssign(sub, ts.concat, nAssign = 3)
+    assert(routed.exceptAll(flat).isEmpty && flat.exceptAll(routed).isEmpty,
+      "full-fan-out assignment over a spilled tree differs from flat " +
+        "(replica dedup broken?)")
+  }
+
+  test("borderline floor: auto-routed product config recovers >=80% of flat pairs at ~2 average probes") {
+    // the exact configuration semanticNearDupPairs' auto-routed path
+    // uses at this threshold (spill + margin from the threshold)
+    val spill = Similarity.spillFor(BORDER_COS)
+    val margin = Similarity.routeMarginFor(BORDER_COS)
+    val ts = Similarity.hierarchicalCentroids(embsB, KB, spill = spill)
+    val routedPairs = Similarity.semanticPairsFromIndex(
+      Similarity.semanticAssignRoutedAdaptive(embsB, ts, nAssign = 3,
+        routeMargin = margin, minRoute = 2, maxRoute = 4),
+      BORDER_COS).select("a", "b").localCheckpoint()
+    val flatPairs = Similarity.semanticPairsFromIndex(
+      Similarity.semanticAssign(embsB, ts.concat, nAssign = 3),
+      BORDER_COS).select("a", "b").localCheckpoint()
+    val nFlat = flatPairs.count()
+    assert(nFlat > 1000, s"borderline fixture too sparse: $nFlat flat pairs")
+    val hit = routedPairs.join(flatPairs, Seq("a", "b"), "left_semi").count()
+    assert(hit.toDouble >= 0.8 * nFlat,
+      s"borderline recall $hit/$nFlat below the 0.8 floor — the " +
+        "spill+margin machinery regressed to the fixed-fan-out loss")
+    // cost side of the contract: the adaptive fan-out must STAY near
+    // 2 probes on average — recall bought by probing everything would
+    // be a silent cost regression, not a fix
+    val avgProbes = Similarity.routedProbeCounts(embsB, ts, margin,
+      minRoute = 2, maxRoute = 4)
+      .agg(avg("n_probes")).head().getDouble(0)
+    assert(avgProbes <= 2.75,
+      f"average probe count $avgProbes%.2f blew past ~2 — margin oversized")
+    // and the same config through the PRODUCT face end-to-end
+    val product = Similarity.semanticNearDupPairs(embsB, BORDER_COS,
+      nClusters = KB, nAssign = 3).select("a", "b")
+    val productHit = product.join(flatPairs, Seq("a", "b"), "left_semi").count()
+    assert(productHit.toDouble >= 0.8 * nFlat,
+      s"product-face borderline recall $productHit/$nFlat below 0.8")
+  }
 }
