@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   * line as the LAST print. BOTH lines carry the same "value"
   * semantics — the total over ALL queries that ran, checks included —
   * plus the decomposition `main_sec` (product queries) and
-  * `checks_sec` (the `check_*` invariant gates), and the protocol
+  * `checks_sec` (the `check_*` invariant gates; min-of-3, so largely
+  * scratch-cache-warm), `checks_cold_sec` (sum of each check's FIRST
+  * run in this JVM — what a cold validation pass actually costs, kept
+  * honest against per-JVM caching trims), and the protocol
   * tags `"agg":"min","runs":3`, so cross-round headline comparison is
   * self-describing. The driver captures only the final ~2000 chars of
   * stdout, so the line must fit that window whole: sbt's "[success]"
@@ -76,23 +79,32 @@ object Bench {
       }
       val times = Seq(once(), once(), once())
       spark.sharedState.cacheManager.clearCache()
-      (name, times.min)
+      (name, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     // a failing query fails FAST — summing its time would make a
     // breakage read as a speedup, so the headline total counts only
     // queries that ran (the errors list flags the rest)
-    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val total = results.collect { case (k, v) if !failed(k) => v.min }.sum
     val mainTotal = results.collect {
-      case (k, v) if !failed(k) && !k.startsWith("check_") => v }.sum
+      case (k, v) if !failed(k) && !k.startsWith("check_") => v.min }.sum
     val checksTotal = results.collect {
-      case (k, v) if !failed(k) && k.startsWith("check_") => v }.sum
+      case (k, v) if !failed(k) && k.startsWith("check_") => v.min }.sum
+    // the honest COLD cost of a validation pass: several checks ride
+    // the per-JVM scratch/quantizer caches, so their min-of-3 mostly
+    // measures cache warmth — the FIRST run of each check in this JVM
+    // is the one that actually built its inputs (in this alphabetical
+    // order; later checks legitimately reuse earlier checks' scratch,
+    // exactly like a real cold validation run would)
+    val checksCold = results.collect {
+      case (k, v) if !failed(k) && k.startsWith("check_") => v.head }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "errors" lists queries whose execution threw (timings for those
     // are meaningless and excluded from the totals)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","main_sec":$mainTotal,""" +
-      s""""checks_sec":$checksTotal,"runs":3,"errors":$errs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s""""checks_sec":$checksTotal,"checks_cold_sec":$checksCold,""" +
+      s""""runs":3,"errors":$errs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // full-fidelity JSON to a file (survives any stdout framing)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
@@ -111,11 +123,12 @@ object Bench {
     val errsPart = if (failed.isEmpty) "" else s""""errors":$errs,"""
     val sfName = new java.io.File(sfDir).getName
     def stdoutLine(withUnit: Boolean, decimals: Int): String = {
-      val qsCompact = mainQ.map { case (k, v) => "\"" + k + "\":" + rd(v, decimals) }
+      val qsCompact = mainQ.map { case (k, v) => "\"" + k + "\":" + rd(v.min, decimals) }
         .mkString("{", ",", "}")
       val unitPart = if (withUnit) """"unit":"sec",""" else ""
       s"""{"metric":"total","value":${rd(total, 2)},$unitPart""" +
         s""""main_sec":${rd(mainTotal, 2)},"checks_sec":${rd(checksTotal, 2)},""" +
+        s""""checks_cold_sec":${rd(checksCold, 2)},""" +
         s""""agg":"min","runs":3,${errsPart}"queries":$qsCompact,"sf":"$sfName"}"""
     }
     // adaptive stages: drop the unit tag (values are always seconds) →

@@ -48,6 +48,8 @@ object Native {
         exprs => PqAdc(exprs(0), exprs(1)), "internal")
       reg.createOrReplaceTempFunction("graft_pq_adc_topk",
         exprs => PqAdcTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "internal")
+      reg.createOrReplaceTempFunction("graft_dot_topk",
+        exprs => DotTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "internal")
     }
   }
 
@@ -113,6 +115,23 @@ object Native {
                       lut: Column, k: Int): Column = {
     register(spark)
     call_function("graft_pq_adc_topk", packed, ids, lut,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Whole-inverted-list EXACT scan — [[pqAdcTopKNative]]'s float
+    * twin: the top-k `(nn_id, cos)` of one packed list's unit vectors
+    * (dim doubles each, concatenated) against one query vector, one
+    * expression call per (query, list-segment) row. Replaces the
+    * 1-row-per-candidate equi-join in exact IVF search, whose
+    * dominant cost at embedding dims is copying 2·dim doubles of join
+    * row per candidate, not the dot itself. Same summation order as
+    * [[dotNative]] (component-ascending product-sum), same
+    * (cos desc, nn_id asc) order as every ranking face — answers are
+    * byte-identical to the join formulation. See [[DotTopK]]. */
+  def dotTopKNative(spark: SparkSession, packed: Column, ids: Column,
+                    query: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_dot_topk", packed, ids, query,
       org.apache.spark.sql.functions.lit(k))
   }
 
@@ -339,6 +358,113 @@ object PqAdcTopK {
       }
       if (ids.isNullAt(i)) throw new IllegalArgumentException(
         s"graft_pq_adc_topk: null id at position $i")
+      val id = ids.getLong(i)
+      if (filled < kk) {
+        outIds(filled) = id; outSc(filled) = s
+        filled += 1
+        if (filled == kk) { // settle the worst slot once the bound fills
+          var w = 0; var t = 1
+          while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
+          worst = w
+        }
+      } else if (beats(s, id, outSc(worst), outIds(worst))) {
+        outIds(worst) = id; outSc(worst) = s
+        var w = 0; var t = 1
+        while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
+        worst = w
+      }
+      i += 1
+    }
+    val order = Array.range(0, filled).sortWith { (a, b) =>
+      beats(outSc(a), outIds(a), outSc(b), outIds(b))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(ix => org.apache.spark.sql.catalyst.InternalRow(
+        outIds(ix), outSc(ix)): Any))
+  }
+}
+
+/** Exact-dot inverted-list scan: top-k `(nn_id, cos)` of one packed
+  * list segment (`ids(i)`'s unit vector at `packed[i·dim, (i+1)·dim)`)
+  * against one query vector — the float twin of [[PqAdcTopK]], same
+  * bounded top-k skeleton, same shared (cos desc, nn_id asc) order
+  * ([[TopKByCosAgg.beats]]), same loud guards on layout mismatches.
+  * Dots accumulate component-ascending like [[DotProduct]], so the
+  * scores (and every tie) are bit-identical to the join formulation
+  * it replaces. Codegen delegates to [[DotTopK.scan]]. */
+case class DotTopK(first: Expression, second: Expression,
+                   third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isA(dt: DataType, et: DataType) =
+      dt match { case ArrayType(`et`, _) => true; case _ => false }
+    val ok = isA(first.dataType, DoubleType) && isA(second.dataType, LongType) &&
+      isA(third.dataType, DoubleType) &&
+      fourth.foldable && fourth.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_topk expects (array<double>, array<bigint>, array<double>, int literal), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("nn_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_dot_topk"
+
+  @transient private lazy val k: Int = fourth.eval().asInstanceOf[Int]
+
+  def scan(packedAny: Any, idsAny: Any, qAny: Any): ArrayData =
+    DotTopK.scan(packedAny.asInstanceOf[ArrayData],
+      idsAny.asInstanceOf[ArrayData], qAny.asInstanceOf[ArrayData], k)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = scan(a, b, c)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotTopK", this, classOf[DotTopK].getName)
+    nullSafeCodeGen(ctx, ev, (packed, ids, q, _) =>
+      s"${ev.value} = $ref.scan($packed, $ids, $q);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object DotTopK {
+  // the shared (cos desc, nn_id asc) total order — one definition
+  // with the scan's merge aggregator, so ties can never disagree
+  private def beats(sA: Double, iA: Long, sB: Double, iB: Long): Boolean =
+    TopKByCosAgg.beats(sA, iA, sB, iB)
+
+  def scan(packed: ArrayData, ids: ArrayData, q: ArrayData, k: Int): ArrayData = {
+    val n = ids.numElements()
+    val dim = q.numElements()
+    if (n == 0) {
+      if (packed.numElements() != 0) throw new IllegalArgumentException(
+        s"graft_dot_topk: ${packed.numElements()} packed doubles with an empty id array")
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    }
+    if (k <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (dim == 0 || packed.numElements() != n.toLong * dim)
+      throw new IllegalArgumentException(
+        s"graft_dot_topk: packed length ${packed.numElements()} != $n ids x dim $dim " +
+          "— data/query dim mismatch")
+    val kk = math.min(k, n)
+    val outIds = new Array[Long](kk)
+    val outSc = new Array[Double](kk)
+    var filled = 0
+    var worst = 0
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      val off = i * dim
+      var j = 0
+      while (j < dim) { s += q.getDouble(j) * packed.getDouble(off + j); j += 1 }
+      if (ids.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_dot_topk: null id at position $i")
       val id = ids.getLong(i)
       if (filled < kk) {
         outIds(filled) = id; outSc(filled) = s

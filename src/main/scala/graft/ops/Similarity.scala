@@ -121,13 +121,43 @@ object Similarity {
     * sizing; nlistFor's IVF cap is far below); past that, per-cell
     * anchoring thins gracefully toward 1 sample/cell at k = 2¹⁸ —
     * the flat-2048 degeneracy pushed out 128×. Corpora beyond it
-    * should train the tree's SECOND level distributedly (per-coarse-
-    * cell FFT over each cell's own partition — a mapPartitions over
-    * the routed sample, not driver work); this library's sizing
-    * rules don't reach that regime on the fixtures it certifies. */
+    * train the tree's SECOND level distributedly —
+    * [[hierarchicalCentroids]] auto-delegates to
+    * [[hierarchicalCentroidsDistributed]] (per-coarse-cell FFT on the
+    * executors over the full-size routed sample) whenever the desired
+    * Θ(k) sample exceeds this cap or the byte budget below, so the
+    * anchoring never thins silently. */
   def trainSampleFor(k: Int, sampleSize: Int = 0): Int =
     if (sampleSize > 0) sampleSize
     else math.min(1 << 18, math.max(2048, 8 * k))
+
+  /** Driver-collect budget for quantizer-training samples: 256 MiB of
+    * packed doubles. The 2¹⁸ cap above is ROW-based — honest at the
+    * fixture dims (16–64), but at dim 1024 those rows are ≈ 2 GiB on
+    * the driver — so the effective sample is additionally capped at
+    * `budget / (dim·8)` rows ([[cappedTrainRows]]): the guard follows
+    * bytes, the thing the driver actually runs out of. */
+  val TrainSampleByteBudget: Long = 256L << 20
+
+  /** The effective driver-collected training-sample row count:
+    * explicit when given, else [[trainSampleFor]]'s row cap tightened
+    * by the byte budget for the corpus' ACTUAL vector dim (peeked
+    * from one row — skipped below 2048 rows, where even dim 16384
+    * stays inside the budget). Floor 1024 keeps a degenerate
+    * high-dim corpus trainable at all. */
+  private def cappedTrainRows(embs: DataFrame, k: Int, sampleSize: Int,
+                              vecCol: String): Int =
+    if (sampleSize > 0) sampleSize
+    else {
+      val want = trainSampleFor(k, 0)
+      if (want <= 2048) want
+      else {
+        val dim = embs.select(size(col(vecCol)).as("d")).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(1)
+        math.max(1024, math.min(want,
+          (TrainSampleByteBudget / (math.max(1, dim).toLong * 8L)).toInt))
+      }
+    }
 
   /** Coarse quantizer shared by IVF and k-center: FFT centroids over a
     * deterministic driver-sized sample (sorted by id) of the normalized
@@ -138,7 +168,7 @@ object Similarity {
   def ivfCentroids(embs: DataFrame, nlist: Int, sampleSize: Int = 0,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val sample = normalized(embs, idCol, vecCol, "id", "v")
-      .orderBy("id").limit(trainSampleFor(nlist, sampleSize))
+      .orderBy("id").limit(cappedTrainRows(embs, nlist, sampleSize, vecCol))
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     graft.ops.Fft.seqFFTVec(sample, nlist)
   }
@@ -200,12 +230,38 @@ object Similarity {
 
   /** ANN search against a MAINTAINED assignment table ([[ivfAssign]]
     * output, typically parquet-loaded): queries probe their `nprobe`
-    * nearest lists and join the stored inverted lists — the corpus
+    * nearest lists and scan the stored inverted lists — the corpus
     * embeddings are never touched at query time. [[annIvf]] is this
-    * over a freshly-built index, so the two faces cannot drift. */
+    * over a freshly-built index, so the two faces cannot drift.
+    *
+    * The scan is the FAISS-style packed-list loop ([[annIvfPqFromIndex]]'s
+    * round-12 trick applied to the raw floats): each inverted list is
+    * packed ONCE into ≤ `segSize`-entry segments (ids in nn_id order
+    * beside their concatenated unit vectors), and one
+    * [[graft.functions.DotTopK]] call per (query, segment) row keeps
+    * the segment's best k+1 in a bounded loop. The 1-row-per-candidate
+    * equi-join it replaces paid ~2·dim doubles of join-row copy per
+    * candidate, and that copy cost scales with dim while the packed
+    * scan's overhead doesn't: measured A/B at 200k–500k vectors,
+    * packed is ≈ break-even at dim 16–64 (−13% to +14%) and 1.7×
+    * faster at dim 256 — the production-embedding regime this face is
+    * sized for. Per-query merge is the same shared-
+    * order [[graft.functions.MergeTopKAgg]]; k+1 so a self-hit cannot
+    * cost a slot; answers (ids, ranks, every tie) are byte-identical
+    * to the join formulation (same summation order as [[dotNative]],
+    * same (cos desc, nn_id asc) total order — ScaleOpsSpec pins the
+    * full-fan-out degeneration to brute force, and the A/B harness
+    * verified multiset equality at every measured scale).
+    *
+    * UNLIKE the PQ face, the packed side is corpus-sized (dim·8 B per
+    * vector, not m bytes) — it is NEVER broadcast; both sides shuffle
+    * on `list` and each list's segments stay co-located. `segSize`
+    * bounds a segment row at dim·8·segSize bytes (4 MiB at dim 64) —
+    * the hot-cell skew guard; lower it for very high dims. */
   def annIvfFromIndex(index: DataFrame, queries: DataFrame,
                       k: Int, nprobe: Int, centroids: Array[Array[Double]],
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      segSize: Int = 1 << 13): DataFrame = {
     val spark = queries.sparkSession
     val flat = lit(centroids.flatten)
     val probe = normalized(queries, idCol, vecCol, "id", "v")
@@ -213,11 +269,26 @@ object Similarity {
       .select(col("id").as("vec_id"), col("v").as("va"),
         explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
           .getField("list")).as("list"))
-    val scored = probe.join(index, Seq("list"))
-      .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
-        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
-    topKByCos(scored, k)
+    val segW = org.apache.spark.sql.expressions.Window
+      .partitionBy("list").orderBy("nn_id")
+    val packed = index
+      .withColumn("_seg", ((row_number().over(segW) - 1) / segSize).cast("int"))
+      .groupBy("list", "_seg").agg(
+        array_sort(collect_list(struct(col("nn_id"), col("vb")))).as("ent"))
+      .select(col("list"),
+        transform(col("ent"), e => e.getField("nn_id")).as("ids"),
+        flatten(transform(col("ent"), e => e.getField("vb"))).as("packed"))
+    val perSeg = probe.join(packed, Seq("list"))
+      .select(col("vec_id"),
+        graft.functions.Native.dotTopKNative(spark, col("packed"),
+          col("ids"), col("va"), k + 1).as("tk"))
+    val mergeTop = udaf(new graft.functions.MergeTopKAgg(k + 1))
+    perSeg.groupBy("vec_id").agg(mergeTop(col("tk")).as("cand"))
+      .select(col("vec_id"),
+        posexplode(slice(filter(col("cand"),
+          e => e.getField("nn_id") =!= col("vec_id")), 1, k)))
+      .select(col("vec_id"), col("col").getField("nn_id").as("nn_id"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer — k-center centroids
@@ -277,7 +348,8 @@ object Similarity {
   def kcenterSampleRadius(embs: DataFrame, k: Int, sampleSize: Int = 0,
                           idCol: String = "vec_id", vecCol: String = "embedding"): (Array[Long], Double) = {
     val rows = normalized(embs, idCol, vecCol, "id", "v")
-      .orderBy("id").limit(trainSampleFor(k, sampleSize)).select("id", "v").collect()
+      .orderBy("id").limit(cappedTrainRows(embs, k, sampleSize, vecCol))
+      .select("id", "v").collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Double](1).toArray)
     val centroids = graft.ops.Fft.seqFFTVec(vecs, k)
@@ -503,35 +575,56 @@ object Similarity {
                             spill: Double = 0.0): CentroidTree = {
     require(k >= 1, s"k=$k must be positive")
     require(spill >= 0.0, s"spill=$spill must be >= 0")
+    // past the driver caps the Θ(k) anchoring sample can no longer be
+    // collected — hand the level-2 training to the executors instead
+    // of silently thinning per-cell anchoring toward 1 sample/cell
+    val desired = if (sampleSize > 0) sampleSize else math.max(2048, 8 * k)
+    if (sampleSize == 0 && desired > cappedTrainRows(embs, k, 0, vecCol))
+      return hierarchicalCentroidsDistributed(embs, k,
+        childSampleSize = desired, idCol = idCol, vecCol = vecCol,
+        spill = spill)
     val sample = normalized(embs, idCol, vecCol, "id", "v")
-      .orderBy("id").limit(trainSampleFor(k, sampleSize))
+      .orderBy("id").limit(cappedTrainRows(embs, k, sampleSize, vecCol))
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "hierarchicalCentroids: empty corpus")
     val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarse = graft.ops.Fft.seqFFTVec(sample, nCoarse)
-    def dSq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     val byCell = Array.fill(coarse.length)(
       scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-    sample.foreach { v =>
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < coarse.length) {
-        val d = dSq(v, coarse(c))
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      byCell(best) += v
+    sample.foreach(v => byCell(routeCellMinDist(coarse, v)) += v)
+    applySpill(assembleTree(coarse,
+      byCell.map(_.toArray), sample.length.toLong, k), spill)
+  }
+
+  /** Nearest coarse cell by EXACT min-distance with first-index wins —
+    * the one routing definition shared by the driver and distributed
+    * tree builds, so the two can be equality-law'd against each
+    * other (dot-based routing rounds differently on near-ties). */
+  private def routeCellMinDist(coarse: Array[Array[Double]],
+                               v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < coarse.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - coarse(c)(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
     }
-    // EMPTY coarse cells (possible only when duplicate sample points
-    // become duplicate FFT centroids — the earlier index absorbs all
-    // assignments) are PRUNED from the tree entirely: a retained
-    // childless cell would make routing a dead end, and a vector
-    // whose nRoute probes all landed on dead ends would silently
-    // vanish from the assignment — so the invariant is structural:
-    // every coarse cell a probe can hit has ≥ 1 child.
+    best
+  }
+
+  /** Level-2 assembly shared by the driver and distributed builds:
+    * EMPTY coarse cells (possible only when duplicate sample points
+    * become duplicate FFT centroids — the earlier index absorbs all
+    * assignments) are PRUNED from the tree entirely: a retained
+    * childless cell would make routing a dead end, and a vector
+    * whose nRoute probes all landed on dead ends would silently
+    * vanish from the assignment — so the invariant is structural:
+    * every coarse cell a probe can hit has ≥ 1 child. Per-cell child
+    * counts ∝ occupancy (≥ 1); global ids run consecutively over the
+    * kept cells in coarse order. */
+  private def assembleTree(coarse: Array[Array[Double]],
+                           byCell: Array[Array[Array[Double]]],
+                           total: Long, k: Int): CentroidTree = {
     val kept = coarse.indices.filter(c => byCell(c).nonEmpty)
     val prunedCoarse = kept.map(coarse(_)).toArray
     val childIds = new Array[Array[Int]](kept.length)
@@ -539,29 +632,32 @@ object Similarity {
     var nextId = 0
     var ci = 0
     while (ci < kept.length) {
-      val pts = byCell(kept(ci)).toArray
-      // child count ∝ occupancy, ≥ 1 for any non-empty cell
-      val kc = math.max(1, math.round(k.toDouble * pts.length / sample.length).toInt)
+      val pts = byCell(kept(ci))
+      val kc = math.max(1, math.round(k.toDouble * pts.length / total).toInt)
       val kids = graft.ops.Fft.seqFFTVec(pts, kc)
       childIds(ci) = Array.tabulate(kids.length)(j => nextId + j)
       childFlat(ci) = kids.flatten
       nextId += kids.length
       ci += 1
     }
-    if (spill <= 0.0)
-      CentroidTree(prunedCoarse, childIds, childFlat)
+    CentroidTree(prunedCoarse, childIds, childFlat)
+  }
+
+  /** CHILD SPILL (the spill-tree idea applied at BUILD time): a
+    * child centroid sitting near a coarse Voronoi boundary is
+    * REPLICATED — same global id, same vector — into every other
+    * coarse cell whose centroid dot is within `spill` of its
+    * parent's, so a query probing only its own best cell still
+    * sees the boundary children of the neighbors. This moves the
+    * borderline-pair recall cost from QUERY fan-out (every vector
+    * pays nRoute probes forever) to TREE size (metadata, built
+    * once): probe counts stay at nRoute while the straddled-
+    * boundary children — exactly the ones borderline pairs share —
+    * become visible from both sides of the boundary. */
+  private def applySpill(tree: CentroidTree, spill: Double): CentroidTree =
+    if (spill <= 0.0) tree
     else {
-      // CHILD SPILL (the spill-tree idea applied at BUILD time): a
-      // child centroid sitting near a coarse Voronoi boundary is
-      // REPLICATED — same global id, same vector — into every other
-      // coarse cell whose centroid dot is within `spill` of its
-      // parent's, so a query probing only its own best cell still
-      // sees the boundary children of the neighbors. This moves the
-      // borderline-pair recall cost from QUERY fan-out (every vector
-      // pays nRoute probes forever) to TREE size (metadata, built
-      // once): probe counts stay at nRoute while the straddled-
-      // boundary children — exactly the ones borderline pairs share —
-      // become visible from both sides of the boundary.
+      val CentroidTree(prunedCoarse, childIds, childFlat) = tree
       val dim = prunedCoarse.head.length
       def dot(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var i = 0
@@ -595,6 +691,80 @@ object Similarity {
       CentroidTree(prunedCoarse,
         sorted.map(_.map(_._1)), sorted.map(_.flatMap(_._2)))
     }
+
+  /** The DISTRIBUTED second-level build — for cell counts whose Θ(k)
+    * anchoring sample no longer fits the driver caps
+    * ([[cappedTrainRows]]): the coarse level still trains on a small
+    * driver sample (√k cells need Θ(√k) rows), but the level-2 sample
+    * is routed to its coarse cell on the EXECUTORS and each cell's
+    * children FFT-train inside a typed map over the grouped cells —
+    * the driver only ever collects the finished centroids (k·dim
+    * doubles, metadata). Per-task memory is one cell's sample slice
+    * (≈ sample/√k rows), so the anchoring quality no longer degrades
+    * past the driver budget.
+    *
+    * Same routing arithmetic ([[routeCellMinDist]]), same id-ordered
+    * per-cell point order (`sort_array` == the driver's globally
+    * id-sorted insertion order), same occupancy-proportional child
+    * counts and id assembly — so with `coarseSampleSize ==
+    * childSampleSize` under the caps this equals
+    * [[hierarchicalCentroids]] EXACTLY (the RoutedAssignSpec law);
+    * past the caps it is the same algorithm with an honest sample.
+    * [[hierarchicalCentroids]] auto-delegates here when its desired
+    * sample exceeds the caps, so callers never pick a face. */
+  def hierarchicalCentroidsDistributed(embs: DataFrame, k: Int,
+                                       coarseSampleSize: Int = 0,
+                                       childSampleSize: Int = 0,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding",
+                                       spill: Double = 0.0): CentroidTree = {
+    require(k >= 1, s"k=$k must be positive")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val norm = normalized(embs, idCol, vecCol, "id", "v")
+    val cS =
+      if (coarseSampleSize > 0) coarseSampleSize
+      else cappedTrainRows(embs, nCoarse, 0, vecCol)
+    val coarseSample = norm.orderBy("id").limit(cS)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(coarseSample.nonEmpty, "hierarchicalCentroidsDistributed: empty corpus")
+    val coarse = graft.ops.Fft.seqFFTVec(coarseSample, nCoarse)
+    val chS =
+      if (childSampleSize > 0) childSampleSize
+      else math.max(2048, 8 * k)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val routed = norm.orderBy("id").limit(chS)
+      .select(col("id"), col("v")).as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        (routeCellMinDist(bcCoarse.value, v.toArray), id, v) }
+      .toDF("cell", "id", "v")
+    val total = routed.count()
+    val perCell = routed.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("pts"))
+      .as[(Int, Seq[(Long, Seq[Double])])]
+      .map { case (cell, pts) =>
+        val arr = pts.map(_._2.toArray).toArray
+        val kc = math.max(1, math.round(k.toDouble * arr.length / total).toInt)
+        (cell, graft.ops.Fft.seqFFTVec(arr, kc).map(_.toSeq).toSeq)
+      }
+      .collect().sortBy(_._1)
+    // assemble with the shared layout: kept cells in coarse order,
+    // global ids consecutive per cell (assembleTree's contract, with
+    // the per-cell FFT already done on the executors)
+    val prunedCoarse = perCell.map(p => coarse(p._1))
+    val childIds = new Array[Array[Int]](perCell.length)
+    val childFlat = new Array[Array[Double]](perCell.length)
+    var nextId = 0
+    var ci = 0
+    while (ci < perCell.length) {
+      val kids = perCell(ci)._2
+      childIds(ci) = Array.tabulate(kids.length)(j => nextId + j)
+      childFlat(ci) = kids.flatten.toArray
+      nextId += kids.length
+      ci += 1
+    }
+    applySpill(CentroidTree(prunedCoarse, childIds, childFlat), spill)
   }
 
   /** Routed spill assignment under a [[CentroidTree]] — the scale

@@ -69,16 +69,31 @@ object CheckQueries extends QueryPack {
     // check-then-build, NOT computeIfAbsent: a wrapped check's build
     // may itself scratch-materialize its inputs (check_semantic_routed
     // → semdedup_exact), and a nested computeIfAbsent on the same map
-    // throws "Recursive update". A racing double build writes the same
-    // deterministic rows twice — harmless.
+    // throws "Recursive update". Each builder writes its own UNIQUE
+    // dir and publishes it via putIfAbsent — the loser of a racing
+    // double build discards its copy and reads the winner's, so no
+    // path is ever overwritten (a shared-path overwrite would delete
+    // parquet another thread may already be reading). Rows are
+    // deterministic, so either copy is the same table.
     val k = s"$d#$key"
-    val path = Option(scratchPaths.get(k)).getOrElse {
-      val p = s"$checkScratch/${Integer.toHexString(d.hashCode)}_$key"
-      build.write.mode("overwrite").parquet(p)
-      scratchPaths.putIfAbsent(k, p)
-      p
+    Option(scratchPaths.get(k)) match {
+      case Some(p) => s.read.parquet(p)
+      case None =>
+        val mine = s"$checkScratch/${Integer.toHexString(d.hashCode)}_${key}_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        build.write.mode("overwrite").parquet(mine)
+        val winner = Option(scratchPaths.putIfAbsent(k, mine)).getOrElse(mine)
+        if (winner != mine) {
+          // lost the race: nobody can have read `mine` (it was never
+          // published), so deleting it is safe
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          try Files.walk(Path.of(mine)).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          catch { case _: Throwable => () }
+        }
+        s.read.parquet(winner)
     }
-    s.read.parquet(path)
   }
 
   /** Trained quantizers memoized per (JVM, sf dir, params) — the

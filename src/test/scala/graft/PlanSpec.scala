@@ -96,7 +96,14 @@ class PlanSpec extends SparkSpec {
     assert(!kc.contains("posexplode"), "centroid assignment must not explode the centroid array")
     val ivf = plan(graft.ops.Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4))
     assert(ivf.contains("graft_top_dot"), ivf.take(800))
-    assert(!ivf.contains("Window"), "k=1 IVF must rank via max_by, not a window")
+    // round 13: exact IVF search scans PACKED list segments (one
+    // graft_dot_topk call per (query, segment) row + shared-order
+    // merge) instead of a 1-row-per-candidate join — the IVFADC trick
+    // on raw floats. The remaining Window is the per-list segmenter
+    // over INDEX rows (already hash-partitioned by list), not a
+    // per-candidate rank window.
+    assert(ivf.contains("graft_dot_topk"),
+      "packed-list scan missing — per-candidate scoring join is back")
     assert(!ivf.contains("InMemoryRelation"), "IVF must not cache the assignment table")
   }
 

@@ -110,6 +110,43 @@ class RoutedAssignSpec extends SparkSpec {
       s"routed face found $plantedHit of $nPlanted planted near-copy pairs")
   }
 
+  test("distributed level-2 training == driver build under the caps; past-cap auto-delegation stays sound") {
+    def sameTree(a: Similarity.CentroidTree, b: Similarity.CentroidTree,
+                 what: String): Unit = {
+      assert(a.coarse.map(_.toSeq).toSeq == b.coarse.map(_.toSeq).toSeq,
+        s"$what: coarse levels differ")
+      assert(a.childIds.map(_.toSeq).toSeq == b.childIds.map(_.toSeq).toSeq,
+        s"$what: child id layouts differ")
+      assert(a.childFlat.map(_.toSeq).toSeq == b.childFlat.map(_.toSeq).toSeq,
+        s"$what: child centroids differ")
+    }
+    // defaults resolve to the same 2048-row sample for both faces at
+    // this k — the distributed build must be EXACTLY the driver build
+    // (same routing arithmetic, same per-cell point order, same
+    // occupancy-proportional child counts, same id assembly)
+    sameTree(Similarity.hierarchicalCentroidsDistributed(embs, K), tree,
+      "defaults")
+    // explicit equal sub-cap samples, with spill riding along
+    val s = 1200
+    sameTree(
+      Similarity.hierarchicalCentroidsDistributed(embs, K,
+        coarseSampleSize = s, childSampleSize = s, spill = 0.2),
+      Similarity.hierarchicalCentroids(embs, K, sampleSize = s, spill = 0.2),
+      "explicit sample 1200 + spill")
+    // past the 2^18 row cap (8k > 2^18) the driver face auto-delegates
+    // to the executor-side build and the tree stays structurally sound
+    // on this (much smaller) corpus: dense distinct ids, no childless
+    // cell, and every vector still assigns through it
+    val big = Similarity.hierarchicalCentroids(embs, 40000)
+    assert(big.childIds.flatten.toSet == (0 until big.k).toSet,
+      "past-cap tree's global ids are not dense")
+    assert(big.childIds.forall(_.nonEmpty),
+      "past-cap tree has a childless coarse cell")
+    val assigned = Similarity.semanticAssignRouted(embs, big,
+      nAssign = 1, nRoute = 1).select("id").distinct().count()
+    assert(assigned == N, s"past-cap tree dropped vectors: $assigned of $N")
+  }
+
   // ---- the BORDERLINE regime (the hard case fixed fan-out loses) ----
 
   private val NB = 20000L
