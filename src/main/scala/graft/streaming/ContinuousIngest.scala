@@ -112,12 +112,21 @@ object ContinuousIngest {
     * `None` shares the IVF quantizer (fine for small deployments).
     * `sampleSize = 0` (the default) auto-scales each quantizer's
     * training sample with its own cell count
-    * ([[graft.ops.Similarity.trainSampleFor]]). */
+    * ([[graft.ops.Similarity.trainSampleFor]]).
+    *
+    * `semSpill` > 0 builds the routed semantic tree with CHILD SPILL
+    * ([[graft.ops.Similarity.hierarchicalCentroids]]) — size it with
+    * [[graft.ops.Similarity.spillFor]] at the deployment's dedup
+    * threshold so the MAINTAINED routed index keeps borderline-pair
+    * recall, not just the one-shot product face. Quantizer identity
+    * includes the spill (the tree persists replicas), so append ==
+    * rebuild is unchanged. */
   final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
                              nAssign: Int = 3, sampleSize: Int = 0,
                              vecCol: String = "embedding",
                              semClusters: Option[Int] = None,
-                             semNRoute: Int = 2)
+                             semNRoute: Int = 2,
+                             semSpill: Double = 0.0)
 
   /** A `semClusters` above [[graft.ops.Similarity.RoutedClustersThreshold]]
     * maintains the semantic table under the two-level
@@ -237,7 +246,7 @@ object ContinuousIngest {
     val tree = a.semClusters match {
       case Some(nc) if semRouted(a) =>
         val t = Similarity.hierarchicalCentroids(corpus, nc, a.sampleSize,
-          idCol = "doc_id", vecCol = a.vecCol)
+          idCol = "doc_id", vecCol = a.vecCol, spill = a.semSpill)
         Similarity.treeToDF(spark, t)
           .write.mode("overwrite").parquet(st.semTreePath)
         Some(t)

@@ -214,8 +214,11 @@ class ContinuousIngestSpec extends SparkSpec {
     import graft.ops.Similarity
     import graft.streaming.ContinuousIngest.AnnParams
     val root = freshRoot()
+    // > RoutedClustersThreshold (64); semSpill exercises the SPILLED
+    // maintained tree — replicas persist in the tree table and the
+    // append == rebuild law must hold through the replica dedup
     val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2,
-      semClusters = Some(80)) // > RoutedClustersThreshold (64)
+      semClusters = Some(80), semSpill = 0.2)
     val Pa = P.copy(ann = Some(ann))
     def emb(i: Long): Seq[Float] =
       (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
