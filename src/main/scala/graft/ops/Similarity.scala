@@ -256,13 +256,18 @@ object Similarity {
     * UNLIKE the PQ face, the packed side is corpus-sized (dim·8 B per
     * vector, not m bytes) — it is NEVER broadcast; both sides shuffle
     * on `list` and each list's segments stay co-located. `segSize`
-    * bounds a segment row at dim·8·segSize bytes (4 MiB at dim 64) —
-    * the hot-cell skew guard; lower it for very high dims. */
+    * bounds a segment row at dim·8·segSize bytes — the hot-cell skew
+    * guard; the default 0 auto-sizes it to ≈ 4 MiB rows from the
+    * centroid dim (8Ki entries at dim 64, 512 at dim 1024), so high
+    * dims can't silently blow a row past task-memory limits. */
   def annIvfFromIndex(index: DataFrame, queries: DataFrame,
                       k: Int, nprobe: Int, centroids: Array[Array[Double]],
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      segSize: Int = 1 << 13): DataFrame = {
+                      segSize: Int = 0): DataFrame = {
     val spark = queries.sparkSession
+    val effSeg =
+      if (segSize > 0) segSize
+      else math.max(256, (1 << 22) / (math.max(1, centroids.head.length) * 8))
     val flat = lit(centroids.flatten)
     val probe = normalized(queries, idCol, vecCol, "id", "v")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -272,7 +277,7 @@ object Similarity {
     val segW = org.apache.spark.sql.expressions.Window
       .partitionBy("list").orderBy("nn_id")
     val packed = index
-      .withColumn("_seg", ((row_number().over(segW) - 1) / segSize).cast("int"))
+      .withColumn("_seg", ((row_number().over(segW) - 1) / effSeg).cast("int"))
       .groupBy("list", "_seg").agg(
         array_sort(collect_list(struct(col("nn_id"), col("vb")))).as("ent"))
       .select(col("list"),
@@ -813,10 +818,16 @@ object Similarity {
     * dim-16 fixture (20k–80k vectors, k = N/128, 2% planted
     * borderline pairs) and the sf0.1 embeddings at t = 0.45, tree
     * spill 0.4·(1−t) ≈ 0.22 with 2 average probes recovers 0.82–0.94
-    * of the flat face's pairs (vs 0.30–0.54 unspilled fixed-2), at a
-    * 3.7–5.2× child-slot inflation that keeps routed assignment ≈ 2×
-    * cheaper than flat and shrinking relative to flat as k grows —
-    * the RoutedAssignSpec borderline floor pins ≥ 0.8. */
+    * of the flat face's pairs (vs 0.30–0.54 unspilled fixed-2). The
+    * cost is child-slot inflation, and it GROWS with the coarse-cell
+    * count at a fixed margin (measured ×3.7 / ×5.2 / ×7.0 at 13 / 25 /
+    * 40 cells — each child replicates into a shrinking FRACTION but a
+    * slowly growing number of cells), so the routed advantage over
+    * flat is √k / (nRoute·inflation) — still diverging, but watch the
+    * constant at very large k. At real SemDeDup thresholds (t = 0.9,
+    * spill 0.04) inflation is ×1.7 and the concern is moot — the
+    * RoutedAssignSpec borderline floor pins ≥ 0.8 recall and the
+    * ≤ 2.75 average probes. */
   def spillFor(minCosine: Double): Double =
     0.4 * math.max(0.0, 1.0 - minCosine)
 
