@@ -311,13 +311,45 @@ case class PqAdcTopK(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
-object PqAdcTopK {
-  // the ONE definition of the (cos desc, nn_id asc) total order —
-  // shared with the merge aggregator so the packed-list scan and the
-  // per-query merge can never disagree on a tie
-  private def beats(sA: Double, iA: Long, sB: Double, iB: Long): Boolean =
+/** The bounded top-k accumulator shared by every packed-list scan
+  * ([[PqAdcTopK]] and [[DotTopK]]): insert / settle-worst / sorted
+  * emit under the ONE (cos desc, nn_id asc) total order
+  * ([[TopKByCosAgg.beats]] — also the merge aggregator's order). One
+  * definition, so a tie-handling or worst-slot fix can never diverge
+  * the ADC and exact scans from each other or from the merge. */
+private[functions] final class BoundedTopK(k: Int) {
+  private val ids = new Array[Long](k)
+  private val sc = new Array[Double](k)
+  private var filled = 0
+  private var worst = 0
+  @inline private def beats(sA: Double, iA: Long, sB: Double, iB: Long): Boolean =
     TopKByCosAgg.beats(sA, iA, sB, iB)
+  private def settleWorst(): Unit = {
+    var w = 0; var t = 1
+    while (t < filled) { if (beats(sc(w), ids(w), sc(t), ids(t))) w = t; t += 1 }
+    worst = w
+  }
+  def offer(id: Long, s: Double): Unit = {
+    if (filled < k) {
+      ids(filled) = id; sc(filled) = s
+      filled += 1
+      if (filled == k) settleWorst() // settle once the bound fills
+    } else if (beats(s, id, sc(worst), ids(worst))) {
+      ids(worst) = id; sc(worst) = s
+      settleWorst()
+    }
+  }
+  def emit(): ArrayData = {
+    val order = Array.range(0, filled).sortWith { (a, b) =>
+      beats(sc(a), ids(a), sc(b), ids(b))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(ix => org.apache.spark.sql.catalyst.InternalRow(
+        ids(ix), sc(ix)): Any))
+  }
+}
 
+object PqAdcTopK {
   def scan(packed: Array[Byte], ids: ArrayData, lut: ArrayData, k: Int): ArrayData = {
     val n = ids.numElements()
     if (n == 0) {
@@ -334,11 +366,7 @@ object PqAdcTopK {
     if (m == 0 || lutLen % m != 0) throw new IllegalArgumentException(
       s"graft_pq_adc_topk: LUT length $lutLen not a multiple of code length $m")
     val ksub = lutLen / m
-    val kk = math.min(k, n)
-    val outIds = new Array[Long](kk)
-    val outSc = new Array[Double](kk)
-    var filled = 0
-    var worst = 0
+    val acc = new BoundedTopK(math.min(k, n))
     var i = 0
     while (i < n) {
       var s = 0.0
@@ -358,29 +386,10 @@ object PqAdcTopK {
       }
       if (ids.isNullAt(i)) throw new IllegalArgumentException(
         s"graft_pq_adc_topk: null id at position $i")
-      val id = ids.getLong(i)
-      if (filled < kk) {
-        outIds(filled) = id; outSc(filled) = s
-        filled += 1
-        if (filled == kk) { // settle the worst slot once the bound fills
-          var w = 0; var t = 1
-          while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
-          worst = w
-        }
-      } else if (beats(s, id, outSc(worst), outIds(worst))) {
-        outIds(worst) = id; outSc(worst) = s
-        var w = 0; var t = 1
-        while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
-        worst = w
-      }
+      acc.offer(ids.getLong(i), s)
       i += 1
     }
-    val order = Array.range(0, filled).sortWith { (a, b) =>
-      beats(outSc(a), outIds(a), outSc(b), outIds(b))
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      order.map(ix => org.apache.spark.sql.catalyst.InternalRow(
-        outIds(ix), outSc(ix)): Any))
+    acc.emit()
   }
 }
 
@@ -433,11 +442,6 @@ case class DotTopK(first: Expression, second: Expression,
 }
 
 object DotTopK {
-  // the shared (cos desc, nn_id asc) total order — one definition
-  // with the scan's merge aggregator, so ties can never disagree
-  private def beats(sA: Double, iA: Long, sB: Double, iB: Long): Boolean =
-    TopKByCosAgg.beats(sA, iA, sB, iB)
-
   def scan(packed: ArrayData, ids: ArrayData, q: ArrayData, k: Int): ArrayData = {
     val n = ids.numElements()
     val dim = q.numElements()
@@ -452,11 +456,7 @@ object DotTopK {
       throw new IllegalArgumentException(
         s"graft_dot_topk: packed length ${packed.numElements()} != $n ids x dim $dim " +
           "— data/query dim mismatch")
-    val kk = math.min(k, n)
-    val outIds = new Array[Long](kk)
-    val outSc = new Array[Double](kk)
-    var filled = 0
-    var worst = 0
+    val acc = new BoundedTopK(math.min(k, n))
     var i = 0
     while (i < n) {
       var s = 0.0
@@ -465,29 +465,10 @@ object DotTopK {
       while (j < dim) { s += q.getDouble(j) * packed.getDouble(off + j); j += 1 }
       if (ids.isNullAt(i)) throw new IllegalArgumentException(
         s"graft_dot_topk: null id at position $i")
-      val id = ids.getLong(i)
-      if (filled < kk) {
-        outIds(filled) = id; outSc(filled) = s
-        filled += 1
-        if (filled == kk) { // settle the worst slot once the bound fills
-          var w = 0; var t = 1
-          while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
-          worst = w
-        }
-      } else if (beats(s, id, outSc(worst), outIds(worst))) {
-        outIds(worst) = id; outSc(worst) = s
-        var w = 0; var t = 1
-        while (t < kk) { if (beats(outSc(w), outIds(w), outSc(t), outIds(t))) w = t; t += 1 }
-        worst = w
-      }
+      acc.offer(ids.getLong(i), s)
       i += 1
     }
-    val order = Array.range(0, filled).sortWith { (a, b) =>
-      beats(outSc(a), outIds(a), outSc(b), outIds(b))
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      order.map(ix => org.apache.spark.sql.catalyst.InternalRow(
-        outIds(ix), outSc(ix)): Any))
+    acc.emit()
   }
 }
 

@@ -145,18 +145,23 @@ object Similarity {
     * from one row — skipped below 2048 rows, where even dim 16384
     * stays inside the budget). Floor 1024 keeps a degenerate
     * high-dim corpus trainable at all. */
+  private def vecDim(embs: DataFrame, vecCol: String): Int =
+    embs.select(size(col(vecCol)).as("d")).take(1)
+      .headOption.map(r => math.max(1, r.getInt(0))).getOrElse(1)
+
+  private def byteCappedRows(want: Int, dim: Int): Int =
+    if (want <= 2048) want
+    else math.max(1024, math.min(want,
+      (TrainSampleByteBudget / (dim.toLong * 8L)).toInt))
+
   private def cappedTrainRows(embs: DataFrame, k: Int, sampleSize: Int,
                               vecCol: String): Int =
     if (sampleSize > 0) sampleSize
     else {
       val want = trainSampleFor(k, 0)
-      if (want <= 2048) want
-      else {
-        val dim = embs.select(size(col(vecCol)).as("d")).take(1)
-          .headOption.map(_.getInt(0)).getOrElse(1)
-        math.max(1024, math.min(want,
-          (TrainSampleByteBudget / (math.max(1, dim).toLong * 8L)).toInt))
-      }
+      // the dim peek (one take(1) job) only runs when the sample is
+      // big enough for the byte budget to possibly bite
+      if (want <= 2048) want else byteCappedRows(want, vecDim(embs, vecCol))
     }
 
   /** Coarse quantizer shared by IVF and k-center: FFT centroids over a
@@ -582,14 +587,26 @@ object Similarity {
     require(spill >= 0.0, s"spill=$spill must be >= 0")
     // past the driver caps the Θ(k) anchoring sample can no longer be
     // collected — hand the level-2 training to the executors instead
-    // of silently thinning per-cell anchoring toward 1 sample/cell
+    // of silently thinning per-cell anchoring toward 1 sample/cell.
+    // ONE dim peek serves the delegation check, the driver limit, and
+    // (via coarseSampleSize) the delegated build's coarse sample.
     val desired = if (sampleSize > 0) sampleSize else math.max(2048, 8 * k)
-    if (sampleSize == 0 && desired > cappedTrainRows(embs, k, 0, vecCol))
+    // row cap (2^18) first, then the byte budget — same chain as
+    // cappedTrainRows, inlined to share the single dim peek
+    val rowCapped = trainSampleFor(k, 0)
+    val capped =
+      if (sampleSize > 0) sampleSize
+      else if (rowCapped <= 2048) rowCapped
+      else byteCappedRows(rowCapped, vecDim(embs, vecCol))
+    if (sampleSize == 0 && desired > capped) {
+      val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       return hierarchicalCentroidsDistributed(embs, k,
+        coarseSampleSize = math.min(trainSampleFor(nCoarse, 0), capped),
         childSampleSize = desired, idCol = idCol, vecCol = vecCol,
         spill = spill)
+    }
     val sample = normalized(embs, idCol, vecCol, "id", "v")
-      .orderBy("id").limit(cappedTrainRows(embs, k, sampleSize, vecCol))
+      .orderBy("id").limit(capped)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "hierarchicalCentroids: empty corpus")
     val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)

@@ -850,11 +850,15 @@ object CheckQueries extends QueryPack {
       // face — the gap a bare fixed fan-out measurably loses to ~½
       val treeS = Similarity.hierarchicalCentroids(embs, 64,
         spill = Similarity.spillFor(0.45))
+      // pinned: three laws below re-read it (recall count + soundness
+      // + at-most-once), and the adaptive pair pipeline is the most
+      // expensive sub-check here — without the checkpoint each subtree
+      // of the union recomputes it
       val adaptive = Similarity.semanticPairsFromIndex(
         Similarity.semanticAssignRoutedAdaptive(embs, treeS, nAssign = 3,
           routeMargin = Similarity.routeMarginFor(0.45),
           minRoute = 2, maxRoute = 4),
-        0.45)
+        0.45).localCheckpoint()
       val soundViolS = adaptive.select("a", "b")
         .join(brute.select("a", "b"), Seq("a", "b"), "left_anti")
         .select(lit("spilled_not_exact").as("violation"))

@@ -222,7 +222,17 @@ object ContinuousIngest {
     * tables as the drift monitor's REFERENCE era — metadata-sized
     * (one row per occupied cell), taken at exactly the moment the
     * quantizers trained, and immune to [[compactState]] (it is not a
-    * `batch=` table, and batch ids play no role in it). */
+    * `batch=` table, and batch ids play no role in it).
+    *
+    * Also the MIGRATION / RE-ANCHOR face, public as
+    * [[snapshotDriftBase]]: a state root bootstrapped before the
+    * snapshot monitor existed has no `drift_base` — snapshotting the
+    * CURRENT occupancy baselines the monitor without a retrain (the
+    * reference era is then "now", which is the only honest choice
+    * when the train-time occupancy was never recorded). Re-anchoring
+    * a live deployment resets drift to zero by definition — do it
+    * after deliberate corpus-composition changes, not to silence a
+    * tripped monitor. */
   private def writeDriftBase(spark: SparkSession, st: IngestState): Unit = {
     val ivf = spark.read.option("basePath", st.ivfPath).parquet(st.ivfPath)
       .groupBy(col("list").as("cell")).agg(count(lit(1)).as("cnt"))
@@ -231,6 +241,12 @@ object ContinuousIngest {
       .groupBy(col("cluster").as("cell")).agg(count(lit(1)).as("cnt"))
       .withColumn("tbl", lit("sem"))
     ivf.unionByName(sem).write.mode("overwrite").parquet(st.driftBasePath)
+  }
+
+  /** See [[writeDriftBase]] — the public migration/re-anchor face. */
+  def snapshotDriftBase(spark: SparkSession, st: IngestState): Unit = {
+    recoverIndexSwap(spark, st)
+    writeDriftBase(spark, st)
   }
 
   /** Train the quantizers on `corpus` and persist them beside the
@@ -287,11 +303,16 @@ object ContinuousIngest {
     * pattern ([[compactState]]'s): quantizers AND index tables are
     * built complete under `.rebuild_tmp/`, a swap marker is written
     * only after every write commits, and the swap (delete old dir,
-    * rename tmp dir in, per table) is completed — or, pre-marker,
-    * rolled back — by [[recoverIndexSwap]], which [[loadQuantizers]]
-    * runs automatically. A crash at ANY point leaves either the old
-    * quantizer+index set or the new one, never a mix, once recovery
-    * runs. Like compaction, the swap is not READER-atomic on a plain
+    * rename tmp dir in, per table) is completed by
+    * [[recoverIndexSwap]] — which [[loadQuantizers]] runs
+    * automatically, completes MARKED swaps under an atomic claim, and
+    * leaves unmarked tmps strictly alone (a reader can therefore
+    * never destroy a build in progress; a crashed unmarked build's
+    * leftover is cleared here, by the next rebuild). A crash at ANY
+    * point leaves either the old quantizer+index set or the new one,
+    * never a mix, once recovery runs. Run ONE rebuild at a time (two
+    * concurrent rebuilds would clear each other's tmp); like
+    * compaction, the swap is not READER-atomic on a plain
     * filesystem — quiesce queries during the swap itself. The
     * rebuilt corpus must be non-empty — quantizers cannot train on
     * nothing.
@@ -358,28 +379,48 @@ object ContinuousIngest {
     Seq("centroids", "sem_centroids", "sem_tree", "books", "ivf", "pq", "sem",
       "drift_base")
 
-  /** Complete — or, before the marker, roll back — a [[rebuildIndexes]]
-    * swap interrupted by a crash. Idempotent and cheap when there is
-    * nothing to do (one existence check); [[loadQuantizers]] and
-    * [[rebuildIndexes]] call it automatically, so any reader that goes
-    * through the quantizers is crash-consistent without ceremony. */
+  /** Complete a [[rebuildIndexes]] swap interrupted by a crash.
+    * Idempotent and cheap when there is nothing to do (one existence
+    * check); [[loadQuantizers]] and [[rebuildIndexes]] call it
+    * automatically, so any reader that goes through the quantizers is
+    * crash-consistent without ceremony.
+    *
+    * Reader-safe by construction: an UNMARKED tmp is left strictly
+    * alone — it is either a build in progress (deleting it from a
+    * concurrent reader would destroy the rebuild mid-flight and let
+    * it publish a partial set) or a crashed build's leftover
+    * (invisible to every reader; the next [[rebuildIndexes]] clears
+    * it). A MARKED tmp is completed under a CLAIM: the claimant
+    * atomically renames the marker to a unique name, so two
+    * concurrent recoveries can never interleave their delete/rename
+    * pairs (the loser sees no claimable marker and walks away); a
+    * claimant that crashes leaves its claimed marker in the tmp,
+    * which stays claimable — recovery re-claims and the re-entrant
+    * moves finish the job. */
   def recoverIndexSwap(spark: SparkSession, st: IngestState): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
     if (!fs.exists(tmpRoot)) return
-    if (fs.exists(new HPath(tmpRoot, SwapMarker))) completeIndexSwap(spark, st)
-    else {
-      // crash mid-BUILD: the tmp is partial and the live index set is
-      // untouched — discard the tmp, the old quantizers stay valid
-      fs.delete(tmpRoot, true); ()
-    }
+    completeIndexSwap(spark, st)
   }
 
   private def completeIndexSwap(spark: SparkSession, st: IngestState): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
+    // any marker-prefixed file is claimable: the pristine marker, or a
+    // crashed claimant's uniquely-renamed one
+    val markers = fs.listStatus(tmpRoot)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(SwapMarker))
+      .map(_.getPath)
+    if (markers.isEmpty) return // unmarked: in-progress or crashed build
+    val claim = new HPath(tmpRoot,
+      s"$SwapMarker.${java.util.UUID.randomUUID().toString.take(8)}")
+    // the rename is the atomic claim — exactly one concurrent caller
+    // wins; losers find the marker gone and leave the swap to the
+    // winner (if the winner crashes, its claim file is re-claimable)
+    if (!fs.rename(markers.head, claim)) return
     IndexSubdirs.foreach { sub =>
       val src = new HPath(tmpRoot, sub)
       // re-entrant: a subdir already moved by a crashed earlier pass is
@@ -387,8 +428,13 @@ object ContinuousIngest {
       if (fs.exists(src)) {
         val dst = new HPath(s"${st.root}/$sub")
         fs.delete(dst, true)
-        fs.rename(src, dst)
-        ()
+        // Hadoop FileSystems signal rename failure by RETURNING false —
+        // proceeding would delete the tmp below and destroy the only
+        // copy of this table; fail loudly instead, leaving the claimed
+        // marker in place so the next recovery retries the swap
+        require(fs.rename(src, dst),
+          s"completeIndexSwap: rename $src -> $dst failed — index swap " +
+            "left pending (marker retained); re-run recovery")
       }
     }
     fs.delete(tmpRoot, true)
@@ -535,6 +581,15 @@ object ContinuousIngest {
                  table: String = "sem"): DataFrame = {
     recoverIndexSwap(spark, st)
     val (path, cellCol) = driftTable(st, table)
+    // actionable migration error, not a buried AnalysisException: a
+    // root bootstrapped before the snapshot monitor existed has no
+    // reference era to drift against
+    if (!fsFor(spark, st.driftBasePath)
+        .exists(new org.apache.hadoop.fs.Path(st.driftBasePath)))
+      sys.error("indexDrift: no drift_base snapshot at " +
+        s"${st.driftBasePath} — this state root predates the snapshot " +
+        "monitor; run rebuildIndexes (retrain + fresh baseline) or " +
+        "snapshotDriftBase (baseline the CURRENT occupancy, no retrain)")
     val base = spark.read.parquet(st.driftBasePath)
       .where(col("tbl") === lit(table))
       .select(col("cell"), col("cnt").as("cnt_ref"))
@@ -552,7 +607,16 @@ object ContinuousIngest {
               "— state was mutated outside the append/compact lifecycle",
             col("cell").cast("string")))).as("cnt_new"))
       .where(col("cnt_new") > 0)
-    graft.ops.Similarity.occupancyDriftFromCounts(base, recent)
+    // nothing ingested since the (re)train is the monitor's NORMAL
+    // quiet state (e.g. the nightly probe right after a rebuild) —
+    // report zero drift over the reference cells instead of tripping
+    // the exact-TVD empty-side error, which guards MONITORING bugs
+    // (an empty reference era), not an empty observation window
+    if (recent.limit(1).count() == 0)
+      base.select(col("cell"), col("cnt_ref"), lit(0L).as("cnt_new"),
+        lit(0.0).as("share_delta"), lit(0.0).as("tvd"))
+    else
+      graft.ops.Similarity.occupancyDriftFromCounts(base, recent)
   }
 
   /** Batch-id era split of the same monitor: batches ≥ `sinceBatch`
@@ -645,7 +709,11 @@ object ContinuousIngest {
         val id = tmp.getName.stripPrefix(".compact_tmp_batch=").toLong
         if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
           partsUpTo(id).foreach(p => fs.delete(p, true))
-          fs.rename(tmp, new HPath(root, s"batch=$id"))
+          // a false return (Hadoop's failure signal) must not be
+          // swallowed: the tmp is the only complete copy now
+          require(fs.rename(tmp, new HPath(root, s"batch=$id")),
+            s"compactTable: recovery rename $tmp failed — tmp retained, " +
+              "re-run compaction")
         } else {
           fs.delete(tmp, true)
         }
@@ -676,7 +744,9 @@ object ContinuousIngest {
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
         "enabled for crash-safe compaction) — sources left untouched")
     parts.foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new HPath(root, s"batch=$targetId"))
+    require(fs.rename(tmp, new HPath(root, s"batch=$targetId")),
+      s"compactTable: final rename $tmp failed — tmp retained (marked), " +
+        "the next run's recovery completes the move")
     ()
   }
 

@@ -362,21 +362,28 @@ class ContinuousIngestSpec extends SparkSpec {
       (1L to 10L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
         .toDF("doc_id", "text", "embedding"), 0L, st, Pa)
 
-    // mid-BUILD crash: tmp exists with junk, NO marker → recovery
-    // discards it and the live (old) set stays exactly as it was
+    // mid-BUILD crash: tmp exists with junk, NO marker → a READER must
+    // leave it strictly alone (it cannot distinguish a crashed build
+    // from one in progress — deleting a live build would let the
+    // rebuild publish a partial set) and serve the old quantizers
+    // unchanged; the next rebuildIndexes clears the leftover
     val qOld = ContinuousIngest.loadQuantizers(spark, st, ann)
     val tmpRoot = new java.io.File(s"${st.root}/.rebuild_tmp")
     assert(tmpRoot.mkdir(), "could not stage the partial rebuild tmp")
     java.nio.file.Files.write(
       new java.io.File(tmpRoot, "books").toPath, Array[Byte](9, 9, 9))
     val qRec = ContinuousIngest.loadQuantizers(spark, st, ann)
-    assert(!tmpRoot.exists(), "unmarked rebuild tmp not rolled back")
+    assert(tmpRoot.exists(),
+      "a reader deleted an unmarked rebuild tmp — it could have been " +
+        "a build in progress")
     assert(qRec.cents.flatten.toSeq == qOld.cents.flatten.toSeq &&
       qRec.books.flatten.flatten.toSeq == qOld.books.flatten.flatten.toSeq,
-      "rollback of a partial rebuild changed the live quantizers")
+      "an unmarked (crashed/in-progress) tmp changed the live quantizers")
 
-    // complete a real rebuild and snapshot the NEW set
+    // complete a real rebuild: clears the stale unmarked tmp, then
+    // swaps in the NEW set
     val q2 = ContinuousIngest.rebuildIndexes(spark, st, ann)
+    assert(!tmpRoot.exists(), "rebuild left its tmp behind")
     def snapIdx(): Seq[DataFrame] =
       Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
         ContinuousIngest.readTable(spark, p).localCheckpoint())
@@ -511,6 +518,14 @@ class ContinuousIngestSpec extends SparkSpec {
     val st = IngestState(s"$root/cp")
     val boot = (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
     ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    // QUIET state: nothing ingested since the (re)train is the
+    // monitor's normal morning-after condition — zero drift, not the
+    // empty-side monitoring error
+    val quiet = ContinuousIngest.indexDrift(spark, st)
+      .select("tvd", "cnt_new").collect()
+    assert(quiet.nonEmpty && quiet.forall(r =>
+      r.getDouble(0) == 0.0 && r.getLong(1) == 0L),
+      "post-(re)train quiet state should report zero drift")
     val quant = ContinuousIngest.loadQuantizers(spark, st, ann)
     ContinuousIngest.ingestBatch(
       (1L to 15L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
@@ -545,5 +560,25 @@ class ContinuousIngestSpec extends SparkSpec {
     }
     assert(msgs(e).exists(_.contains("empty side")),
       s"era face below the horizon should fail loudly, got: ${msgs(e)}")
+    // MIGRATION path: a root without a drift_base snapshot (pre-
+    // snapshot-monitor deployments) gets an actionable error naming
+    // both remedies, and snapshotDriftBase baselines the current
+    // occupancy without a retrain — after which the monitor reports
+    // the zero-drift quiet state
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    import java.util.Comparator
+    JFiles.walk(JPath.of(st.driftBasePath))
+      .sorted(Comparator.reverseOrder[JPath]())
+      .forEach(f => JFiles.deleteIfExists(f))
+    val eMig = intercept[Throwable] {
+      ContinuousIngest.indexDrift(spark, st).head()
+    }
+    assert(msgs(eMig).exists(_.contains("snapshotDriftBase")),
+      s"missing-snapshot error should name the migration faces: ${msgs(eMig)}")
+    ContinuousIngest.snapshotDriftBase(spark, st)
+    val reAnchored = ContinuousIngest.indexDrift(spark, st)
+      .select("tvd").collect()
+    assert(reAnchored.nonEmpty && reAnchored.forall(_.getDouble(0) == 0.0),
+      "re-anchored monitor should report the zero-drift quiet state")
   }
 }
