@@ -1004,8 +1004,20 @@ object CheckQueries extends QueryPack {
       val tvd2 = 0.5 * statRows
         .map(r => math.abs(r.getLong(0) / ta - r.getLong(1) / tb)).sum
       import s.implicits._
+      // the stationary bound is NOISE-AWARE: two identically-
+      // distributed multinomial samples of n rows over c cells sit at
+      // TVD ≈ √(c/n) by pure sampling noise (sf0.001's 250-row halves
+      // over ~45 cells measure 0.27 — no drift, just small-sample
+      // jitter), so the bracket is max(0.2, 2·√(c/minN)): at
+      // deployment scale (n ≫ c) it converges to the absolute 0.2
+      // trip line, while toy fixtures can't false-alarm on jitter.
+      // The planted-shift law stays ABSOLUTE — an orthant collapse
+      // must clear 0.2 regardless
+      val statBound = math.max(0.2,
+        2.0 * math.sqrt(statRows.length / math.min(ta, tb)))
       val scalarViol =
-        ((if (statTvd >= 0.2) Seq(f"drift_stationary_tripped $statTvd%.4f") else Nil) ++
+        ((if (statTvd >= statBound)
+            Seq(f"drift_stationary_tripped $statTvd%.4f >= $statBound%.4f") else Nil) ++
           (if (shiftTvd <= 0.2) Seq(f"drift_shift_missed $shiftTvd%.4f") else Nil) ++
           (if (math.abs(statTvd - tvd2) > 1e-6) Seq(
             f"drift_tvd_parity $statTvd%.8f vs $tvd2%.8f") else Nil))

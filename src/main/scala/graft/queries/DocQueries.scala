@@ -608,8 +608,8 @@ object DocQueries extends QueryPack {
     // deployment runs nightly (ContinuousIngest.indexDrift is the
     // maintained-table face). No SQL oracle (the FFT quantizer is not
     // expressible); check_index_drift pins exact-zero on identical
-    // tables, the stationary/planted bracket around the 0.2 trip
-    // line, and integer-arithmetic parity of the TVD.
+    // tables, the stationary/planted bracket (noise-aware stationary
+    // bound, absolute 0.2 shift line), and integer-arithmetic parity.
     "index_drift" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val ref = embs.where(pmod(col("vec_id"), lit(2)) === 0)
