@@ -410,10 +410,15 @@ object ContinuousIngest {
     val fs = fsFor(spark, st.root)
     val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
     // any marker-prefixed file is claimable: the pristine marker, or a
-    // crashed claimant's uniquely-renamed one
-    val markers = fs.listStatus(tmpRoot)
-      .filter(s => s.isFile && s.getPath.getName.startsWith(SwapMarker))
-      .map(_.getPath)
+    // crashed claimant's uniquely-renamed one. The listing races the
+    // OWNER's own tmp clear (rebuildIndexes deletes stale tmps before
+    // building) — a vanished tmpRoot means there is nothing to
+    // recover, not an error a reader should crash on
+    val markers =
+      try fs.listStatus(tmpRoot)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(SwapMarker))
+        .map(_.getPath)
+      catch { case _: java.io.FileNotFoundException => return }
     if (markers.isEmpty) return // unmarked: in-progress or crashed build
     val claim = new HPath(tmpRoot,
       s"$SwapMarker.${java.util.UUID.randomUUID().toString.take(8)}")
