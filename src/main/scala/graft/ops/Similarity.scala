@@ -824,29 +824,32 @@ object Similarity {
 
   /** Threshold-derived sizing for the routed borderline-recall
     * machinery. The geometry: a pair with cos ≥ t has ‖u−w‖ ≤
-    * δ(t) = √(2−2t) on unit vectors, so every recall device should
-    * scale with δ — near-dup thresholds (t ≥ 0.9, δ ≤ 0.45) need
-    * almost none of it (both members route together; the fixed-2 face
-    * already measures ≥ 0.9 recall there), while borderline
-    * thresholds (t ≈ 0.45, δ ≈ 1.05) are where a fixed fan-out loses
-    * ~half the flat face's pairs. The constants are MEASURED, not
-    * derived (coarse-dot spreads are data/dim-dependent, so a pure
-    * geometric margin over- or under-probes): on both the isotropic
-    * dim-16 fixture (20k–80k vectors, k = N/128, 2% planted
-    * borderline pairs) and the sf0.1 embeddings at t = 0.45, tree
-    * spill 0.4·(1−t) ≈ 0.22 with 2 average probes recovers 0.82–0.94
-    * of the flat face's pairs (vs 0.30–0.54 unspilled fixed-2). The
-    * cost is child-slot inflation, and it GROWS with the coarse-cell
-    * count at a fixed margin (measured ×3.7 / ×5.2 / ×7.0 at 13 / 25 /
-    * 40 cells — each child replicates into a shrinking FRACTION but a
-    * slowly growing number of cells), so the routed advantage over
-    * flat is √k / (nRoute·inflation) — still diverging, but watch the
-    * constant at very large k. At real SemDeDup thresholds (t = 0.9,
-    * spill 0.04) inflation is ×1.7 and the concern is moot — the
-    * RoutedAssignSpec borderline floor pins ≥ 0.8 recall and the
-    * ≤ 2.75 average probes. */
+    * δ(t) = √(2−2t) on unit vectors, so every recall device scales
+    * with δ; the CONSTANT (δ/4) is MEASURED, not derived (coarse-dot
+    * spreads are data/dim-dependent, so a pure geometric δ/2 would
+    * replicate everything):
+    *  - borderline (t = 0.45, spill ≈ 0.26): on the isotropic dim-16
+    *    fixtures (20k–80k vectors, k = N/128, 2% planted borderline
+    *    pairs) and the sf0.1 embeddings, ~2 average probes recover
+    *    0.82–0.94 of the flat face's pairs (vs 0.30–0.54 unspilled
+    *    fixed-2) — the RoutedAssignSpec ≥ 0.8 borderline floor;
+    *  - SemDeDup regime (t = 0.9, spill ≈ 0.11): at the 10× routed
+    *    fixture (200k vectors, k = 1562 — the scale where the product
+    *    face actually auto-routes) recall vs flat measures 0.887 at
+    *    ×3.4 slot inflation. A (1−t)-proportional sizing (spill 0.04,
+    *    ×1.7) measured 0.820 there — BELOW the 0.85 the product face
+    *    owes, because pairs AT the threshold are always boundary
+    *    pairs relative to it, whatever the threshold — which is why
+    *    the sizing follows δ, and why ScalingSpec carries a 10×
+    *    recall probe and not just slope fits.
+    * The cost is child-slot inflation, and it GROWS with the
+    * coarse-cell count at a fixed margin (measured ×3.7 / ×5.2 / ×7.0
+    * at 13 / 25 / 40 cells with spill 0.22 — each child replicates
+    * into a shrinking FRACTION but a slowly growing number of cells),
+    * so the routed advantage over flat is √k / (nRoute·inflation) —
+    * still diverging, but watch the constant at very large k. */
   def spillFor(minCosine: Double): Double =
-    0.4 * math.max(0.0, 1.0 - minCosine)
+    0.25 * math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
 
   /** Adaptive probe margin, sized as δ(t)/8 (see [[spillFor]] for why
     * not the geometric δ/2 — at embedding dims the coarse dots pack

@@ -527,4 +527,40 @@ class ScalingSpec extends SparkSpec {
         "— below the 0.80 floor check_ivfpq holds at sf scale; the index " +
         "is fast but silently degrading as the corpus grows")
   }
+
+  test("10x scale: routed semantic dedup recall floor holds where auto-routing actually engages") {
+    // the sf fixtures never route (nClusters = N/256 < 64 there), so
+    // the driver's check_semantic_dedup floor certifies only the FLAT
+    // face — this probe runs the PRODUCT configuration at the 10×
+    // fixture, where k = N/128 = 1562 cells puts the operator on the
+    // routed path (spilled tree + adaptive margin), and floors its
+    // pair recall against the flat assignment over the same cells at
+    // the SemDeDup threshold. A routing regression (dead cells,
+    // margin mis-sizing, spill loss) shows up here first, at the
+    // scale it would actually ship.
+    val n = 200000L
+    val p = materialize("embrecall", genEmbeddings(n))
+    val e = rd(p)
+    val k = math.max(4L, n / 128L).toInt
+    assert(k > Similarity.RoutedClustersThreshold,
+      s"fixture no longer reaches the routed regime (k=$k)")
+    val t = 0.9
+    val routed = Similarity.semanticNearDupPairs(e, t, nClusters = k,
+      nAssign = 3).select("a", "b").localCheckpoint()
+    // flat reference over the SAME spilled tree's clusters — the
+    // answer the routed path approximates (deterministic: same seed,
+    // same training sample, same spill)
+    val tree = Similarity.hierarchicalCentroids(e, k, spill = Similarity.spillFor(t))
+    val flat = Similarity.semanticPairsFromIndex(
+      Similarity.semanticAssign(e, tree.concat, nAssign = 3), t)
+      .select("a", "b").localCheckpoint()
+    val nFlat = flat.count()
+    assert(nFlat >= 1000, s"10x fixture too sparse at cos>=0.9: $nFlat pairs")
+    val hit = routed.join(flat, Seq("a", "b"), "left_semi").count()
+    info(f"routed semantic 10x recall vs flat: $hit/$nFlat = ${hit.toDouble / nFlat}%.3f")
+    assert(hit.toDouble >= 0.85 * nFlat,
+      f"routed semantic recall ${hit.toDouble / nFlat}%.3f at the 10× " +
+        "fixture — below the 0.85 floor the product face owes at the " +
+        "scale where auto-routing engages")
+  }
 }
