@@ -264,30 +264,92 @@ object Similarity {
     * bounds a segment row at dim·8·segSize bytes — the hot-cell skew
     * guard; the default 0 auto-sizes it to ≈ 4 MiB rows from the
     * centroid dim (8Ki entries at dim 64, 512 at dim 1024), so high
-    * dims can't silently blow a row past task-memory limits. */
+    * dims can't silently blow a row past task-memory limits.
+    *
+    * This one-shot face re-packs `index` on EVERY call (a full-index
+    * shuffle + per-list window) — fine for a single query batch, the
+    * wrong cost shape for a maintained index queried repeatedly:
+    * there, persist [[ivfPack]]'s output beside the assignment table
+    * (as [[graft.streaming.ContinuousIngest.appendIndexes]] does, per
+    * batch) and query through [[annIvfFromPacked]], which reads the
+    * packed segments as-is. */
   def annIvfFromIndex(index: DataFrame, queries: DataFrame,
                       k: Int, nprobe: Int, centroids: Array[Array[Double]],
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       segSize: Int = 0): DataFrame = {
-    val spark = queries.sparkSession
+    require(centroids.nonEmpty,
+      "annIvfFromIndex: empty centroid array — train the coarse " +
+        "quantizer (ivfCentroids) before searching")
+    annIvfFromPacked(ivfPack(index, centroids.head.length, segSize),
+      queries, k, nprobe, centroids, idCol, vecCol)
+  }
+
+  /** Pack an [[ivfAssign]] table (`nn_id, vb, list`) into the
+    * segment layout [[annIvfFromPacked]] scans: one row per ≤
+    * `segSize`-entry slice of an inverted list — `list, ids, packed`
+    * with `ids` in ascending nn_id order beside their concatenated
+    * unit vectors. Each row is self-contained (the scan never groups
+    * by segment), so packed tables UNION freely: per-batch packs of a
+    * maintained index answer queries identically to one whole-corpus
+    * pack — segment boundaries change which DotTopK call sees which
+    * candidate, never the merged (cos desc, nn_id asc) answer. The
+    * maintained lifecycle ([[graft.streaming.ContinuousIngest]])
+    * persists this table per ingest batch so the whole-corpus window
+    * + collect_list here runs once per batch over BATCH-sized input,
+    * not per query call over the corpus — the train-once/pack-once
+    * discipline. `segSize` 0 auto-sizes to ≈ 4 MiB rows from `dim`
+    * (the hot-cell skew guard; the per-list window funnels each
+    * list's BATCH rows through one task, so batch-sized inputs also
+    * bound packing skew). */
+  def ivfPack(index: DataFrame, dim: Int, segSize: Int = 0): DataFrame = {
     val effSeg =
       if (segSize > 0) segSize
-      else math.max(256, (1 << 22) / (math.max(1, centroids.head.length) * 8))
-    val flat = lit(centroids.flatten)
-    val probe = normalized(queries, idCol, vecCol, "id", "v")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id").as("vec_id"), col("v").as("va"),
-        explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
-          .getField("list")).as("list"))
+      else math.max(256, (1 << 22) / (math.max(1, dim) * 8))
     val segW = org.apache.spark.sql.expressions.Window
       .partitionBy("list").orderBy("nn_id")
-    val packed = index
+    index
       .withColumn("_seg", ((row_number().over(segW) - 1) / effSeg).cast("int"))
       .groupBy("list", "_seg").agg(
         array_sort(collect_list(struct(col("nn_id"), col("vb")))).as("ent"))
       .select(col("list"),
         transform(col("ent"), e => e.getField("nn_id")).as("ids"),
         flatten(transform(col("ent"), e => e.getField("vb"))).as("packed"))
+  }
+
+  /** Inverse of [[ivfPack]]: explode a packed-segment table back to
+    * [[ivfAssign]] rows (`nn_id, vb, list`) — the re-pack path state
+    * compaction uses to consolidate fragmented per-batch segments
+    * without touching the float table twice. */
+  def ivfUnpack(packed: DataFrame): DataFrame =
+    packed
+      .withColumn("_dim", (size(col("packed")) / size(col("ids"))).cast("int"))
+      .select(col("list"), col("packed"), col("_dim"),
+        posexplode(col("ids")).as(Seq("_pos", "nn_id")))
+      .select(col("nn_id"),
+        slice(col("packed"), col("_pos") * col("_dim") + 1, col("_dim")).as("vb"),
+        col("list"))
+
+  /** The query side of the packed exact-IVF scan, against an already
+    * packed ([[ivfPack]]) segment table: queries probe their `nprobe`
+    * nearest lists and one [[graft.functions.DotTopK]] call per
+    * (query, segment) row keeps each segment's best k+1; per-query
+    * merge is the shared-order [[graft.functions.MergeTopKAgg]].
+    * Answers are independent of the segmentation (see [[ivfPack]]),
+    * so the maintained per-batch-packed face and the one-shot
+    * [[annIvfFromIndex]] face are byte-identical. */
+  def annIvfFromPacked(packed: DataFrame, queries: DataFrame,
+                       k: Int, nprobe: Int, centroids: Array[Array[Double]],
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty,
+      "annIvfFromPacked: empty centroid array — train the coarse " +
+        "quantizer (ivfCentroids) before searching")
+    val spark = queries.sparkSession
+    val flat = lit(centroids.flatten)
+    val probe = normalized(queries, idCol, vecCol, "id", "v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("vec_id"), col("v").as("va"),
+        explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+          .getField("list")).as("list"))
     val perSeg = probe.join(packed, Seq("list"))
       .select(col("vec_id"),
         graft.functions.Native.dotTopKNative(spark, col("packed"),
@@ -756,11 +818,16 @@ object Similarity {
       if (childSampleSize > 0) childSampleSize
       else math.max(2048, 8 * k)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // ONE routing pass over the sample: persist the routed rows so the
+    // `total` count and the per-cell grouping read the same
+    // materialization instead of re-routing (the sample is bounded by
+    // chS rows ≤ the byte budget, so the block fits executor storage)
     val routed = norm.orderBy("id").limit(chS)
       .select(col("id"), col("v")).as[(Long, Seq[Double])]
       .map { case (id, v) =>
         (routeCellMinDist(bcCoarse.value, v.toArray), id, v) }
       .toDF("cell", "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = routed.count()
     val perCell = routed.groupBy("cell")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("pts"))
@@ -771,6 +838,7 @@ object Similarity {
         (cell, graft.ops.Fft.seqFFTVec(arr, kc).map(_.toSeq).toSeq)
       }
       .collect().sortBy(_._1)
+    routed.unpersist()
     // assemble with the shared layout: kept cells in coarse order,
     // global ids consecutive per cell (assembleTree's contract, with
     // the per-cell FFT already done on the executors)

@@ -57,8 +57,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * mid-crash replay.
   *
   * With [[IngestParams.ann]] set, each batch's SURVIVORS also append
-  * to the three maintained embedding-index tables (IVF inverted
-  * lists, PQ codes, semantic spill assignments) — every batch must
+  * to the maintained embedding-index tables (IVF inverted lists +
+  * their packed query segments, PQ codes, semantic spill
+  * assignments) — every batch must
   * then carry the embedding column (enforced loudly) — under quantizers
   * trained once at [[bootstrap]] and persisted beside them — same
   * per-batch partition-overwrite idempotency (the
@@ -88,6 +89,10 @@ object ContinuousIngest {
     val semTreePath: String = s"$root/sem_tree"
     val booksPath: String = s"$root/books"
     val ivfPath: String = s"$root/ivf"
+    // the ivf table in Similarity.ivfPack's segment layout, packed
+    // per batch at append time — the table annIvfMaintained scans, so
+    // queries never re-pack the corpus (pack-once discipline)
+    val ivfPackedPath: String = s"$root/ivf_packed"
     val pqPath: String = s"$root/pq"
     val semPath: String = s"$root/sem"
     // per-cell occupancy snapshot of the index tables as of the last
@@ -95,7 +100,7 @@ object ContinuousIngest {
     val driftBasePath: String = s"$root/drift_base"
   }
 
-  /** Embedding-index policy: quantizer sizes for the three maintained
+  /** Embedding-index policy: quantizer sizes for the maintained
     * ANN/semantic tables. The quantizers (IVF centroids + PQ books,
     * and optionally a separate semantic quantizer) train ONCE at
     * [[bootstrap]] on the starting corpus and are then fixed — the
@@ -114,19 +119,51 @@ object ContinuousIngest {
     * training sample with its own cell count
     * ([[graft.ops.Similarity.trainSampleFor]]).
     *
-    * `semSpill` > 0 builds the routed semantic tree with CHILD SPILL
-    * ([[graft.ops.Similarity.hierarchicalCentroids]]) — size it with
-    * [[graft.ops.Similarity.spillFor]] at the deployment's dedup
-    * threshold so the MAINTAINED routed index keeps borderline-pair
-    * recall, not just the one-shot product face. Quantizer identity
-    * includes the spill (the tree persists replicas), so append ==
-    * rebuild is unchanged. */
+    * `semMinCosine` is the dedup threshold the MAINTAINED semantic
+    * index is sized for — a routed deployment derives its borderline-
+    * recall machinery from it exactly the way the one-shot product
+    * face does ([[graft.ops.Similarity.semanticNearDupPairs]]'s
+    * auto-routed path): the tree builds with child spill
+    * [[graft.ops.Similarity.spillFor]]`(semMinCosine)` and every
+    * batch routes through the adaptive-margin face
+    * ([[graft.ops.Similarity.semanticAssignRoutedAdaptive]] at
+    * [[graft.ops.Similarity.routeMarginFor]]`(semMinCosine)`, floor
+    * `semNRoute`). The default 0.9 is the SemDeDup regime; declare
+    * the deployment's actual threshold instead of tuning spill knobs
+    * by hand. `semSpill` ≥ 0 OVERRIDES the derived spill (0.0 forces
+    * an unspilled tree — the pre-threshold behavior); the default −1
+    * means "derive from `semMinCosine`". Quantizer identity includes
+    * the spill (the tree persists replicas) and the assignment is
+    * deterministic given (tree, threshold), so append == rebuild and
+    * replay idempotence are unchanged. */
   final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
                              nAssign: Int = 3, sampleSize: Int = 0,
                              vecCol: String = "embedding",
                              semClusters: Option[Int] = None,
                              semNRoute: Int = 2,
-                             semSpill: Double = 0.0)
+                             semSpill: Double = -1.0,
+                             semMinCosine: Double = 0.9)
+
+  /** The spill the maintained routed tree actually builds with — the
+    * threshold-derived sizing unless explicitly overridden. */
+  private def effSpill(a: AnnParams): Double =
+    if (a.semSpill >= 0.0) a.semSpill else Similarity.spillFor(a.semMinCosine)
+
+  /** THE routed-assignment definition of the maintained lifecycle —
+    * one public face shared by [[appendIndexes]] (every batch, the
+    * bootstrap, and rebuilds) and the append == rebuild specs, so the
+    * two can never drift: adaptive-margin probing sized from the
+    * declared `semMinCosine` (floor `semNRoute`, cap max(4,
+    * 2·semNRoute) — the same shape as the one-shot product face).
+    * Deterministic given (tree, AnnParams), which is what makes the
+    * per-batch partition overwrite idempotent under replay. */
+  def routedSemAssign(batch: DataFrame, tree: Similarity.CentroidTree,
+                      a: AnnParams, idCol: String = "doc_id"): DataFrame =
+    Similarity.semanticAssignRoutedAdaptive(batch, tree, a.nAssign,
+      routeMargin = Similarity.routeMarginFor(a.semMinCosine),
+      minRoute = math.min(a.semNRoute, tree.coarse.length),
+      maxRoute = math.min(math.max(4, 2 * a.semNRoute), tree.coarse.length),
+      idCol = idCol, vecCol = a.vecCol)
 
   /** A `semClusters` above [[graft.ops.Similarity.RoutedClustersThreshold]]
     * maintains the semantic table under the two-level
@@ -262,7 +299,7 @@ object ContinuousIngest {
     val tree = a.semClusters match {
       case Some(nc) if semRouted(a) =>
         val t = Similarity.hierarchicalCentroids(corpus, nc, a.sampleSize,
-          idCol = "doc_id", vecCol = a.vecCol, spill = a.semSpill)
+          idCol = "doc_id", vecCol = a.vecCol, spill = effSpill(a))
         Similarity.treeToDF(spark, t)
           .write.mode("overwrite").parquet(st.semTreePath)
         Some(t)
@@ -286,7 +323,7 @@ object ContinuousIngest {
   }
 
   /** The drift response: retrain the quantizers on the CURRENT corpus
-    * and rebuild the three embedding-index tables from it, written as
+    * and rebuild the embedding-index tables from it, written as
     * one consolidated bootstrap partition (`batch=-1` — later batch
     * ids continue unaffected, and the next [[ingestBatch]] appends
     * under the NEW quantizers via its `loadQuantizers` read). This is
@@ -331,8 +368,10 @@ object ContinuousIngest {
                      inFlightBatch: Option[Long] = None): AnnQuantizers = {
     import org.apache.hadoop.fs.{Path => HPath}
     // complete or roll back a previously crashed rebuild first — the
-    // corpus read below must not race a half-swapped index set
-    recoverIndexSwap(spark, st)
+    // corpus read below must not race a half-swapped index set. As
+    // the single writer this call also finishes a crashed CLAIMED
+    // swap (readers leave those strictly alone)
+    recoverIndexSwap(spark, st, asWriter = true)
     val corpus = readTable(spark, st.docsPath)
     require(corpus.limit(1).count() > 0,
       "rebuildIndexes needs a non-empty corpus to retrain the quantizers")
@@ -359,25 +398,42 @@ object ContinuousIngest {
     // fresh reference era for the drift monitor: the rebuild IS a
     // retrain, so drift restarts from this corpus snapshot
     writeDriftBase(spark, tmpSt)
-    // every tmp write has committed — publish the marker (the point of
-    // no return: recovery completes the swap from here) and swap
+    // every tmp write has committed — publish the manifest (which
+    // subdirs THIS config built: recovery deletes stale destination
+    // dirs outside it, so a config change can't leave an old sem_tree
+    // beside a new flat layout), then the marker (the point of no
+    // return: recovery completes the swap from here), and swap
+    writeActiveSubdirs(fs, tmpSt.root)
     fs.create(new HPath(tmpSt.root, SwapMarker), true).close()
-    completeIndexSwap(spark, st)
+    completeIndexSwap(spark, st, asWriter = true)
     q
   }
 
   private val RebuildTmpDir = ".rebuild_tmp"
   private val SwapMarker = "_GRAFT_SWAP_READY"
+  private val ActiveSubdirsFile = "_GRAFT_ACTIVE_SUBDIRS"
   /** The quantizer + index subdirs a rebuild replaces, relative to the
     * state root — exactly the paths [[trainQuantizers]] and
     * [[appendIndexes]] write. `sem_tree`/`sem_centroids` are absent
-    * when the deployment doesn't use them; a stale old copy of an
-    * OPTIONAL dir is left behind (harmless — nothing reads it under
-    * an unchanged AnnParams) because the swap must stay re-entrant:
-    * on recovery, "source absent" must always mean "already moved". */
+    * when the deployment doesn't use them; the manifest written beside
+    * the swap marker ([[writeActiveSubdirs]]) records which ones THIS
+    * build produced, so recovery can tell "already moved" from "stale
+    * under the new config" and delete the latter. */
   private val IndexSubdirs =
-    Seq("centroids", "sem_centroids", "sem_tree", "books", "ivf", "pq", "sem",
-      "drift_base")
+    Seq("centroids", "sem_centroids", "sem_tree", "books", "ivf",
+      "ivf_packed", "pq", "sem", "drift_base")
+
+  /** One line per index subdir present under the finished tmp build —
+    * written BEFORE the swap marker, so every marked tmp carries it. */
+  private def writeActiveSubdirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 tmpRoot: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val present = IndexSubdirs.filter(sub =>
+      fs.exists(new HPath(tmpRoot, sub)))
+    val out = fs.create(new HPath(tmpRoot, ActiveSubdirsFile), true)
+    try out.write(present.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Complete a [[rebuildIndexes]] swap interrupted by a crash.
     * Idempotent and cheap when there is nothing to do (one existence
@@ -390,48 +446,78 @@ object ContinuousIngest {
     * concurrent reader would destroy the rebuild mid-flight and let
     * it publish a partial set) or a crashed build's leftover
     * (invisible to every reader; the next [[rebuildIndexes]] clears
-    * it). A MARKED tmp is completed under a CLAIM: the claimant
-    * atomically renames the marker to a unique name, so two
-    * concurrent recoveries can never interleave their delete/rename
-    * pairs (the loser sees no claimable marker and walks away); a
-    * claimant that crashes leaves its claimed marker in the tmp,
-    * which stays claimable — recovery re-claims and the re-entrant
-    * moves finish the job. */
-  def recoverIndexSwap(spark: SparkSession, st: IngestState): Unit = {
+    * it). A PRISTINE-MARKED tmp is completed under a CLAIM: the
+    * claimant atomically renames the EXACT-NAME marker to a unique
+    * name, so of any number of concurrent recoveries exactly one
+    * proceeds — the losers see no pristine marker and walk away. A
+    * claimed `marker.<uuid>` is NEVER re-claimable by a reader: its
+    * owner may be alive mid-swap, and a second claimant interleaving
+    * delete/rename pairs with a live one could delete a
+    * just-installed table after its tmp source was consumed. A
+    * claimant that crashes therefore leaves its claimed marker in
+    * the tmp, and only [[rebuildIndexes]] — the lifecycle's single
+    * writer, which by contract never runs concurrently with another
+    * rebuild — finishes such a crashed claim (`asWriter = true`),
+    * via the same re-entrant moves. */
+  def recoverIndexSwap(spark: SparkSession, st: IngestState,
+                       asWriter: Boolean = false): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
     if (!fs.exists(tmpRoot)) return
-    completeIndexSwap(spark, st)
+    completeIndexSwap(spark, st, asWriter)
   }
 
-  private def completeIndexSwap(spark: SparkSession, st: IngestState): Unit = {
+  private def completeIndexSwap(spark: SparkSession, st: IngestState,
+                                asWriter: Boolean): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val tmpRoot = new HPath(s"${st.root}/$RebuildTmpDir")
-    // any marker-prefixed file is claimable: the pristine marker, or a
-    // crashed claimant's uniquely-renamed one. The listing races the
-    // OWNER's own tmp clear (rebuildIndexes deletes stale tmps before
-    // building) — a vanished tmpRoot means there is nothing to
-    // recover, not an error a reader should crash on
-    val markers =
-      try fs.listStatus(tmpRoot)
-        .filter(s => s.isFile && s.getPath.getName.startsWith(SwapMarker))
-        .map(_.getPath)
+    // the listing races the OWNER's own tmp clear (rebuildIndexes
+    // deletes stale tmps before building) — a vanished tmpRoot means
+    // there is nothing to recover, not an error a reader should crash on
+    val files =
+      try fs.listStatus(tmpRoot).filter(_.isFile).map(_.getPath)
       catch { case _: java.io.FileNotFoundException => return }
-    if (markers.isEmpty) return // unmarked: in-progress or crashed build
-    val claim = new HPath(tmpRoot,
-      s"$SwapMarker.${java.util.UUID.randomUUID().toString.take(8)}")
-    // the rename is the atomic claim — exactly one concurrent caller
-    // wins; losers find the marker gone and leave the swap to the
-    // winner (if the winner crashes, its claim file is re-claimable)
-    if (!fs.rename(markers.head, claim)) return
+    val pristine = files.find(_.getName == SwapMarker)
+    val claimedExisting = files.find(_.getName.startsWith(SwapMarker + "."))
+    pristine match {
+      case Some(m) =>
+        val c = new HPath(tmpRoot,
+          s"$SwapMarker.${java.util.UUID.randomUUID().toString.take(8)}")
+        // the rename is the atomic claim — exactly one concurrent
+        // caller wins; losers find the pristine marker gone and leave
+        // the swap to the (live) winner
+        if (!fs.rename(m, c)) return
+      case None => claimedExisting match {
+        // a claimed marker's owner may be ALIVE mid-swap — a reader
+        // must never act on it (see the scaladoc). The single writer
+        // knows no other writer runs and finishes the crashed claim.
+        case Some(_) if asWriter => ()
+        case _ => return // unmarked build, or a claim that isn't ours
+      }
+    }
+    // the manifest names the subdirs THIS build produced; absent only
+    // for a pre-manifest tmp layout (legacy: leave stale dirs alone)
+    val manifest: Option[Set[String]] = {
+      val mf = new HPath(tmpRoot, ActiveSubdirsFile)
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bytes.toByteArray, "UTF-8")
+            .split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+        } finally in.close()
+      }
+    }
     IndexSubdirs.foreach { sub =>
       val src = new HPath(tmpRoot, sub)
-      // re-entrant: a subdir already moved by a crashed earlier pass is
-      // simply absent from the tmp and skipped
+      val dst = new HPath(s"${st.root}/$sub")
       if (fs.exists(src)) {
-        val dst = new HPath(s"${st.root}/$sub")
         fs.delete(dst, true)
         // Hadoop FileSystems signal rename failure by RETURNING false —
         // proceeding would delete the tmp below and destroy the only
@@ -440,16 +526,34 @@ object ContinuousIngest {
         require(fs.rename(src, dst),
           s"completeIndexSwap: rename $src -> $dst failed — index swap " +
             "left pending (marker retained); re-run recovery")
+      } else manifest match {
+        // src absent + named in the manifest ⇒ already moved by an
+        // earlier (crashed) pass — the re-entrancy case, keep dst.
+        // Absent FROM the manifest ⇒ the new config never built it:
+        // the destination copy is a stale leftover of the old config
+        // (e.g. a sem_tree after a routed → flat change) — delete it,
+        // or an out-of-band reader could pair the old tree with the
+        // new tables. Idempotent, so a crash here re-runs safely.
+        case Some(active) if !active.contains(sub) => fs.delete(dst, true); ()
+        case _ => () // in-manifest (already moved) or legacy no-manifest
       }
     }
     fs.delete(tmpRoot, true)
     ()
   }
 
-  /** One batch's rows appended to the three embedding-index tables —
+  /** One batch's rows appended to the four embedding-index tables —
     * the same per-batch partition-overwrite idempotency as the dedup
-    * state (all three assignments/encodings are deterministic given
-    * the fixed quantizers, so a replay overwrites identical rows). */
+    * state (every assignment/encoding is deterministic given the
+    * fixed quantizers, so a replay overwrites identical rows). The
+    * packed-segment table is derived from the just-written ivf
+    * partition (read back from parquet, so the assignment computes
+    * once), packed over BATCH-sized input — queries then read
+    * segments as-is instead of re-packing the corpus per call. The
+    * routed semantic path goes through [[routedSemAssign]] — the
+    * threshold-derived adaptive face, NOT a bare fixed fan-out, so a
+    * deployment's maintained pairs keep the borderline recall the
+    * one-shot face fixed (sizing on `AnnParams.semMinCosine`). */
   private def appendIndexes(batch: DataFrame, batchId: Long, st: IngestState,
                             a: AnnParams, q: AnnQuantizers): Unit = {
     // fail loudly, not with a deep AnalysisException: when ann is
@@ -459,16 +563,37 @@ object ContinuousIngest {
       s"ann-enabled ingest: batch $batchId lacks the embedding column " +
         s"'${a.vecCol}' — every batch must carry it (columns: " +
         s"${batch.columns.mkString(", ")})")
+    val spark = batch.sparkSession
     Similarity.ivfAssign(batch, q.cents, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
+    Similarity.ivfPack(
+        spark.read.parquet(s"${st.ivfPath}/batch=$batchId"),
+        dim = q.cents.head.length)
+      .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/batch=$batchId")
     Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
     (q.semTree match {
-      case Some(t) => Similarity.semanticAssignRouted(batch, t, a.nAssign,
-        math.min(a.semNRoute, t.coarse.length), idCol = "doc_id", vecCol = a.vecCol)
+      case Some(t) => routedSemAssign(batch, t, a)
       case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
         idCol = "doc_id", vecCol = a.vecCol)
     }).write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")
+  }
+
+  /** ANN query face over the MAINTAINED index: probe + scan the
+    * persisted packed segments ([[Similarity.annIvfFromPacked]]) —
+    * never re-packs, never touches the corpus floats beyond the
+    * stored segments. Answers are byte-identical to
+    * `annIvfFromIndex` over the assignment table and to the one-shot
+    * `annIvf` under the same centroids (segmentation-independence —
+    * see [[Similarity.ivfPack]]). Pass the loaded quantizers when
+    * querying in a loop; otherwise they load (crash-recovered) here. */
+  def annIvfMaintained(spark: SparkSession, st: IngestState, a: AnnParams,
+                       queries: DataFrame, k: Int, nprobe: Int,
+                       quantizers: Option[AnnQuantizers] = None,
+                       idCol: String = "doc_id"): DataFrame = {
+    val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
+    Similarity.annIvfFromPacked(readTable(spark, st.ivfPackedPath),
+      queries, k, nprobe, q.cents, idCol = idCol, vecCol = a.vecCol)
   }
 
   /** One ingest batch against the maintained state; returns the
@@ -503,11 +628,18 @@ object ContinuousIngest {
         admitted.join(nearIds, Seq("doc_id"), "left_anti")
       }
     // pin the survivor rows BEFORE the state they were diffed against
-    // moves (the first write would otherwise change what a lazy
-    // recompute of `kept` reads), and compute them once for the three
-    // writes + the bloom build
-    val survivors = kept.localCheckpoint()
-    survivors.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
+    // moves (the later writes would otherwise change what a lazy
+    // recompute of `kept` reads), and compute them once for the other
+    // writes + the bloom build. The pin IS the docs-partition write:
+    // `kept` reads every state table with its OWN batch excluded, so
+    // writing `docs/batch=<id>` cannot feed back into the plan, and
+    // re-reading the written partition gives exactly those rows from
+    // disk. (A localCheckpoint would pin the same rows in BlockManager
+    // storage — blocks that outlive the batch and accumulate across a
+    // long-lived driver; parquet-on-state-dir is the same durability
+    // the table needs anyway, for free.)
+    kept.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
+    val survivors = spark.read.parquet(s"${st.docsPath}/batch=$batchId")
     survivors.select(md5(col("text")).as("text"))
       .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=$batchId")
     if (p.nearDup)
@@ -676,17 +808,38 @@ object ContinuousIngest {
     * FileSystem API, so maintenance works on whatever filesystem the
     * state tables live on (HDFS/S3/local), same as the table I/O. */
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
-                   targetRowsPerFile: Long = 1000000L): Unit =
+                   targetRowsPerFile: Long = 1000000L): Unit = {
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
         st.ivfPath, st.pqPath, st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
+    // the packed-segment table is DERIVED data: consolidating it is a
+    // RE-PACK (unpack the per-batch segments, re-segment the union),
+    // not a row union — per-batch packs of small batches fragment into
+    // many under-filled segments, and a plain union would preserve the
+    // fragmentation forever. Answers are segmentation-independent
+    // (ivfPack's law), so the re-pack is also answer-preserving. Row
+    // target scaled down: one packed row is ≈ 4 MiB, not a doc row.
+    compactTable(spark, st.ivfPackedPath, upToBatch,
+      math.max(1L, targetRowsPerFile / 4096L),
+      rewrite = df => Similarity.ivfPack(Similarity.ivfUnpack(df),
+        dim = packedDim(spark, st)))
+  }
+
+  /** Vector dim of the maintained packed table, from one segment row
+    * (size(packed)/size(ids)) — metadata-cost peek for the re-pack's
+    * segment auto-sizing. */
+  private def packedDim(spark: SparkSession, st: IngestState): Int =
+    spark.read.option("basePath", st.ivfPackedPath).parquet(st.ivfPackedPath)
+      .select((size(col("packed")) / size(col("ids"))).cast("int").as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
 
   private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def compactTable(spark: SparkSession, path: String, upToBatch: Long,
-                           targetRowsPerFile: Long): Unit = {
+                           targetRowsPerFile: Long,
+                           rewrite: DataFrame => DataFrame = identity): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, path)
     val root = new HPath(path)
@@ -733,8 +886,10 @@ object ContinuousIngest {
     // corpus (re-admitting every duplicate) and overwrite-destroy it
     val targetId = parts.map(_.getName.stripPrefix("batch=").toLong).max
     // materialize the merged rows to the hidden tmp FIRST (the read
-    // is lazy — deleting sources before the write would lose data)
-    val merged = spark.read.parquet(parts.map(_.toString).toSeq: _*)
+    // is lazy — deleting sources before the write would lose data);
+    // `rewrite` lets derived tables re-shape on consolidation (the
+    // packed-segment re-pack) — it must be answer-preserving
+    val merged = rewrite(spark.read.parquet(parts.map(_.toString).toSeq: _*))
     val n = merged.count()
     val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val tmp = new HPath(root, s".compact_tmp_batch=$targetId")
