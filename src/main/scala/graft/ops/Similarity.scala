@@ -280,12 +280,57 @@ object Similarity {
     require(centroids.nonEmpty,
       "annIvfFromIndex: empty centroid array — train the coarse " +
         "quantizer (ivfCentroids) before searching")
-    annIvfFromPacked(ivfPack(index, centroids.head.length, segSize),
-      queries, k, nprobe, centroids, idCol, vecCol)
+    val spark = queries.sparkSession
+    val dim = centroids.head.length
+    if (segSize == 0 && dim < PackedScanMinDim) {
+      // the measured small-dim winner: at dim < ~128 the packed scan's
+      // pack stage costs more than the join-row copies it saves (A/B
+      // band −13%..+14% at dim 16–64, 1.7× win at 256), so the
+      // one-shot face keeps the candidate equi-join formulation below
+      // the crossover. Answers are byte-identical either way (same
+      // dot order, same (cos desc, nn_id asc) total order — the A/B
+      // harness verified multiset equality at every measured scale).
+      val flat = lit(centroids.flatten)
+      val probe = normalized(queries, idCol, vecCol, "id", "v")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("id").as("vec_id"), col("v").as("va"),
+          explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+            .getField("list")).as("list"))
+      val scored = probe.join(index, Seq("list"))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
+      topKByCos(scored, k)
+    } else {
+      // the SINGLE-PASS window pack, not ivfPack: this face's index is
+      // usually a COMPUTED plan (annIvf feeds ivfAssign straight in),
+      // and ivfPack's count pass would recompute the whole assignment —
+      // measured ~1 s slower at sf0.1 than paying the window sort once
+      val effSeg =
+        if (segSize > 0) segSize
+        else math.max(256, (1 << 22) / (math.max(1, dim) * 8))
+      val segW = org.apache.spark.sql.expressions.Window
+        .partitionBy("list").orderBy("nn_id")
+      val packed = index
+        .withColumn("_seg", ((row_number().over(segW) - 1) / effSeg).cast("int"))
+        .groupBy("list", "_seg").agg(
+          array_sort(collect_list(struct(col("nn_id"), col("vb")))).as("ent"))
+        .select(col("list"),
+          transform(col("ent"), e => e.getField("nn_id")).as("ids"),
+          flatten(transform(col("ent"), e => e.getField("vb"))).as("packed"))
+      annIvfFromPacked(packed, queries, k, nprobe, centroids, idCol, vecCol)
+    }
   }
 
+  /** The dim crossover between [[annIvfFromIndex]]'s two equivalent
+    * scan formulations — candidate equi-join below, packed DotTopK
+    * segments at or above (where the per-candidate join-row copy cost,
+    * ∝ dim, overtakes the pack stage). From the round-13 A/B at
+    * 200k–500k vectors; an explicit `segSize` forces the packed path. */
+  val PackedScanMinDim = 128
+
   /** Pack an [[ivfAssign]] table (`nn_id, vb, list`) into the
-    * segment layout [[annIvfFromPacked]] scans: one row per ≤
+    * segment layout [[annIvfFromPacked]] scans: one row per ≈
     * `segSize`-entry slice of an inverted list — `list, ids, packed`
     * with `ids` in ascending nn_id order beside their concatenated
     * unit vectors. Each row is self-contained (the scan never groups
@@ -294,21 +339,36 @@ object Similarity {
     * pack — segment boundaries change which DotTopK call sees which
     * candidate, never the merged (cos desc, nn_id asc) answer. The
     * maintained lifecycle ([[graft.streaming.ContinuousIngest]])
-    * persists this table per ingest batch so the whole-corpus window
-    * + collect_list here runs once per batch over BATCH-sized input,
-    * not per query call over the corpus — the train-once/pack-once
-    * discipline. `segSize` 0 auto-sizes to ≈ 4 MiB rows from `dim`
-    * (the hot-cell skew guard; the per-list window funnels each
-    * list's BATCH rows through one task, so batch-sized inputs also
-    * bound packing skew). */
+    * persists this table per ingest batch so packing runs once per
+    * batch over BATCH-sized input, not per query call over the corpus
+    * — the train-once/pack-once discipline.
+    *
+    * Segment ASSIGNMENT is `xxhash64(nn_id) mod ceil(|list|/segSize)`
+    * — deterministic, and windowless on purpose: a row_number window
+    * per list would shuffle + SORT the float rows and funnel each
+    * whole list through one task, pure overhead given that answers
+    * are segmentation-independent. The per-list counts it needs are a
+    * column-pruned aggregation (scans only `list`, partial-agg'd to
+    * nlist rows) broadcast back, so the floats shuffle exactly once —
+    * into the (list, seg) hash aggregation. That count pass is only
+    * cheap when `index` is STORED (parquet prunes to one int column)
+    * — the maintained lifecycle's case; for a computed one-shot index
+    * it would recompute the whole assignment, which is why
+    * [[annIvfFromIndex]] keeps the single-pass window pack instead.
+    * Hash segments are BALANCED IN EXPECTATION, not exactly (sizes
+    * concentrate within a few % of `segSize` for segSize ≥ 256),
+    * which the ≈ 4 MiB auto-size absorbs; `segSize` 0 derives it
+    * from `dim` (8Ki entries at dim 64, 512 at dim 1024), the
+    * hot-cell skew guard. */
   def ivfPack(index: DataFrame, dim: Int, segSize: Int = 0): DataFrame = {
     val effSeg =
       if (segSize > 0) segSize
       else math.max(256, (1 << 22) / (math.max(1, dim) * 8))
-    val segW = org.apache.spark.sql.expressions.Window
-      .partitionBy("list").orderBy("nn_id")
+    val counts = index.groupBy("list").agg(count(lit(1)).as("_n"))
     index
-      .withColumn("_seg", ((row_number().over(segW) - 1) / effSeg).cast("int"))
+      .join(broadcast(counts), Seq("list"))
+      .withColumn("_seg", pmod(xxhash64(col("nn_id")),
+        ceil(col("_n").cast("double") / effSeg).cast("long")).cast("int"))
       .groupBy("list", "_seg").agg(
         array_sort(collect_list(struct(col("nn_id"), col("vb")))).as("ent"))
       .select(col("list"),

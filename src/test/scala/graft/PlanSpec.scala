@@ -96,15 +96,29 @@ class PlanSpec extends SparkSpec {
     assert(!kc.contains("posexplode"), "centroid assignment must not explode the centroid array")
     val ivf = plan(graft.ops.Similarity.annIvf(embs, 1, nlist = 16, nprobe = 4))
     assert(ivf.contains("graft_top_dot"), ivf.take(800))
-    // round 13: exact IVF search scans PACKED list segments (one
-    // graft_dot_topk call per (query, segment) row + shared-order
-    // merge) instead of a 1-row-per-candidate join — the IVFADC trick
-    // on raw floats. The remaining Window is the per-list segmenter
-    // over INDEX rows (already hash-partitioned by list), not a
-    // per-candidate rank window.
-    assert(ivf.contains("graft_dot_topk"),
-      "packed-list scan missing — per-candidate scoring join is back")
+    // round 14: the exact IVF scan picks its formulation by dim (the
+    // measured crossover, Similarity.PackedScanMinDim): below it the
+    // candidate equi-join + codegen'd dot wins — the fixture's dim-64
+    // embeddings must take that path, with NO pack window in the plan;
+    // at/above it (or under an explicit segSize) the PACKED DotTopK
+    // segment scan wins — pinned via segSize below. Answers are
+    // byte-identical either way (ScaleOpsSpec degeneration law).
+    assert(embs.first().getSeq[Float](1).length <
+      graft.ops.Similarity.PackedScanMinDim,
+      "fixture dim crossed PackedScanMinDim — re-pin both plan shapes")
+    assert(ivf.contains("graft_dot") && !ivf.contains("graft_dot_topk"),
+      "small-dim IVF should score candidates in the equi-join formulation")
+    assert(!ivf.contains("Window"),
+      "small-dim IVF must not pay the pack window")
     assert(!ivf.contains("InMemoryRelation"), "IVF must not cache the assignment table")
+    val ivfPacked = plan(graft.ops.Similarity.annIvfFromIndex(
+      graft.ops.Similarity.ivfAssign(embs,
+        graft.ops.Similarity.ivfCentroids(embs, 16)),
+      embs, k = 1, nprobe = 4,
+      graft.ops.Similarity.ivfCentroids(embs, 16), segSize = 512))
+    assert(ivfPacked.contains("graft_dot_topk"),
+      "packed-list scan missing under explicit segSize — " +
+        "per-candidate scoring join is back on the packed path")
   }
 
   test("k>1 rank windows carry a PARTIAL WindowGroupLimit (pre-shuffle top-k prune)") {

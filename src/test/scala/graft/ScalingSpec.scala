@@ -563,4 +563,52 @@ class ScalingSpec extends SparkSpec {
         "fixture — below the 0.85 floor the product face owes at the " +
         "scale where auto-routing engages")
   }
+
+  test("10x scale: COMPOUNDED routed recall vs brute force on a sampled query slice") {
+    // the probe above floors routed-vs-FLAT; the flat-vs-brute leg is
+    // floored only at sf scale (check_semantic_dedup), where routing
+    // is off — so the PRODUCT of the two losses was never measured at
+    // routed scale. Whole-corpus brute at 200k is infeasible in spec
+    // time (2·10^10 pairs); a sampled-query slice is not: exact-verify
+    // a 1/40 slice of the vectors against the ENTIRE corpus (5k × 200k
+    // codegen dots — the same shape as the IVFADC probe's exact side)
+    // and floor the full pipeline's recall against that ground truth.
+    // Pairs touching the slice are an unbiased sample of all pairs, so
+    // slice recall estimates corpus recall.
+    val n = 200000L
+    val p = materialize("embrecall", genEmbeddings(n))
+    val e = rd(p)
+    val k = math.max(4L, n / 128L).toInt
+    assert(k > Similarity.RoutedClustersThreshold,
+      s"fixture no longer reaches the routed regime (k=$k)")
+    val t = 0.9
+    val routed = Similarity.semanticNearDupPairs(e, t, nClusters = k,
+      nAssign = 3).select("a", "b").localCheckpoint()
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val prepped = e.select(col("vec_id").as("id"), vd.as("v"))
+      .withColumn("nrm", sqrt(graft.functions.Native.dotNative(spark,
+        col("v"), col("v"))))
+    val qs = prepped.where(pmod(col("id"), lit(40)) === 0)
+      .select(col("id").as("qa"), col("v").as("va"), col("nrm").as("na"))
+    val rs = prepped.select(col("id").as("qb"), col("v").as("vb"), col("nrm").as("nb"))
+    val brute = qs.join(rs, col("qa") =!= col("qb"))
+      .where(graft.functions.Native.dotNative(spark, col("va"), col("vb"))
+        / (col("na") * col("nb")) >= t)
+      .select(least(col("qa"), col("qb")).as("a"),
+        greatest(col("qa"), col("qb")).as("b"))
+      .distinct().localCheckpoint()
+    val nBrute = brute.count()
+    info(s"compounded probe ground truth: $nBrute brute pairs touch the slice")
+    assert(nBrute >= 100, s"slice too sparse for a recall floor: $nBrute pairs")
+    val hit = routed.join(brute, Seq("a", "b"), "left_semi").count()
+    info(f"compounded routed-vs-brute 10x recall: $hit/$nBrute = ${hit.toDouble / nBrute}%.3f")
+    // measured 0.822 (924/1124 — ≈ the 0.887 routed-vs-flat times a
+    // ~0.93 flat-vs-brute leg); floor at 0.75 leaves slice-sampling
+    // slack while a regression in EITHER leg (spill sizing, margin,
+    // nAssign spill, dead cells) still lands here
+    assert(hit.toDouble >= 0.75 * nBrute,
+      f"compounded routed recall ${hit.toDouble / nBrute}%.3f vs brute " +
+        "at the 10× fixture — below the 0.75 floor; one of the two " +
+        "approximation legs regressed")
+  }
 }
