@@ -56,6 +56,19 @@ object CheckQueries extends QueryPack {
   private lazy val checkScratch: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_checkscratch")
     sys.addShutdownHook {
+      // the parquet under this root was written by SPARK, which
+      // resolves the scheme-less path against ITS default filesystem
+      // — delete through the same resolution (Hadoop FS with the
+      // classpath default config), or a non-local deployment would
+      // clean only the empty nio-created local dir and leak every
+      // published scratch table; then remove the local dir itself
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p.toString)
+        org.apache.hadoop.fs.FileSystem
+          .get(hp.toUri, new org.apache.hadoop.conf.Configuration())
+          .delete(hp, true)
+        ()
+      } catch { case _: Throwable => () }
       import java.nio.file.{Files, Path}
       import java.util.Comparator
       try Files.walk(p).sorted(Comparator.reverseOrder[Path]())

@@ -135,7 +135,14 @@ object ContinuousIngest {
     * means "derive from `semMinCosine`". Quantizer identity includes
     * the spill (the tree persists replicas) and the assignment is
     * deterministic given (tree, threshold), so append == rebuild and
-    * replay idempotence are unchanged. */
+    * replay idempotence are unchanged — FOR STATE WRITTEN UNDER ONE
+    * parameter set: every identity-relevant field is fingerprinted
+    * beside the quantizers at (re)train time and [[loadQuantizers]]
+    * refuses a mismatched caller (changing them against existing
+    * state is a [[rebuildIndexes]], exactly like changing `nlist`).
+    * Routed state written by a PRE-fingerprint build (fixed-fan-out
+    * assignment, no spill) carries no stamp to refuse on — run
+    * [[rebuildIndexes]] once when upgrading such a deployment. */
   final case class AnnParams(nlist: Int, m: Int = 8, ksub: Int = 16,
                              nAssign: Int = 3, sampleSize: Int = 0,
                              vecCol: String = "embedding",
@@ -148,6 +155,64 @@ object ContinuousIngest {
     * threshold-derived sizing unless explicitly overridden. */
   private def effSpill(a: AnnParams): Double =
     if (a.semSpill >= 0.0) a.semSpill else Similarity.spillFor(a.semMinCosine)
+
+  private val AnnConfigFile = "_GRAFT_ANN_CONFIG"
+
+  /** The fields of [[AnnParams]] that define ASSIGNMENT IDENTITY —
+    * the quantizer sizes and the per-batch assignment convention.
+    * Two parameter sets with equal fingerprints write identical index
+    * rows for the same batch under the same quantizers; anything
+    * else mixed into one state root would break replay idempotence
+    * and append == rebuild silently (e.g. a fixed-fan-out history
+    * continued with adaptive routing). Note `semSpill = -1` and an
+    * explicit `semSpill = spillFor(t)` fingerprint IDENTICALLY —
+    * identity is by effect, not by spelling. */
+  private def annConfigFingerprint(a: AnnParams): String =
+    Seq(s"nlist=${a.nlist}", s"m=${a.m}", s"ksub=${a.ksub}",
+      s"nAssign=${a.nAssign}", s"sampleSize=${a.sampleSize}",
+      s"vecCol=${a.vecCol}", s"semClusters=${a.semClusters.getOrElse(-1)}",
+      s"semNRoute=${a.semNRoute}", s"spill=${effSpill(a)}",
+      s"semMinCosine=${a.semMinCosine}").mkString(",")
+
+  private def writeAnnConfig(spark: SparkSession, st: IngestState,
+                             a: AnnParams): Unit = {
+    val out = fsFor(spark, st.centroidsPath).create(
+      new org.apache.hadoop.fs.Path(st.centroidsPath, AnnConfigFile), true)
+    try out.write(annConfigFingerprint(a).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Loud config-drift guard: the persisted fingerprint (when
+    * present — roots bootstrapped before it existed are accepted and
+    * gain one at their next (re)train) must equal the caller's. A
+    * mismatch means the caller would append rows under a DIFFERENT
+    * assignment convention or quantizer sizing than the stored
+    * tables were built with — the remedy is [[rebuildIndexes]] under
+    * the new params, which retrains, rewrites every index table, and
+    * re-stamps. */
+  private def checkAnnConfig(spark: SparkSession, st: IngestState,
+                             a: AnnParams): Unit = {
+    val fs = fsFor(spark, st.centroidsPath)
+    val p = new org.apache.hadoop.fs.Path(st.centroidsPath, AnnConfigFile)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val stored =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+    val mine = annConfigFingerprint(a)
+    if (stored != mine)
+      sys.error("AnnParams drift against the persisted index state:\n" +
+        s"  stored: $stored\n  caller: $mine\n" +
+        "appending under these params would mix assignment conventions " +
+        "in the maintained tables (breaking replay idempotence and " +
+        "append == rebuild) — run rebuildIndexes under the new params " +
+        "to retrain and rewrite the index set")
+  }
 
   /** THE routed-assignment definition of the maintained lifecycle —
     * one public face shared by [[appendIndexes]] (every batch, the
@@ -190,10 +255,15 @@ object ContinuousIngest {
 
   def loadQuantizers(spark: SparkSession, st: IngestState,
                      a: AnnParams): AnnQuantizers = {
-    // complete (or roll back) any crashed rebuildIndexes swap before
-    // reading the quantizer tables — cheap (one existence check) and
-    // makes every loadQuantizers-routed reader crash-consistent
+    // reader-side recovery is a deliberate no-op (one existence
+    // check): only the single writer moves a marked swap — see
+    // recoverIndexSwap. The call stays so a future writer-context
+    // loader has one obvious seam.
     recoverIndexSwap(spark, st)
+    // refuse params that disagree with the persisted assignment
+    // identity — a mismatched caller would append rows under a
+    // different convention than the stored batches
+    checkAnnConfig(spark, st, a)
     val cents = Similarity.centroidsFromDF(spark.read.parquet(st.centroidsPath))
     val tree =
       if (semRouted(a))
@@ -296,6 +366,12 @@ object ContinuousIngest {
       idCol = "doc_id", vecCol = a.vecCol)
     Similarity.centroidsToDF(spark, cents)
       .write.mode("overwrite").parquet(st.centroidsPath)
+    // the assignment-identity fingerprint, stamped INSIDE the
+    // centroids dir (underscore-prefixed, so parquet readers skip it,
+    // and it rides the rebuild swap with its quantizer for free):
+    // loadQuantizers refuses params that would silently mix
+    // assignment conventions in the maintained tables
+    writeAnnConfig(spark, st, a)
     val tree = a.semClusters match {
       case Some(nc) if semRouted(a) =>
         val t = Similarity.hierarchicalCentroids(corpus, nc, a.sampleSize,
@@ -341,14 +417,18 @@ object ContinuousIngest {
     * built complete under `.rebuild_tmp/`, a swap marker is written
     * only after every write commits, and the swap (delete old dir,
     * rename tmp dir in, per table) is completed by
-    * [[recoverIndexSwap]] — which [[loadQuantizers]] runs
-    * automatically, completes MARKED swaps under an atomic claim, and
-    * leaves unmarked tmps strictly alone (a reader can therefore
-    * never destroy a build in progress; a crashed unmarked build's
-    * leftover is cleared here, by the next rebuild). A crash at ANY
-    * point leaves either the old quantizer+index set or the new one,
-    * never a mix, once recovery runs. Run ONE rebuild at a time (two
-    * concurrent rebuilds would clear each other's tmp); like
+    * [[recoverIndexSwap]]`(asWriter = true)` — run automatically at
+    * the start of the NEXT rebuild, or explicitly (e.g. at deployment
+    * startup); readers move NOTHING, marked or not, so no reader can
+    * destroy a build in progress or interleave with a live swap (the
+    * mover set is the contract-enforced single writer — see
+    * [[recoverIndexSwap]]). A crash at ANY point leaves either the
+    * old quantizer+index set or the new one, never a mix, once
+    * writer-side recovery runs; until it runs, a crash that landed
+    * mid-swap leaves the root torn — keep queries quiesced (they
+    * must be quiesced for the swap anyway) until recovery completes.
+    * Run ONE rebuild at a time (two concurrent rebuilds would clear
+    * each other's tmp and double-move the swap); like
     * compaction, the swap is not READER-atomic on a plain
     * filesystem — quiesce queries during the swap itself. The
     * rebuilt corpus must be non-empty — quantizers cannot train on
@@ -441,24 +521,33 @@ object ContinuousIngest {
     * automatically, so any reader that goes through the quantizers is
     * crash-consistent without ceremony.
     *
-    * Reader-safe by construction: an UNMARKED tmp is left strictly
-    * alone — it is either a build in progress (deleting it from a
-    * concurrent reader would destroy the rebuild mid-flight and let
-    * it publish a partial set) or a crashed build's leftover
-    * (invisible to every reader; the next [[rebuildIndexes]] clears
-    * it). A PRISTINE-MARKED tmp is completed under a CLAIM: the
-    * claimant atomically renames the EXACT-NAME marker to a unique
-    * name, so of any number of concurrent recoveries exactly one
-    * proceeds — the losers see no pristine marker and walk away. A
-    * claimed `marker.<uuid>` is NEVER re-claimable by a reader: its
-    * owner may be alive mid-swap, and a second claimant interleaving
-    * delete/rename pairs with a live one could delete a
-    * just-installed table after its tmp source was consumed. A
-    * claimant that crashes therefore leaves its claimed marker in
-    * the tmp, and only [[rebuildIndexes]] — the lifecycle's single
-    * writer, which by contract never runs concurrently with another
-    * rebuild — finishes such a crashed claim (`asWriter = true`),
-    * via the same re-entrant moves. */
+    * ONLY THE WRITER EVER MOVES. A reader (`asWriter = false` — the
+    * [[loadQuantizers]]/[[indexDrift]] path) touches nothing, marked
+    * or not: an unmarked tmp may be a build in progress (deleting it
+    * would destroy the rebuild mid-flight), and completing a MARKED
+    * tmp from a reader would make the mover set unbounded — two
+    * movers whose delete/rename pairs interleave can destroy a
+    * just-installed table (mover B stats `src`, mover A renames
+    * src→dst, B deletes dst acting on its stale stat, B's rename
+    * finds src consumed: the table now exists nowhere). Plain
+    * filesystems give no way to tell a live claimant from a crashed
+    * one, so the only safe mover set is one enforced by contract:
+    * [[rebuildIndexes]] — which never runs concurrently with another
+    * rebuild — and the explicit `recoverIndexSwap(asWriter = true)`
+    * remedy run from that same single-writer context. The writer
+    * claims the pristine EXACT-NAME marker by atomic rename (so even
+    * a contract violation cannot double-move a pristine tmp) and
+    * takes over an existing `marker.<uuid>` claim re-entrantly (under
+    * the contract any existing claim is a crashed writer's).
+    *
+    * Consequence, documented trade: a rebuild that crashes AFTER
+    * publishing its marker leaves the swap pending — mid-move, the
+    * state root stays torn (readers were quiesced for the swap per
+    * the [[rebuildIndexes]] contract; keep them quiesced) — until the
+    * next [[rebuildIndexes]] or an explicit
+    * `recoverIndexSwap(asWriter = true)`. Run the explicit recovery
+    * at deployment startup, where being the single writer is
+    * trivially true. */
   def recoverIndexSwap(spark: SparkSession, st: IngestState,
                        asWriter: Boolean = false): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -479,22 +568,24 @@ object ContinuousIngest {
     val files =
       try fs.listStatus(tmpRoot).filter(_.isFile).map(_.getPath)
       catch { case _: java.io.FileNotFoundException => return }
+    // readers never move — see the recoverIndexSwap scaladoc for why
+    // the mover set must be the contract-enforced single writer
+    if (!asWriter) return
     val pristine = files.find(_.getName == SwapMarker)
     val claimedExisting = files.find(_.getName.startsWith(SwapMarker + "."))
     pristine match {
       case Some(m) =>
         val c = new HPath(tmpRoot,
           s"$SwapMarker.${java.util.UUID.randomUUID().toString.take(8)}")
-        // the rename is the atomic claim — exactly one concurrent
-        // caller wins; losers find the pristine marker gone and leave
-        // the swap to the (live) winner
+        // the rename is the atomic claim — belt-and-braces under the
+        // single-writer contract: even a contract violation cannot
+        // get two movers past a pristine marker
         if (!fs.rename(m, c)) return
       case None => claimedExisting match {
-        // a claimed marker's owner may be ALIVE mid-swap — a reader
-        // must never act on it (see the scaladoc). The single writer
-        // knows no other writer runs and finishes the crashed claim.
-        case Some(_) if asWriter => ()
-        case _ => return // unmarked build, or a claim that isn't ours
+        // under the single-writer contract an existing claim is a
+        // crashed writer's — take it over re-entrantly
+        case Some(_) => ()
+        case _ => return // unmarked: build in progress or crashed build
       }
     }
     // the manifest names the subdirs THIS build produced; absent only
@@ -586,14 +677,56 @@ object ContinuousIngest {
     * `annIvfFromIndex` over the assignment table and to the one-shot
     * `annIvf` under the same centroids (segmentation-independence —
     * see [[Similarity.ivfPack]]). Pass the loaded quantizers when
-    * querying in a loop; otherwise they load (crash-recovered) here. */
+    * querying in a loop; otherwise they load here.
+    *
+    * GUARDED against the silent-partial-answer trap: a state root
+    * whose ivf table predates the packed table (bootstrapped before
+    * round 14) has assignment partitions with no packed twin — a
+    * bare packed read would answer queries against only the batches
+    * ingested since the upgrade. The batch-directory parity check
+    * (one listing per table, metadata cost) fails loudly instead and
+    * names [[backfillPackedIvf]] as the migration. */
   def annIvfMaintained(spark: SparkSession, st: IngestState, a: AnnParams,
                        queries: DataFrame, k: Int, nprobe: Int,
                        quantizers: Option[AnnQuantizers] = None,
                        idCol: String = "doc_id"): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
+    val missing = batchDirNames(spark, st.ivfPath) --
+      batchDirNames(spark, st.ivfPackedPath)
+    if (missing.nonEmpty)
+      sys.error("annIvfMaintained: ivf batches with no packed twin: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — this state root's " +
+        "assignment table predates its packed table (or an append " +
+        "crashed between the two writes and was never replayed); run " +
+        "backfillPackedIvf to pack the missing batches")
     Similarity.annIvfFromPacked(readTable(spark, st.ivfPackedPath),
       queries, k, nprobe, q.cents, idCol = idCol, vecCol = a.vecCol)
+  }
+
+  private def batchDirNames(spark: SparkSession, path: String): Set[String] = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).toSet
+  }
+
+  /** MIGRATION: pack every ivf batch partition that lacks a packed
+    * twin — the upgrade path for state roots bootstrapped before the
+    * packed table existed ([[annIvfMaintained]]'s loud guard names
+    * this). Idempotent (partition overwrite, deterministic pack);
+    * safe to re-run; reads the vector dim from the data itself. */
+  def backfillPackedIvf(spark: SparkSession, st: IngestState): Unit = {
+    val missing = batchDirNames(spark, st.ivfPath) --
+      batchDirNames(spark, st.ivfPackedPath)
+    if (missing.isEmpty) return
+    val dim = spark.read.option("basePath", st.ivfPath).parquet(st.ivfPath)
+      .select(size(col("vb")).as("d")).limit(1).collect().head.getInt(0)
+    missing.foreach { b =>
+      Similarity.ivfPack(spark.read.parquet(s"${st.ivfPath}/$b"), dim)
+        .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/$b")
+    }
   }
 
   /** One ingest batch against the maintained state; returns the

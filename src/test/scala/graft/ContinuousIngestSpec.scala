@@ -372,6 +372,67 @@ class ContinuousIngestSpec extends SparkSpec {
       "post-change quantizers should be the flat set")
   }
 
+  /** Round-14 review findings, pinned: (1) the assignment-identity
+    * fingerprint — loadQuantizers refuses AnnParams that disagree
+    * with the persisted stamp (appending under them would mix
+    * assignment conventions in one state root), while a differently
+    * SPELLED but identical-by-effect set is accepted; (2) the
+    * packed-table migration guard — an ivf batch with no packed twin
+    * (a pre-packed-era root, or a crash between the two writes that
+    * never replayed) makes annIvfMaintained fail LOUDLY instead of
+    * silently answering from a partial corpus, and backfillPackedIvf
+    * is the named, idempotent migration. */
+  test("ann config fingerprint refuses drifted params; packed guard + backfill close the partial-answer trap") {
+    import graft.ops.Similarity
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    val st = IngestState(s"$root/fp")
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2,
+      semClusters = Some(6))
+    val Pa = P.copy(ann = Some(ann))
+    val boot = (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    ContinuousIngest.ingestBatch(
+      (1L to 10L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa)
+    // drifted identity fields are refused with the rebuild remedy
+    val eDrift = intercept[Throwable] {
+      ContinuousIngest.loadQuantizers(spark, st, ann.copy(nAssign = 3))
+    }
+    assert(msgs(eDrift).exists(_.contains("rebuildIndexes")),
+      s"drifted AnnParams should be refused with the remedy named: ${msgs(eDrift)}")
+    // identity is by EFFECT: spelling the derived spill explicitly
+    // fingerprints identically and is accepted
+    ContinuousIngest.loadQuantizers(spark, st,
+      ann.copy(semSpill = Similarity.spillFor(ann.semMinCosine)))
+    // packed-table parity guard: drop one packed batch dir (what a
+    // pre-packed-era root looks like for every batch)
+    import java.nio.file.{Files => JF, Path => JP}
+    import java.util.Comparator
+    JF.walk(JP.of(s"${st.ivfPackedPath}/batch=0"))
+      .sorted(Comparator.reverseOrder[JP]())
+      .forEach(f => JF.deleteIfExists(f))
+    val corpus = ContinuousIngest.readTable(spark, st.docsPath).localCheckpoint()
+    val eGap = intercept[Throwable] {
+      ContinuousIngest.annIvfMaintained(spark, st, ann, corpus,
+        k = 1, nprobe = 2).count()
+    }
+    assert(msgs(eGap).exists(_.contains("backfillPackedIvf")),
+      s"missing packed twin should fail loudly naming the migration: ${msgs(eGap)}")
+    // the migration restores parity and the maintained answers equal
+    // the one-shot operator again
+    ContinuousIngest.backfillPackedIvf(spark, st)
+    val q = ContinuousIngest.loadQuantizers(spark, st, ann)
+    val got = ContinuousIngest.annIvfMaintained(spark, st, ann, corpus,
+      k = 1, nprobe = 2, Some(q))
+    val want = Similarity.annIvf(corpus, 1, nlist = 4, nprobe = 2,
+      centroids = Some(q.cents), idCol = "doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "backfilled packed table answers differ from the one-shot operator")
+  }
+
   /** The ADVICE-13 stealable-claim fix: a CLAIMED swap marker
     * (`_GRAFT_SWAP_READY.<uuid>`) may belong to a LIVE claimant — a
     * reader must walk away (re-claiming could interleave
@@ -501,13 +562,15 @@ class ContinuousIngestSpec extends SparkSpec {
   }
 
   /** Crash atomicity of rebuildIndexes (the hidden-tmp + marker swap):
-    * a crash BEFORE the swap marker leaves a partial tmp whose
-    * recovery ROLLS BACK (old quantizers + tables untouched); a crash
-    * MID-SWAP (marker present, some subdirs moved) recovers FORWARD to
-    * exactly the completed rebuild — quantizers, all three index
-    * tables, and the drift_base snapshot. Both recoveries ride
-    * loadQuantizers, so any reader path heals the state without
-    * ceremony. */
+    * a crash BEFORE the swap marker leaves a partial tmp that READERS
+    * leave strictly alone (old quantizers + tables served untouched);
+    * a crash MID-SWAP (marker present, some subdirs moved) is also
+    * untouchable by readers — only the WRITER-side recovery
+    * (`recoverIndexSwap(asWriter = true)`, or the next
+    * rebuildIndexes) completes it FORWARD to exactly the finished
+    * rebuild — quantizers, index tables, and the drift_base snapshot.
+    * Readers never move anything, so no reader can interleave with a
+    * live swap or destroy a build in progress. */
   test("rebuildIndexes crash recovery: unmarked tmp rolls back, marked mid-swap tmp completes forward") {
     import graft.streaming.ContinuousIngest.AnnParams
     val root = freshRoot()
@@ -552,8 +615,9 @@ class ContinuousIngestSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
 
     // mid-SWAP crash: marker written, some subdirs NOT yet moved out of
-    // the tmp (staged by moving them back under it) → recovery must
-    // complete the swap forward, not roll back
+    // the tmp (staged by moving them back under it) → a READER must
+    // walk away (it cannot know whether the marker's owner is alive);
+    // the WRITER-side recovery completes the swap forward, not back
     assert(tmpRoot.mkdir(), "could not stage the mid-swap tmp")
     Seq("centroids", "ivf", "drift_base").foreach { sub =>
       java.nio.file.Files.move(
@@ -563,8 +627,14 @@ class ContinuousIngestSpec extends SparkSpec {
     java.nio.file.Files.write(
       new java.io.File(tmpRoot, "_GRAFT_SWAP_READY").toPath,
       Array.emptyByteArray)
+    // a reader-side recovery must not touch even a PRISTINE-marked
+    // tmp — the mover set is the single writer, full stop
+    ContinuousIngest.recoverIndexSwap(spark, st)
+    assert(tmpRoot.exists(),
+      "a READER moved a marked swap — only the writer may complete it")
+    ContinuousIngest.recoverIndexSwap(spark, st, asWriter = true)
     val q3 = ContinuousIngest.loadQuantizers(spark, st, ann)
-    assert(!tmpRoot.exists(), "marked mid-swap tmp not completed")
+    assert(!tmpRoot.exists(), "marked mid-swap tmp not completed by the writer")
     assert(q3.cents.flatten.toSeq == q2.cents.flatten.toSeq,
       "mid-swap recovery lost the rebuilt quantizers")
     snapIdx().zip(wantIdx).zip(Seq("ivf", "pq", "sem")).foreach {
