@@ -540,7 +540,16 @@ object Similarity {
     * centroid array — flat assignment is N·k dots, quadratic under
     * the occupancy-flat k ∝ N sizing, while routing is N^1.5. Small
     * counts stay flat (cheaper in absolute terms, and the sf-fixture
-    * faces keep their byte-stable outputs). */
+    * faces keep their byte-stable outputs).
+    *
+    * 64 is MEASURED, not guessed: the round-14 RoutedScaleProbe put
+    * the routed/flat ABSOLUTE crossing between the 10× fixture (40
+    * cells, routed 0.27× flat speed) and the 30× fixture (69 cells,
+    * routed 1.23×) at the derived default spill — i.e. the crossing
+    * sits in the 50–70-cell band this constant bisects (SCALING.md
+    * §round-14). Below it the tree's fan-out overhead outweighs the
+    * √k dot savings; above it flat's N·k grows past routing's
+    * N^1.5·inflation. */
   val RoutedClustersThreshold = 64
 
   /** The routed path's recall/cost story is THRESHOLD-AWARE: the tree
@@ -1653,19 +1662,35 @@ object Similarity {
       .agg(topk(col("nn_id"), col("cos")).as("tk"))
       .select(col("vec_id"), explode(col("tk")).as("e"))
       .select(col("vec_id"), col("e.nn_id").as("nn_id"))
-    exactScoreShortlist(shortlist, embs, k, idCol, vecCol, queryPred)
+    exactScoreShortlist(shortlist, embs, embs, k, idCol, vecCol, queryPred)
   }
 
   /** Exact scoring of a `vec_id, nn_id` shortlist: join the nq·R rows
-    * back to the float corpus (query side broadcast), one codegen'd
-    * dot each, true top-k — shared by every rerank face. */
-  private def exactScoreShortlist(shortlist: DataFrame, embs: DataFrame, k: Int,
+    * back to the float corpus, one codegen'd dot each, true top-k —
+    * shared by every rerank face. The query and candidate float
+    * stores are SEPARATE arguments because the maintained faces serve
+    * external queries against a stored corpus; one-shot callers pass
+    * the same table twice.
+    *
+    * Join ORDER is the scale guarantee: the corpus float table —
+    * the 100 TB side — joins first against the BROADCAST id-only
+    * shortlist (nq·R two-long rows, KiBs), so the corpus is scanned
+    * once and never shuffled regardless of what the planner's size
+    * estimates say about a computed shortlist; the query floats
+    * (nq rows) broadcast onto the surviving nq·R rows afterwards.
+    * Joining query floats first would fatten the shortlist by dim
+    * doubles per row BEFORE the corpus join and leave the
+    * corpus-side strategy to estimate luck. Inner joins commute —
+    * answers are byte-identical. */
+  private def exactScoreShortlist(shortlist: DataFrame, queriesDf: DataFrame,
+                                  corpusDf: DataFrame, k: Int,
                                   idCol: String, vecCol: String,
                                   queryPred: Column): DataFrame = {
-    val spark = embs.sparkSession
-    val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
-    val c = normalized(embs, idCol, vecCol, "nn_id", "vb")
-    val exact = shortlist.join(broadcast(q), "vec_id").join(c, "nn_id")
+    val spark = queriesDf.sparkSession
+    val q = normalized(queriesDf.where(queryPred), idCol, vecCol, "vec_id", "va")
+    val c = normalized(corpusDf, idCol, vecCol, "nn_id", "vb")
+    val exact = c.join(broadcast(shortlist), "nn_id")
+      .join(broadcast(q), "vec_id")
       .select(col("vec_id"), col("nn_id"),
         graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
     topKByCos(exact, k)
@@ -1709,15 +1734,20 @@ object Similarity {
     * [[graft.streaming.ContinuousIngest]] lifecycle, under the
     * persisted quantizers), so a nightly deployment searches without
     * re-assigning or re-encoding the corpus. `embs` supplies the
-    * query vectors and the rerank float store. [[annIvfPq]] is
-    * exactly this over a freshly-built index, so the faces cannot
-    * drift (the ContinuousIngestSpec law compares them through real
-    * parquet round trips). */
+    * query vectors; the rerank float store is `corpus` when given
+    * (the maintained docs table — external queries are usually NOT
+    * corpus members, so reranking against `embs` alone would drop
+    * every candidate at the float join) and `embs` itself otherwise
+    * (the one-shot shape, where queries are corpus rows selected by
+    * `queryPred`). [[annIvfPq]] is exactly this over a freshly-built
+    * index, so the faces cannot drift (the ContinuousIngestSpec law
+    * compares them through real parquet round trips). */
   def annIvfPqFromIndex(index: DataFrame, embs: DataFrame, k: Int, nprobe: Int,
                         cents: Array[Array[Double]],
                         bks: Array[Array[Array[Double]]], rerank: Int = 0,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        queryPred: Column = lit(true)): DataFrame = {
+                        queryPred: Column = lit(true),
+                        corpus: Option[DataFrame] = None): DataFrame = {
     val spark = embs.sparkSession
     val flat = lit(cents.flatten)
     // hash-partitioned by QUERY id: the packed-list join below
@@ -1792,7 +1822,8 @@ object Similarity {
           explode(slice(filter(col("cand"),
             e => e.getField("nn_id") =!= col("vec_id")), 1, rerank)).as("e"))
         .select(col("vec_id"), col("e.nn_id").as("nn_id"))
-      exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred)
+      exactScoreShortlist(merged, embs, corpus.getOrElse(embs), k,
+        idCol, vecCol, queryPred)
     }
   }
 }

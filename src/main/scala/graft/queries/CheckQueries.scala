@@ -1179,18 +1179,27 @@ object CheckQueries extends QueryPack {
         ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
         val ivfTab = ContinuousIngest.readTable(s, st.ivfPath)
         val pqTab = ContinuousIngest.readTable(s, st.pqPath)
+        // the maintained assignment table is SLIM (nn_id, list); the
+        // floats live once in the packed table, whose unpack must
+        // restore the full from-scratch assignment exactly
         val ivfViol = multisetDiffViolations(ivfTab,
-          Similarity.ivfAssign(docs, quant.cents, idCol = "doc_id"),
+          Similarity.ivfAssign(docs, quant.cents, idCol = "doc_id")
+            .select("nn_id", "list"),
           "ingest_ivf_extra", "ingest_ivf_missing")
+        val packViol = multisetDiffViolations(
+          Similarity.ivfUnpack(ContinuousIngest.readTable(s, st.ivfPackedPath)),
+          Similarity.ivfAssign(docs, quant.cents, idCol = "doc_id"),
+          "ingest_pack_extra", "ingest_pack_missing")
         val pqViol = multisetDiffViolations(pqTab,
-          Similarity.pqEncode(docs, quant.books, idCol = "doc_id"),
+          Similarity.pqEncode(docs, quant.books, idCol = "doc_id")
+            .drop("codes_arr"),
           "ingest_pq_extra", "ingest_pq_missing")
-        val index = ivfTab.select("nn_id", "list")
-          .join(pqTab.select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
         val slice = pmod(col("doc_id"), lit(5)) === 0
-        val fromIdx = Similarity.annIvfPqFromIndex(index, docs, k = 3,
-          nprobe = 4, quant.cents, quant.books, rerank = 8,
-          idCol = "doc_id", queryPred = slice)
+        // the product face: maintained ivf ⋈ pq under the persisted
+        // quantizers, docs table as the rerank float store (and the
+        // ivf/pq batch-parity guard on the way in)
+        val fromIdx = ContinuousIngest.annIvfPqMaintained(s, st, p.ann.get,
+          docs.where(slice), k = 3, nprobe = 4, rerank = 8, Some(quant))
         val oneShot = Similarity.annIvfPq(docs, 3, nlist = nlist, nprobe = 4,
           rerank = 8, centroids = Some(quant.cents), books = Some(quant.books),
           idCol = "doc_id", queryPred = slice)
@@ -1198,7 +1207,8 @@ object CheckQueries extends QueryPack {
           "ingest_search_extra", "ingest_search_missing")
         // collect BEFORE the finally deletes the parquet the frames
         // scan (the check_ivf_append lesson)
-        val out = ivfViol.unionByName(pqViol).unionByName(searchViol)
+        val out = ivfViol.unionByName(packViol).unionByName(pqViol)
+          .unionByName(searchViol)
           .collect().map(_.getString(0)).toSeq
         import s.implicits._
         out.toDF("violation")

@@ -64,9 +64,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * trained once at [[bootstrap]] and persisted beside them — same
   * per-batch partition-overwrite idempotency (the
   * assignments/encodings are deterministic given fixed quantizers, so
-  * a replay overwrites identical rows). Query the maintained tables
-  * with `readTable` + `Similarity.annIvfFromIndex` /
-  * `semanticPairsFromIndex` / the PQ ADC faces; ContinuousIngestSpec
+  * a replay overwrites identical rows). Each index byte is stored
+  * ONCE: the assignment table is slim `(nn_id, list)` — floats live
+  * solely in the packed segments — and the code table drops the
+  * widened `codes_arr`. Query the maintained tables with the
+  * `annIvfMaintained` / `annIvfPqMaintained` faces (or `readTable` +
+  * `semanticPairsFromIndex` for semantic pairs); ContinuousIngestSpec
   * pins each table against the from-scratch rebuild over the final
   * corpus, through the replayed batch.
   */
@@ -88,11 +91,15 @@ object ContinuousIngest {
     val semCentroidsPath: String = s"$root/sem_centroids"
     val semTreePath: String = s"$root/sem_tree"
     val booksPath: String = s"$root/books"
+    // SLIM (nn_id, list) — the floats live once, in the packed table
+    // (appendIndexes' slim-assignment discipline)
     val ivfPath: String = s"$root/ivf"
-    // the ivf table in Similarity.ivfPack's segment layout, packed
-    // per batch at append time — the table annIvfMaintained scans, so
-    // queries never re-pack the corpus (pack-once discipline)
+    // the ivf assignment in Similarity.ivfPack's segment layout,
+    // packed per batch at append time — the table annIvfMaintained
+    // scans (pack-once discipline) AND the sole float store of the
+    // index (ivfUnpack restores the full assignment rows exactly)
     val ivfPackedPath: String = s"$root/ivf_packed"
+    // slim too: (vec_id, codes, rerr) — no codes_arr
     val pqPath: String = s"$root/pq"
     val semPath: String = s"$root/sem"
     // per-cell occupancy snapshot of the index tables as of the last
@@ -636,12 +643,27 @@ object ContinuousIngest {
   /** One batch's rows appended to the four embedding-index tables —
     * the same per-batch partition-overwrite idempotency as the dedup
     * state (every assignment/encoding is deterministic given the
-    * fixed quantizers, so a replay overwrites identical rows). The
-    * packed-segment table is derived from the just-written ivf
-    * partition (read back from parquet, so the assignment computes
-    * once), packed over BATCH-sized input — queries then read
-    * segments as-is instead of re-packing the corpus per call. The
-    * routed semantic path goes through [[routedSemAssign]] — the
+    * fixed quantizers, so a replay overwrites identical rows).
+    *
+    * SLIM-ASSIGNMENT DISCIPLINE: the stored `ivf` table carries only
+    * `(nn_id, list)` — the unit vectors live exactly ONCE in the
+    * packed-segment table (plus the raw embeddings in docs), not in
+    * three tables. At corpus scale the float column dominates index
+    * bytes, so this halves index storage (3× corpus floats → 2×
+    * counting docs). The full assignment (with `vb`) is staged in a
+    * HIDDEN `.assign_tmp_batch=<id>` dir (invisible to partition
+    * discovery) so (a) the assignment computes once, (b)
+    * [[Similarity.ivfPack]]'s per-list count pass reads a STORED,
+    * column-prunable table (its cheap formulation), and (c) the
+    * visible batch dir is written exactly once, slim — there is never
+    * a fat→slim rewrite window on the live table. The stage is
+    * deleted on success; a crash leaves only the hidden dir, which
+    * the batch replay overwrites (and [[compactState]] sweeps).
+    * Readers that need floats take them from the packed table
+    * ([[Similarity.ivfUnpack]] is exact) — [[annIvfPqMaintained]]'s
+    * rerank store is the docs table.
+    *
+    * The routed semantic path goes through [[routedSemAssign]] — the
     * threshold-derived adaptive face, NOT a bare fixed fan-out, so a
     * deployment's maintained pairs keep the borderline recall the
     * one-shot face fixed (sizing on `AnnParams.semMinCosine`). */
@@ -655,13 +677,22 @@ object ContinuousIngest {
         s"'${a.vecCol}' — every batch must carry it (columns: " +
         s"${batch.columns.mkString(", ")})")
     val spark = batch.sparkSession
+    val stage = s"${st.ivfPath}/.assign_tmp_batch=$batchId"
     Similarity.ivfAssign(batch, q.cents, idCol = "doc_id", vecCol = a.vecCol)
-      .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
-    Similarity.ivfPack(
-        spark.read.parquet(s"${st.ivfPath}/batch=$batchId"),
-        dim = q.cents.head.length)
+      .write.mode("overwrite").parquet(stage)
+    Similarity.ivfPack(spark.read.parquet(stage), dim = q.cents.head.length)
       .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/batch=$batchId")
+    spark.read.parquet(stage).select("nn_id", "list")
+      .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
+    fsFor(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
+    // slim here too: codes_arr is codes widened to ints (a law-audit
+    // convenience on the one-shot face) — 4·m bytes of pure
+    // redundancy per vector in a table whose point is m-byte codes.
+    // The maintained table keeps codes (scoring) + rerr (the ADC
+    // error bound, a monitoring signal floats can't be re-derived
+    // from without a full re-encode).
     Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
+      .drop("codes_arr")
       .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
     (q.semTree match {
       case Some(t) => routedSemAssign(batch, t, a)
@@ -691,16 +722,67 @@ object ContinuousIngest {
                        quantizers: Option[AnnQuantizers] = None,
                        idCol: String = "doc_id"): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
-    val missing = batchDirNames(spark, st.ivfPath) --
-      batchDirNames(spark, st.ivfPackedPath)
+    val ivfDirs = batchDirNames(spark, st.ivfPath)
+    val packedDirs = batchDirNames(spark, st.ivfPackedPath)
+    val missing = ivfDirs -- packedDirs
     if (missing.nonEmpty)
       sys.error("annIvfMaintained: ivf batches with no packed twin: " +
         s"${missing.toSeq.sorted.mkString(", ")} — this state root's " +
         "assignment table predates its packed table (or an append " +
         "crashed between the two writes and was never replayed); run " +
         "backfillPackedIvf to pack the missing batches")
+    // the reverse direction exists too (slim discipline packs BEFORE
+    // writing the assignment batch): a packed dir with no assignment
+    // twin is a crashed, never-replayed append — answering from it
+    // would include rows the other index tables never saw
+    val orphan = packedDirs -- ivfDirs
+    if (orphan.nonEmpty)
+      sys.error("annIvfMaintained: packed batches with no assignment " +
+        s"twin: ${orphan.toSeq.sorted.mkString(", ")} — an append " +
+        "crashed between the packed and assignment writes; replay the " +
+        "batch (or rebuildIndexes) before querying")
     Similarity.annIvfFromPacked(readTable(spark, st.ivfPackedPath),
       queries, k, nprobe, q.cents, idCol = idCol, vecCol = a.vecCol)
+  }
+
+  /** IVFADC query face over the MAINTAINED tables: the ivf ⋈ pq join
+    * ([[Similarity.annIvfPqFromIndex]]'s expected index shape)
+    * assembled HERE so every caller gets the same column discipline
+    * (`nn_id, list, codes`), with the maintained DOCS table as the
+    * rerank float store — external queries are usually not corpus
+    * members, so reranking against the query batch alone would drop
+    * every candidate at the float join. Floats are touched only by
+    * the `rerank` shortlist (∝ nq·rerank rows), never by the ADC
+    * candidate stream. Byte-compatible with the one-shot `annIvfPq`
+    * under the same persisted quantizers; ContinuousIngestSpec pins
+    * the equality through a real ingest round trip.
+    *
+    * Guarded like [[annIvfMaintained]]: an ivf batch with no pq twin
+    * (a crash between the two appendIndexes writes that was never
+    * replayed) would silently answer against partial codes — the
+    * batch-directory parity check fails loudly instead. */
+  def annIvfPqMaintained(spark: SparkSession, st: IngestState, a: AnnParams,
+                         queries: DataFrame, k: Int, nprobe: Int,
+                         rerank: Int = 32,
+                         quantizers: Option[AnnQuantizers] = None,
+                         idCol: String = "doc_id"): DataFrame = {
+    val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
+    val ivfDirs = batchDirNames(spark, st.ivfPath)
+    val pqDirs = batchDirNames(spark, st.pqPath)
+    val unpaired = (ivfDirs diff pqDirs) union (pqDirs diff ivfDirs)
+    if (unpaired.nonEmpty)
+      sys.error("annIvfPqMaintained: ivf/pq batch directories disagree: " +
+        s"${unpaired.toSeq.sorted.mkString(", ")} — an append crashed " +
+        "between the assignment and code writes and was never replayed; " +
+        "replay the batch (or rebuildIndexes) before querying")
+    val index = readTable(spark, st.ivfPath).select("nn_id", "list")
+      .join(readTable(spark, st.pqPath)
+        .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+    val corpus = readTable(spark, st.docsPath)
+      .select(col("doc_id").as(idCol), col(a.vecCol))
+    Similarity.annIvfPqFromIndex(index, queries, k, nprobe,
+      q.cents, q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
+      corpus = Some(corpus))
   }
 
   private def batchDirNames(spark: SparkSession, path: String): Set[String] = {
@@ -716,15 +798,28 @@ object ContinuousIngest {
     * twin — the upgrade path for state roots bootstrapped before the
     * packed table existed ([[annIvfMaintained]]'s loud guard names
     * this). Idempotent (partition overwrite, deterministic pack);
-    * safe to re-run; reads the vector dim from the data itself. */
+    * safe to re-run; reads the vector dim from the data itself,
+    * PER BATCH (pre-packed-era batches are fat — they carry `vb`;
+    * a global schema inference over a mixed fat/slim table could
+    * drop the column). A SLIM batch with no packed twin is not a
+    * migration case at all — the slim discipline writes packed
+    * first, so it is a crashed append whose only float source is
+    * the docs partition: the remedy is replaying the batch (or
+    * rebuildIndexes), named loudly. */
   def backfillPackedIvf(spark: SparkSession, st: IngestState): Unit = {
     val missing = batchDirNames(spark, st.ivfPath) --
       batchDirNames(spark, st.ivfPackedPath)
     if (missing.isEmpty) return
-    val dim = spark.read.option("basePath", st.ivfPath).parquet(st.ivfPath)
-      .select(size(col("vb")).as("d")).limit(1).collect().head.getInt(0)
     missing.foreach { b =>
-      Similarity.ivfPack(spark.read.parquet(s"${st.ivfPath}/$b"), dim)
+      val df = spark.read.parquet(s"${st.ivfPath}/$b")
+      require(df.columns.contains("vb"),
+        s"backfillPackedIvf: $b is a slim assignment batch (no vb " +
+          "column) with no packed twin — a crashed append, not a " +
+          "pre-packed-era root; replay the batch (or rebuildIndexes) " +
+          "instead of backfilling")
+      val dim = df.select(size(col("vb")).as("d"))
+        .limit(1).collect().head.getInt(0)
+      Similarity.ivfPack(df, dim)
         .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/$b")
     }
   }
@@ -943,8 +1038,28 @@ object ContinuousIngest {
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
                    targetRowsPerFile: Long = 1000000L): Unit = {
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
-        st.ivfPath, st.pqPath, st.semPath)
+        st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
+    // the assignment and code tables consolidate THROUGH their slim
+    // projections: pre-slim fat batches lose the redundant float /
+    // widened-int columns here, so compaction doubles as the storage
+    // migration (floats stay available in the packed table, exactly —
+    // ivfUnpack's law; codes_arr is derivable from codes by widening)
+    compactTable(spark, st.ivfPath, upToBatch, targetRowsPerFile,
+      rewrite = df => df.select("nn_id", "list"))
+    compactTable(spark, st.pqPath, upToBatch, targetRowsPerFile,
+      rewrite = df => df.select("vec_id", "codes", "rerr"))
+    // sweep staging dirs orphaned by appends that crashed below the
+    // replay horizon (an in-flight batch's staging is left for its
+    // replay to overwrite)
+    val ivfRoot = new org.apache.hadoop.fs.Path(st.ivfPath)
+    val ivfFs = fsFor(spark, st.ivfPath)
+    if (ivfFs.exists(ivfRoot)) ivfFs.listStatus(ivfRoot)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".assign_tmp_batch="))
+      .filter(_.getPath.getName.stripPrefix(".assign_tmp_batch=")
+        .toLong <= upToBatch)
+      .foreach(s => ivfFs.delete(s.getPath, true))
     // the packed-segment table is DERIVED data: consolidating it is a
     // RE-PACK (unpack the per-batch segments, re-segment the union),
     // not a row union — per-batch packs of small batches fragment into

@@ -169,16 +169,24 @@ class ContinuousIngestSpec extends SparkSpec {
     def snapshotIdx(): Seq[DataFrame] =
       Seq(st.ivfPath, st.ivfPackedPath, st.pqPath, st.semPath).map(p =>
         ContinuousIngest.readTable(spark, p).localCheckpoint())
+    // the maintained assignment table is SLIM (nn_id, list) — floats
+    // live once, in the packed table (law below)
     assertSame("ivf", ContinuousIngest.readTable(spark, st.ivfPath),
-      Similarity.ivfAssign(finalDocs, cents, idCol = "doc_id"))
+      Similarity.ivfAssign(finalDocs, cents, idCol = "doc_id")
+        .select("nn_id", "list"))
+    // slim pq: codes_arr (codes widened to ints) stays one-shot-only
     assertSame("pq", ContinuousIngest.readTable(spark, st.pqPath),
-      Similarity.pqEncode(finalDocs, books, idCol = "doc_id"))
+      Similarity.pqEncode(finalDocs, books, idCol = "doc_id")
+        .drop("codes_arr"))
     assertSame("sem", ContinuousIngest.readTable(spark, st.semPath),
       Similarity.semanticAssign(finalDocs, q.semCents, ann.nAssign, idCol = "doc_id"))
     // the search faces over the maintained tables == the one-shot
     // operators under the same persisted quantizers
+    // the fromIndex face over maintained data: the slim table has no
+    // floats, so the index side is the packed table's exact unpack
     assertSame("ivf_search",
-      Similarity.annIvfFromIndex(ContinuousIngest.readTable(spark, st.ivfPath),
+      Similarity.annIvfFromIndex(
+        Similarity.ivfUnpack(ContinuousIngest.readTable(spark, st.ivfPackedPath)),
         finalDocs, k = 1, nprobe = 2, cents, idCol = "doc_id"),
       Similarity.annIvf(finalDocs, 1, nlist = 4, nprobe = 2,
         centroids = Some(cents), idCol = "doc_id"))
@@ -190,21 +198,40 @@ class ContinuousIngestSpec extends SparkSpec {
         k = 1, nprobe = 2, Some(q)),
       Similarity.annIvf(finalDocs, 1, nlist = 4, nprobe = 2,
         centroids = Some(cents), idCol = "doc_id"))
-    // and the packed table itself is the pack of the maintained
-    // assignment rows, batch by batch (unpack restores them exactly)
+    // and the packed table is the SOLE float store: its unpack
+    // restores the full from-scratch assignment rows exactly —
+    // nothing was lost by slimming the assignment table
     assertSame("ivf_packed_rows",
       Similarity.ivfUnpack(ContinuousIngest.readTable(spark, st.ivfPackedPath)),
-      ContinuousIngest.readTable(spark, st.ivfPath))
+      Similarity.ivfAssign(finalDocs, cents, idCol = "doc_id"))
+    // the IVFADC face over the maintained tables (docs table as the
+    // rerank float store) == the one-shot operator when the queries
+    // ARE corpus rows — same floats either way
     assertSame("ivfadc_search",
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, finalDocs,
+        k = 1, nprobe = 2, rerank = 8, Some(q)),
+      Similarity.annIvfPq(finalDocs, 1, nlist = 4, nprobe = 2,
+        m = ann.m, ksub = ann.ksub, rerank = 8,
+        centroids = Some(cents), books = Some(books), idCol = "doc_id"))
+    // EXTERNAL queries (ids absent from the corpus) — the deployment
+    // shape. The rerank shortlist must join the MAINTAINED docs
+    // table's floats: reranking against the query batch alone (the
+    // one-shot embs convention, mis-threaded) would drop every
+    // candidate at the float join and answer 0 rows
+    val extQ = (1L to 5L).map(i => (9000L + i, emb(7L * i)))
+      .toDF("doc_id", "embedding")
+    val extGot = ContinuousIngest.annIvfPqMaintained(spark, st, ann, extQ,
+      k = 1, nprobe = 4, rerank = 8, Some(q)).localCheckpoint()
+    assert(extGot.count() === 5L,
+      "every external query must get a corpus answer")
+    assertSame("ivfadc_external", extGot,
       Similarity.annIvfPqFromIndex(
         ContinuousIngest.readTable(spark, st.ivfPath).select("nn_id", "list")
           .join(ContinuousIngest.readTable(spark, st.pqPath)
             .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
-        finalDocs, k = 1, nprobe = 2, cents, books, rerank = 8,
-        idCol = "doc_id"),
-      Similarity.annIvfPq(finalDocs, 1, nlist = 4, nprobe = 2,
-        m = ann.m, ksub = ann.ksub, rerank = 8,
-        centroids = Some(cents), books = Some(books), idCol = "doc_id"))
+        extQ.unionByName(finalDocs.select("doc_id", "embedding")),
+        k = 1, nprobe = 4, cents, books, rerank = 8, idCol = "doc_id",
+        queryPred = col("doc_id") >= 9000L))
     // replaying the last batch leaves all three index tables identical
     val before = snapshotIdx()
     ContinuousIngest.ingestBatch(
@@ -421,6 +448,22 @@ class ContinuousIngestSpec extends SparkSpec {
     }
     assert(msgs(eGap).exists(_.contains("backfillPackedIvf")),
       s"missing packed twin should fail loudly naming the migration: ${msgs(eGap)}")
+    // a SLIM root cannot backfill — the assignment table has no
+    // floats; the migration face refuses with the replay remedy
+    // instead of writing an empty/broken pack
+    val eSlim = intercept[Throwable] {
+      ContinuousIngest.backfillPackedIvf(spark, st)
+    }
+    assert(msgs(eSlim).exists(_.contains("replay the batch")),
+      s"slim backfill should refuse with the replay remedy: ${msgs(eSlim)}")
+    // a PRE-PACKED-ERA root carries FAT assignment rows; rewrite
+    // batch 0 fat (ivfAssign is deterministic — these are exactly the
+    // stored slim rows plus their vb) and the migration packs it
+    val q0 = ContinuousIngest.loadQuantizers(spark, st, ann)
+    Similarity.ivfAssign(
+        spark.read.parquet(s"${st.docsPath}/batch=0"), q0.cents,
+        idCol = "doc_id")
+      .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=0")
     // the migration restores parity and the maintained answers equal
     // the one-shot operator again
     ContinuousIngest.backfillPackedIvf(spark, st)
@@ -431,6 +474,30 @@ class ContinuousIngestSpec extends SparkSpec {
       centroids = Some(q.cents), idCol = "doc_id")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "backfilled packed table answers differ from the one-shot operator")
+    // compaction consolidates THROUGH the slim projection: the fat
+    // legacy batch loses its redundant float column (the storage
+    // migration), answers unchanged
+    ContinuousIngest.compactState(spark, st, upToBatch = 0L)
+    assert(ContinuousIngest.readTable(spark, st.ivfPath).columns.toSeq ===
+      Seq("nn_id", "list"),
+      "compaction should slim the legacy fat assignment batch")
+    val gotC = ContinuousIngest.annIvfMaintained(spark, st, ann, corpus,
+      k = 1, nprobe = 2, Some(q))
+    assert(gotC.exceptAll(want).isEmpty && want.exceptAll(gotC).isEmpty,
+      "post-compaction maintained answers differ from the one-shot operator")
+    // the IVFADC face has the same partial-answer trap on the OTHER
+    // pair of tables: an ivf batch with no pq twin (a crash between
+    // the two appendIndexes writes) must fail loudly, not answer
+    // against partial codes
+    JF.walk(JP.of(s"${st.pqPath}/batch=0"))
+      .sorted(Comparator.reverseOrder[JP]())
+      .forEach(f => JF.deleteIfExists(f))
+    val ePq = intercept[Throwable] {
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, corpus,
+        k = 1, nprobe = 2, rerank = 8, Some(q)).count()
+    }
+    assert(msgs(ePq).exists(_.contains("ivf/pq batch directories disagree")),
+      s"missing pq twin should fail loudly: ${msgs(ePq)}")
   }
 
   /** The ADVICE-13 stealable-claim fix: a CLAIMED swap marker
@@ -558,7 +625,8 @@ class ContinuousIngestSpec extends SparkSpec {
     // of the full corpus under the new quantizers
     assertSame("rebuild_inflight_ivf",
       ContinuousIngest.readTable(spark, st.ivfPath),
-      Similarity.ivfAssign(corpus, q3.cents, idCol = "doc_id"))
+      Similarity.ivfAssign(corpus, q3.cents, idCol = "doc_id")
+        .select("nn_id", "list"))
   }
 
   /** Crash atomicity of rebuildIndexes (the hidden-tmp + marker swap):
@@ -704,10 +772,12 @@ class ContinuousIngestSpec extends SparkSpec {
         s"$name differs from the from-scratch twin")
     assertSame("ivf_after_loop",
       ContinuousIngest.readTable(spark, st.ivfPath),
-      Similarity.ivfAssign(corpus, q2.cents, idCol = "doc_id"))
+      Similarity.ivfAssign(corpus, q2.cents, idCol = "doc_id")
+        .select("nn_id", "list"))
     assertSame("pq_after_loop",
       ContinuousIngest.readTable(spark, st.pqPath),
-      Similarity.pqEncode(corpus, q2.books, idCol = "doc_id"))
+      Similarity.pqEncode(corpus, q2.books, idCol = "doc_id")
+        .drop("codes_arr"))
     assertSame("sem_after_loop",
       ContinuousIngest.readTable(spark, st.semPath),
       Similarity.semanticAssign(corpus, q2.semCents, ann.nAssign, idCol = "doc_id"))
