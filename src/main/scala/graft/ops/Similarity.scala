@@ -1662,38 +1662,53 @@ object Similarity {
       .agg(topk(col("nn_id"), col("cos")).as("tk"))
       .select(col("vec_id"), explode(col("tk")).as("e"))
       .select(col("vec_id"), col("e.nn_id").as("nn_id"))
-    exactScoreShortlist(shortlist, embs, embs, k, idCol, vecCol, queryPred)
+    exactScoreShortlist(shortlist, embs, k, idCol, vecCol, queryPred, None)
   }
 
   /** Exact scoring of a `vec_id, nn_id` shortlist: join the nq·R rows
     * back to the float corpus, one codegen'd dot each, true top-k —
-    * shared by every rerank face. The query and candidate float
-    * stores are SEPARATE arguments because the maintained faces serve
-    * external queries against a stored corpus; one-shot callers pass
-    * the same table twice.
+    * shared by every rerank face. `corpus` distinguishes the two
+    * deployment shapes, which want OPPOSITE join plans:
     *
-    * Join ORDER is the scale guarantee: the corpus float table —
-    * the 100 TB side — joins first against the BROADCAST id-only
-    * shortlist (nq·R two-long rows, KiBs), so the corpus is scanned
-    * once and never shuffled regardless of what the planner's size
-    * estimates say about a computed shortlist; the query floats
-    * (nq rows) broadcast onto the surviving nq·R rows afterwards.
-    * Joining query floats first would fatten the shortlist by dim
-    * doubles per row BEFORE the corpus join and leave the
-    * corpus-side strategy to estimate luck. Inner joins commute —
-    * answers are byte-identical. */
-  private def exactScoreShortlist(shortlist: DataFrame, queriesDf: DataFrame,
-                                  corpusDf: DataFrame, k: Int,
-                                  idCol: String, vecCol: String,
-                                  queryPred: Column): DataFrame = {
-    val spark = queriesDf.sparkSession
-    val q = normalized(queriesDf.where(queryPred), idCol, vecCol, "vec_id", "va")
-    val c = normalized(corpusDf, idCol, vecCol, "nn_id", "vb")
-    val exact = c.join(broadcast(shortlist), "nn_id")
-      .join(broadcast(q), "vec_id")
+    *  - `corpus = Some(store)` — the SERVING shape (the maintained
+    *    faces): an external, bounded query batch against a stored
+    *    100 TB corpus. The corpus float table joins first against the
+    *    BROADCAST id-only shortlist (nq·R two-long rows, KiBs), so
+    *    the corpus is scanned once and never shuffled regardless of
+    *    what the planner's size estimates say about a computed
+    *    shortlist; the query floats (nq rows) broadcast onto the
+    *    surviving nq·R rows afterwards. PlanSpec pins this face at
+    *    ZERO shuffled joins over a stored index.
+    *  - `corpus = None` — the SELF-QUERY shape (one-shot faces,
+    *    `queryPred` slicing `embs`): queries ARE corpus rows, so nq
+    *    is corpus-sized and broadcasting the nq·R shortlist would
+    *    ship O(N·R) rows to every executor — measured +29% on
+    *    `ann_pq` at the sf0.1 fixture, unboundedly worse at scale.
+    *    Here the shortlist stays the stream side: join the query
+    *    floats (the side the upstream ADC scan already bounded —
+    *    every ADC face broadcasts per-query LUTs, so nq is capped by
+    *    the same memory argument), then the corpus floats unhinted,
+    *    letting size estimates pick broadcast at fixture scale and
+    *    shuffle at corpus scale.
+    *
+    * Inner joins commute — the two shapes are byte-identical. */
+  private def exactScoreShortlist(shortlist: DataFrame, embs: DataFrame,
+                                  k: Int, idCol: String, vecCol: String,
+                                  queryPred: Column,
+                                  corpus: Option[DataFrame]): DataFrame = {
+    val spark = embs.sparkSession
+    val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
+    val exact = corpus match {
+      case Some(store) =>
+        val c = normalized(store, idCol, vecCol, "nn_id", "vb")
+        c.join(broadcast(shortlist), "nn_id").join(broadcast(q), "vec_id")
+      case None =>
+        val c = normalized(embs, idCol, vecCol, "nn_id", "vb")
+        shortlist.join(broadcast(q), "vec_id").join(c, "nn_id")
+    }
+    topKByCos(exact
       .select(col("vec_id"), col("nn_id"),
-        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
-    topKByCos(exact, k)
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos")), k)
   }
 
   /** IVFADC (Jégou et al. §V): IVF candidate generation composed with
@@ -1822,8 +1837,7 @@ object Similarity {
           explode(slice(filter(col("cand"),
             e => e.getField("nn_id") =!= col("vec_id")), 1, rerank)).as("e"))
         .select(col("vec_id"), col("e.nn_id").as("nn_id"))
-      exactScoreShortlist(merged, embs, corpus.getOrElse(embs), k,
-        idCol, vecCol, queryPred)
+      exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred, corpus)
     }
   }
 }

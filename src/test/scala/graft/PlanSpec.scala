@@ -356,18 +356,19 @@ class PlanSpec extends SparkSpec {
     assert(ipr.contains("graft_pq_adc_topk"), ipr.take(800))
     assert(ipr.contains("BroadcastHashJoin"),
       s"packed list table not broadcast:\n${ipr.take(1000)}")
-    // the exact-rerank tail must keep the corpus float table
-    // UNSHUFFLED: the id-only shortlist (nq·R two-long rows) and the
-    // query floats broadcast onto a single corpus scan. Pinned on the
-    // MAINTAINED-index shape (index from parquet — the deployment
-    // plan): there the ONLY joins are the broadcast packed scan and
-    // the two broadcast rerank joins, so the whole query face plans
-    // with ZERO shuffled joins (a SortMergeJoin here means the 100 TB
-    // side moved because a computed shortlist had no stats;
-    // exactScoreShortlist's join order makes it impossible). The
+    // the SERVING face (external bounded query batch against a STORED
+    // index + corpus — the deployment shape annIvfPqMaintained runs)
+    // must keep the corpus float table UNSHUFFLED: the id-only
+    // shortlist (nq·R two-long rows) and the query floats broadcast
+    // onto a single corpus scan, so the whole query face plans with
+    // ZERO shuffled joins (a SortMergeJoin here means the 100 TB side
+    // moved because a computed shortlist had no stats;
+    // exactScoreShortlist's serving shape makes it impossible). The
     // one-shot `ipr` plan above legitimately shuffles while BUILDING
-    // its index (corpus ⋈ corpus on nn_id), so the pin lives on the
-    // query-only face.
+    // its index (corpus ⋈ corpus on nn_id) and its SELF-QUERY rerank
+    // deliberately does NOT broadcast the corpus-sized shortlist
+    // (measured +29% on ann_pq at sf0.1), so the pin lives on the
+    // corpus-passing face only.
     val idxDir = java.nio.file.Files.createTempDirectory("graft_planspec_idx")
     try {
       val cents = graft.ops.Similarity.ivfCentroids(embs, 8)
@@ -377,8 +378,10 @@ class PlanSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("codes")), "nn_id")
         .write.mode("overwrite").parquet(idxDir.toString)
       val qp = plan(graft.ops.Similarity.annIvfPqFromIndex(
-        spark.read.parquet(idxDir.toString), embs, k = 1, nprobe = 4,
-        cents, books, rerank = 16))
+        spark.read.parquet(idxDir.toString),
+        embs.where(org.apache.spark.sql.functions.col("vec_id") % 100 === 0),
+        k = 1, nprobe = 4, cents, books, rerank = 16,
+        corpus = Some(embs)))
       assert(!qp.contains("SortMergeJoin") && !qp.contains("ShuffledHashJoin"),
         s"maintained-index rerank shuffled a join side:\n${qp.take(1500)}")
     } finally {
