@@ -14,16 +14,22 @@ import org.apache.spark.sql.functions._
   * seconds, routed (adaptive product config) assignment seconds, flat
   * assignment seconds, and the flat/routed speedup.
   *
-  * Usage: `runMain graft.RoutedScaleProbe [n] [minCosine]`
-  * (defaults 600000 — the 30× point — and 0.9). Honors
-  * `SPARK_GRAFT_CPUS` like Bench. Same deterministic isotropic dim-16
-  * generator as ScalingSpec's `genEmbeddings`, so the 1×/3×/10× rows
-  * there and the points printed here are one family.
+  * Usage: `runMain graft.RoutedScaleProbe [n] [minCosine] [dim]`
+  * (defaults 600000 — the 30× point — 0.9, and 16). Honors
+  * `SPARK_GRAFT_CPUS` like Bench. At the default dim the generator is
+  * the same deterministic isotropic dim-16 family as ScalingSpec's
+  * `genEmbeddings`, so the 1×/3×/10× rows there and the points
+  * printed here are one family; `dim` exists to check that the
+  * routed/flat crossing (the `RoutedClustersThreshold` sizing) holds
+  * at the production embedding dim — both costs are linear in dim,
+  * so the cell-count crossing should be dim-stable, but the tree's
+  * per-level overhead is not float work and COULD shift it.
   */
 object RoutedScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 600000L
     val t = if (args.length > 1) args(1).toDouble else 0.9
+    val dim = if (args.length > 2) args(2).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,7 +40,7 @@ object RoutedScaleProbe {
     import graft.ops.Similarity
 
     val SEED = 42L
-    val vec = transform(sequence(lit(0), lit(15)), j =>
+    val vec = transform(sequence(lit(0), lit(dim - 1)), j =>
       ((pmod(xxhash64(col("id"), j, lit(SEED)), lit(2000L)).cast("double")
         / 1000.0) - 1.0).cast("float"))
     // materialized so the three timed passes read identical pinned rows
@@ -60,7 +66,7 @@ object RoutedScaleProbe {
     val (_, flatSec) = timed {
       Similarity.semanticAssign(e, tree.concat, nAssign = 3).count()
     }
-    println(f"ROUTED_SCALE n=$n k=$k t=$t%.2f spill=$spill%.3f " +
+    println(f"ROUTED_SCALE n=$n dim=$dim k=$k t=$t%.2f spill=$spill%.3f " +
       f"coarse=${tree.coarse.length} kTree=${tree.k} slots=${tree.slots} " +
       f"inflation=${inflation}%.2f buildSec=$buildSec%.1f " +
       f"routedSec=$routedSec%.1f flatSec=$flatSec%.1f " +

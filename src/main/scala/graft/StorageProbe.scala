@@ -43,6 +43,13 @@ object StorageProbe {
     val p = IngestParams(expectedDigests = math.max(1L, n), fpp = 0.05,
       nearDup = false, ann = Some(AnnParams(nlist = nlist)))
     val root = java.nio.file.Files.createTempDirectory("graft_storage_probe")
+    def rmTree(d: java.nio.file.Path): Unit = {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
     try {
       val st = IngestState(root.toString)
       ContinuousIngest.bootstrap(docs, st, p)
@@ -74,20 +81,9 @@ object StorageProbe {
             s""""index_fat_total":$fatTotal""",
             f""""slim_over_fat":${slimTotal.toDouble / fatTotal}%.3f"""))
         .mkString("{", ",", "}"))
-      def rmTree(d: java.nio.file.Path): Unit = {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        catch { case _: Throwable => () }
-      }
       rmTree(fatDir)
     } finally {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      catch { case _: Throwable => () }
+      rmTree(root)
     }
     spark.stop()
   }

@@ -396,10 +396,14 @@ object Similarity {
     * merge is the shared-order [[graft.functions.MergeTopKAgg]].
     * Answers are independent of the segmentation (see [[ivfPack]]),
     * so the maintained per-batch-packed face and the one-shot
-    * [[annIvfFromIndex]] face are byte-identical. */
+    * [[annIvfFromIndex]] face are byte-identical. `excludeSelf` as on
+    * [[annIvfPqFromIndex]]: id equality means same document; external
+    * query batches whose id namespace may collide with corpus ids
+    * pass `false` or silently lose the colliding answers. */
   def annIvfFromPacked(packed: DataFrame, queries: DataFrame,
                        k: Int, nprobe: Int, centroids: Array[Array[Double]],
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       excludeSelf: Boolean = true): DataFrame = {
     require(centroids.nonEmpty,
       "annIvfFromPacked: empty centroid array — train the coarse " +
         "quantizer (ivfCentroids) before searching")
@@ -417,8 +421,10 @@ object Similarity {
     val mergeTop = udaf(new graft.functions.MergeTopKAgg(k + 1))
     perSeg.groupBy("vec_id").agg(mergeTop(col("tk")).as("cand"))
       .select(col("vec_id"),
-        posexplode(slice(filter(col("cand"),
-          e => e.getField("nn_id") =!= col("vec_id")), 1, k)))
+        posexplode(slice(
+          if (excludeSelf)
+            filter(col("cand"), e => e.getField("nn_id") =!= col("vec_id"))
+          else col("cand"), 1, k)))
       .select(col("vec_id"), col("col").getField("nn_id").as("nn_id"),
         (col("pos") + 1).cast("int").as("rank"))
   }
@@ -1700,7 +1706,16 @@ object Similarity {
     val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
     val exact = corpus match {
       case Some(store) =>
-        val c = normalized(store, idCol, vecCol, "nn_id", "vb")
+        // filter the corpus scan to the nq·R survivors BEFORE paying
+        // per-row normalization (O(dim) arithmetic + a NaN guard):
+        // the semi-join probe is a hash lookup per corpus row, fused
+        // into the scan stage, so non-candidates cost nothing more
+        // the candidate ids under a collision-proof name (the corpus
+        // idCol may itself be "vec_id"/"nn_id")
+        val surv = store.join(
+          broadcast(shortlist.select(col("nn_id").as("_cand_id"))),
+          col(idCol) === col("_cand_id"), "left_semi")
+        val c = normalized(surv, idCol, vecCol, "nn_id", "vb")
         c.join(broadcast(shortlist), "nn_id").join(broadcast(q), "vec_id")
       case None =>
         val c = normalized(embs, idCol, vecCol, "nn_id", "vb")
@@ -1756,13 +1771,22 @@ object Similarity {
     * (the one-shot shape, where queries are corpus rows selected by
     * `queryPred`). [[annIvfPq]] is exactly this over a freshly-built
     * index, so the faces cannot drift (the ContinuousIngestSpec law
-    * compares them through real parquet round trips). */
+    * compares them through real parquet round trips).
+    *
+    * `excludeSelf` is the ID-NAMESPACE contract: id equality means
+    * SAME DOCUMENT. The default drops a candidate whose id equals
+    * the query id (the dedup/self-query convention — a vector must
+    * not answer itself). An EXTERNAL query batch whose ids are a
+    * separate namespace that may collide with corpus ids must pass
+    * `excludeSelf = false`, or a query that happens to share an id
+    * with its true nearest corpus row silently loses that answer. */
   def annIvfPqFromIndex(index: DataFrame, embs: DataFrame, k: Int, nprobe: Int,
                         cents: Array[Array[Double]],
                         bks: Array[Array[Array[Double]]], rerank: Int = 0,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         queryPred: Column = lit(true),
-                        corpus: Option[DataFrame] = None): DataFrame = {
+                        corpus: Option[DataFrame] = None,
+                        excludeSelf: Boolean = true): DataFrame = {
     val spark = embs.sparkSession
     val flat = lit(cents.flatten)
     // hash-partitioned by QUERY id: the packed-list join below
@@ -1777,7 +1801,7 @@ object Similarity {
       // flat per-candidate scoring — the face the degenerate law
       // compares against annPq row-for-row
       val scored = probe.join(index, Seq("list"))
-        .where(col("vec_id") =!= col("nn_id"))
+        .where(if (excludeSelf) col("vec_id") =!= col("nn_id") else lit(true))
         .select(col("vec_id"), col("nn_id"),
           graft.functions.Native.pqAdcNative(spark, col("codes"), col("lut")).as("cos"))
       topKByCos(scored, k)
@@ -1834,8 +1858,10 @@ object Similarity {
       val merged = perList.groupBy("vec_id")
         .agg(mergeTop(col("tk")).as("cand"))
         .select(col("vec_id"),
-          explode(slice(filter(col("cand"),
-            e => e.getField("nn_id") =!= col("vec_id")), 1, rerank)).as("e"))
+          explode(slice(
+            if (excludeSelf)
+              filter(col("cand"), e => e.getField("nn_id") =!= col("vec_id"))
+            else col("cand"), 1, rerank)).as("e"))
         .select(col("vec_id"), col("e.nn_id").as("nn_id"))
       exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred, corpus)
     }

@@ -720,29 +720,53 @@ object ContinuousIngest {
   def annIvfMaintained(spark: SparkSession, st: IngestState, a: AnnParams,
                        queries: DataFrame, k: Int, nprobe: Int,
                        quantizers: Option[AnnQuantizers] = None,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       excludeSelf: Boolean = true): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
-    val ivfDirs = batchDirNames(spark, st.ivfPath)
-    val packedDirs = batchDirNames(spark, st.ivfPackedPath)
-    val missing = ivfDirs -- packedDirs
-    if (missing.nonEmpty)
-      sys.error("annIvfMaintained: ivf batches with no packed twin: " +
-        s"${missing.toSeq.sorted.mkString(", ")} — this state root's " +
-        "assignment table predates its packed table (or an append " +
-        "crashed between the two writes and was never replayed); run " +
-        "backfillPackedIvf to pack the missing batches")
-    // the reverse direction exists too (slim discipline packs BEFORE
-    // writing the assignment batch): a packed dir with no assignment
-    // twin is a crashed, never-replayed append — answering from it
-    // would include rows the other index tables never saw
-    val orphan = packedDirs -- ivfDirs
-    if (orphan.nonEmpty)
-      sys.error("annIvfMaintained: packed batches with no assignment " +
-        s"twin: ${orphan.toSeq.sorted.mkString(", ")} — an append " +
-        "crashed between the packed and assignment writes; replay the " +
-        "batch (or rebuildIndexes) before querying")
+    requireIndexBatchParity(spark, st, "annIvfMaintained")
     Similarity.annIvfFromPacked(readTable(spark, st.ivfPackedPath),
-      queries, k, nprobe, q.cents, idCol = idCol, vecCol = a.vecCol)
+      queries, k, nprobe, q.cents, idCol = idCol, vecCol = a.vecCol,
+      excludeSelf = excludeSelf)
+  }
+
+  /** The three maintained index tables (assignment, packed segments,
+    * codes) must cover EXACTLY the same batch set — any asymmetry is
+    * either a pre-packed-era root (assignment + codes agree, packed
+    * absent: the [[backfillPackedIvf]] migration) or an append that
+    * crashed partway and was never replayed (any other shape —
+    * appendIndexes writes packed, then assignment, then codes, so
+    * every crash window leaves a strict prefix). Answering — or
+    * CONSOLIDATING ([[compactState]]) — across an asymmetry would
+    * silently serve rows the other tables never saw, or worse,
+    * launder the asymmetry into a merged partition the parity check
+    * can no longer see. One listing per table, metadata cost.
+    * `upTo` restricts the check to dirs at or below a batch id
+    * (compaction's horizon — in-flight batches above it are the
+    * stream's to replay, not an error). */
+  private def requireIndexBatchParity(spark: SparkSession, st: IngestState,
+                                      caller: String,
+                                      upTo: Long = Long.MaxValue): Unit = {
+    def dirs(p: String): Set[String] = batchDirNames(spark, p)
+      .filter(_.stripPrefix("batch=").toLong <= upTo)
+    val ivf = dirs(st.ivfPath)
+    val pq = dirs(st.pqPath)
+    val packed = dirs(st.ivfPackedPath)
+    val unpaired = (ivf union pq union packed) --
+      (ivf intersect pq intersect packed)
+    if (unpaired.nonEmpty) {
+      val preEra = (ivf intersect pq) -- packed
+      val hint =
+        if (preEra == unpaired)
+          "this state root's assignment/code tables predate the packed " +
+            "table; run backfillPackedIvf to pack the missing batches " +
+            "(a SLIM assignment batch in this state is a crashed append " +
+            "instead — replay it)"
+        else
+          "an append crashed partway and was never replayed; replay the " +
+            "batch (or rebuildIndexes) first"
+      sys.error(s"$caller: index batch directories disagree " +
+        s"(ivf/pq/packed): ${unpaired.toSeq.sorted.mkString(", ")} — $hint")
+    }
   }
 
   /** IVFADC query face over the MAINTAINED tables: the ivf ⋈ pq join
@@ -757,24 +781,25 @@ object ContinuousIngest {
     * under the same persisted quantizers; ContinuousIngestSpec pins
     * the equality through a real ingest round trip.
     *
-    * Guarded like [[annIvfMaintained]]: an ivf batch with no pq twin
-    * (a crash between the two appendIndexes writes that was never
-    * replayed) would silently answer against partial codes — the
-    * batch-directory parity check fails loudly instead. */
+    * Guarded by [[requireIndexBatchParity]] across ALL THREE index
+    * tables — the face only reads ivf ⋈ pq, but a packed orphan
+    * (the crash window between appendIndexes' packed and assignment
+    * writes) still means THIS root is missing a batch's rows, so it
+    * fails loudly too instead of silently serving partial answers.
+    *
+    * `excludeSelf` (default true — the dedup/self-query convention):
+    * id equality means same document; an EXTERNAL query batch whose
+    * id namespace may collide with corpus doc_ids must pass `false`,
+    * or a query sharing an id with its true nearest corpus row
+    * silently loses that answer. */
   def annIvfPqMaintained(spark: SparkSession, st: IngestState, a: AnnParams,
                          queries: DataFrame, k: Int, nprobe: Int,
                          rerank: Int = 32,
                          quantizers: Option[AnnQuantizers] = None,
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         excludeSelf: Boolean = true): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
-    val ivfDirs = batchDirNames(spark, st.ivfPath)
-    val pqDirs = batchDirNames(spark, st.pqPath)
-    val unpaired = (ivfDirs diff pqDirs) union (pqDirs diff ivfDirs)
-    if (unpaired.nonEmpty)
-      sys.error("annIvfPqMaintained: ivf/pq batch directories disagree: " +
-        s"${unpaired.toSeq.sorted.mkString(", ")} — an append crashed " +
-        "between the assignment and code writes and was never replayed; " +
-        "replay the batch (or rebuildIndexes) before querying")
+    requireIndexBatchParity(spark, st, "annIvfPqMaintained")
     val index = readTable(spark, st.ivfPath).select("nn_id", "list")
       .join(readTable(spark, st.pqPath)
         .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
@@ -782,7 +807,7 @@ object ContinuousIngest {
       .select(col("doc_id").as(idCol), col(a.vecCol))
     Similarity.annIvfPqFromIndex(index, queries, k, nprobe,
       q.cents, q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
-      corpus = Some(corpus))
+      corpus = Some(corpus), excludeSelf = excludeSelf)
   }
 
   private def batchDirNames(spark: SparkSession, path: String): Set[String] = {
@@ -1040,15 +1065,28 @@ object ContinuousIngest {
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
         st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
+    // consolidating ACROSS an index-table asymmetry would launder a
+    // crashed append into a merged partition the parity guards can no
+    // longer see (dir names match afterwards, rows don't) — and on a
+    // pre-packed-era root the slim rewrite below would DISCARD the
+    // only float copy before backfillPackedIvf ever packed it. Check
+    // parity below the horizon first; in-flight batches above it are
+    // the stream's to replay and don't block compaction.
+    requireIndexBatchParity(spark, st, "compactState", upTo = upToBatch)
     // the assignment and code tables consolidate THROUGH their slim
     // projections: pre-slim fat batches lose the redundant float /
     // widened-int columns here, so compaction doubles as the storage
     // migration (floats stay available in the packed table, exactly —
-    // ivfUnpack's law; codes_arr is derivable from codes by widening)
+    // ivfUnpack's law; codes_arr is derivable from codes by widening).
+    // forceRewriteColumns: a SINGLE fat partition (e.g. a bootstrap-
+    // only pre-slim root) must still be rewritten — the one case
+    // where "nothing to consolidate" is not "nothing to migrate"
     compactTable(spark, st.ivfPath, upToBatch, targetRowsPerFile,
-      rewrite = df => df.select("nn_id", "list"))
+      rewrite = df => df.select("nn_id", "list"),
+      forceRewriteColumns = Seq("vb"))
     compactTable(spark, st.pqPath, upToBatch, targetRowsPerFile,
-      rewrite = df => df.select("vec_id", "codes", "rerr"))
+      rewrite = df => df.select("vec_id", "codes", "rerr"),
+      forceRewriteColumns = Seq("codes_arr"))
     // sweep staging dirs orphaned by appends that crashed below the
     // replay horizon (an in-flight batch's staging is left for its
     // replay to overwrite)
@@ -1087,7 +1125,8 @@ object ContinuousIngest {
 
   private def compactTable(spark: SparkSession, path: String, upToBatch: Long,
                            targetRowsPerFile: Long,
-                           rewrite: DataFrame => DataFrame = identity): Unit = {
+                           rewrite: DataFrame => DataFrame = identity,
+                           forceRewriteColumns: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, path)
     val root = new HPath(path)
@@ -1126,7 +1165,17 @@ object ContinuousIngest {
         ()
       }
     val parts = partsUpTo(upToBatch)
-    if (parts.length <= 1) return // nothing to consolidate
+    if (parts.isEmpty) return
+    // a single partition has nothing to CONSOLIDATE, but may still
+    // need the rewrite MIGRATION: when any forceRewriteColumns are
+    // present in its schema (a metadata-only footer read), the
+    // rewrite runs anyway — otherwise a one-partition pre-slim root
+    // would keep its fat columns forever while the docs claim the
+    // migration happened
+    if (parts.length == 1 && (forceRewriteColumns.isEmpty ||
+        !spark.read.parquet(parts.head.toString).columns
+          .exists(forceRewriteColumns.contains)))
+      return // nothing to consolidate, nothing to migrate
     // the consolidated partition takes the HIGHEST COMMITTED id ≤
     // upToBatch — never upToBatch itself, which may exceed the
     // committed horizon: parking state under a FUTURE batch id would

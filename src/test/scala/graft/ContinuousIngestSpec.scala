@@ -474,6 +474,27 @@ class ContinuousIngestSpec extends SparkSpec {
       centroids = Some(q.cents), idCol = "doc_id")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "backfilled packed table answers differ from the one-shot operator")
+    // id-namespace contract: an external query colliding with corpus
+    // id 1001 (whose vector also appears as 1022 — the fixture
+    // repeats with period 21) answers its OWN row under
+    // excludeSelf = false (cos 1, lowest id wins the tie) and the
+    // identical twin under the default self-exclusion
+    val collQ = Seq((1001L, emb(1001L))).toDF("doc_id", "embedding")
+    val collOpen = ContinuousIngest.annIvfMaintained(spark, st, ann, collQ,
+      k = 1, nprobe = 4, Some(q), excludeSelf = false).collect()
+    assert(collOpen.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1001L, 1001L)),
+      s"excludeSelf=false must allow the colliding corpus row: ${collOpen.mkString(",")}")
+    val collDflt = ContinuousIngest.annIvfMaintained(spark, st, ann, collQ,
+      k = 1, nprobe = 4, Some(q)).collect()
+    assert(collDflt.map(_.getLong(1)).toSeq === Seq(1022L),
+      s"default exclusion must keep dropping the id-equal row: ${collDflt.mkString(",")}")
+    // same contract through the IVFADC face (exercises the ADC
+    // filter, the rerank slice, and the serving-corpus join)
+    val collPq = ContinuousIngest.annIvfPqMaintained(spark, st, ann, collQ,
+      k = 1, nprobe = 4, rerank = 4, Some(q), excludeSelf = false).collect()
+    assert(collPq.map(_.getLong(1)).toSeq === Seq(1001L),
+      s"IVFADC excludeSelf=false must allow the colliding row: ${collPq.mkString(",")}")
     // compaction consolidates THROUGH the slim projection: the fat
     // legacy batch loses its redundant float column (the storage
     // migration), answers unchanged
@@ -496,8 +517,33 @@ class ContinuousIngestSpec extends SparkSpec {
       ContinuousIngest.annIvfPqMaintained(spark, st, ann, corpus,
         k = 1, nprobe = 2, rerank = 8, Some(q)).count()
     }
-    assert(msgs(ePq).exists(_.contains("ivf/pq batch directories disagree")),
+    assert(msgs(ePq).exists(_.contains("index batch directories disagree")),
       s"missing pq twin should fail loudly: ${msgs(ePq)}")
+    // COMPACTION must refuse the same asymmetry: consolidating across
+    // it would merge dir names back into agreement while the rows
+    // stay partial — laundering the crashed append past every guard
+    val eCompact = intercept[Throwable] {
+      ContinuousIngest.compactState(spark, st, upToBatch = 0L)
+    }
+    assert(msgs(eCompact).exists(_.contains("index batch directories disagree")),
+      s"compaction across an index asymmetry must refuse: ${msgs(eCompact)}")
+    // restore the code partition (pqEncode is deterministic over the
+    // same corpus + books) and re-fatten the SINGLE consolidated ivf
+    // partition: the migration rewrite must run even when there is
+    // nothing to consolidate (the one-partition pre-slim root case)
+    Similarity.pqEncode(corpus, q.books, idCol = "doc_id")
+      .drop("codes_arr")
+      .write.mode("overwrite").parquet(s"${st.pqPath}/batch=0")
+    Similarity.ivfAssign(corpus, q.cents, idCol = "doc_id")
+      .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=0")
+    ContinuousIngest.compactState(spark, st, upToBatch = 0L)
+    assert(ContinuousIngest.readTable(spark, st.ivfPath).columns.toSeq ===
+      Seq("nn_id", "list"),
+      "single-partition fat root must still migrate to the slim schema")
+    val gotM = ContinuousIngest.annIvfMaintained(spark, st, ann, corpus,
+      k = 1, nprobe = 2, Some(q))
+    assert(gotM.exceptAll(want).isEmpty && want.exceptAll(gotM).isEmpty,
+      "post-migration maintained answers differ from the one-shot operator")
   }
 
   /** The ADVICE-13 stealable-claim fix: a CLAIMED swap marker
