@@ -1224,4 +1224,43 @@ object ContinuousIngest {
       .option("checkpointLocation", st.checkpointPath)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Streaming ANN SERVING — the query-side twin of [[start]]: a
+    * stream of `(doc_id, embedding)` query rows, each micro-batch
+    * answered with [[annIvfPqMaintained]] against the maintained
+    * index tables and written to `outPath/batch=<id>` under the same
+    * exactly-once discipline as ingest (deterministic answers given
+    * the persisted quantizers + a replay-stable index, so a replayed
+    * batch overwrites identical rows — checkpoint + partition
+    * overwrite, no dedup bookkeeping).
+    *
+    * `excludeSelf` defaults FALSE here — the opposite of the batch
+    * face — because a serving stream's query ids are its own
+    * namespace (request ids, session ids), and the id-collision
+    * contract says a colliding corpus row must stay eligible. Pass
+    * `true` only when streaming corpus members for dedup-style
+    * lookups.
+    *
+    * The index tables are re-read per micro-batch (ingest may append
+    * between triggers — answers reflect the index as of each batch);
+    * quantizers are immutable post-bootstrap and load once. The
+    * parity guard runs per batch at metadata cost, so a crashed
+    * concurrent append halts serving loudly instead of answering
+    * from a partial index. */
+  def serve(queryStream: DataFrame, st: IngestState, a: AnnParams,
+            outPath: String, k: Int, nprobe: Int, rerank: Int = 32,
+            excludeSelf: Boolean = false,
+            quantizers: Option[AnnQuantizers] = None,
+            availableNow: Boolean = true): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val quant = Some(quantizers.getOrElse(loadQuantizers(spark, st, a)))
+    val writer = queryStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        annIvfPqMaintained(spark, st, a, b, k, nprobe, rerank, quant,
+            excludeSelf = excludeSelf)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
+        () }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

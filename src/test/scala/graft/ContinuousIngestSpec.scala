@@ -546,6 +546,69 @@ class ContinuousIngestSpec extends SparkSpec {
       "post-migration maintained answers differ from the one-shot operator")
   }
 
+  /** The query-side streaming twin of start(): a file-chunk QUERY
+    * stream served against the maintained index. Pins streamed ==
+    * direct-call answers (per chunk, through real parquet), the
+    * serving default excludeSelf = false (the id-collision row
+    * answers itself), and replay determinism (a fresh-checkpoint
+    * re-run overwrites byte-identical answer partitions). */
+  test("streaming ANN serving: query stream == direct maintained answers; replay overwrites identically") {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    val st = IngestState(s"$root/serve_state")
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    ContinuousIngest.bootstrap(
+      (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+        .toDF("doc_id", "text", "embedding"), st, Pa)
+    ContinuousIngest.ingestBatch(
+      (1L to 10L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa)
+    // two query chunks with EXTERNAL ids, plus one deliberate corpus
+    // collision (1001) that must stay eligible under the serving
+    // default excludeSelf = false
+    val qchunks = Seq(
+      (1L to 5L).map(i => (5000L + i, emb(3L * i))),
+      Seq((1001L, emb(1001L))) ++ (6L to 9L).map(i => (5000L + i, emb(3L * i))))
+    qchunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "embedding").coalesce(1)
+        .write.parquet(s"$root/qin/chunk_$i")
+      Thread.sleep(5)
+    }
+    val out = s"$root/served"
+    ContinuousIngest.serve(
+      Bounded.fileStream(spark, s"$root/qin/chunk_*",
+        schemaDDL = "doc_id BIGINT, embedding ARRAY<FLOAT>"),
+      st, ann, out, k = 1, nprobe = 4, rerank = 4).awaitTermination()
+    def servedRows(): Seq[(Long, Long, Int)] =
+      spark.read.parquet(out).drop("batch")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val served = servedRows()
+    assert(served.size === 10, s"every query answered once: $served")
+    val want = qchunks.map(rows =>
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann,
+        rows.toDF("doc_id", "embedding"), k = 1, nprobe = 4, rerank = 4,
+        excludeSelf = false))
+      .reduce(_ unionByName _).as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(served === want, "streamed answers differ from direct maintained calls")
+    assert(served.find(_._1 == 1001L).map(_._2) === Some(1001L),
+      "the colliding query must answer its own corpus row under the serving default")
+    // replay determinism: wipe the checkpoint and re-serve — the same
+    // batch ids re-deliver and overwrite identical partitions
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Files.walk(Path.of(s"$out/_checkpoint"))
+      .sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    ContinuousIngest.serve(
+      Bounded.fileStream(spark, s"$root/qin/chunk_*",
+        schemaDDL = "doc_id BIGINT, embedding ARRAY<FLOAT>"),
+      st, ann, out, k = 1, nprobe = 4, rerank = 4).awaitTermination()
+    assert(servedRows() === served, "re-served answers changed")
+  }
+
   /** The ADVICE-13 stealable-claim fix: a CLAIMED swap marker
     * (`_GRAFT_SWAP_READY.<uuid>`) may belong to a LIVE claimant — a
     * reader must walk away (re-claiming could interleave
