@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: end-to-end latency of the STREAMING ANN serving face
+  * (`ContinuousIngest.serve`) against a maintained index at a chosen
+  * corpus scale — the deployment-facing number for the round-14
+  * serving work: "what does an external top-k cost per micro-batch
+  * once the index is maintained state on disk?"
+  *
+  * Builds an ann-enabled ingest root over n synthetic vectors (same
+  * deterministic generator family as RoutedScaleProbe), then serves
+  * `batches` file-chunk query batches of `nq` EXTERNAL queries each
+  * through a real streaming query (checkpoint, trigger, parquet sink)
+  * and reports bootstrap seconds, total stream seconds, and the
+  * per-batch direct-call latency (the foreachBatch body alone, warm —
+  * trigger/commit overhead excluded) as min/median.
+  *
+  * Usage: `runMain graft.ServeProbe [n] [nq] [batches] [dim]`
+  * (defaults 200000, 100, 5, 64). Honors `SPARK_GRAFT_CPUS`.
+  */
+object ServeProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val nq = if (args.length > 1) args(1).toInt else 100
+    val batches = if (args.length > 2) args(2).toInt else 5
+    val dim = if (args.length > 3) args(3).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.Similarity
+    import graft.streaming.{Bounded, ContinuousIngest}
+    import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+
+    val SEED = 42L
+    def vecOf(idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(xxhash64(idc, j, lit(SEED)), lit(2000L)).cast("double")
+          / 1000.0) - 1.0).cast("float"))
+    val corpus = spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat(lit("d"), col("id")).as("text"), vecOf(col("id")).as("embedding"))
+    val ann = AnnParams(nlist = Similarity.nlistFor(n))
+    val p = IngestParams(expectedDigests = n, fpp = 0.01, nearDup = false,
+      ann = Some(ann))
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_probe")
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val st = IngestState(s"$root/state")
+      val (_, bootSec) = timed { ContinuousIngest.bootstrap(corpus, st, p) }
+      // external query ids (disjoint namespace), written as chunk files
+      (0 until batches).foreach { b =>
+        spark.range(nq)
+          .select((col("id") + 1000000L + b * nq).as("doc_id"),
+            vecOf(col("id") * 7L + b).as("embedding"))
+          .coalesce(1).write.parquet(s"$root/qin/chunk_$b")
+        Thread.sleep(5)
+      }
+      val (_, streamSec) = timed {
+        ContinuousIngest.serve(
+          Bounded.fileStream(spark, s"$root/qin/chunk_*",
+            schemaDDL = "doc_id BIGINT, embedding ARRAY<FLOAT>"),
+          st, ann, s"$root/served", k = 10, nprobe = 4, rerank = 32)
+          .awaitTermination()
+      }
+      val answered = spark.read.parquet(s"$root/served").count()
+      // per-batch direct-call latency, warm (the foreachBatch body
+      // without trigger/commit overhead)
+      val quant = Some(ContinuousIngest.loadQuantizers(spark, st, ann))
+      val direct = (0 until batches).map { b =>
+        val q = spark.read.parquet(s"$root/qin/chunk_$b")
+        timed {
+          ContinuousIngest.annIvfPqMaintained(spark, st, ann, q,
+            k = 10, nprobe = 4, rerank = 32, quant,
+            excludeSelf = false).count()
+        }._2
+      }.sorted
+      println(f"SERVE_PROBE n=$n dim=$dim nlist=${ann.nlist} nq=$nq " +
+        f"batches=$batches answered=$answered bootSec=$bootSec%.1f " +
+        f"streamSec=$streamSec%.1f perBatchSec=$streamSec%.1f/" +
+        f"${batches} directMinSec=${direct.head}%.2f " +
+        f"directMedianSec=${direct(direct.size / 2)}%.2f")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    spark.stop()
+  }
+}

@@ -73,8 +73,10 @@ object StorageProbe {
         "ivf_fat" -> bytes(s"$fatDir/ivf_fat"),
         "ivf_packed" -> bytes(st.ivfPackedPath),
         "pq_slim" -> bytes(st.pqPath),
-        "pq_fat" -> bytes(s"$fatDir/pq_fat"))
-      val slimTotal = out("ivf_slim") + out("ivf_packed") + out("pq_slim")
+        "pq_fat" -> bytes(s"$fatDir/pq_fat"),
+        "pq_packed" -> bytes(st.pqPackedPath))
+      val slimTotal = out("ivf_slim") + out("ivf_packed") + out("pq_slim") +
+        out("pq_packed")
       val fatTotal = out("ivf_fat") + out("ivf_packed") + out("pq_fat")
       println((out.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" } ++
         Seq(s""""index_slim_total":$slimTotal""",

@@ -389,6 +389,47 @@ object Similarity {
         slice(col("packed"), col("_pos") * col("_dim") + 1, col("_dim")).as("vb"),
         col("list"))
 
+  /** [[ivfPack]]'s PQ-code twin: hash-segmented windowless pack of an
+    * IVFADC index (`nn_id, list, codes` — the maintained assignment ⋈
+    * code join) into `(list, ids, packed)` scan segments, `packed`
+    * the concatenated m-byte codes in `ids` order. Same two-pass
+    * shape as [[ivfPack]] (per-list counts from a column-pruned scan,
+    * broadcast back; deterministic `xxhash64` segment assignment, so
+    * a replay writes identical rows) and the same ≤ 4 MiB auto-sized
+    * segments as the hot-cell guard — at m bytes/code that is
+    * ~(4 MiB / m) entries per segment. Persisted per ingest batch as
+    * the `pq_packed` table so [[annIvfPqFromPacked]] queries never
+    * re-join or re-pack the corpus-sized code table (pack-once, the
+    * `ivf_packed` lesson applied to the ADC face). */
+  def pqPack(index: DataFrame, m: Int, segSize: Int = 0): DataFrame = {
+    val effSeg =
+      if (segSize > 0) segSize
+      else math.max(256, (1 << 22) / math.max(1, m))
+    val counts = index.groupBy("list").agg(count(lit(1)).as("_n"))
+    index
+      .join(broadcast(counts), Seq("list"))
+      .withColumn("_seg", pmod(xxhash64(col("nn_id")),
+        ceil(col("_n").cast("double") / effSeg).cast("long")).cast("int"))
+      .groupBy("list", "_seg").agg(
+        array_sort(collect_list(struct(col("nn_id"), col("codes")))).as("ent"))
+      .select(col("list"),
+        transform(col("ent"), e => e.getField("nn_id")).as("ids"),
+        aggregate(col("ent"), lit(Array.emptyByteArray),
+          (acc, e) => concat(acc, e.getField("codes"))).as("packed"))
+  }
+
+  /** Inverse of [[pqPack]]: explode a packed ADC segment table back
+    * to `(nn_id, list, codes)` rows — the re-pack path compaction
+    * uses, and the law face the specs pin (unpack == assignment ⋈
+    * encode, so nothing is lost by serving from the packed table). */
+  def pqUnpack(packed: DataFrame): DataFrame =
+    packed
+      .withColumn("_m", (length(col("packed")) / size(col("ids"))).cast("int"))
+      .select(col("list"), col("packed"), col("_m"),
+        posexplode(col("ids")).as(Seq("_pos", "nn_id")))
+      .select(col("nn_id"), col("list"),
+        expr("substring(packed, _pos * _m + 1, _m)").as("codes"))
+
   /** The query side of the packed exact-IVF scan, against an already
     * packed ([[ivfPack]]) segment table: queries probe their `nprobe`
     * nearest lists and one [[graft.functions.DotTopK]] call per
@@ -1840,30 +1881,71 @@ object Similarity {
           transform(col("ent"), e => e.getField("nn_id")).as("ids"),
           aggregate(col("ent"), lit(Array.emptyByteArray),
             (acc, e) => concat(acc, e.getField("codes"))).as("packed"))
-      // broadcast is explicit: the packed table is nlist ∝ √N rows
-      // (a few MB up to ~10⁸ vectors) but sits behind a join+groupBy
-      // whose size ESTIMATE is corpus-sized, so the planner would
-      // otherwise shuffle the LUT-carrying probe side on list —
-      // measured 2× the whole query. Past ~10⁹ vectors shard the
-      // query batch (the packed index grows ∝ N).
-      val perList = probe.join(broadcast(packed), Seq("list"))
-        .select(col("vec_id"),
-          graft.functions.Native.pqAdcTopKNative(spark, col("packed"),
-            col("ids"), col("lut"), rerank + 1).as("tk"))
-      // merge the nprobe sorted list-tops per query (one aggregator
-      // call per LIST row, not per candidate — and shuffle-free under
-      // the probe's vec_id partitioning), then drop a self-hit and
-      // keep R; order is preserved by the merge, so no re-sort
-      val mergeTop = udaf(new graft.functions.MergeTopKAgg(rerank + 1))
-      val merged = perList.groupBy("vec_id")
-        .agg(mergeTop(col("tk")).as("cand"))
-        .select(col("vec_id"),
-          explode(slice(
-            if (excludeSelf)
-              filter(col("cand"), e => e.getField("nn_id") =!= col("vec_id"))
-            else col("cand"), 1, rerank)).as("e"))
-        .select(col("vec_id"), col("e.nn_id").as("nn_id"))
-      exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred, corpus)
+      annIvfPqFromPacked(packed, embs, k, nprobe, cents, bks, rerank,
+        idCol, vecCol, queryPred, corpus, excludeSelf)
     }
+  }
+
+  /** The reranked IVFADC scan against an ALREADY-PACKED code-segment
+    * table ([[pqPack]]'s layout, or the inline window pack
+    * [[annIvfPqFromIndex]] builds for a computed index): queries
+    * probe their `nprobe` nearest lists, one
+    * [[graft.functions.PqAdcTopK]] call per (query, segment) row
+    * keeps the segment's ADC-best R+1 in a bounded loop, the
+    * shared-order [[graft.functions.MergeTopKAgg]] merges per query,
+    * and the exact rerank resolves the answer. Answers are
+    * segmentation-independent (each candidate lives in exactly one
+    * segment and the total order is shared), so the maintained
+    * per-batch-packed face ([[graft.streaming.ContinuousIngest]]'s
+    * `pq_packed` table) and the one-shot inline pack are
+    * byte-identical — and the maintained face never re-joins or
+    * re-packs the corpus-sized code table per query call (the
+    * `ivf_packed` pack-once lesson; before it, every serving batch
+    * paid a full index shuffle + window — measured 3.0 s per
+    * 100-query batch at a 200k corpus, dominated by the pack).
+    *
+    * The broadcast is explicit: the packed table is m bytes/vector
+    * (broadcastable until ~10⁹ vectors at m = 8; shard the query
+    * batch beyond), and a stored table's size estimate would allow
+    * the planner to get this right — but the inline-pack caller's
+    * estimate is corpus-sized through the join+groupBy lineage, and
+    * one shared hint keeps both plans identical. */
+  def annIvfPqFromPacked(packed: DataFrame, embs: DataFrame, k: Int,
+                         nprobe: Int, cents: Array[Array[Double]],
+                         bks: Array[Array[Array[Double]]], rerank: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         queryPred: Column = lit(true),
+                         corpus: Option[DataFrame] = None,
+                         excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
+    val spark = embs.sparkSession
+    val flat = lit(cents.flatten)
+    // hash-partitioned by QUERY id: the packed-list join broadcasts
+    // its build side, preserving this partitioning, so the per-query
+    // merge aggregation runs with NO shuffle
+    val probe = pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("lut"),
+        explode(graft.functions.Native.topDotNative(spark, col("qv"), flat, nprobe)
+          .getField("list")).as("list"))
+    val perList = probe.join(broadcast(packed), Seq("list"))
+      .select(col("vec_id"),
+        graft.functions.Native.pqAdcTopKNative(spark, col("packed"),
+          col("ids"), col("lut"), rerank + 1).as("tk"))
+    // merge the nprobe sorted list-tops per query (one aggregator
+    // call per LIST row, not per candidate — and shuffle-free under
+    // the probe's vec_id partitioning), then drop a self-hit and
+    // keep R; order is preserved by the merge, so no re-sort
+    val mergeTop = udaf(new graft.functions.MergeTopKAgg(rerank + 1))
+    val merged = perList.groupBy("vec_id")
+      .agg(mergeTop(col("tk")).as("cand"))
+      .select(col("vec_id"),
+        explode(slice(
+          if (excludeSelf)
+            filter(col("cand"), e => e.getField("nn_id") =!= col("vec_id"))
+          else col("cand"), 1, rerank)).as("e"))
+      .select(col("vec_id"), col("e.nn_id").as("nn_id"))
+    exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred, corpus)
   }
 }

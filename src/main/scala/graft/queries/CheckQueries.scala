@@ -1190,6 +1190,15 @@ object CheckQueries extends QueryPack {
           Similarity.ivfUnpack(ContinuousIngest.readTable(s, st.ivfPackedPath)),
           Similarity.ivfAssign(docs, quant.cents, idCol = "doc_id"),
           "ingest_pack_extra", "ingest_pack_missing")
+        // the packed ADC segments unpack to exactly assignment ⋈
+        // encode — the serving scan loses nothing vs the core tables
+        val adcPackViol = multisetDiffViolations(
+          Similarity.pqUnpack(ContinuousIngest.readTable(s, st.pqPackedPath)),
+          Similarity.ivfAssign(docs, quant.cents, idCol = "doc_id")
+            .select("nn_id", "list")
+            .join(Similarity.pqEncode(docs, quant.books, idCol = "doc_id")
+              .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
+          "ingest_adcpack_extra", "ingest_adcpack_missing")
         val pqViol = multisetDiffViolations(pqTab,
           Similarity.pqEncode(docs, quant.books, idCol = "doc_id")
             .drop("codes_arr"),
@@ -1207,8 +1216,8 @@ object CheckQueries extends QueryPack {
           "ingest_search_extra", "ingest_search_missing")
         // collect BEFORE the finally deletes the parquet the frames
         // scan (the check_ivf_append lesson)
-        val out = ivfViol.unionByName(packViol).unionByName(pqViol)
-          .unionByName(searchViol)
+        val out = ivfViol.unionByName(packViol).unionByName(adcPackViol)
+          .unionByName(pqViol).unionByName(searchViol)
           .collect().map(_.getString(0)).toSeq
         import s.implicits._
         out.toDF("violation")

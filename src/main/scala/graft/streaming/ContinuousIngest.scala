@@ -101,6 +101,11 @@ object ContinuousIngest {
     val ivfPackedPath: String = s"$root/ivf_packed"
     // slim too: (vec_id, codes, rerr) — no codes_arr
     val pqPath: String = s"$root/pq"
+    // the IVFADC index in Similarity.pqPack's segment layout, packed
+    // per batch at append time — the table annIvfPqMaintained scans,
+    // so serving never re-joins or re-packs the corpus code table
+    // (the ivf_packed pack-once discipline, applied to the ADC face)
+    val pqPackedPath: String = s"$root/pq_packed"
     val semPath: String = s"$root/sem"
     // per-cell occupancy snapshot of the index tables as of the last
     // (re)train — the compaction-proof reference era for [[indexDrift]]
@@ -694,6 +699,18 @@ object ContinuousIngest {
     Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
       .drop("codes_arr")
       .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
+    // pack-once for the ADC face too: the batch's (nn_id, list,
+    // codes) join — two STORED, column-pruned batch partitions, so
+    // neither the assignment nor the encode recomputes — packed into
+    // the segments annIvfPqFromPacked scans. Deterministic
+    // (hash-segmented over stored rows), so a replay overwrites
+    // identical segments.
+    Similarity.pqPack(
+        spark.read.parquet(s"${st.ivfPath}/batch=$batchId")
+          .join(spark.read.parquet(s"${st.pqPath}/batch=$batchId")
+            .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
+        m = a.m)
+      .write.mode("overwrite").parquet(s"${st.pqPackedPath}/batch=$batchId")
     (q.semTree match {
       case Some(t) => routedSemAssign(batch, t, a)
       case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
@@ -729,13 +746,15 @@ object ContinuousIngest {
       excludeSelf = excludeSelf)
   }
 
-  /** The three maintained index tables (assignment, packed segments,
-    * codes) must cover EXACTLY the same batch set — any asymmetry is
-    * either a pre-packed-era root (assignment + codes agree, packed
-    * absent: the [[backfillPackedIvf]] migration) or an append that
-    * crashed partway and was never replayed (any other shape —
-    * appendIndexes writes packed, then assignment, then codes, so
-    * every crash window leaves a strict prefix). Answering — or
+  /** The four maintained index tables (assignment, packed float
+    * segments, codes, packed code segments) must cover EXACTLY the
+    * same batch set — any asymmetry is either a pre-packed-era root
+    * (assignment + codes agree, only DERIVED tables absent: the
+    * [[backfillPackedIvf]] / [[backfillPackedAdc]] migrations) or an
+    * append that crashed partway and was never replayed (any shape
+    * missing a CORE table — appendIndexes writes float-pack,
+    * assignment, codes, code-pack in a fixed order, so every crash
+    * window leaves a recognizable prefix). Answering — or
     * CONSOLIDATING ([[compactState]]) — across an asymmetry would
     * silently serve rows the other tables never saw, or worse,
     * launder the asymmetry into a merged partition the parity check
@@ -751,16 +770,20 @@ object ContinuousIngest {
     val ivf = dirs(st.ivfPath)
     val pq = dirs(st.pqPath)
     val packed = dirs(st.ivfPackedPath)
-    val unpaired = (ivf union pq union packed) --
-      (ivf intersect pq intersect packed)
+    val pqPacked = dirs(st.pqPackedPath)
+    val unpaired = (ivf union pq union packed union pqPacked) --
+      (ivf intersect pq intersect packed intersect pqPacked)
     if (unpaired.nonEmpty) {
-      val preEra = (ivf intersect pq) -- packed
+      // every unpaired batch still has BOTH core tables → only the
+      // derived packed tables are missing → a migration, not a crash
+      val migratable = unpaired.forall(b => ivf.contains(b) && pq.contains(b))
       val hint =
-        if (preEra == unpaired)
-          "this state root's assignment/code tables predate the packed " +
-            "table; run backfillPackedIvf to pack the missing batches " +
-            "(a SLIM assignment batch in this state is a crashed append " +
-            "instead — replay it)"
+        if (migratable)
+          "this state root predates the packed table(s); run " +
+            "backfillPackedIvf (float segments; needs FAT assignment " +
+            "batches — a SLIM one is a crashed append, replay it) and/or " +
+            "backfillPackedAdc (code segments, always derivable) to pack " +
+            "the missing batches"
         else
           "an append crashed partway and was never replayed; replay the " +
             "batch (or rebuildIndexes) first"
@@ -769,17 +792,38 @@ object ContinuousIngest {
     }
   }
 
-  /** IVFADC query face over the MAINTAINED tables: the ivf ⋈ pq join
-    * ([[Similarity.annIvfPqFromIndex]]'s expected index shape)
-    * assembled HERE so every caller gets the same column discipline
-    * (`nn_id, list, codes`), with the maintained DOCS table as the
-    * rerank float store — external queries are usually not corpus
-    * members, so reranking against the query batch alone would drop
-    * every candidate at the float join. Floats are touched only by
-    * the `rerank` shortlist (∝ nq·rerank rows), never by the ADC
-    * candidate stream. Byte-compatible with the one-shot `annIvfPq`
-    * under the same persisted quantizers; ContinuousIngestSpec pins
-    * the equality through a real ingest round trip.
+  /** MIGRATION twin of [[backfillPackedIvf]] for the packed ADC
+    * table: pack every ivf+pq batch pair that lacks a `pq_packed`
+    * twin. Unlike the float pack this is ALWAYS derivable — the
+    * inputs are the two stored core tables, no floats involved —
+    * so it also repairs the code-pack leg of a crashed append
+    * (idempotent partition overwrite, deterministic pack). */
+  def backfillPackedAdc(spark: SparkSession, st: IngestState, m: Int): Unit = {
+    val missing = (batchDirNames(spark, st.ivfPath) intersect
+      batchDirNames(spark, st.pqPath)) -- batchDirNames(spark, st.pqPackedPath)
+    missing.foreach { b =>
+      Similarity.pqPack(
+          spark.read.parquet(s"${st.ivfPath}/$b").select("nn_id", "list")
+            .join(spark.read.parquet(s"${st.pqPath}/$b")
+              .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
+          m = m)
+        .write.mode("overwrite").parquet(s"${st.pqPackedPath}/$b")
+    }
+  }
+
+  /** IVFADC query face over the MAINTAINED tables: the reranked
+    * product path scans the PERSISTED `pq_packed` code segments
+    * ([[Similarity.annIvfPqFromPacked]]) — pack-once, so a serving
+    * call never re-joins or re-packs the corpus-sized code table —
+    * with the maintained DOCS table as the rerank float store
+    * (external queries are usually not corpus members, so reranking
+    * against the query batch alone would drop every candidate at the
+    * float join). Floats are touched only by the `rerank` shortlist
+    * (∝ nq·rerank rows), never by the ADC candidate stream.
+    * Byte-compatible with the one-shot `annIvfPq` under the same
+    * persisted quantizers (segmentation independence);
+    * ContinuousIngestSpec pins the equality through a real ingest
+    * round trip.
     *
     * Guarded by [[requireIndexBatchParity]] across ALL THREE index
     * tables — the face only reads ivf ⋈ pq, but a packed orphan
@@ -800,14 +844,26 @@ object ContinuousIngest {
                          excludeSelf: Boolean = true): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfPqMaintained")
-    val index = readTable(spark, st.ivfPath).select("nn_id", "list")
-      .join(readTable(spark, st.pqPath)
-        .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
     val corpus = readTable(spark, st.docsPath)
       .select(col("doc_id").as(idCol), col(a.vecCol))
-    Similarity.annIvfPqFromIndex(index, queries, k, nprobe,
-      q.cents, q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
-      corpus = Some(corpus), excludeSelf = excludeSelf)
+    if (rerank >= math.max(1, k))
+      // the product path: scan the PERSISTED code segments — no
+      // corpus-sized ivf ⋈ pq join, no per-call re-pack (measured
+      // 3.0 s of a 3.2 s serving batch before pack-once)
+      Similarity.annIvfPqFromPacked(readTable(spark, st.pqPackedPath),
+        queries, k, nprobe, q.cents, q.books, rerank = rerank,
+        idCol = idCol, vecCol = a.vecCol,
+        corpus = Some(corpus), excludeSelf = excludeSelf)
+    else {
+      // rerank = 0 is the pure-ADC audit face (the degenerate-law
+      // shape) — rare, and served from the core tables
+      val index = readTable(spark, st.ivfPath).select("nn_id", "list")
+        .join(readTable(spark, st.pqPath)
+          .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+      Similarity.annIvfPqFromIndex(index, queries, k, nprobe,
+        q.cents, q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
+        corpus = Some(corpus), excludeSelf = excludeSelf)
+    }
   }
 
   private def batchDirNames(spark: SparkSession, path: String): Set[String] = {
@@ -1109,7 +1165,21 @@ object ContinuousIngest {
       math.max(1L, targetRowsPerFile / 4096L),
       rewrite = df => Similarity.ivfPack(Similarity.ivfUnpack(df),
         dim = packedDim(spark, st)))
+    // the packed ADC table re-packs the same way (per-batch code
+    // segments fragment exactly like the float segments)
+    compactTable(spark, st.pqPackedPath, upToBatch,
+      math.max(1L, targetRowsPerFile / 4096L),
+      rewrite = df => Similarity.pqPack(Similarity.pqUnpack(df),
+        m = packedAdcM(spark, st)))
   }
+
+  /** Code width m of the maintained packed ADC table, from one
+    * segment row (length(packed)/size(ids)) — metadata-cost peek for
+    * the re-pack's segment auto-sizing. */
+  private def packedAdcM(spark: SparkSession, st: IngestState): Int =
+    spark.read.option("basePath", st.pqPackedPath).parquet(st.pqPackedPath)
+      .select((length(col("packed")) / size(col("ids"))).cast("int").as("m"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Vector dim of the maintained packed table, from one segment row
     * (size(packed)/size(ids)) — metadata-cost peek for the re-pack's

@@ -167,7 +167,8 @@ class ContinuousIngestSpec extends SparkSpec {
     // toString, so set-of-mkString snapshots would never compare
     // equal; and the replay OVERWRITES the parquet these lazily read
     def snapshotIdx(): Seq[DataFrame] =
-      Seq(st.ivfPath, st.ivfPackedPath, st.pqPath, st.semPath).map(p =>
+      Seq(st.ivfPath, st.ivfPackedPath, st.pqPath, st.pqPackedPath,
+          st.semPath).map(p =>
         ContinuousIngest.readTable(spark, p).localCheckpoint())
     // the maintained assignment table is SLIM (nn_id, list) — floats
     // live once, in the packed table (law below)
@@ -204,6 +205,14 @@ class ContinuousIngestSpec extends SparkSpec {
     assertSame("ivf_packed_rows",
       Similarity.ivfUnpack(ContinuousIngest.readTable(spark, st.ivfPackedPath)),
       Similarity.ivfAssign(finalDocs, cents, idCol = "doc_id"))
+    // the packed ADC table unpacks to exactly the assignment ⋈ encode
+    // join — the serving scan loses nothing vs the core tables
+    assertSame("pq_packed_rows",
+      Similarity.pqUnpack(ContinuousIngest.readTable(spark, st.pqPackedPath)),
+      Similarity.ivfAssign(finalDocs, cents, idCol = "doc_id")
+        .select("nn_id", "list")
+        .join(Similarity.pqEncode(finalDocs, books, idCol = "doc_id")
+          .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"))
     // the IVFADC face over the maintained tables (docs table as the
     // rerank float store) == the one-shot operator when the queries
     // ARE corpus rows — same floats either way

@@ -384,12 +384,30 @@ class PlanSpec extends SparkSpec {
         corpus = Some(embs)))
       assert(!qp.contains("SortMergeJoin") && !qp.contains("ShuffledHashJoin"),
         s"maintained-index rerank shuffled a join side:\n${qp.take(1500)}")
+      // the PACK-ONCE serving plan (stored pq_packed segments — what
+      // annIvfPqMaintained scans): zero shuffled joins AND no Window,
+      // no corpus-sized groupBy — the pack cost must not reappear at
+      // query time in any form
+      graft.ops.Similarity.pqPack(spark.read.parquet(idxDir.toString), m = 8)
+        .write.mode("overwrite").parquet(s"${idxDir}_adc")
+      val pp = plan(graft.ops.Similarity.annIvfPqFromPacked(
+        spark.read.parquet(s"${idxDir}_adc"),
+        embs.where(org.apache.spark.sql.functions.col("vec_id") % 100 === 0),
+        k = 1, nprobe = 4, cents, books, rerank = 16,
+        corpus = Some(embs)))
+      assert(!pp.contains("SortMergeJoin") && !pp.contains("ShuffledHashJoin"),
+        s"packed-ADC serving plan shuffled a join side:\n${pp.take(1500)}")
+      assert(!pp.contains("Window"),
+        s"packed-ADC serving plan re-packs at query time:\n${pp.take(1500)}")
+      assert(pp.contains("graft_pq_adc_topk"), pp.take(800))
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      try Files.walk(idxDir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      catch { case _: Throwable => () }
+      Seq(idxDir, Path.of(s"${idxDir}_adc")).foreach { d =>
+        try Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
     }
   }
 
