@@ -58,8 +58,10 @@ object ServeProbe {
       val (_, bootSec) = timed { ContinuousIngest.bootstrap(corpus, st, p) }
       // external query ids (disjoint namespace), written as chunk files
       (0 until batches).foreach { b =>
+        // ids offset past the corpus range, whatever n is — the probe
+        // measures the EXTERNAL-query shape at any scale
         spark.range(nq)
-          .select((col("id") + 1000000L + b * nq).as("doc_id"),
+          .select((col("id") + n + b.toLong * nq).as("doc_id"),
             vecOf(col("id") * 7L + b).as("embedding"))
           .coalesce(1).write.parquet(s"$root/qin/chunk_$b")
         Thread.sleep(5)
@@ -85,8 +87,8 @@ object ServeProbe {
       }.sorted
       println(f"SERVE_PROBE n=$n dim=$dim nlist=${ann.nlist} nq=$nq " +
         f"batches=$batches answered=$answered bootSec=$bootSec%.1f " +
-        f"streamSec=$streamSec%.1f perBatchSec=$streamSec%.1f/" +
-        f"${batches} directMinSec=${direct.head}%.2f " +
+        f"streamSec=$streamSec%.1f perBatchSec=${streamSec / batches}%.1f " +
+        f"directMinSec=${direct.head}%.2f " +
         f"directMedianSec=${direct(direct.size / 2)}%.2f")
     } finally {
       import java.nio.file.{Files, Path}

@@ -401,13 +401,20 @@ object Similarity {
     * the `pq_packed` table so [[annIvfPqFromPacked]] queries never
     * re-join or re-pack the corpus-sized code table (pack-once, the
     * `ivf_packed` lesson applied to the ADC face). */
-  def pqPack(index: DataFrame, m: Int, segSize: Int = 0): DataFrame = {
+  def pqPack(index: DataFrame, m: Int, segSize: Int = 0,
+             counts: Option[DataFrame] = None): DataFrame = {
     val effSeg =
       if (segSize > 0) segSize
       else math.max(256, (1 << 22) / math.max(1, m))
-    val counts = index.groupBy("list").agg(count(lit(1)).as("_n"))
+    // the count pass executes the input a second time — when the
+    // input is a computed join (the append path), callers pass the
+    // per-list counts from the STORED assignment batch instead (one
+    // column-pruned scan; `list` comes solely from that side and the
+    // id sets match, so the counts are identical by construction)
+    val cnt = counts.getOrElse(
+      index.groupBy("list").agg(count(lit(1)).as("_n")))
     index
-      .join(broadcast(counts), Seq("list"))
+      .join(broadcast(cnt), Seq("list"))
       .withColumn("_seg", pmod(xxhash64(col("nn_id")),
         ceil(col("_n").cast("double") / effSeg).cast("long")).cast("int"))
       .groupBy("list", "_seg").agg(
@@ -1829,18 +1836,10 @@ object Similarity {
                         corpus: Option[DataFrame] = None,
                         excludeSelf: Boolean = true): DataFrame = {
     val spark = embs.sparkSession
-    val flat = lit(cents.flatten)
-    // hash-partitioned by QUERY id: the packed-list join below
-    // broadcasts its build side, preserving this partitioning, so the
-    // per-query merge aggregation runs with NO shuffle
-    val probe = pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("lut"),
-        explode(graft.functions.Native.topDotNative(spark, col("qv"), flat, nprobe)
-          .getField("list")).as("list"))
     if (rerank <= 0) {
       // flat per-candidate scoring — the face the degenerate law
       // compares against annPq row-for-row
+      val probe = adcProbe(embs, bks, cents, nprobe, idCol, vecCol, queryPred)
       val scored = probe.join(index, Seq("list"))
         .where(if (excludeSelf) col("vec_id") =!= col("nn_id") else lit(true))
         .select(col("vec_id"), col("nn_id"),
@@ -1904,12 +1903,36 @@ object Similarity {
     * paid a full index shuffle + window — measured 3.0 s per
     * 100-query batch at a 200k corpus, dominated by the pack).
     *
-    * The broadcast is explicit: the packed table is m bytes/vector
-    * (broadcastable until ~10⁹ vectors at m = 8; shard the query
-    * batch beyond), and a stored table's size estimate would allow
-    * the planner to get this right — but the inline-pack caller's
-    * estimate is corpus-sized through the join+groupBy lineage, and
-    * one shared hint keeps both plans identical. */
+    * The broadcast is explicit: the packed table is (m + 8)
+    * bytes/vector (the ids array costs 8 beside the m-byte code —
+    * ~16 GB at 10⁹ vectors and m = 8, past Spark's 8 GB broadcast
+    * cap, so the hard wall sits near ~4×10⁸ vectors). Past it the
+    * remedy is a NON-broadcast list equi-join or sharding the PACKED
+    * table by list range — sharding the query batch does nothing,
+    * the index side's size is independent of nq. A stored table's
+    * size estimate would let the planner pick broadcast correctly on
+    * its own, but the inline-pack caller's estimate is corpus-sized
+    * through the join+groupBy lineage, and one shared hint keeps
+    * both plans identical. */
+  /** LUT-carrying probe rows `(vec_id, lut, list)` — one row per
+    * (query, probed list), HASH-PARTITIONED BY QUERY ID so the
+    * packed-list join (broadcast build side) preserves the
+    * partitioning and the per-query merge aggregation runs with NO
+    * shuffle. One definition shared by the FromIndex and FromPacked
+    * faces so the partitioning trick cannot drift between them. */
+  private def adcProbe(embs: DataFrame, bks: Array[Array[Array[Double]]],
+                       cents: Array[Array[Double]], nprobe: Int,
+                       idCol: String, vecCol: String,
+                       queryPred: Column): DataFrame = {
+    val spark = embs.sparkSession
+    val flat = lit(cents.flatten)
+    pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("lut"),
+        explode(graft.functions.Native.topDotNative(spark, col("qv"), flat, nprobe)
+          .getField("list")).as("list"))
+  }
+
   def annIvfPqFromPacked(packed: DataFrame, embs: DataFrame, k: Int,
                          nprobe: Int, cents: Array[Array[Double]],
                          bks: Array[Array[Array[Double]]], rerank: Int,
@@ -1920,15 +1943,7 @@ object Similarity {
                          excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
     val spark = embs.sparkSession
-    val flat = lit(cents.flatten)
-    // hash-partitioned by QUERY id: the packed-list join broadcasts
-    // its build side, preserving this partitioning, so the per-query
-    // merge aggregation runs with NO shuffle
-    val probe = pqQueryLuts(embs.where(queryPred), bks, idCol, vecCol)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("lut"),
-        explode(graft.functions.Native.topDotNative(spark, col("qv"), flat, nprobe)
-          .getField("list")).as("list"))
+    val probe = adcProbe(embs, bks, cents, nprobe, idCol, vecCol, queryPred)
     val perList = probe.join(broadcast(packed), Seq("list"))
       .select(col("vec_id"),
         graft.functions.Native.pqAdcTopKNative(spark, col("packed"),

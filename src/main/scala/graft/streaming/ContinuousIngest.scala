@@ -513,7 +513,7 @@ object ContinuousIngest {
     * under the new config" and delete the latter. */
   private val IndexSubdirs =
     Seq("centroids", "sem_centroids", "sem_tree", "books", "ivf",
-      "ivf_packed", "pq", "sem", "drift_base")
+      "ivf_packed", "pq", "pq_packed", "sem", "drift_base")
 
   /** One line per index subdir present under the finished tmp build —
     * written BEFORE the swap marker, so every marked tmp carries it. */
@@ -709,7 +709,9 @@ object ContinuousIngest {
         spark.read.parquet(s"${st.ivfPath}/batch=$batchId")
           .join(spark.read.parquet(s"${st.pqPath}/batch=$batchId")
             .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"),
-        m = a.m)
+        m = a.m,
+        counts = Some(spark.read.parquet(s"${st.ivfPath}/batch=$batchId")
+          .groupBy("list").agg(count(lit(1)).as("_n"))))
       .write.mode("overwrite").parquet(s"${st.pqPackedPath}/batch=$batchId")
     (q.semTree match {
       case Some(t) => routedSemAssign(batch, t, a)
@@ -746,50 +748,84 @@ object ContinuousIngest {
       excludeSelf = excludeSelf)
   }
 
-  /** The four maintained index tables (assignment, packed float
-    * segments, codes, packed code segments) must cover EXACTLY the
-    * same batch set — any asymmetry is either a pre-packed-era root
-    * (assignment + codes agree, only DERIVED tables absent: the
-    * [[backfillPackedIvf]] / [[backfillPackedAdc]] migrations) or an
-    * append that crashed partway and was never replayed (any shape
-    * missing a CORE table — appendIndexes writes float-pack,
-    * assignment, codes, code-pack in a fixed order, so every crash
-    * window leaves a recognizable prefix). Answering — or
-    * CONSOLIDATING ([[compactState]]) — across an asymmetry would
-    * silently serve rows the other tables never saw, or worse,
-    * launder the asymmetry into a merged partition the parity check
-    * can no longer see. One listing per table, metadata cost.
-    * `upTo` restricts the check to dirs at or below a batch id
+  /** The five maintained index tables (assignment, packed float
+    * segments, codes, packed code segments, semantic assignments)
+    * must cover EXACTLY the same batch set — any asymmetry is either
+    * a pre-packed-era root (assignment + codes + SEM agree, only the
+    * DERIVED packed tables absent: the [[backfillPackedIvf]] /
+    * [[backfillPackedAdc]] migrations) or an append that crashed
+    * partway and was never replayed (any shape missing a
+    * directly-written table — appendIndexes writes float-pack,
+    * assignment, codes, code-pack, sem in a fixed order, so every
+    * crash window leaves a recognizable prefix). The sem table is IN
+    * the universe precisely so a crash between the code-pack and sem
+    * writes cannot masquerade as a migration: a pre-era root has sem
+    * for every batch (sem predates the packed tables), a crashed
+    * append does not — and the only remedy that restores the missing
+    * sem rows is a REPLAY, which backfilling cannot substitute for.
+    * Answering — or CONSOLIDATING ([[compactState]]) — across an
+    * asymmetry would silently serve rows the other tables never saw,
+    * or worse, launder the asymmetry into a merged partition the
+    * parity check can no longer see. One listing per table, metadata
+    * cost. `upTo` restricts the check to dirs at or below a batch id
     * (compaction's horizon — in-flight batches above it are the
     * stream's to replay, not an error). */
   private def requireIndexBatchParity(spark: SparkSession, st: IngestState,
                                       caller: String,
-                                      upTo: Long = Long.MaxValue): Unit = {
-    def dirs(p: String): Set[String] = batchDirNames(spark, p)
-      .filter(_.stripPrefix("batch=").toLong <= upTo)
-    val ivf = dirs(st.ivfPath)
-    val pq = dirs(st.pqPath)
-    val packed = dirs(st.ivfPackedPath)
-    val pqPacked = dirs(st.pqPackedPath)
-    val unpaired = (ivf union pq union packed union pqPacked) --
-      (ivf intersect pq intersect packed intersect pqPacked)
-    if (unpaired.nonEmpty) {
-      // every unpaired batch still has BOTH core tables → only the
-      // derived packed tables are missing → a migration, not a crash
-      val migratable = unpaired.forall(b => ivf.contains(b) && pq.contains(b))
-      val hint =
-        if (migratable)
-          "this state root predates the packed table(s); run " +
-            "backfillPackedIvf (float segments; needs FAT assignment " +
-            "batches — a SLIM one is a crashed append, replay it) and/or " +
-            "backfillPackedAdc (code segments, always derivable) to pack " +
-            "the missing batches"
-        else
-          "an append crashed partway and was never replayed; replay the " +
-            "batch (or rebuildIndexes) first"
-      sys.error(s"$caller: index batch directories disagree " +
-        s"(ivf/pq/packed): ${unpaired.toSeq.sorted.mkString(", ")} — $hint")
+                                      upTo: Long = Long.MaxValue,
+                                      forCompaction: Boolean = false): Unit = {
+    def ids(p: String): Set[Long] = batchDirNames(spark, p)
+      .map(_.stripPrefix("batch=").toLong).filter(_ <= upTo)
+    val ivf = ids(st.ivfPath)
+    val pq = ids(st.pqPath)
+    val packed = ids(st.ivfPackedPath)
+    val pqPacked = ids(st.pqPackedPath)
+    val sem = ids(st.semPath)
+    val sets = Seq(ivf, pq, packed, pqPacked, sem)
+    val union = sets.reduce(_ union _)
+    val unpaired = union -- sets.reduce(_ intersect _)
+    if (unpaired.isEmpty) return
+    // CONSOLIDATION SKEW first: a compactState that crashed between
+    // tables leaves some consolidated further than others — under the
+    // consolidation-invariant view (every id at or below the horizon
+    // collapses to the highest such id, exactly what compactTable
+    // does) the five tables still agree. This shape is NOT missing
+    // rows; the remedy is finishing the compaction, and a
+    // forCompaction caller IS that remedy, so it proceeds. The view
+    // is sound under the streaming discipline (a crashed append's
+    // batch is the MAXIMAL id until replayed — foreachBatch retries
+    // it before committing later batches — so a genuine crash always
+    // disturbs the maximum, which consolidation cannot explain away).
+    val h = if (upTo != Long.MaxValue) upTo else union.max
+    def canon(s: Set[Long]): Set[Long] = {
+      val lo = s.filter(_ <= h)
+      s.filter(_ > h) ++ (if (lo.nonEmpty) Set(lo.max) else Set.empty[Long])
     }
+    if (sets.map(canon).distinct.size == 1) {
+      if (forCompaction) return
+      sys.error(s"$caller: index tables are at different consolidation " +
+        s"levels (batches ${unpaired.toSeq.sorted.mkString(", ")}) — an " +
+        "interrupted compactState; re-run compactState to finish the " +
+        "consolidation, then query")
+    }
+    // every unpaired batch still has ALL directly-written tables →
+    // only the derived packed tables are missing → a migration;
+    // anything else (incl. a missing sem) is a crashed append
+    val migratable = unpaired.forall(b =>
+      ivf.contains(b) && pq.contains(b) && sem.contains(b))
+    val hint =
+      if (migratable)
+        "this state root predates the packed table(s); run " +
+          "backfillPackedIvf (float segments; needs FAT assignment " +
+          "batches — a SLIM one is a crashed append, replay it) and/or " +
+          "backfillPackedAdc (code segments, always derivable) to pack " +
+          "the missing batches"
+      else
+        "an append crashed partway and was never replayed; replay the " +
+          "batch (or rebuildIndexes) first"
+    sys.error(s"$caller: index batch directories disagree " +
+      s"(ivf/pq/packed/sem): " +
+      s"${unpaired.toSeq.sorted.map(b => s"batch=$b").mkString(", ")} — $hint")
   }
 
   /** MIGRATION twin of [[backfillPackedIvf]] for the packed ADC
@@ -825,11 +861,12 @@ object ContinuousIngest {
     * ContinuousIngestSpec pins the equality through a real ingest
     * round trip.
     *
-    * Guarded by [[requireIndexBatchParity]] across ALL THREE index
-    * tables — the face only reads ivf ⋈ pq, but a packed orphan
-    * (the crash window between appendIndexes' packed and assignment
-    * writes) still means THIS root is missing a batch's rows, so it
-    * fails loudly too instead of silently serving partial answers.
+    * Guarded by [[requireIndexBatchParity]] across ALL FIVE index
+    * tables — the product path reads only `pq_packed` (plus docs for
+    * the rerank floats), but any table's orphaned or missing batch
+    * dir means THIS root is missing or misrepresenting a batch's
+    * rows, so every asymmetry fails loudly instead of silently
+    * serving partial answers.
     *
     * `excludeSelf` (default true — the dedup/self-query convention):
     * id equality means same document; an EXTERNAL query batch whose
@@ -1118,17 +1155,20 @@ object ContinuousIngest {
     * state tables live on (HDFS/S3/local), same as the table I/O. */
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
                    targetRowsPerFile: Long = 1000000L): Unit = {
-    Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
-        st.semPath)
-      .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
     // consolidating ACROSS an index-table asymmetry would launder a
     // crashed append into a merged partition the parity guards can no
     // longer see (dir names match afterwards, rows don't) — and on a
     // pre-packed-era root the slim rewrite below would DISCARD the
     // only float copy before backfillPackedIvf ever packed it. Check
-    // parity below the horizon first; in-flight batches above it are
+    // parity below the horizon BEFORE touching ANY table (sem is in
+    // the parity universe, so consolidating it first would feed the
+    // check its own output); in-flight batches above the horizon are
     // the stream's to replay and don't block compaction.
-    requireIndexBatchParity(spark, st, "compactState", upTo = upToBatch)
+    requireIndexBatchParity(spark, st, "compactState", upTo = upToBatch,
+      forCompaction = true)
+    Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
+        st.semPath)
+      .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
     // the assignment and code tables consolidate THROUGH their slim
     // projections: pre-slim fat batches lose the redundant float /
     // widened-int columns here, so compaction doubles as the storage

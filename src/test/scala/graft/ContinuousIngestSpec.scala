@@ -553,6 +553,23 @@ class ContinuousIngestSpec extends SparkSpec {
       k = 1, nprobe = 2, Some(q))
     assert(gotM.exceptAll(want).isEmpty && want.exceptAll(gotM).isEmpty,
       "post-migration maintained answers differ from the one-shot operator")
+    // a crash between the code-pack and sem writes must NOT be
+    // offered the backfill remedy — backfillPackedAdc would restore
+    // dir parity while the batch's sem rows stay missing forever;
+    // only a replay heals this shape (sem is in the parity universe
+    // precisely for this)
+    Seq(s"${st.pqPackedPath}/batch=0", s"${st.semPath}/batch=0").foreach {
+      dir =>
+        JF.walk(JP.of(dir)).sorted(Comparator.reverseOrder[JP]())
+          .forEach(f => JF.deleteIfExists(f))
+    }
+    val eSem = intercept[Throwable] {
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, corpus,
+        k = 1, nprobe = 2, rerank = 8, Some(q)).count()
+    }
+    assert(msgs(eSem).exists(_.contains("crashed partway")) &&
+      !msgs(eSem).exists(_.contains("backfillPackedAdc")),
+      s"missing sem must be a replay case, not a migration: ${msgs(eSem)}")
   }
 
   /** The query-side streaming twin of start(): a file-chunk QUERY
@@ -899,6 +916,16 @@ class ContinuousIngestSpec extends SparkSpec {
     assertSame("sem_after_loop",
       ContinuousIngest.readTable(spark, st.semPath),
       Similarity.semanticAssign(corpus, q2.semCents, ann.nAssign, idCol = "doc_id"))
+    // the packed ADC table came through the rebuild SWAP too: its
+    // unpack matches assignment ⋈ encode under the NEW books — a
+    // stale pre-rebuild pq_packed (old codebooks) or one destroyed
+    // with the tmp root would both fail here
+    assertSame("pq_packed_after_loop",
+      Similarity.pqUnpack(ContinuousIngest.readTable(spark, st.pqPackedPath)),
+      Similarity.ivfAssign(corpus, q2.cents, idCol = "doc_id")
+        .select("nn_id", "list")
+        .join(Similarity.pqEncode(corpus, q2.books, idCol = "doc_id")
+          .select(col("vec_id").as("nn_id"), col("codes")), "nn_id"))
     // a crash replay of the post-rebuild batch is still a no-op
     val before = Seq(st.ivfPath, st.pqPath, st.semPath).map(p =>
       ContinuousIngest.readTable(spark, p).localCheckpoint())
