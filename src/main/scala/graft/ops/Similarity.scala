@@ -87,16 +87,23 @@ object Similarity {
     * side stays full — the standard "NN for a query batch against the
     * whole corpus" shape (also how the invariant checks keep the
     * exact verifier's pair count proportional to the slice they
-    * audit, not the corpus²). */
+    * audit, not the corpus²). `corpusPred` restricts the CANDIDATE
+    * side instead: exact FILTERED search — top-k among the rows
+    * satisfying the predicate, the semantics (and audit oracle) of
+    * [[annIvfFiltered]]. */
   def cosineTopK(embs: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 queryPred: Column = lit(true)): DataFrame = {
+                 queryPred: Column = lit(true),
+                 corpusPred: Column = lit(true)): DataFrame = {
     val spark = embs.sparkSession
     // probe side repartitioned: the scan is a single task otherwise,
     // and with a broadcast build the join inherits probe parallelism
     val l = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
       .repartition(spark.sparkContext.defaultParallelism)
-    val r = normalized(embs, idCol, vecCol, "nn_id", "vb")
+    // corpusPred restricts the CANDIDATE side — filtered search
+    // ("nearest among rows satisfying p"), the exact-semantics bar
+    // every filtered-ANN face is audited against. lit(true) folds away.
+    val r = normalized(embs.where(corpusPred), idCol, vecCol, "nn_id", "vb")
     val scored = l.join(r, col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
@@ -505,6 +512,63 @@ object Similarity {
     // (query-batch ANN); lit(true) folds away for the self-NN default
     annIvfFromIndex(ivfAssign(embs, cents, idCol, vecCol),
       embs.where(queryPred), k, nprobe, cents, idCol, vecCol)
+  }
+
+  /** FILTERED IVF ANN: top-k cosine neighbors among the corpus rows
+    * satisfying `corpusPred` — the "nearest English docs", "nearest
+    * rows in this date range" serving shape. Pre-filter search, not
+    * post-filter: the predicate restricts the INDEX side before
+    * candidate generation (only eligible vectors are assigned to the
+    * scanned lists), so an eligible answer can never be crowded out of
+    * the top-k by ineligible rows — a post-filter of an unfiltered
+    * top-k returns FEWER than k (often zero, under a selective
+    * predicate) and silently drops eligible answers that sat just past
+    * rank k. ScaleOpsSpec pins the distinction with a planted
+    * ineligible distractor strictly closer than the eligible answer.
+    *
+    * The coarse quantizer trains on the FULL corpus (quantizer
+    * identity must not depend on the predicate, or every new filter
+    * re-trains and re-assigns — with a shared quantizer one maintained
+    * assignment table serves every predicate via an eligible-ids
+    * semi-join, the 100 TB shape sketched below). Recall compensation:
+    * with only a `sel = |eligible|/N` fraction of vectors eligible,
+    * `nprobe` lists hold ~sel·nprobe·N/nlist candidates, so
+    * `adaptProbe` (default) widens probing to `ceil(nprobe/sel)`
+    * lists, capped at nlist — restoring the expected candidate count
+    * at probe cost ∝ the SAME candidate total the unfiltered search
+    * pays (selectivity is one cheap counting aggregate, no floats).
+    * `corpusPred = lit(true)` degenerates EXACTLY to [[annIvf]]
+    * (sel = 1 widens nothing; law-pinned by `check_ann_filtered`
+    * beside the containment and ε-recall floors).
+    *
+    * At maintained-index scale, the equivalent is filtering the
+    * stored assignment by an eligible-id semi-join (slim `(nn_id,
+    * list)` rows — no float I/O) before the packed scan, with the
+    * same selectivity-widened nprobe; this one-shot face assigns
+    * `embs.where(corpusPred)` directly, which IS that semi-join for a
+    * computed index. Highly selective predicates (sel → 0) degrade
+    * gracefully: nprobeEff caps at nlist = exact search over the
+    * eligible set, the right answer at that extreme. */
+  def annIvfFiltered(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                     corpusPred: Column, sampleSize: Int = 0,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryPred: Column = lit(true),
+                     centroids: Option[Array[Array[Double]]] = None,
+                     adaptProbe: Boolean = true): DataFrame = {
+    val cents = centroids
+      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
+    val nprobeEff =
+      if (!adaptProbe) nprobe
+      else {
+        val row = embs.agg(count(lit(1)).as("n"),
+          count(when(corpusPred, lit(1))).as("e")).head()
+        val (n, e) = (row.getLong(0), row.getLong(1))
+        if (e <= 0 || e >= n) nprobe
+        else math.min(nlist,
+          math.ceil(nprobe.toDouble * n / e).toInt)
+      }
+    annIvfFromIndex(ivfAssign(embs.where(corpusPred), cents, idCol, vecCol),
+      embs.where(queryPred), k, nprobeEff, cents, idCol, vecCol)
   }
 
   /** Embedding k-center clustering: FFT centroids over a sample, every

@@ -491,6 +491,58 @@ object CheckQueries extends QueryPack {
       coverViol.unionByName(domViol).unionByName(selfViol)
         .unionByName(recallViol)
     }),
+    // Filtered-ANN laws (same parameters as the ann_ivf_filtered
+    // driver query: pred = label < 3, k=1, nprobe=4 adaptive), on the
+    // deterministic ⅕-ids query slice:
+    //  - containment: every reported neighbor satisfies the predicate
+    //    (the defining property — a post-filter bug or a leaked
+    //    ineligible candidate breaks it);
+    //  - degeneration: corpusPred = lit(true) equals annIvf EXACTLY
+    //    (multiset — sel = 1 must widen nothing and the filtered path
+    //    must add nothing);
+    //  - ε-recall@1 ≥ 0.85 vs the exact FILTERED slice NN (the
+    //    cosineTopK corpusPred bar) at ε = 0.15 — the floor that
+    //    catches the pre-filter/post-filter distinction at fixture
+    //    scale: selectivity-widened probing holds the same floor as
+    //    unfiltered IVF (measured 0.99-1.00 on the driver fixtures);
+    //  - sanity: no self-pairs.
+    "check_ann_filtered" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d))
+      lazy val cents = Some(sharedCents(s, d, nlist))
+      val pred = col("label") < 3
+      val slice = pmod(col("vec_id"), lit(5)) === 0
+      val flt = scratchTable(s, d, "annflt1") {
+        Similarity.annIvfFiltered(embs, 1, nlist = nlist, nprobe = 4,
+            corpusPred = pred, queryPred = slice, centroids = cents)
+          .select(col("vec_id"), col("nn_id").as("nn_f"))
+      }
+      val containViol = flt
+        .join(embs.where(pred).select(col("vec_id").as("nn_f")),
+          Seq("nn_f"), "left_anti")
+        .select(lit("filtered_containment").as("violation"))
+      val selfViol = flt.where(col("vec_id") === col("nn_f"))
+        .select(lit("filtered_self_pair").as("violation"))
+      val degenViol = multisetDiffViolations(
+        Similarity.annIvfFiltered(embs, 1, nlist = nlist, nprobe = 4,
+          corpusPred = lit(true), queryPred = slice, centroids = cents),
+        Similarity.annIvf(embs, 1, nlist = nlist, nprobe = 4,
+          queryPred = slice, centroids = cents),
+        "filtered_degen_extra", "filtered_degen_missing")
+      val exF = scratchTable(s, d, "annflt_ex1") {
+        Similarity.cosineTopK(embs, 1, queryPred = slice, corpusPred = pred)
+          .select(col("vec_id"), col("nn_id").as("nn_e"))
+      }
+      val e = embs.select(col("vec_id").as("eid"), col("embedding").as("v"))
+      val (h, nq) = recallAt1(e, exF, flt, "nn_f", eps = 0.15)
+      val recallViol = {
+        import s.implicits._
+        (if (h.toDouble < 0.85 * nq) Seq(s"filtered_recall $h/$nq") else Nil)
+          .toDF("violation")
+      }
+      containViol.unionByName(selfViol).unionByName(degenViol)
+        .unionByName(recallViol)
+    }),
     // IVF laws (same parameters as the ann_ivf driver query, k=1):
     //  - dominance: the IVF nn is drawn from a candidate subset, so
     //    its cosine is ≤ the exact brute-force nn's cosine — audited

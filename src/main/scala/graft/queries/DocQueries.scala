@@ -551,6 +551,26 @@ object DocQueries extends QueryPack {
       Similarity.annIvf(embs, 1,
         nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d)), nprobe = 4)
     }),
+    // FILTERED exact NN: nearest neighbor among the label<3 slice only
+    // (the "nearest English docs" serving shape, exact brute-force bar
+    // — the DuckDB oracle applies the same predicate to the candidate
+    // side). The scale path is ann_ivf_filtered / check_ann_filtered.
+    "ann_filtered_nn" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), 1,
+          corpusPred = col("label") < 3)
+        .select(col("vec_id"), col("nn_id"))),
+    // FILTERED IVF ANN (scale path): predicate pushed into the index
+    // side BEFORE candidate generation, selectivity-widened nprobe
+    // (~nprobe/sel lists keep the candidate count of the unfiltered
+    // search). No SQL oracle (FFT centroids); check_ann_filtered pins
+    // containment, the pred=true degeneration to ann_ivf, and the
+    // ε-recall floor vs the exact filtered slice NN
+    "ann_ivf_filtered" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.annIvfFiltered(embs, 1,
+        nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d)), nprobe = 4,
+        corpusPred = col("label") < 3)
+    }),
     // embedding k-center clustering (FFT centroids, sampled)
     "embed_kcenter" -> ((s, d) =>
       Similarity.kcenterAssign(Tables.embeddings(s, d), k = 8)),
@@ -1225,5 +1245,13 @@ object DocQueries extends QueryPack {
         |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC, r.vec_id) AS rank
         |  FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id)
         |WHERE rank <= 3""".stripMargin,
+    "ann_filtered_nn" ->
+      """SELECT vec_id, nn_id FROM (
+        |  SELECT l.vec_id, r.vec_id AS nn_id,
+        |    row_number() OVER (PARTITION BY l.vec_id
+        |      ORDER BY list_cosine_similarity(l.embedding, r.embedding) DESC, r.vec_id) AS rn
+        |  FROM embeddings l JOIN embeddings r
+        |    ON l.vec_id != r.vec_id AND r.label < 3)
+        |WHERE rn = 1""".stripMargin,
   )
 }

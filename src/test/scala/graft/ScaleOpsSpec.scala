@@ -76,6 +76,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@1 $recall")
   }
 
+  test("annIvfFiltered: planted ineligible distractor; full probing == exact filtered; adaptive widening restores exactness") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat).toSeq
+    }
+    // labels i % 9, eligible = label < 3 ⇒ selectivity ≈ 1/3
+    val base = (1L to 60L).map { i =>
+      (i, unit(Array.fill(dim)(rnd.nextGaussian())), (i % 9).toInt)
+    }
+    // the planted triangle: for query 9001, the INELIGIBLE 9002 is
+    // strictly closer than the eligible 9003 — pre-filter search must
+    // answer 9003; post-filtering an unfiltered top-1 (= 9002) would
+    // drop the query entirely and silently lose the eligible answer
+    val q = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val near = Array(0.999, 0.045, 0, 0, 0, 0, 0, 0)
+    val elig = Array(0.98, 0.199, 0, 0, 0, 0, 0, 0)
+    val rows = base ++ Seq((9001L, unit(q), 5), (9002L, unit(near), 5),
+      (9003L, unit(elig), 0))
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val pred = col("label") < 3
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val exact = top1(Similarity.cosineTopK(embs, 1, corpusPred = pred))
+    assert(exact(9001L) == 9003L, "exact filtered NN must be the eligible answer")
+    val unfiltered = top1(Similarity.cosineTopK(embs, 1))
+    assert(unfiltered(9001L) == 9002L, "fixture: the distractor must win unfiltered")
+    // full probing scans every eligible candidate ⇒ exact filtered brute
+    val fullProbe = top1(Similarity.annIvfFiltered(embs, 1, nlist = 6,
+      nprobe = 6, corpusPred = pred, adaptProbe = false))
+    assert(fullProbe == exact, "nprobe=nlist filtered must equal exact filtered brute")
+    // containment: every reported neighbor satisfies the predicate
+    val eligIds = rows.filter(_._3 < 3).map(_._1).toSet
+    assert(fullProbe.values.forall(eligIds), "an ineligible neighbor leaked")
+    // adaptive widening: at sel ≈ 1/3, nprobe = 2 widens to
+    // ceil(2/sel) ≥ 6 = nlist ⇒ the selective filter still gets the
+    // exact answer set — the compensation annIvfFiltered exists for
+    val adaptive = top1(Similarity.annIvfFiltered(embs, 1, nlist = 6,
+      nprobe = 2, corpusPred = pred))
+    assert(adaptive == exact,
+      "selectivity-widened probing must restore the exact filtered answers here")
+  }
+
   test("queryPred: query-batch results equal the full run filtered to the batch") {
     val embs = Tables.embeddings(spark, sf0001)
     val pred = pmod(col("vec_id"), lit(3)) === 0
