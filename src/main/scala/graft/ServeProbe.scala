@@ -30,6 +30,11 @@ object ServeProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // a serving session raises the parquet In-push threshold above
+      // the probed-list count so the index-only gather's
+      // `list IN (...)` filter pushes EXACTLY (row-group dictionary
+      // skipping) instead of falling back to a min/max range
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,21 +80,38 @@ object ServeProbe {
       }
       val answered = spark.read.parquet(s"$root/served").count()
       // per-batch direct-call latency, warm (the foreachBatch body
-      // without trigger/commit overhead)
+      // without trigger/commit overhead) — A/B of the two rerank float
+      // stores: docs (corpus float-column scan per batch) vs
+      // index-only (candidate gather from the packed segments)
       val quant = Some(ContinuousIngest.loadQuantizers(spark, st, ann))
-      val direct = (0 until batches).map { b =>
-        val q = spark.read.parquet(s"$root/qin/chunk_$b")
-        timed {
-          ContinuousIngest.annIvfPqMaintained(spark, st, ann, q,
-            k = 10, nprobe = 4, rerank = 32, quant,
-            excludeSelf = false).count()
-        }._2
-      }.sorted
+      def directLat(fromIndex: Boolean): Seq[Double] =
+        (0 until batches).map { b =>
+          val q = spark.read.parquet(s"$root/qin/chunk_$b")
+          timed {
+            ContinuousIngest.annIvfPqMaintained(spark, st, ann, q,
+              k = 10, nprobe = 4, rerank = 32, quant,
+              excludeSelf = false, rerankFromIndex = fromIndex).count()
+          }._2
+        }.sorted
+      val direct = directLat(fromIndex = false)
+      val directIx = directLat(fromIndex = true)
+      // the two stores must answer identically (the spec law, re-held
+      // at probe scale on one batch)
+      val q0 = spark.read.parquet(s"$root/qin/chunk_0")
+      val a = ContinuousIngest.annIvfPqMaintained(spark, st, ann, q0,
+        k = 10, nprobe = 4, rerank = 32, quant, excludeSelf = false)
+      val bIx = ContinuousIngest.annIvfPqMaintained(spark, st, ann, q0,
+        k = 10, nprobe = 4, rerank = 32, quant, excludeSelf = false,
+        rerankFromIndex = true)
+      val diff = a.exceptAll(bIx).count() + bIx.exceptAll(a).count()
       println(f"SERVE_PROBE n=$n dim=$dim nlist=${ann.nlist} nq=$nq " +
         f"batches=$batches answered=$answered bootSec=$bootSec%.1f " +
         f"streamSec=$streamSec%.1f perBatchSec=${streamSec / batches}%.1f " +
         f"directMinSec=${direct.head}%.2f " +
-        f"directMedianSec=${direct(direct.size / 2)}%.2f")
+        f"directMedianSec=${direct(direct.size / 2)}%.2f " +
+        f"directIxMinSec=${directIx.head}%.2f " +
+        f"directIxMedianSec=${directIx(directIx.size / 2)}%.2f " +
+        f"storeDiffRows=$diff")
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator

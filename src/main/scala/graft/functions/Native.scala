@@ -50,6 +50,8 @@ object Native {
         exprs => PqAdcTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "internal")
       reg.createOrReplaceTempFunction("graft_dot_topk",
         exprs => DotTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "internal")
+      reg.createOrReplaceTempFunction("graft_gather_vecs",
+        exprs => GatherVecs(exprs(0), exprs(1), exprs(2)), "internal")
     }
   }
 
@@ -133,6 +135,23 @@ object Native {
     register(spark)
     call_function("graft_dot_topk", packed, ids, query,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Candidate-proportional float gather from a PACKED exact-IVF
+    * segment ([[graft.ops.Similarity.ivfPack]]'s layout): the
+    * `(nn_id, vb)` entries of this segment whose id is in the `wanted`
+    * literal set — one binary search per wanted id against the
+    * segment's ascending id array, so a segment row costs
+    * O(|wanted|·log segSize) regardless of segment size, and only the
+    * matched vectors' doubles are ever copied out. The rerank float
+    * store of the index-only serving face: candidates' unit vectors
+    * come straight out of the persisted packed segments instead of a
+    * per-batch scan of the corpus float table. See [[GatherVecs]]. */
+  def gatherVecsNative(spark: SparkSession, packed: Column, ids: Column,
+                       wanted: Array[Long]): Column = {
+    register(spark)
+    call_function("graft_gather_vecs", packed, ids,
+      org.apache.spark.sql.functions.lit(wanted))
   }
 
   /** Bloom-filter membership probe: true when `hash64` (an xxhash64
@@ -685,6 +704,118 @@ case class InterleaveBits(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** gather(packed: array<double>, ids: array<bigint>,
+  * wanted: array<bigint> literal) → array<struct<nn_id, vb>> — the
+  * entries of one packed exact-IVF segment whose id is in `wanted`.
+  *
+  * `ids` is ascending within a segment ([[graft.ops.Similarity.ivfPack]]
+  * array_sorts entries by nn_id), so membership is a binary search per
+  * wanted id: O(|wanted|·log n) per segment row, never O(n). The
+  * wanted set is a FOLDABLE literal (the serving face collects the
+  * bounded nq·rerank shortlist to the driver first), evaluated once
+  * per executor into a deduplicated sorted array. Matched vectors are
+  * emitted in ascending nn_id order with their `dim = |packed|/|ids|`
+  * double slice copied out — output size ∝ matches, not segment size.
+  * A wanted id absent from this segment is simply not emitted (each
+  * corpus id lives in exactly one segment of one list, so the UNION
+  * over segment rows yields each found id exactly once). */
+case class GatherVecs(first: Expression, second: Expression,
+                      third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isA(dt: DataType, et: DataType) =
+      dt match { case ArrayType(`et`, _) => true; case _ => false }
+    val ok = isA(first.dataType, DoubleType) && isA(second.dataType, LongType) &&
+      isA(third.dataType, LongType) && third.foldable
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_gather_vecs expects (array<double>, array<bigint>, array<bigint> literal), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("nn_id", LongType, nullable = false),
+      StructField("vb", ArrayType(DoubleType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_gather_vecs"
+
+  // the literal wanted set, deduplicated and sorted once per executor
+  @transient private lazy val wanted: Array[Long] = {
+    val arr = third.eval().asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_gather_vecs: null wanted id at position $i")
+      out(i) = arr.getLong(i); i += 1
+    }
+    out.distinct.sorted
+  }
+
+  def gather(packedAny: Any, idsAny: Any): ArrayData =
+    GatherVecs.gather(packedAny.asInstanceOf[ArrayData],
+      idsAny.asInstanceOf[ArrayData], wanted)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = gather(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gatherVecs", this, classOf[GatherVecs].getName)
+    nullSafeCodeGen(ctx, ev, (packed, ids, _) =>
+      s"${ev.value} = $ref.gather($packed, $ids);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object GatherVecs {
+  def gather(packed: ArrayData, ids: ArrayData, wanted: Array[Long]): ArrayData = {
+    val n = ids.numElements()
+    if (n == 0) {
+      if (packed.numElements() != 0) throw new IllegalArgumentException(
+        s"graft_gather_vecs: ${packed.numElements()} packed doubles with an empty id array")
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    }
+    if (wanted.length == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (packed.numElements() % n != 0) throw new IllegalArgumentException(
+      s"graft_gather_vecs: packed length ${packed.numElements()} not a multiple of $n ids")
+    val dim = packed.numElements() / n
+    // binary search each wanted id in the segment's ascending id array;
+    // the id array is the search target (NOT wanted) because segments
+    // are the big side — O(|wanted|·log n) beats scanning n ids
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var w = 0
+    while (w < wanted.length) {
+      val target = wanted(w)
+      var lo = 0
+      var hi = n - 1
+      var found = -1
+      while (lo <= hi && found < 0) {
+        val mid = (lo + hi) >>> 1
+        if (ids.isNullAt(mid)) throw new IllegalArgumentException(
+          s"graft_gather_vecs: null id at position $mid")
+        val v = ids.getLong(mid)
+        if (v == target) found = mid
+        else if (v < target) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found >= 0) {
+        val vb = new Array[Double](dim)
+        val off = found * dim
+        var j = 0
+        while (j < dim) { vb(j) = packed.getDouble(off + j); j += 1 }
+        out += org.apache.spark.sql.catalyst.InternalRow(target,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vb))
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 object InterleaveBits {

@@ -2006,6 +2006,23 @@ object Similarity {
                          corpus: Option[DataFrame] = None,
                          excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be ≥ k=$k")
+    val merged = pqPackedShortlist(packed, embs, nprobe, cents, bks, rerank,
+      idCol, vecCol, queryPred, excludeSelf)
+    exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred, corpus)
+  }
+
+  /** The ADC candidate stage of [[annIvfPqFromPacked]], stopped at the
+    * `(vec_id, nn_id)` shortlist (per-query approximate top-`rerank`,
+    * self-hit dropped when `excludeSelf`): the piece the index-only
+    * serving face executes EAGERLY so it can collect the bounded
+    * nq·rerank candidate ids and gather their floats from the packed
+    * index segments instead of scanning a corpus float table. */
+  private[graft] def pqPackedShortlist(packed: DataFrame, embs: DataFrame,
+                                       nprobe: Int, cents: Array[Array[Double]],
+                                       bks: Array[Array[Array[Double]]],
+                                       rerank: Int, idCol: String,
+                                       vecCol: String, queryPred: Column,
+                                       excludeSelf: Boolean): DataFrame = {
     val spark = embs.sparkSession
     val probe = adcProbe(embs, bks, cents, nprobe, idCol, vecCol, queryPred)
     val perList = probe.join(broadcast(packed), Seq("list"))
@@ -2017,7 +2034,7 @@ object Similarity {
     // the probe's vec_id partitioning), then drop a self-hit and
     // keep R; order is preserved by the merge, so no re-sort
     val mergeTop = udaf(new graft.functions.MergeTopKAgg(rerank + 1))
-    val merged = perList.groupBy("vec_id")
+    perList.groupBy("vec_id")
       .agg(mergeTop(col("tk")).as("cand"))
       .select(col("vec_id"),
         explode(slice(
@@ -2025,6 +2042,46 @@ object Similarity {
             filter(col("cand"), e => e.getField("nn_id") =!= col("vec_id"))
           else col("cand"), 1, rerank)).as("e"))
       .select(col("vec_id"), col("e.nn_id").as("nn_id"))
-    exactScoreShortlist(merged, embs, k, idCol, vecCol, queryPred, corpus)
+  }
+
+  /** The union of every query's `nprobe` nearest centroid lists — the
+    * only lists an ADC candidate can come from, so the index-only
+    * serving face prunes its packed-segment gather to exactly these.
+    * An ACTION over the nq query rows (no corpus scan): bounded by
+    * the same serving contract that caps nq. */
+  private[graft] def probedLists(queries: DataFrame,
+                                 cents: Array[Array[Double]], nprobe: Int,
+                                 idCol: String, vecCol: String): Array[Int] = {
+    val spark = queries.sparkSession
+    val flat = lit(cents.flatten)
+    normalized(queries, idCol, vecCol, "id", "v")
+      .select(explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
+        .getField("list")).as("list"))
+      .distinct()
+      .collect().map(_.getInt(0)).sorted
+  }
+
+  /** Exact scoring of a shortlist against an ALREADY-UNIT float store
+    * (`nn_id, vb` — gathered from the packed exact-IVF segments, which
+    * persist [[ivfAssign]]'s normalized vectors verbatim): the
+    * index-only twin of [[exactScoreShortlist]]'s serving shape. The
+    * store is candidate-sized by construction (the gather emits only
+    * shortlist ids), so both the shortlist and the query floats
+    * broadcast onto it and nothing shuffles. Skipping re-normalization
+    * is what keeps the face BYTE-identical to the corpus-store shape:
+    * a unit vector re-normalized in floating point moves by an ulp
+    * (‖v‖ evaluates to 1.0±ε), which could flip a cosine tie. */
+  private[graft] def scoreShortlistUnitStore(shortlist: DataFrame,
+                                             store: DataFrame,
+                                             embs: DataFrame, k: Int,
+                                             idCol: String, vecCol: String,
+                                             queryPred: Column): DataFrame = {
+    val spark = embs.sparkSession
+    val q = normalized(embs.where(queryPred), idCol, vecCol, "vec_id", "va")
+    topKByCos(store
+      .join(broadcast(shortlist), "nn_id")
+      .join(broadcast(q), "vec_id")
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos")), k)
   }
 }

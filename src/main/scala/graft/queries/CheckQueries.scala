@@ -1266,10 +1266,18 @@ object CheckQueries extends QueryPack {
           idCol = "doc_id", queryPred = slice)
         val searchViol = multisetDiffViolations(fromIdx, oneShot,
           "ingest_search_extra", "ingest_search_missing")
+        // the INDEX-ONLY rerank face (floats gathered from the packed
+        // segments, docs table untouched) must answer byte-identically
+        // to both the docs-store face and the one-shot operator
+        val fromIdxIx = ContinuousIngest.annIvfPqMaintained(s, st, p.ann.get,
+          docs.where(slice), k = 3, nprobe = 4, rerank = 8, Some(quant),
+          rerankFromIndex = true)
+        val ixViol = multisetDiffViolations(fromIdxIx, oneShot,
+          "ingest_ixrerank_extra", "ingest_ixrerank_missing")
         // collect BEFORE the finally deletes the parquet the frames
         // scan (the check_ivf_append lesson)
         val out = ivfViol.unionByName(packViol).unionByName(adcPackViol)
-          .unionByName(pqViol).unionByName(searchViol)
+          .unionByName(pqViol).unionByName(searchViol).unionByName(ixViol)
           .collect().map(_.getString(0)).toSeq
         import s.implicits._
         out.toDF("violation")

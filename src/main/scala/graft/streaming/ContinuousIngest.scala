@@ -872,15 +872,30 @@ object ContinuousIngest {
     * id equality means same document; an EXTERNAL query batch whose
     * id namespace may collide with corpus doc_ids must pass `false`,
     * or a query sharing an id with its true nearest corpus row
-    * silently loses that answer. */
+    * silently loses that answer.
+    *
+    * `rerankFromIndex = true` answers from the INDEX ROOT ALONE —
+    * rerank floats gathered from the `ivf_packed` segments instead of
+    * a per-batch corpus scan of docs (see [[annIvfPqIndexRerank]]).
+    * Byte-identical answers, EAGER candidate stage, and the docs
+    * table need not exist on the serving side. */
   def annIvfPqMaintained(spark: SparkSession, st: IngestState, a: AnnParams,
                          queries: DataFrame, k: Int, nprobe: Int,
                          rerank: Int = 32,
                          quantizers: Option[AnnQuantizers] = None,
                          idCol: String = "doc_id",
-                         excludeSelf: Boolean = true): DataFrame = {
+                         excludeSelf: Boolean = true,
+                         rerankFromIndex: Boolean = false): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfPqMaintained")
+    if (rerankFromIndex) {
+      require(rerank >= math.max(1, k),
+        s"annIvfPqMaintained: rerankFromIndex needs a rerank stage " +
+          s"(rerank=$rerank < k=$k) — the pure-ADC face has no float reads " +
+          "to redirect")
+      return annIvfPqIndexRerank(spark, st, a, queries, k, nprobe, rerank,
+        q, idCol, excludeSelf)
+    }
     val corpus = readTable(spark, st.docsPath)
       .select(col("doc_id").as(idCol), col(a.vecCol))
     if (rerank >= math.max(1, k))
@@ -901,6 +916,70 @@ object ContinuousIngest {
         q.cents, q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
         corpus = Some(corpus), excludeSelf = excludeSelf)
     }
+  }
+
+  /** INDEX-ONLY serving rerank: answer a query batch from the index
+    * root alone — `pq_packed` for the ADC candidate scan, `ivf_packed`
+    * for the rerank floats — never touching the docs table. The docs
+    * shape scans the corpus float column once per serving batch
+    * (semi-join-filtered, but still a full-corpus column read); here
+    * the candidates' unit vectors are GATHERED from the packed float
+    * segments the slim-index discipline already maintains
+    * ([[graft.functions.Native.gatherVecsNative]] — one binary search
+    * per candidate id per surviving segment), so float reads are
+    * candidate-proportional up to scan granularity and a serving
+    * deployment ships only the index root, not the 100 TB corpus.
+    *
+    * EAGER, unlike every other query face: the ADC shortlist must be
+    * known before the gather filter can be built, so this method runs
+    * the candidate stage at CALL time (one action) plus a tiny
+    * probed-list action, then returns the lazy rerank plan. Both
+    * driver collects are bounded by the serving contract that already
+    * caps nq — the per-query LUTs broadcast (nq·m·ksub doubles), so
+    * nq·rerank id pairs and nq·nprobe list ids are of the same order.
+    *
+    * The gather's `list IN (probed lists)` filter reaches the parquet
+    * scan; with `spark.sql.parquet.pushdown.inFilterThreshold` raised
+    * to ≥ the probed-list count (default 10 — serving sessions should
+    * set it, as the specs do) the In-set pushes exactly and parquet's
+    * row-group dictionary filter skips segments of unprobed lists.
+    * Below the threshold-exceeding fallback (a min/max range push)
+    * the filter still evaluates before the gather, just without
+    * row-group skipping.
+    *
+    * Byte-identical to the docs-store shape (ContinuousIngestSpec
+    * law): the packed segments persist [[graft.ops.Similarity.ivfAssign]]'s
+    * normalized vectors verbatim, and the final scoring skips
+    * re-normalization, so every cosine — and every tie — matches. A
+    * shortlist id missing from the gather is impossible under
+    * [[requireIndexBatchParity]] (ivf_packed and pq_packed are written
+    * from the same assignment rows per batch, and the guard refuses
+    * asymmetric roots before this path runs). */
+  private def annIvfPqIndexRerank(spark: SparkSession, st: IngestState,
+                                  a: AnnParams, queries: DataFrame, k: Int,
+                                  nprobe: Int, rerank: Int,
+                                  q: AnnQuantizers, idCol: String,
+                                  excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    // action 1 (tiny): the union of every query's probed lists — the
+    // only lists a candidate can come from, recomputed from the
+    // centroid literal over the nq query rows (no corpus scan)
+    val probedLists = Similarity.probedLists(queries, q.cents, nprobe,
+      idCol, a.vecCol)
+    // action 2: the ADC candidate stage, collected — nq·rerank id pairs
+    val pairs = Similarity.pqPackedShortlist(
+        readTable(spark, st.pqPackedPath), queries, nprobe, q.cents, q.books,
+        rerank, idCol, a.vecCol, lit(true), excludeSelf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wanted = pairs.map(_._2).distinct.sorted
+    val shortlist = spark.createDataset(pairs.toSeq).toDF("vec_id", "nn_id")
+    val store = readTable(spark, st.ivfPackedPath)
+      .where(col("list").isin(probedLists.toSeq: _*))
+      .select(explode(graft.functions.Native.gatherVecsNative(spark,
+        col("packed"), col("ids"), wanted)).as("e"))
+      .select(col("e.nn_id").as("nn_id"), col("e.vb").as("vb"))
+    Similarity.scoreShortlistUnitStore(shortlist, store, queries, k,
+      idCol, a.vecCol, lit(true))
   }
 
   private def batchDirNames(spark: SparkSession, path: String): Set[String] = {
@@ -1356,18 +1435,24 @@ object ContinuousIngest {
     * quantizers are immutable post-bootstrap and load once. The
     * parity guard runs per batch at metadata cost, so a crashed
     * concurrent append halts serving loudly instead of answering
-    * from a partial index. */
+    * from a partial index.
+    *
+    * `rerankFromIndex = true` serves from the index root alone (no
+    * docs table on the serving side — rerank floats gathered from the
+    * packed segments, byte-identical answers; see
+    * [[annIvfPqMaintained]]). */
   def serve(queryStream: DataFrame, st: IngestState, a: AnnParams,
             outPath: String, k: Int, nprobe: Int, rerank: Int = 32,
             excludeSelf: Boolean = false,
             quantizers: Option[AnnQuantizers] = None,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true,
+            rerankFromIndex: Boolean = false): StreamingQuery = {
     val spark = queryStream.sparkSession
     val quant = Some(quantizers.getOrElse(loadQuantizers(spark, st, a)))
     val writer = queryStream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         annIvfPqMaintained(spark, st, a, b, k, nprobe, rerank, quant,
-            excludeSelf = excludeSelf)
+            excludeSelf = excludeSelf, rerankFromIndex = rerankFromIndex)
           .write.mode("overwrite").parquet(s"$outPath/batch=$id")
         () }
       .option("checkpointLocation", s"$outPath/_checkpoint")

@@ -635,6 +635,88 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(servedRows() === served, "re-served answers changed")
   }
 
+  /** INDEX-ONLY serving rerank: `rerankFromIndex = true` answers from
+    * the index root alone — ADC candidates from `pq_packed`, rerank
+    * floats GATHERED from `ivf_packed`'s persisted unit vectors — so
+    * a serving deployment ships no docs table and reads no corpus
+    * float column per batch. Pins: byte-identical answers to the
+    * docs-store shape (corpus self-queries AND external queries with
+    * the id-collision row), survival of the docs table being
+    * physically absent (the deployment claim, functionally — docs
+    * renamed away, answers unchanged), and the loud pure-ADC guard. */
+  test("index-only rerank: byte-identical to the docs shape, and serves with the docs table gone") {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    val st = IngestState(s"$root/ixr_state")
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    ContinuousIngest.bootstrap(
+      (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+        .toDF("doc_id", "text", "embedding"), st, Pa)
+    ContinuousIngest.ingestBatch(
+      (1L to 10L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa)
+    val q = Some(ContinuousIngest.loadQuantizers(spark, st, ann))
+    def same(name: String, a: DataFrame, b: DataFrame): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name: index-only rerank differs from the docs-store shape")
+    // corpus self-queries under the default self-exclusion
+    val corpus = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id", "embedding")
+    same("self",
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, corpus,
+        k = 1, nprobe = 2, rerank = 8, q, rerankFromIndex = true),
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, corpus,
+        k = 1, nprobe = 2, rerank = 8, q))
+    // external queries incl. the 1001 collision (emb period 21 ⇒ the
+    // 1022 twin), under the serving convention excludeSelf = false
+    val extQ = (Seq((1001L, emb(1001L))) ++
+      (1L to 5L).map(i => (5000L + i, emb(3L * i)))).toDF("doc_id", "embedding")
+    val gotExt = ContinuousIngest.annIvfPqMaintained(spark, st, ann, extQ,
+      k = 2, nprobe = 4, rerank = 8, q, excludeSelf = false,
+      rerankFromIndex = true).localCheckpoint()
+    same("external", gotExt,
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, extQ,
+        k = 2, nprobe = 4, rerank = 8, q, excludeSelf = false))
+    assert(gotExt.where(col("vec_id") === 1001L && col("rank") === 1)
+      .select("nn_id").as[Long].collect().toSeq === Seq(1001L),
+      "the colliding query must keep answering its own corpus row")
+    // the deployment claim, functionally: with the docs table GONE the
+    // index-only face still answers (identically), while the docs
+    // shape cannot
+    val docsDir = java.nio.file.Path.of(st.docsPath)
+    val parked = java.nio.file.Path.of(s"${st.docsPath}.parked")
+    java.nio.file.Files.move(docsDir, parked)
+    try {
+      val gotNoDocs = ContinuousIngest.annIvfPqMaintained(spark, st, ann,
+        extQ, k = 2, nprobe = 4, rerank = 8, q, excludeSelf = false,
+        rerankFromIndex = true).localCheckpoint()
+      same("docs-free", gotNoDocs, gotExt)
+      intercept[Throwable] {
+        ContinuousIngest.annIvfPqMaintained(spark, st, ann, extQ,
+          k = 2, nprobe = 4, rerank = 8, q, excludeSelf = false).count()
+      }
+    } finally java.nio.file.Files.move(parked, docsDir)
+    // the rerank-float redirect has no meaning for the pure-ADC face
+    val eAdc = intercept[IllegalArgumentException] {
+      ContinuousIngest.annIvfPqMaintained(spark, st, ann, extQ,
+        k = 2, nprobe = 4, rerank = 0, q, rerankFromIndex = true)
+    }
+    assert(eAdc.getMessage.contains("pure-ADC"),
+      s"rerank=0 + rerankFromIndex must refuse loudly: ${eAdc.getMessage}")
+    // streaming twin: serve(rerankFromIndex = true) == the direct calls
+    extQ.coalesce(1).write.parquet(s"$root/qix/chunk_0")
+    val out = s"$root/served_ix"
+    ContinuousIngest.serve(
+      Bounded.fileStream(spark, s"$root/qix/chunk_*",
+        schemaDDL = "doc_id BIGINT, embedding ARRAY<FLOAT>"),
+      st, ann, out, k = 2, nprobe = 4, rerank = 8,
+      rerankFromIndex = true).awaitTermination()
+    same("served-ix", spark.read.parquet(out).drop("batch"), gotExt)
+  }
+
   /** The ADVICE-13 stealable-claim fix: a CLAIMED swap marker
     * (`_GRAFT_SWAP_READY.<uuid>`) may belong to a LIVE claimant — a
     * reader must walk away (re-claiming could interleave

@@ -218,11 +218,80 @@ class NativeFunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types._
-    val arr = (xs: Seq[Double]) =>
-      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType))
-    val d = DotProduct(arr(Seq(1.0, 2.0)), arr(Seq(3.0, 4.0))).eval(null)
+    val d = DotProduct(dArr(Seq(1.0, 2.0)), dArr(Seq(3.0, 4.0))).eval(null)
     assert(d == 11.0)
-    val m = MinDistSq(Literal(0.0), Literal(0.0), arr(Seq(3.0, 4.0, 1.0, 0.0))).eval(null)
+    val m = MinDistSq(Literal(0.0), Literal(0.0), dArr(Seq(3.0, 4.0, 1.0, 0.0))).eval(null)
     assert(m == 1.0)
+  }
+
+  private def dArr(xs: Seq[Double]) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType))
+  }
+  private def lArr(xs: Seq[Long]) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+  }
+
+  test("GatherVecs: found ids emitted in order with their slices; absent ids skipped; wanted dedup/sort") {
+    import graft.functions.GatherVecs
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // segment: ids [2, 5, 9], dim 2, packed = vec2|vec5|vec9
+    val packed = dArr(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6))
+    val ids = lArr(Seq(2L, 5L, 9L))
+    def run(wanted: Seq[Long]): Seq[(Long, Seq[Double])] = {
+      val out = GatherVecs(packed, ids, lArr(wanted)).eval(null)
+        .asInstanceOf[ArrayData]
+      (0 until out.numElements()).map { i =>
+        val row = out.getStruct(i, 2)
+        (row.getLong(0),
+          row.getArray(1).toDoubleArray().toSeq)
+      }
+    }
+    assert(run(Seq(1L, 5L, 9L, 100L)) ===
+      Seq((5L, Seq(0.3, 0.4)), (9L, Seq(0.5, 0.6))))
+    // unsorted + duplicated wanted set gathers identically (the
+    // expression dedups and sorts its literal once)
+    assert(run(Seq(9L, 5L, 9L, 1L, 5L)) === run(Seq(1L, 5L, 9L)))
+    assert(run(Seq.empty) === Seq.empty)
+    assert(run(Seq(1L, 3L, 100L)) === Seq.empty)
+    // layout guards fail loudly
+    intercept[IllegalArgumentException] {
+      GatherVecs(dArr(Seq(0.1)), lArr(Seq.empty), lArr(Seq(1L))).eval(null)
+    }
+    intercept[IllegalArgumentException] {
+      GatherVecs(dArr(Seq(0.1, 0.2, 0.3)), lArr(Seq(1L, 2L)), lArr(Seq(1L))).eval(null)
+    }
+  }
+
+  test("GatherVecs over ivfPack segments == ivfUnpack filtered to the wanted ids (exact doubles)") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val rows = (1L to 300L).map { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i, v.map(_ / n).toSeq, (i % 5).toInt)
+    }
+    val index = rows.toDF("nn_id", "vb", "list")
+    val packed = Similarity.ivfPack(index, dim, segSize = 32)
+    val wanted = Array(3L, 77L, 150L, 151L, 299L, 9999L)
+    val got = packed
+      .select(explode(Native.gatherVecsNative(spark, col("packed"),
+        col("ids"), wanted)).as("e"))
+      .select(col("e.nn_id").as("nn_id"), col("e.vb").as("vb"))
+    val want = Similarity.ivfUnpack(packed)
+      .where(col("nn_id").isin(wanted.toSeq: _*))
+      .select("nn_id", "vb")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "gather must recover exactly the unpack-then-filter rows")
+    assert(got.count() === 5, "every present wanted id found exactly once")
   }
 }
