@@ -1274,10 +1274,24 @@ object CheckQueries extends QueryPack {
           rerankFromIndex = true)
         val ixViol = multisetDiffViolations(fromIdxIx, oneShot,
           "ingest_ixrerank_extra", "ingest_ixrerank_missing")
+        // the FILTERED maintained face (eligible-id semi-join on the
+        // packed index + selectivity-widened probing, docs never
+        // read) must equal the one-shot filtered operator under the
+        // same persisted quantizers
+        val fltPred = pmod(col("doc_id"), lit(3)) === 0
+        val fltViol = multisetDiffViolations(
+          ContinuousIngest.annIvfFilteredMaintained(s, st, p.ann.get,
+            docs.where(slice), k = 3, nprobe = 2,
+            eligible = docs.where(fltPred).select("doc_id"), Some(quant)),
+          Similarity.annIvfFiltered(docs, 3, nlist = nlist, nprobe = 2,
+            corpusPred = fltPred, idCol = "doc_id", queryPred = slice,
+            centroids = Some(quant.cents)),
+          "ingest_filtered_extra", "ingest_filtered_missing")
         // collect BEFORE the finally deletes the parquet the frames
         // scan (the check_ivf_append lesson)
         val out = ivfViol.unionByName(packViol).unionByName(adcPackViol)
           .unionByName(pqViol).unionByName(searchViol).unionByName(ixViol)
+          .unionByName(fltViol)
           .collect().map(_.getString(0)).toSeq
         import s.implicits._
         out.toDF("violation")

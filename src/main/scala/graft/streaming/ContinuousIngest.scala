@@ -748,6 +748,75 @@ object ContinuousIngest {
       excludeSelf = excludeSelf)
   }
 
+  /** FILTERED exact-IVF search over the MAINTAINED index: top-k
+    * cosine among the corpus rows whose id appears in `eligible` —
+    * the maintained twin of [[graft.ops.Similarity.annIvfFiltered]]
+    * (pre-filter semantics: the predicate restricts the index side
+    * BEFORE candidate generation, so an eligible answer can never be
+    * crowded out by ineligible rows — see that face's scaladoc for
+    * why post-filtering silently drops answers). `eligible`'s first
+    * column is the id set; derive it however the deployment likes
+    * (`readTable(spark, st.docsPath).where(pred).select("doc_id")`,
+    * an external allowlist table, …) — this face never reads docs
+    * itself, so like the index-only rerank it serves from the index
+    * root alone.
+    *
+    * Shape, at 100 TB: selectivity comes from the SLIM `(nn_id,
+    * list)` assignment table (two column-pruned integer scans, no
+    * float I/O), probing widens to ~`nprobe/sel` lists capped at
+    * nlist ([[graft.ops.Similarity.annIvfFiltered]]'s compensation,
+    * so the filtered search scans ~the same candidate volume the
+    * unfiltered one would), the packed float segments are pruned to
+    * the PROBED lists before unpacking (`list IN (…)` reaches the
+    * parquet scan — serving sessions raise
+    * `spark.sql.parquet.pushdown.inFilterThreshold` for exact
+    * row-group skipping, as with the rerank gather), and the
+    * eligible-id semi-join then drops ineligible rows before the
+    * scan. Float reads are ∝ the probed lists' eligible volume —
+    * the same order the unfiltered packed scan pays.
+    *
+    * Answers are multiset-identical to the one-shot
+    * `annIvfFiltered` under the same persisted quantizers (the
+    * packed segments restore [[graft.ops.Similarity.ivfAssign]]'s
+    * rows exactly and both faces derive the same widened nprobe from
+    * the same counts) — law-pinned by `check_ingest_ann_replay`'s
+    * `ingest_filtered_*` and by ContinuousIngestSpec through a
+    * physically-absent docs table. Self-hits are excluded (the
+    * one-shot face's convention). Guarded by
+    * [[requireIndexBatchParity]] like every maintained face. */
+  def annIvfFilteredMaintained(spark: SparkSession, st: IngestState,
+                               a: AnnParams, queries: DataFrame, k: Int,
+                               nprobe: Int, eligible: DataFrame,
+                               quantizers: Option[AnnQuantizers] = None,
+                               idCol: String = "doc_id",
+                               adaptProbe: Boolean = true): DataFrame = {
+    val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
+    requireIndexBatchParity(spark, st, "annIvfFilteredMaintained")
+    val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
+    val nprobeEff =
+      if (!adaptProbe) nprobe
+      else {
+        // selectivity from the slim assignment table — integer
+        // columns only, the floats stay untouched until the scan
+        val slim = readTable(spark, st.ivfPath).select("nn_id")
+        val n = slim.count()
+        val e = slim.join(elig, Seq("nn_id"), "left_semi").count()
+        if (e <= 0 || e >= n) nprobe
+        else math.min(q.cents.length,
+          math.ceil(nprobe.toDouble * n / e).toInt)
+      }
+    // only the probed lists' segments can contribute candidates —
+    // prune them at the parquet scan before paying the unpack
+    val probed = Similarity.probedLists(queries, q.cents, nprobeEff,
+      idCol, a.vecCol)
+    val index = Similarity.ivfUnpack(
+        readTable(spark, st.ivfPackedPath)
+          .where(col("list").isin(probed.toSeq: _*)))
+      .join(elig, Seq("nn_id"), "left_semi")
+    Similarity.annIvfFromIndex(index, queries, k, nprobeEff, q.cents,
+      idCol = idCol, vecCol = a.vecCol)
+  }
+
   /** The five maintained index tables (assignment, packed float
     * segments, codes, packed code segments, semantic assignments)
     * must cover EXACTLY the same batch set — any asymmetry is either

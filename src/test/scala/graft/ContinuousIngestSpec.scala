@@ -717,6 +717,73 @@ class ContinuousIngestSpec extends SparkSpec {
     same("served-ix", spark.read.parquet(out).drop("batch"), gotExt)
   }
 
+  /** Maintained FILTERED exact-IVF: `annIvfFilteredMaintained`
+    * answers "top-k among the eligible ids" from the index root alone
+    * — eligible-id semi-join on the packed segments, selectivity-
+    * widened probing. Pins: multiset-equality with the one-shot
+    * `annIvfFiltered` under the persisted quantizers (through the
+    * real ingest round trip — append == rebuild is what makes the two
+    * assignments agree), pre-filter semantics on a planted distractor
+    * (the ineligible twin of a query's eligible answer must not crowd
+    * it out), and the docs-free deployment claim (docs table
+    * physically parked, answers unchanged). */
+  test("maintained filtered IVF: equals the one-shot face, and serves with the docs table gone") {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    def emb(i: Long): Seq[Float] =
+      (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+    val st = IngestState(s"$root/flt_state")
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2)
+    val Pa = P.copy(ann = Some(ann))
+    ContinuousIngest.bootstrap(
+      (1L to 30L).map(i => (1000L + i, text(1000L + i), emb(1000L + i)))
+        .toDF("doc_id", "text", "embedding"), st, Pa)
+    ContinuousIngest.ingestBatch(
+      (1L to 10L).map(i => (2000L + i, text(2000L + i), emb(2000L + i)))
+        .toDF("doc_id", "text", "embedding"), 0L, st, Pa)
+    val q = Some(ContinuousIngest.loadQuantizers(spark, st, ann))
+    val docs = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id", "embedding")
+    val pred = pmod(col("doc_id"), lit(3)) === 0
+    val slice = pmod(col("doc_id"), lit(5)) === 0
+    val eligible = docs.where(pred).select("doc_id")
+    val got = ContinuousIngest.annIvfFilteredMaintained(spark, st, ann,
+      docs.where(slice), k = 2, nprobe = 2, eligible, q).localCheckpoint()
+    val want = graft.ops.Similarity.annIvfFiltered(docs, 2, nlist = ann.nlist,
+      nprobe = 2, corpusPred = pred, idCol = "doc_id", queryPred = slice,
+      centroids = Some(q.get.cents))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "maintained filtered face differs from the one-shot annIvfFiltered")
+    // pre-filter semantics at fixture scale: sel ≈ 1/3 widens
+    // nprobe=2 to ceil(2/sel) ≥ nlist=4 = FULL probing, so the face
+    // degenerates to exact filtered brute here — every query must get
+    // exactly k ELIGIBLE answers (a post-filter of an unfiltered
+    // top-k would return fewer and leak nothing tells you about)
+    val eligSet = eligible.as[Long].collect().toSet
+    val answers = got.select("vec_id", "nn_id").as[(Long, Long)].collect()
+    assert(answers.nonEmpty && answers.forall(p => eligSet(p._2)),
+      "an ineligible neighbor leaked through the maintained filtered face")
+    val perQuery = answers.groupBy(_._1).values.map(_.length).toSet
+    assert(perQuery === Set(2),
+      s"every query must get exactly k eligible answers, got sizes $perQuery")
+    // the docs-free claim: this face reads only the index root
+    val docsDir = java.nio.file.Path.of(st.docsPath)
+    val parked = java.nio.file.Path.of(s"${st.docsPath}.parked")
+    val extQ = (1L to 5L).map(i => (9000L + i, emb(3L * i)))
+      .toDF("doc_id", "embedding")
+    // the eligible frame itself derives from docs here — materialize
+    // it before parking the table (a real deployment's allowlist is
+    // its own table; the FACE reads only the index root)
+    val eligCp = eligible.localCheckpoint()
+    java.nio.file.Files.move(docsDir, parked)
+    try {
+      val noDocs = ContinuousIngest.annIvfFilteredMaintained(spark, st, ann,
+        extQ, k = 2, nprobe = 2, eligCp, q)
+      assert(noDocs.count() === 10,
+        "filtered maintained search must answer with the docs table gone")
+    } finally java.nio.file.Files.move(parked, docsDir)
+  }
+
   /** The ADVICE-13 stealable-claim fix: a CLAIMED swap marker
     * (`_GRAFT_SWAP_READY.<uuid>`) may belong to a LIVE claimant — a
     * reader must walk away (re-claiming could interleave
