@@ -564,11 +564,59 @@ object Similarity {
           count(when(corpusPred, lit(1))).as("e")).head()
         val (n, e) = (row.getLong(0), row.getLong(1))
         if (e <= 0 || e >= n) nprobe
-        else math.min(nlist,
+        else math.min(cents.length,
           math.ceil(nprobe.toDouble * n / e).toInt)
       }
     annIvfFromIndex(ivfAssign(embs.where(corpusPred), cents, idCol, vecCol),
       embs.where(queryPred), k, nprobeEff, cents, idCol, vecCol)
+  }
+
+  /** FILTERED IVFADC: [[annIvfFiltered]]'s pre-filter semantics on
+    * the product-quantized path — top-k among the rows satisfying
+    * `corpusPred`, candidates generated from an index holding ONLY
+    * eligible vectors (so an eligible answer can never be crowded out
+    * of a segment's ADC top-R by ineligible rows — the same
+    * distinction the exact face's planted-distractor spec pins).
+    * Both quantizers train on the FULL corpus (predicate-independent
+    * identity, as with the exact face); probing widens by the same
+    * `ceil(nprobe/sel)` compensation, capped at nlist.
+    * `corpusPred = lit(true)` degenerates EXACTLY to [[annIvfPq]]
+    * (law-pinned by `check_ann_filtered`'s ADC leg beside the
+    * containment and ε-recall floors). Rerank floats come from the
+    * unfiltered `embs` (the shortlist is eligible-only by
+    * construction, so the float join touches only eligible rows).
+    *
+    * At maintained-index scale the equivalent filters the stored
+    * code segments by an eligible-id semi-join after pruning to the
+    * probed lists — m bytes per candidate, no float I/O until the
+    * rerank ([[graft.streaming.ContinuousIngest.annIvfPqFilteredMaintained]]). */
+  def annIvfPqFiltered(embs: DataFrame, k: Int, nlist: Int, nprobe: Int,
+                       corpusPred: Column, m: Int = 8, ksub: Int = 16,
+                       rerank: Int = 0, sampleSize: Int = 0,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       queryPred: Column = lit(true),
+                       centroids: Option[Array[Array[Double]]] = None,
+                       books: Option[Array[Array[Array[Double]]]] = None,
+                       adaptProbe: Boolean = true): DataFrame = {
+    val cents = centroids
+      .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
+    val bks = books.getOrElse(pqTrain(embs, m, ksub, sampleSize, idCol, vecCol))
+    val nprobeEff =
+      if (!adaptProbe) nprobe
+      else {
+        val row = embs.agg(count(lit(1)).as("n"),
+          count(when(corpusPred, lit(1))).as("e")).head()
+        val (n, e) = (row.getLong(0), row.getLong(1))
+        if (e <= 0 || e >= n) nprobe
+        else math.min(cents.length,
+          math.ceil(nprobe.toDouble * n / e).toInt)
+      }
+    val elig = embs.where(corpusPred)
+    val index = ivfAssign(elig, cents, idCol, vecCol).select("nn_id", "list")
+      .join(pqEncode(elig, bks, idCol, vecCol)
+        .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+    annIvfPqFromIndex(index, embs, k, nprobeEff, cents, bks, rerank,
+      idCol, vecCol, queryPred)
   }
 
   /** Embedding k-center clustering: FFT centroids over a sample, every

@@ -540,8 +540,43 @@ object CheckQueries extends QueryPack {
         (if (h.toDouble < 0.85 * nq) Seq(s"filtered_recall $h/$nq") else Nil)
           .toDF("violation")
       }
+      // ADC legs — the same three laws on annIvfPqFiltered (the
+      // product-quantized filtered face, rerank=8): containment,
+      // pred=true degeneration to annIvfPq (multiset-exact — shared
+      // quantizers make the two index builds identical), and the
+      // ε-recall floor vs the exact filtered slice at check_ivfpq's
+      // 0.80 bar (PQ quantization noise sits under the filtered
+      // widening, so the filtered face must not fall below the
+      // unfiltered product path's own floor)
+      val m = 8; val ksub = 16
+      lazy val books = sharedBooks(s, d, m, ksub)
+      val fltAdc = scratchTable(s, d, "annfltadc1") {
+        Similarity.annIvfPqFiltered(embs, 1, nlist = nlist, nprobe = 4,
+            corpusPred = pred, m = m, ksub = ksub, rerank = 8,
+            queryPred = slice, centroids = cents, books = Some(books))
+          .select(col("vec_id"), col("nn_id").as("nn_f"))
+      }
+      val adcContainViol = fltAdc
+        .join(embs.where(pred).select(col("vec_id").as("nn_f")),
+          Seq("nn_f"), "left_anti")
+        .select(lit("fltadc_containment").as("violation"))
+      val adcDegenViol = multisetDiffViolations(
+        Similarity.annIvfPqFiltered(embs, 1, nlist = nlist, nprobe = 4,
+          corpusPred = lit(true), m = m, ksub = ksub, rerank = 8,
+          queryPred = slice, centroids = cents, books = Some(books)),
+        Similarity.annIvfPq(embs, 1, nlist = nlist, nprobe = 4,
+          m = m, ksub = ksub, rerank = 8, queryPred = slice,
+          centroids = cents, books = Some(books)),
+        "fltadc_degen_extra", "fltadc_degen_missing")
+      val (hA, nqA) = recallAt1(e, exF, fltAdc, "nn_f", eps = 0.15)
+      val adcRecallViol = {
+        import s.implicits._
+        (if (hA.toDouble < 0.80 * nqA) Seq(s"fltadc_recall $hA/$nqA") else Nil)
+          .toDF("violation")
+      }
       containViol.unionByName(selfViol).unionByName(degenViol)
-        .unionByName(recallViol)
+        .unionByName(recallViol).unionByName(adcContainViol)
+        .unionByName(adcDegenViol).unionByName(adcRecallViol)
     }),
     // IVF laws (same parameters as the ann_ivf driver query, k=1):
     //  - dominance: the IVF nn is drawn from a candidate subset, so
@@ -1287,11 +1322,25 @@ object CheckQueries extends QueryPack {
             corpusPred = fltPred, idCol = "doc_id", queryPred = slice,
             centroids = Some(quant.cents)),
           "ingest_filtered_extra", "ingest_filtered_missing")
+        // …and its product-quantized twin: the maintained filtered
+        // IVFADC face (probed-list-pruned code segments, eligible
+        // semi-join, docs rerank store) vs the one-shot
+        // annIvfPqFiltered under the same persisted quantizers
+        val fltAdcViol = multisetDiffViolations(
+          ContinuousIngest.annIvfPqFilteredMaintained(s, st, p.ann.get,
+            docs.where(slice), k = 3, nprobe = 2,
+            eligible = docs.where(fltPred).select("doc_id"), rerank = 8,
+            quantizers = Some(quant)),
+          Similarity.annIvfPqFiltered(docs, 3, nlist = nlist, nprobe = 2,
+            corpusPred = fltPred, m = p.ann.get.m, ksub = p.ann.get.ksub,
+            rerank = 8, idCol = "doc_id", queryPred = slice,
+            centroids = Some(quant.cents), books = Some(quant.books)),
+          "ingest_fltadc_extra", "ingest_fltadc_missing")
         // collect BEFORE the finally deletes the parquet the frames
         // scan (the check_ivf_append lesson)
         val out = ivfViol.unionByName(packViol).unionByName(adcPackViol)
           .unionByName(pqViol).unionByName(searchViol).unionByName(ixViol)
-          .unionByName(fltViol)
+          .unionByName(fltViol).unionByName(fltAdcViol)
           .collect().map(_.getString(0)).toSeq
         import s.implicits._
         out.toDF("violation")

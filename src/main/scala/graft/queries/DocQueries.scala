@@ -571,6 +571,19 @@ object DocQueries extends QueryPack {
         nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d)), nprobe = 4,
         corpusPred = col("label") < 3)
     }),
+    // FILTERED IVFADC (the product-quantized filtered path, exact
+    // rerank over the eligible-only shortlist). No SQL oracle;
+    // check_ann_filtered's ADC legs pin containment, the pred=true
+    // degeneration to annIvfPq, and the 0.80 ε-recall floor vs the
+    // exact filtered slice NN
+    "ann_ivfadc_filtered" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.annIvfPqFiltered(embs, 1,
+          nlist = Similarity.nlistFor(Tables.embeddingsCount(s, d)),
+          nprobe = 4, corpusPred = col("label") < 3, m = 8, ksub = 16,
+          rerank = 32)
+        .select(col("vec_id"), col("nn_id"))
+    }),
     // embedding k-center clustering (FFT centroids, sampled)
     "embed_kcenter" -> ((s, d) =>
       Similarity.kcenterAssign(Tables.embeddings(s, d), k = 8)),

@@ -793,18 +793,8 @@ object ContinuousIngest {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfFilteredMaintained")
     val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
-    val nprobeEff =
-      if (!adaptProbe) nprobe
-      else {
-        // selectivity from the slim assignment table — integer
-        // columns only, the floats stay untouched until the scan
-        val slim = readTable(spark, st.ivfPath).select("nn_id")
-        val n = slim.count()
-        val e = slim.join(elig, Seq("nn_id"), "left_semi").count()
-        if (e <= 0 || e >= n) nprobe
-        else math.min(q.cents.length,
-          math.ceil(nprobe.toDouble * n / e).toInt)
-      }
+    val nprobeEff = filteredNprobe(spark, st, elig, nprobe,
+      q.cents.length, adaptProbe)
     // only the probed lists' segments can contribute candidates —
     // prune them at the parquet scan before paying the unpack
     val probed = Similarity.probedLists(queries, q.cents, nprobeEff,
@@ -815,6 +805,71 @@ object ContinuousIngest {
       .join(elig, Seq("nn_id"), "left_semi")
     Similarity.annIvfFromIndex(index, queries, k, nprobeEff, q.cents,
       idCol = idCol, vecCol = a.vecCol)
+  }
+
+  /** [[graft.ops.Similarity.annIvfFiltered]]'s selectivity-widened
+    * probe count, derived from the MAINTAINED index: eligible fraction
+    * from the slim `(nn_id, list)` assignment table — two
+    * column-pruned integer scans, no float I/O — then
+    * `ceil(nprobe/sel)` capped at the trained cell count. Matches the
+    * one-shot faces' arithmetic exactly (the `ingest_filtered_*` /
+    * `ingest_fltadc_*` equality laws depend on it). */
+  private def filteredNprobe(spark: SparkSession, st: IngestState,
+                             elig: DataFrame, nprobe: Int, nCells: Int,
+                             adaptProbe: Boolean): Int =
+    if (!adaptProbe) nprobe
+    else {
+      val slim = readTable(spark, st.ivfPath).select("nn_id")
+      val n = slim.count()
+      val e = slim.join(elig, Seq("nn_id"), "left_semi").count()
+      if (e <= 0 || e >= n) nprobe
+      else math.min(nCells, math.ceil(nprobe.toDouble * n / e).toInt)
+    }
+
+  /** FILTERED IVFADC over the MAINTAINED index: the
+    * [[graft.ops.Similarity.annIvfPqFiltered]] semantics (top-k among
+    * the eligible ids, candidates generated from eligible codes only
+    * — pre-filter, so an eligible answer can never be crowded out of
+    * a segment's ADC top-R by ineligible rows) served from the stored
+    * tables. The probed lists' code segments are pruned at the
+    * parquet scan (`list IN (…)`, as with the other serving faces),
+    * unpacked (m bytes per candidate — no float I/O), semi-joined to
+    * the eligible ids, and scanned through the standard ADC path;
+    * rerank floats come from the docs table via the bounded-shortlist
+    * serving join. The per-call re-pack inside the ADC scan is
+    * INHERENT here — an ad-hoc predicate has no persisted pack — and
+    * its input is only the probed lists' ELIGIBLE codes, ∝ the same
+    * candidate volume the search itself scans.
+    *
+    * Multiset-identical to the one-shot `annIvfPqFiltered` under the
+    * persisted quantizers (`check_ingest_ann_replay`'s
+    * `ingest_fltadc_*` law). Guards and conventions as on
+    * [[annIvfPqMaintained]] (parity check, `excludeSelf` id-namespace
+    * contract). */
+  def annIvfPqFilteredMaintained(spark: SparkSession, st: IngestState,
+                                 a: AnnParams, queries: DataFrame, k: Int,
+                                 nprobe: Int, eligible: DataFrame,
+                                 rerank: Int = 32,
+                                 quantizers: Option[AnnQuantizers] = None,
+                                 idCol: String = "doc_id",
+                                 excludeSelf: Boolean = true,
+                                 adaptProbe: Boolean = true): DataFrame = {
+    val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
+    requireIndexBatchParity(spark, st, "annIvfPqFilteredMaintained")
+    val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
+    val nprobeEff = filteredNprobe(spark, st, elig, nprobe,
+      q.cents.length, adaptProbe)
+    val probed = Similarity.probedLists(queries, q.cents, nprobeEff,
+      idCol, a.vecCol)
+    val index = Similarity.pqUnpack(
+        readTable(spark, st.pqPackedPath)
+          .where(col("list").isin(probed.toSeq: _*)))
+      .join(elig, Seq("nn_id"), "left_semi")
+    val corpus = readTable(spark, st.docsPath)
+      .select(col("doc_id").as(idCol), col(a.vecCol))
+    Similarity.annIvfPqFromIndex(index, queries, k, nprobeEff, q.cents,
+      q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
+      corpus = Some(corpus), excludeSelf = excludeSelf)
   }
 
   /** The five maintained index tables (assignment, packed float

@@ -766,6 +766,17 @@ class ContinuousIngestSpec extends SparkSpec {
     val perQuery = answers.groupBy(_._1).values.map(_.length).toSet
     assert(perQuery === Set(2),
       s"every query must get exactly k eligible answers, got sizes $perQuery")
+    // the ADC twin: maintained filtered IVFADC (code segments pruned
+    // + eligible semi-join, docs rerank store) == the one-shot
+    // annIvfPqFiltered under the persisted quantizers
+    val gotAdc = ContinuousIngest.annIvfPqFilteredMaintained(spark, st, ann,
+      docs.where(slice), k = 2, nprobe = 2, eligible, rerank = 8, q)
+    val wantAdc = graft.ops.Similarity.annIvfPqFiltered(docs, 2,
+      nlist = ann.nlist, nprobe = 2, corpusPred = pred, m = ann.m,
+      ksub = ann.ksub, rerank = 8, idCol = "doc_id", queryPred = slice,
+      centroids = Some(q.get.cents), books = Some(q.get.books))
+    assert(gotAdc.exceptAll(wantAdc).isEmpty && wantAdc.exceptAll(gotAdc).isEmpty,
+      "maintained filtered IVFADC differs from the one-shot annIvfPqFiltered")
     // the docs-free claim: this face reads only the index root
     val docsDir = java.nio.file.Path.of(st.docsPath)
     val parked = java.nio.file.Path.of(s"${st.docsPath}.parked")

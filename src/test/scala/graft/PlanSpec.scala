@@ -411,6 +411,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered serving scan: probed-list In-filter reaches the packed parquet scan") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, sf0001)
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_planspec_flt")
+    try {
+      val cents = graft.ops.Similarity.ivfCentroids(embs, 8)
+      graft.ops.Similarity.ivfPack(
+          graft.ops.Similarity.ivfAssign(embs, cents), dim)
+        .write.mode("overwrite").parquet(dir.toString)
+      // a serving session raises the In-push threshold (see
+      // annIvfFilteredMaintained's scaladoc); the spec does the same
+      // so the pin matches the deployment plan
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "100")
+      try {
+        val probed = Seq(0, 1, 2, 3, 4)
+        val index = graft.ops.Similarity.ivfUnpack(
+            spark.read.parquet(dir.toString)
+              .where(col("list").isin(probed: _*)))
+          .join(embs.where(col("label") < 3)
+            .select(col("vec_id").as("nn_id")), Seq("nn_id"), "left_semi")
+        val p = plan(graft.ops.Similarity.annIvfFromIndex(index,
+          embs.where(col("vec_id") % 50 === 0), 1, 4, cents))
+        // the pruning filter must reach the packed scan itself — a
+        // post-scan Filter would read every list's segments
+        assert(p.linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(list")),
+          s"probed-list In filter not pushed to the packed scan:\n${p.take(1500)}")
+        assert(!p.contains("CartesianProduct"), p.take(800))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("partitioned warehouse layout: filter becomes PartitionFilters, values roundtrip") {
     import graft.sources.Warehouse
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_test").toString

@@ -117,6 +117,20 @@ class ScaleOpsSpec extends SparkSpec {
       nprobe = 2, corpusPred = pred))
     assert(adaptive == exact,
       "selectivity-widened probing must restore the exact filtered answers here")
+    // the ADC twin under the same fixture: pre-filter means the
+    // ineligible distractor is NOT IN THE INDEX, so with full
+    // probing and a rerank wide enough to hold every eligible
+    // candidate the product path is exact-filtered too — including
+    // the planted triangle the unfiltered search gets wrong
+    val fltAdc = top1(Similarity.annIvfPqFiltered(embs, 1, nlist = 6,
+      nprobe = 6, corpusPred = pred, m = 4, ksub = 8, rerank = 32,
+      adaptProbe = false))
+    assert(fltAdc == exact,
+      "full-probe filtered IVFADC with an all-eligible rerank must equal exact filtered brute")
+    val fltAdcAdaptive = top1(Similarity.annIvfPqFiltered(embs, 1, nlist = 6,
+      nprobe = 2, corpusPred = pred, m = 4, ksub = 8, rerank = 32))
+    assert(fltAdcAdaptive == exact,
+      "selectivity-widened filtered IVFADC must restore the exact filtered answers here")
   }
 
   test("queryPred: query-batch results equal the full run filtered to the batch") {
