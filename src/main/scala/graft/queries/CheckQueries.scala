@@ -1352,6 +1352,127 @@ object CheckQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // Tombstone-delete laws (deleteDocs over a scratch ingest root —
+    // the takedown face):
+    //  1. count: deleteDocs returns exactly the matched-doc count;
+    //  2. containment: no deleted id survives in ANY maintained face
+    //     (docs, ivf, pq, sem, keys, both packed-segment tables);
+    //  3. survivor byte-parity: the packed ivf/pq segments unpack to
+    //     exactly the pre-delete rows minus the deleted ones — the
+    //     copy-on-write re-pack moved nothing else;
+    //  4. search law: the maintained exact-IVF face over the purged
+    //     index == the one-shot operator over corpus-minus-deleted
+    //     under the SAME persisted centroids;
+    //  5. stats law: the incremental stats view == a direct
+    //     re-aggregation of the purged docs table;
+    //  6. re-admission: a deleted doc's exact text is ADMITTED again
+    //     (its digest left the admit table; the stale bloom bit only
+    //     costs the verify join), while a surviving doc's text under a
+    //     fresh id stays dropped — deletion changes dedup's answer for
+    //     the deleted content only.
+    // Texts are md5 strings (shingle-rich, mutually near-dup-safe) so
+    // nearDup = true exercises the band-key purge without LSH noise.
+    "check_delete" -> ((s, d) => scratchTable(s, d, "delete_viol") {
+      import graft.streaming.ContinuousIngest
+      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+      val nAll = Tables.embeddingsCount(s, d)
+      val nlist = Similarity.nlistFor(nAll)
+      val docs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"),
+          md5(concat(lit("v"), col("vec_id"))).as("text"), col("embedding"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val delPred = pmod(col("doc_id"), lit(7)) === 0 // spans bootstrap AND batch
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = true, ann = Some(AnnParams(nlist = nlist)))
+      val root = java.nio.file.Files.createTempDirectory("graft_delete")
+      try {
+        val st = IngestState(root.toString)
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
+        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+        // survivor rows pinned BEFORE the purge (tmp-root parquet)
+        val keep = pmod(col("nn_id"), lit(7)) =!= 0
+        Similarity.ivfUnpack(ContinuousIngest.readTable(s, st.ivfPackedPath))
+          .where(keep).write.parquet(s"$root/pre_ivf")
+        Similarity.pqUnpack(ContinuousIngest.readTable(s, st.pqPackedPath))
+          .where(keep).write.parquet(s"$root/pre_pq")
+        val wanted = docs.where(delPred).count()
+        val nDel = ContinuousIngest.deleteDocs(s, st,
+          docs.where(delPred).select("doc_id"))
+        val countViol = if (nDel == wanted) Seq.empty[String]
+          else Seq(s"delete_count got=$nDel want=$wanted")
+        def leak(name: String, df: DataFrame, idc: String): Seq[String] = {
+          val c = df.where(pmod(col(idc), lit(7)) === 0).count()
+          if (c == 0) Seq.empty else Seq(s"delete_leak_$name=$c")
+        }
+        val leaks =
+          leak("docs", ContinuousIngest.readTable(s, st.docsPath), "doc_id") ++
+          leak("ivf", ContinuousIngest.readTable(s, st.ivfPath), "nn_id") ++
+          leak("pq", ContinuousIngest.readTable(s, st.pqPath), "vec_id") ++
+          leak("sem", ContinuousIngest.readTable(s, st.semPath), "id") ++
+          leak("keys", ContinuousIngest.readTable(s, st.keysPath), "id") ++
+          leak("packed", Similarity.ivfUnpack(
+            ContinuousIngest.readTable(s, st.ivfPackedPath)), "nn_id") ++
+          leak("adcpacked", Similarity.pqUnpack(
+            ContinuousIngest.readTable(s, st.pqPackedPath)), "nn_id")
+        val ivfViol = multisetDiffViolations(
+          Similarity.ivfUnpack(ContinuousIngest.readTable(s, st.ivfPackedPath)),
+          s.read.parquet(s"$root/pre_ivf"),
+          "delete_ivf_extra", "delete_ivf_missing")
+        val pqViol = multisetDiffViolations(
+          Similarity.pqUnpack(ContinuousIngest.readTable(s, st.pqPackedPath)),
+          s.read.parquet(s"$root/pre_pq"),
+          "delete_pq_extra", "delete_pq_missing")
+        val slice = pmod(col("doc_id"), lit(11)) === 1
+        val searchViol = multisetDiffViolations(
+          ContinuousIngest.annIvfMaintained(s, st, p.ann.get,
+            docs.where(slice && !delPred), k = 3, nprobe = 2, Some(quant)),
+          Similarity.annIvf(docs.where(!delPred), 3, nlist = nlist,
+            nprobe = 2, idCol = "doc_id", queryPred = slice,
+            centroids = Some(quant.cents)),
+          "delete_search_extra", "delete_search_missing")
+        val statsViol = multisetDiffViolations(
+          ContinuousIngest.readStats(s, st),
+          ContinuousIngest.readTable(s, st.docsPath).agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("n_chars"),
+            coalesce(sum(size(split(col("text"), "\\s+")).cast("long")),
+              lit(0L)).as("n_ws_tokens")),
+          "delete_stats_extra", "delete_stats_missing")
+        // collect every law BEFORE the re-admission ingest mutates the
+        // state the lazy frames read (and before the finally deletes it)
+        val lawViol = ivfViol.unionByName(pqViol).unionByName(searchViol)
+          .unionByName(statsViol)
+          .collect().map(_.getString(0)).toSeq
+        // re-admission LAST: one deleted doc's original row (must be
+        // admitted — its digest is gone) + a surviving doc's text
+        // under a fresh id (must stay dropped)
+        val delId = docs.where(delPred).agg(min(col("doc_id"))).head.getLong(0)
+        val surId = docs.where(!delPred).agg(min(col("doc_id"))).head.getLong(0)
+        val readmitted = ContinuousIngest.ingestBatch(
+          docs.where(col("doc_id") === delId).unionByName(
+            docs.where(col("doc_id") === surId)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                col("text"), col("embedding"))),
+          1L, st, p, Some(quant))
+        val backIds = readmitted.select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+        val admitViol =
+          (if (backIds.contains(delId)) Seq.empty[String]
+           else Seq(s"delete_readmit_missing=$delId")) ++
+          (if (!backIds.contains(surId + 1000000L)) Seq.empty[String]
+           else Seq(s"delete_dup_readmitted=${surId + 1000000L}"))
+        import s.implicits._
+        (countViol ++ leaks ++ lawViol ++ admitViol).toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty

@@ -1158,6 +1158,16 @@ object ContinuousIngest {
                   quantizers: Option[AnnQuantizers] = None): DataFrame = {
     require(batchId >= 0, s"batch ids are >= 0 (got $batchId; -1 is the bootstrap)")
     val spark = batch.sparkSession
+    // one metadata check per batch: admitting against state a crashed
+    // deleteDocs half-purged is loud-refused, not absorbed — the
+    // digest-last purge order keeps admission conservative, but an
+    // operator interleaving ingest with unfinished maintenance should
+    // hear about it, not discover it in the answers ([[start]] runs
+    // the recovery automatically at stream startup)
+    require(!fsFor(spark, st.root).exists(new org.apache.hadoop.fs.Path(
+        st.root, DeletePendingDir)),
+      s"a pending deleteDocs tombstone exists under ${st.root} — run " +
+        "recoverDeletes(spark, st) (or re-issue the delete) before ingesting")
     val local = batch.join(
       Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -1358,6 +1368,11 @@ object ContinuousIngest {
     * state tables live on (HDFS/S3/local), same as the table I/O. */
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
                    targetRowsPerFile: Long = 1000000L): Unit = {
+    // a crashed deleteDocs first: its half-swapped partitions would
+    // read as dir-set asymmetry to the parity guard below, and
+    // consolidating around a pending tombstone would freeze
+    // soon-to-be-purged rows into the merged partition
+    recoverDeletes(spark, st)
     // consolidating ACROSS an index-table asymmetry would launder a
     // crashed append into a merged partition the parity guards can no
     // longer see (dir names match afterwards, rows don't) — and on a
@@ -1520,6 +1535,247 @@ object ContinuousIngest {
     ()
   }
 
+  private val DeletePendingDir = ".delete_pending"
+  private val DeleteCaptureDir = ".delete_capture"
+  private val PurgeTmpPrefix = ".purge_tmp_batch="
+
+  /** TOMBSTONE DELETE — remove documents from the maintained state by
+    * id (the takedown / right-to-be-forgotten face a long-lived
+    * corpus needs), WITHOUT retraining or rebuilding: every state
+    * table (docs, digests, keys, stats, and the embedding-index
+    * tables when present) is purged copy-on-write, rewriting only the
+    * `batch=` partitions that actually contain a deleted row. Batch
+    * lineage is shared across tables (a doc's digest/keys/index rows
+    * land in the same batch partition its docs row did — the
+    * append-discipline invariant, preserved by compaction's uniform
+    * collapse), so ONE capture of the deleted docs' batch ids drives
+    * every table's purge; no table is scanned to find its partitions.
+    *
+    * Semantics after completion:
+    *  - no read face (docs, dedup admit, any ANN/semantic search)
+    *    ever sees a deleted doc again;
+    *  - SURVIVOR rows are byte-identical (packed segments re-pack,
+    *    which is answer-preserving by ivfPack/pqPack's
+    *    segmentation-independence law);
+    *  - re-ingesting a deleted doc's exact text is ADMITTED again
+    *    (its digest leaves the admit table — that is what deletion
+    *    means for a dedup engine), EXCEPT when another surviving doc
+    *    still carries the same digest (possible only for a
+    *    non-deduplicated bootstrap corpus): the digest then stays,
+    *    and exact-dup admission keeps keying on the survivor;
+    *  - the BLOOM is deliberately untouched: a bloom cannot unlearn,
+    *    and it never needs to — a maybe-hit verifies against the
+    *    (purged) digest table, so the stale bit costs one join row,
+    *    never an answer (the same false-positive path as always);
+    *  - `drift_base` is untouched: deletions are REAL occupancy drift
+    *    and [[indexDrift]] should see them.
+    *
+    * CRASH-SAFE, idempotent, retry-to-complete: the tombstone set
+    * (doc_id, batch, digest) is captured and committed to a hidden
+    * pending dir FIRST (gated on Spark's `_SUCCESS`, like
+    * compaction's tmp); each partition rewrite goes through a marked
+    * `.purge_tmp_batch=` swap with the same recovery rules as
+    * [[compactState]]; the pending dir is removed only after every
+    * table is purged. A crash at ANY point is completed by
+    * [[recoverDeletes]] — run automatically by the next
+    * [[deleteDocs]], by [[compactState]], and at [[start]] — and any
+    * partially-purged interval only ever YIELDS A SUPERSET of the
+    * final answers (a deleted doc may still answer until retry
+    * completes; nothing is ever invented or lost). Tables purge
+    * index-first and the digest table LAST, so the exact-dup
+    * admission test stays CONSERVATIVE across every crash window
+    * (a digest never disappears before its doc does).
+    *
+    * Contract (same as [[compactState]]): run BETWEEN batches from
+    * the single-writer maintenance context, quiesce queries for the
+    * swaps, and only delete docs from COMMITTED batches — a replay of
+    * an in-flight batch rewrites its full partition set and would
+    * resurrect the doc in every table at once (re-issue the delete
+    * after the drain instead). `ids` must be broadcastable
+    * (takedown-scale, not corpus-scale — removing a large fraction of
+    * the corpus is a [[rebuildIndexes]]-class operation). Cost: two
+    * column-pruned passes over the docs table (the id match and the
+    * survivor digest-carry check) plus one rewrite per affected
+    * partition per table.
+    *
+    * Returns the number of distinct docs actually deleted (requested
+    * ids absent from the corpus are ignored). */
+  def deleteDocs(spark: SparkSession, st: IngestState, ids: DataFrame): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    // complete crashed maintenance first — the capture below must see
+    // a consistent root (this call is in the single-writer maintenance
+    // context, the rebuildIndexes contract)
+    recoverIndexSwap(spark, st, asWriter = true)
+    recoverDeletes(spark, st)
+    val fs = fsFor(spark, st.root)
+    val capture = new HPath(st.root, DeleteCaptureDir)
+    val pending = new HPath(st.root, DeletePendingDir)
+    fs.delete(capture, true)
+    val docsB = spark.read.option("basePath", st.docsPath).parquet(st.docsPath)
+    val del = ids.select(col("doc_id")).distinct()
+    // pass 1 — capture (doc_id, batch, digest) of every matched doc;
+    // materialized (hidden dir, no authority) so the carry check and
+    // the tombstone write don't recompute the corpus join
+    docsB.join(broadcast(del), Seq("doc_id"))
+      .select(col("doc_id"), col("batch").cast("long").as("batch"),
+        md5(col("text")).as("digest"))
+      .coalesce(1).write.mode("overwrite").parquet(capture.toString)
+    val hit = spark.read.parquet(capture.toString)
+    // pass 2 — a digest leaves the admit table only when NO surviving
+    // doc still carries it (non-deduplicated bootstrap corpora can
+    // hold several doc_ids with one text); column-pruned content-hash
+    // pass over survivors, pre-filtered by the broadcast tomb digests
+    val carried = docsB.join(broadcast(del), Seq("doc_id"), "left_anti")
+      .select(md5(col("text")).as("digest"))
+      .join(broadcast(hit.select("digest").distinct()), Seq("digest"), "left_semi")
+      .distinct()
+    hit.join(broadcast(carried.withColumn("_carried", lit(true))),
+        Seq("digest"), "left")
+      .select(col("doc_id"), col("batch"), col("digest"),
+        col("_carried").isNull.as("purge_digest"))
+      .coalesce(1).write.mode("overwrite").parquet(pending.toString)
+    fs.delete(capture, true)
+    applyPendingDelete(spark, st)
+  }
+
+  /** Complete a [[deleteDocs]] interrupted by a crash. Idempotent and
+    * cheap when there is nothing to do (one existence check); run
+    * automatically by [[deleteDocs]], [[compactState]], and
+    * [[start]]. A pending dir WITHOUT its `_SUCCESS` marker is a
+    * crash inside the tombstone write itself — nothing was purged
+    * yet (purges only start after the marker), and the set is
+    * incomplete, so it is discarded: re-issue the delete. Returns the
+    * number of docs whose completed delete this call finished (0 when
+    * there was nothing pending). */
+  def recoverDeletes(spark: SparkSession, st: IngestState): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.root)
+    fs.delete(new HPath(st.root, DeleteCaptureDir), true)
+    val pending = new HPath(st.root, DeletePendingDir)
+    if (!fs.exists(pending)) return 0L
+    if (!fs.exists(new HPath(pending, "_SUCCESS"))) {
+      fs.delete(pending, true)
+      return 0L
+    }
+    applyPendingDelete(spark, st)
+  }
+
+  /** Purge every state table of the committed pending tombstone set,
+    * then retire it. Idempotent: rewrites are driven by the
+    * tombstone's captured batch ids and anti-joins, so a re-run after
+    * a crash redoes no-op rewrites at worst. Table order is part of
+    * the crash contract — index tables first, docs, stats (recomputed
+    * from the purged docs partitions), digests LAST (see
+    * [[deleteDocs]]). */
+  private def applyPendingDelete(spark: SparkSession, st: IngestState): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.root)
+    val pending = new HPath(st.root, DeletePendingDir)
+    val tomb = spark.read.parquet(pending.toString)
+    val tombIds = tomb.select("doc_id").distinct()
+    val digs = tomb.where(col("purge_digest")).select("digest").distinct()
+    val aff: Seq[Long] = tomb.select(col("batch")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def anti(keyCol: String): DataFrame => DataFrame =
+      df => df.join(broadcast(tombIds.select(col("doc_id").as(keyCol))),
+        Seq(keyCol), "left_anti")
+    // packed-geometry peeks taken ONCE, before any rewrite
+    val hasIvfPacked = fs.exists(new HPath(st.ivfPackedPath))
+    val hasPqPacked = fs.exists(new HPath(st.pqPackedPath))
+    val dimV = if (hasIvfPacked) packedDim(spark, st) else 1
+    val mV = if (hasPqPacked) packedAdcM(spark, st) else 1
+    val tables: Seq[(String, DataFrame => DataFrame)] = Seq(
+      st.ivfPath -> anti("nn_id"),
+      st.ivfPackedPath -> { df: DataFrame =>
+        Similarity.ivfPack(anti("nn_id")(Similarity.ivfUnpack(df)), dim = dimV) },
+      st.pqPath -> anti("vec_id"),
+      st.pqPackedPath -> { df: DataFrame =>
+        Similarity.pqPack(anti("nn_id")(Similarity.pqUnpack(df)), m = mV) },
+      st.semPath -> anti("id"),
+      st.keysPath -> anti("id"),
+      st.docsPath -> anti("doc_id"))
+    tables.foreach { case (path, purge) =>
+      if (fs.exists(new HPath(path))) {
+        resolvePurgeTmps(spark, path)
+        aff.foreach(b => rewritePartition(spark, path, b, purge))
+      }
+    }
+    // stats partials recompute from the NOW-PURGED docs partitions
+    if (fs.exists(new HPath(st.statsPath))) {
+      resolvePurgeTmps(spark, st.statsPath)
+      aff.foreach { b =>
+        if (fs.exists(new HPath(s"${st.docsPath}/batch=$b")))
+          rewritePartition(spark, st.statsPath, b,
+            _ => partialStats(spark.read.parquet(s"${st.docsPath}/batch=$b")))
+      }
+    }
+    // the admit key goes last — a digest is never gone while its doc
+    // remains, so every crash window keeps exact-dup admission
+    // conservative (identical re-ingest stays dropped until the
+    // delete fully completes)
+    resolvePurgeTmps(spark, st.digestsPath)
+    aff.foreach(b => rewritePartition(spark, st.digestsPath, b,
+      df => df.join(broadcast(digs.select(col("digest").as("text"))),
+        Seq("text"), "left_anti")))
+    val n = tombIds.count()
+    fs.delete(pending, true)
+    n
+  }
+
+  /** Resolve leftover `.purge_tmp_batch=` swaps under one table root —
+    * the compaction recovery rules: a tmp WITH `_SUCCESS` is the
+    * complete purged copy of its partition (finish the swap: drop the
+    * source if still present, rename the tmp in); a tmp WITHOUT it is
+    * a mid-write crash whose source is intact (discard). */
+  private def resolvePurgeTmps(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, path)
+    val root = new HPath(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(PurgeTmpPrefix))
+      .foreach { d =>
+        val tmp = d.getPath
+        val b = tmp.getName.stripPrefix(PurgeTmpPrefix).toLong
+        if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+          val dst = new HPath(root, s"batch=$b")
+          fs.delete(dst, true)
+          require(fs.rename(tmp, dst),
+            s"resolvePurgeTmps: rename $tmp -> $dst failed — tmp retained " +
+              "(marked), re-run recovery")
+        } else {
+          fs.delete(tmp, true)
+        }
+        ()
+      }
+  }
+
+  /** Crash-safe copy-on-write rewrite of one `batch=` partition:
+    * purged rows land in a marked hidden tmp first (`_SUCCESS` gates
+    * authority, exactly like compaction), then the swap. A missing
+    * source partition is a no-op (this table never had that batch, or
+    * an earlier pass already swapped it). */
+  private def rewritePartition(spark: SparkSession, path: String, b: Long,
+                               f: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, path)
+    val src = new HPath(path, s"batch=$b")
+    if (!fs.exists(src)) return
+    val tmp = new HPath(path, s"$PurgeTmpPrefix$b")
+    fs.delete(tmp, true)
+    f(spark.read.parquet(src.toString))
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.exists(new HPath(tmp, "_SUCCESS")),
+      s"rewritePartition: $tmp committed without a _SUCCESS marker " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
+        "enabled for crash-safe deletes) — source left untouched")
+    fs.delete(src, true)
+    require(fs.rename(tmp, src),
+      s"rewritePartition: final rename $tmp failed — tmp retained " +
+        "(marked), the next recovery completes the move")
+    ()
+  }
+
   /** The streaming face: drive [[ingestBatch]] from a document stream
     * (columns `doc_id, text, ...`) via foreachBatch. With
     * `availableNow` the query drains the source and stops (the
@@ -1528,6 +1784,10 @@ object ContinuousIngest {
     * in-flight batch and the idempotent state writes absorb it. */
   def start(stream: DataFrame, st: IngestState, p: IngestParams,
             availableNow: Boolean = true): StreamingQuery = {
+    // deployment-startup recovery: complete a crashed deleteDocs
+    // before any batch reads the state it half-purged (deletes run
+    // between streams, so starting the stream IS the writer context)
+    recoverDeletes(stream.sparkSession, st)
     // the quantizers are immutable post-bootstrap — load once for the
     // whole stream instead of re-reading + re-collecting per batch
     val quant = p.ann.map(a => loadQuantizers(stream.sparkSession, st, a))

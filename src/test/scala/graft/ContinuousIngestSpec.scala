@@ -1199,4 +1199,249 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(reAnchored.nonEmpty && reAnchored.forall(_.getDouble(0) == 0.0),
       "re-anchored monitor should report the zero-drift quiet state")
   }
+
+  // ---- tombstone deletes -------------------------------------------
+
+  private def annEmb(i: Long): Seq[Float] =
+    (0 until 16).map(j => ((((31 * i + 7 * j) % 21) - 10) / 10.0).toFloat)
+
+  /** An ann-enabled root with the standard chunk fixture ingested —
+    * bootstrap ids 1001..1020, then the three chunks as batches 0..2
+    * (survivors 101,102,103,203,302,303). Deterministic, so two builds
+    * produce row-identical state (the rebuild specs' foundation). */
+  private def builtAnnRoot(root: String): (IngestState, IngestParams) = {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val ann = AnnParams(nlist = 4, m = 4, ksub = 4, nAssign = 2,
+      semClusters = Some(6))
+    val Pa = P.copy(ann = Some(ann))
+    val boot = (1L to 20L).map(i => (1000L + i, text(1000L + i), annEmb(1000L + i)))
+    val st = IngestState(root)
+    ContinuousIngest.bootstrap(boot.toDF("doc_id", "text", "embedding"), st, Pa)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, ann)
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(
+        rows.map { case (id, t) => (id, t, annEmb(id)) }
+          .toDF("doc_id", "text", "embedding"), i.toLong, st, Pa, Some(quant))
+    }
+    (st, Pa)
+  }
+
+  /** Deleted set spanning the bootstrap partition and two batches. */
+  private val delIds = Seq(1001L, 1005L, 102L, 103L, 303L)
+
+  private def assertSameTable(name: String, a: DataFrame, b: DataFrame): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$name: tables differ")
+
+  /** Every maintained table as comparable row sets (packed tables via
+    * their exact unpack — binary columns defeat string snapshots). */
+  private def deleteStateTables(st: IngestState): Seq[(String, DataFrame)] = {
+    import graft.ops.Similarity
+    Seq(
+      "docs" -> ContinuousIngest.readTable(spark, st.docsPath),
+      "digests" -> ContinuousIngest.readTable(spark, st.digestsPath),
+      "keys" -> ContinuousIngest.readTable(spark, st.keysPath),
+      "stats" -> ContinuousIngest.readTable(spark, st.statsPath),
+      "ivf" -> ContinuousIngest.readTable(spark, st.ivfPath),
+      "pq" -> ContinuousIngest.readTable(spark, st.pqPath),
+      "sem" -> ContinuousIngest.readTable(spark, st.semPath),
+      "ivf_packed" -> Similarity.ivfUnpack(
+        ContinuousIngest.readTable(spark, st.ivfPackedPath)),
+      "pq_packed" -> Similarity.pqUnpack(
+        ContinuousIngest.readTable(spark, st.pqPackedPath)))
+  }
+
+  test("tombstone delete: every table purged, survivors untouched, dedup re-admits deleted content") {
+    import graft.ops.Similarity
+    val root = freshRoot()
+    val (st, pa) = builtAnnRoot(s"$root/a")
+    val quant = ContinuousIngest.loadQuantizers(spark, st, pa.ann.get)
+    val preDocs = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(delIds.forall(preDocs.contains), s"fixture drift: $preDocs")
+    // survivor rows pinned before the purge
+    val keepPred = !col("nn_id").isin(delIds: _*)
+    val preIvf = Similarity.ivfUnpack(
+      ContinuousIngest.readTable(spark, st.ivfPackedPath)).where(keepPred)
+    preIvf.write.parquet(s"$root/pre_ivf")
+    Similarity.pqUnpack(ContinuousIngest.readTable(spark, st.pqPackedPath))
+      .where(keepPred).write.parquet(s"$root/pre_pq")
+
+    val n = ContinuousIngest.deleteDocs(spark, st, delIds.toDF("doc_id"))
+    assert(n === delIds.size.toLong, s"deleteDocs returned $n")
+    // requesting ids that don't exist (or are already gone) is a no-op
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(1001L, 999999L).toDF("doc_id")) === 0L)
+
+    // containment: no face ever sees a deleted doc again
+    deleteStateTables(st).foreach { case (name, df) =>
+      val idc = df.columns.find(Set("doc_id", "nn_id", "vec_id", "id"))
+      idc.foreach { c =>
+        assert(df.where(col(c).isin(delIds: _*)).count() === 0L,
+          s"$name still holds deleted ids")
+      }
+    }
+    // survivor byte-parity through the copy-on-write re-pack
+    assertSameTable("ivf_packed survivors",
+      Similarity.ivfUnpack(ContinuousIngest.readTable(spark, st.ivfPackedPath)),
+      spark.read.parquet(s"$root/pre_ivf"))
+    assertSameTable("pq_packed survivors",
+      Similarity.pqUnpack(ContinuousIngest.readTable(spark, st.pqPackedPath)),
+      spark.read.parquet(s"$root/pre_pq"))
+    // stats partials re-anchor to the purged docs partitions
+    val gotStats = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    val wantStats = ContinuousIngest.readTable(spark, st.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
+    // the maintained ANN face answers from the purged index and equals
+    // the one-shot operator over corpus-minus-deleted under the SAME
+    // persisted centroids
+    val remaining = ContinuousIngest.readTable(spark, st.docsPath)
+    assertSameTable("post-delete search",
+      ContinuousIngest.annIvfMaintained(spark, st, pa.ann.get,
+        remaining, k = 2, nprobe = 2, Some(quant)),
+      Similarity.annIvf(remaining, 2, nlist = pa.ann.get.nlist, nprobe = 2,
+        idCol = "doc_id", centroids = Some(quant.cents)))
+    // re-admission: the deleted EXACT text is admitted again (digest
+    // purged; the stale bloom bit only costs the verify join), and a
+    // near dup of the deleted 103 — the very text 202 was dropped for
+    // — is admitted too (its band keys left with the doc); a surviving
+    // doc's text under a fresh id stays dropped
+    val batch3 = Seq(
+      (401L, text(1005L), annEmb(401L)),          // deleted exact text
+      (402L, text(3, shift = 1), annEmb(402L)),   // near dup of DELETED 103
+      (403L, text(8), annEmb(403L)))              // exact dup of surviving 302
+      .toDF("doc_id", "text", "embedding")
+    val admitted = ContinuousIngest.ingestBatch(batch3, 3L, st, pa, Some(quant))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(401L, 402L),
+      s"re-admission after delete got $admitted, want {401, 402}")
+  }
+
+  test("tombstone delete crash windows: unmarked intent discarded, marked intent + torn tables recover to the direct outcome") {
+    import java.nio.file.{Files => JFiles, Path => JPath, StandardCopyOption}
+    import java.util.Comparator
+    val root = freshRoot()
+    // reference: the direct, uninterrupted delete
+    val (stA, _) = builtAnnRoot(s"$root/a")
+    ContinuousIngest.deleteDocs(spark, stA, delIds.toDF("doc_id"))
+    // twin root, built identically
+    val (stB, pb) = builtAnnRoot(s"$root/b")
+
+    // window 1 — crash INSIDE the tombstone write: pending dir without
+    // _SUCCESS. Nothing was purged; the set is incomplete; discarded.
+    val pending = JPath.of(s"$root/b/.delete_pending")
+    delIds.map(i => (i, -1L)).toDF("doc_id", "batch")
+      .select(col("doc_id"), col("batch"),
+        md5(lit("x")).as("digest"), lit(true).as("purge_digest"))
+      .coalesce(1).write.parquet(pending.toString)
+    JFiles.delete(pending.resolve("_SUCCESS"))
+    assert(ContinuousIngest.recoverDeletes(spark, stB) === 0L)
+    assert(!JFiles.exists(pending), "unmarked pending must be discarded")
+    assert(ContinuousIngest.readTable(spark, stB.docsPath).count() ===
+      ContinuousIngest.readTable(spark, stA.docsPath).count() + delIds.size,
+      "an unmarked intent must purge nothing")
+
+    // window 2 — crash AFTER the intent committed, partway through the
+    // purge: a committed pending dir (the exact tombstone deleteDocs
+    // would capture), one table already purged (ivf, batch 0), one
+    // marked purge tmp ready to swap (docs, batch=-1 — copied from the
+    // reference root's purged partition), one unmarked junk tmp (pq),
+    // and one marked tmp whose source delete already happened (keys,
+    // batch=2). ingestBatch must refuse; recoverDeletes must complete
+    // everything to exactly the reference outcome.
+    val delTexts = Map(1001L -> text(1001L), 1005L -> text(1005L),
+      102L -> text(2), 103L -> text(3), 303L -> text(9))
+    val delBatch = Map(1001L -> -1L, 1005L -> -1L, 102L -> 0L,
+      103L -> 0L, 303L -> 2L)
+    delIds.map(i => (i, delBatch(i), delTexts(i))).toDF("doc_id", "batch", "t")
+      .select(col("doc_id"), col("batch"), md5(col("t")).as("digest"),
+        lit(true).as("purge_digest"))
+      .coalesce(1).write.parquet(pending.toString)
+    // half-purged ivf: batch 0 already rewritten by the crashed run
+    val ivf0 = s"${stB.ivfPath}/batch=0"
+    val ivf0Rows = spark.read.parquet(ivf0)
+      .where(!col("nn_id").isin(delIds: _*)).collect()
+    val sch = spark.read.parquet(ivf0).schema
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(ivf0Rows: _*)), sch)
+      .coalesce(1).write.mode("overwrite").parquet(ivf0)
+    // marked docs tmp: the purged copy, parked pre-swap (partition
+    // writes carry their own _SUCCESS, so a copied purged partition IS
+    // a valid marked tmp)
+    def copyDir(from: String, to: String): Unit = {
+      val src = JPath.of(from); val dst = JPath.of(to)
+      JFiles.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (JFiles.isDirectory(p)) JFiles.createDirectories(t)
+        else {
+          JFiles.createDirectories(t.getParent)
+          JFiles.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+    }
+    copyDir(s"${stA.docsPath}/batch=-1", s"${stB.docsPath}/.purge_tmp_batch=-1")
+    // unmarked junk tmp: a mid-write crash — must be discarded
+    JFiles.createDirectories(JPath.of(s"${stB.pqPath}/.purge_tmp_batch=0"))
+    JFiles.write(JPath.of(s"${stB.pqPath}/.purge_tmp_batch=0/part-junk"),
+      Array[Byte](1, 2, 3))
+    // marked keys tmp whose source delete already happened
+    copyDir(s"${stA.keysPath}/batch=2", s"${stB.keysPath}/.purge_tmp_batch=2")
+    JFiles.walk(JPath.of(s"${stB.keysPath}/batch=2"))
+      .sorted(Comparator.reverseOrder[JPath]())
+      .forEach(f => JFiles.deleteIfExists(f))
+
+    // the loud ingest guard: admitting against half-purged state refuses
+    val e = intercept[Throwable] {
+      ContinuousIngest.ingestBatch(
+        Seq((501L, text(501L), annEmb(501L))).toDF("doc_id", "text", "embedding"),
+        4L, stB, pb)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("recoverDeletes")),
+      s"ingest against a pending delete should refuse loudly: ${msgs(e)}")
+
+    assert(ContinuousIngest.recoverDeletes(spark, stB) === delIds.size.toLong)
+    assert(!JFiles.exists(pending), "completed pending must be retired")
+    deleteStateTables(stA).zip(deleteStateTables(stB)).foreach {
+      case ((name, a), (_, b)) => assertSameTable(s"recovered $name", a, b)
+    }
+  }
+
+  test("tombstone delete on a dedup-only root (no ann): index tables absent are skipped, dedup laws hold") {
+    val root = freshRoot()
+    val st = bootstrapped(root.toString)
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
+    }
+    // delete 103: its exact text AND its near-dup shadow (202's text)
+    // must both be admissible again
+    assert(ContinuousIngest.deleteDocs(spark, st, Seq(103L).toDF("doc_id")) === 1L)
+    assert(ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet ===
+      Set(101L, 102L, 203L, 302L, 303L))
+    assert(ContinuousIngest.readTable(spark, st.keysPath)
+      .where(col("id") === 103L).count() === 0L, "keys not purged")
+    val admitted = ContinuousIngest.ingestBatch(
+      Seq(601L -> text(3), 602L -> text(3, shift = 1), 603L -> text(8))
+        .toDF("doc_id", "text"), 3L, st, P)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(601L, 602L),
+      s"dedup-only re-admission got $admitted, want {601, 602}")
+    // stats re-anchored
+    val gotStats = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    val wantStats = ContinuousIngest.readTable(spark, st.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
+  }
 }
