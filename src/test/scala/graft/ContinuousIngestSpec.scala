@@ -1415,6 +1415,35 @@ class ContinuousIngestSpec extends SparkSpec {
     }
   }
 
+  test("tombstone delete then compaction: consolidation preserves the purge; laws hold across both maintenance passes") {
+    import graft.ops.Similarity
+    val root = freshRoot()
+    // reference: delete only (no compaction)
+    val (stA, _) = builtAnnRoot(s"$root/a")
+    ContinuousIngest.deleteDocs(spark, stA, delIds.toDF("doc_id"))
+    // twin: the same delete, then full-horizon compaction (the two
+    // maintenance passes a long-lived deployment interleaves)
+    val (stB, pb) = builtAnnRoot(s"$root/b")
+    ContinuousIngest.deleteDocs(spark, stB, delIds.toDF("doc_id"))
+    ContinuousIngest.compactState(spark, stB, upToBatch = 2L)
+    // consolidated to one partition per table, same rows as the
+    // uncompacted twin — the purge survives the collapse
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new HPath(stB.docsPath))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch=")) === 1)
+    deleteStateTables(stA).zip(deleteStateTables(stB)).foreach {
+      case ((name, a), (_, b)) => assertSameTable(s"compacted $name", a, b)
+    }
+    // and the lifecycle continues: re-admission works on the
+    // compacted, purged state
+    val admitted = ContinuousIngest.ingestBatch(
+      Seq((701L, text(1005L), annEmb(701L))).toDF("doc_id", "text", "embedding"),
+      3L, stB, pb).select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(701L), s"post-compaction re-admission: $admitted")
+  }
+
   test("tombstone delete on a dedup-only root (no ann): index tables absent are skipped, dedup laws hold") {
     val root = freshRoot()
     val st = bootstrapped(root.toString)
