@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * through a real streaming query (checkpoint, trigger, parquet sink)
   * and reports bootstrap seconds, total stream seconds, and the
   * per-batch direct-call latency (the foreachBatch body alone, warm —
-  * trigger/commit overhead excluded) as min/median.
+  * trigger/commit overhead excluded) as min/median. Also measures, on
+  * the same maintained root: the FILTERED faces at sel = 1/3 (exact
+  * filtered + filtered IVFADC medians vs the unfiltered exact
+  * baseline, plus a containment spot-check) and the tombstone-delete
+  * maintenance cost (`deleteDocs` of n/200 ids across every state
+  * table, one timed call).
   *
   * Usage: `runMain graft.ServeProbe [n] [nq] [batches] [dim]`
   * (defaults 200000, 100, 5, 64). Honors `SPARK_GRAFT_CPUS`.
@@ -104,6 +109,38 @@ object ServeProbe {
         k = 10, nprobe = 4, rerank = 32, quant, excludeSelf = false,
         rerankFromIndex = true)
       val diff = a.exceptAll(bIx).count() + bIx.exceptAll(a).count()
+      // FILTERED serving faces at sel = 1/3 (eligible = every third
+      // corpus id): exact filtered (index-root-only) and filtered
+      // IVFADC, against the unfiltered exact face as the baseline —
+      // the widened-probe compensation should keep the filtered cost
+      // within the same order as the unfiltered scan
+      val eligible = spark.range(n).where(col("id") % 3 === 0)
+        .select(col("id").as("doc_id"))
+      def medLat(body: org.apache.spark.sql.DataFrame => Unit): Double =
+        (0 until batches).map { b =>
+          val q = spark.read.parquet(s"$root/qin/chunk_$b")
+          timed { body(q) }._2
+        }.sorted.apply(batches / 2)
+      val exactMed = medLat(q => ContinuousIngest.annIvfMaintained(
+        spark, st, ann, q, k = 10, nprobe = 4, quant,
+        excludeSelf = false).count())
+      val fltExactMed = medLat(q => ContinuousIngest.annIvfFilteredMaintained(
+        spark, st, ann, q, k = 10, nprobe = 4, eligible, quant).count())
+      val fltAdcMed = medLat(q => ContinuousIngest.annIvfPqFilteredMaintained(
+        spark, st, ann, q, k = 10, nprobe = 4, eligible, rerank = 32,
+        quantizers = quant, excludeSelf = false).count())
+      // containment spot-check at probe scale: no ineligible answer
+      val inelig = ContinuousIngest.annIvfFilteredMaintained(spark, st, ann,
+          q0, k = 10, nprobe = 4, eligible, quant)
+        .where(col("nn_id") % 3 =!= 0).count()
+      // tombstone-delete maintenance cost at probe scale: purge a
+      // 0.5% takedown batch (ids spread across the corpus) from every
+      // state table — capture + copy-on-write partition rewrites
+      val (nDel, delSec) = timed {
+        ContinuousIngest.deleteDocs(spark, st,
+          spark.range(n).where(col("id") % 200 === 7)
+            .select(col("id").as("doc_id")))
+      }
       println(f"SERVE_PROBE n=$n dim=$dim nlist=${ann.nlist} nq=$nq " +
         f"batches=$batches answered=$answered bootSec=$bootSec%.1f " +
         f"streamSec=$streamSec%.1f perBatchSec=${streamSec / batches}%.1f " +
@@ -111,7 +148,10 @@ object ServeProbe {
         f"directMedianSec=${direct(direct.size / 2)}%.2f " +
         f"directIxMinSec=${directIx.head}%.2f " +
         f"directIxMedianSec=${directIx(directIx.size / 2)}%.2f " +
-        f"storeDiffRows=$diff")
+        f"storeDiffRows=$diff " +
+        f"exactMedianSec=$exactMed%.2f fltExactMedianSec=$fltExactMed%.2f " +
+        f"fltAdcMedianSec=$fltAdcMed%.2f fltIneligRows=$inelig " +
+        f"deleteDocs=$nDel deleteSec=$delSec%.1f")
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator

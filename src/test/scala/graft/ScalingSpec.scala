@@ -429,6 +429,16 @@ class ScalingSpec extends SparkSpec {
         val n = e.count()
         Similarity.annIvf(e, 1, nlist = Similarity.nlistFor(n), nprobe = 4).count()
       }),
+      // filtered IVF at sel = 1/3: the eligible pre-filter and the
+      // ~1/sel probe widening are selectivity-dependent CONSTANTS,
+      // not exponents (the widened search scans ~the same candidate
+      // volume ann_ivf does) — so the slope budget is ann_ivf's 1.8
+      Pipe("ann_ivf_filtered", 1.8, { i =>
+        val e = rd(embs(i))
+        val n = e.count()
+        Similarity.annIvfFiltered(e, 1, nlist = Similarity.nlistFor(n),
+          nprobe = 4, corpusPred = pmod(col("vec_id"), lit(3)) === 0).count()
+      }),
       // IVFADC: same N^1.5 routing as ann_ivf (nlist ∝ √N) but the
       // candidate stream is m-byte codes through the ADC loop and
       // floats are read only for the nq·rerank shortlist — the
@@ -526,6 +536,38 @@ class ScalingSpec extends SparkSpec {
       f"IVFADC ε-recall@1 at the 10× fixture is ${h.toDouble / nq}%.3f " +
         "— below the 0.80 floor check_ivfpq holds at sf scale; the index " +
         "is fast but silently degrading as the corpus grows")
+  }
+
+  test("10x scale: filtered-IVF ε-recall@1 floor holds under selectivity widening") {
+    // the filtered face's novel machinery is the selectivity-widened
+    // probe count; this floors its recall at the scale where nlist
+    // (∝ √N) and the widening actually interact — vs the EXACT
+    // filtered NN (cosineTopK corpusPred, slice × eligible-corpus,
+    // not corpus²) at the same 0.85/ε=0.15 bar check_ann_filtered
+    // holds at sf scale. Containment is re-asserted at scale too: an
+    // ineligible leak at 10× would be invisible to the sf checks.
+    val n = 200000L
+    val p = materialize("embrecall", genEmbeddings(n))
+    val e = rd(p)
+    val slice = pmod(col("vec_id"), lit(200)) === 0
+    val pred = pmod(col("vec_id"), lit(3)) === 0
+    val ex = Similarity.cosineTopK(e, 1, queryPred = slice, corpusPred = pred)
+      .select(col("vec_id"), col("nn_id").as("nn_e"))
+    val flt = Similarity.annIvfFiltered(e, 1, nlist = Similarity.nlistFor(n),
+        nprobe = 4, corpusPred = pred, queryPred = slice)
+      .select(col("vec_id"), col("nn_id").as("nn_f")).localCheckpoint()
+    assert(flt.join(e.where(pred).select(col("vec_id").as("nn_f")),
+        Seq("nn_f"), "left_anti").count() === 0,
+      "an ineligible neighbor leaked at the 10× fixture")
+    val ev = e.select(col("vec_id").as("eid"), col("embedding").as("v"))
+    val (h, nq) = graft.queries.CheckQueries.recallAt1(ev, ex, flt, "nn_f",
+      eps = 0.15)
+    info(f"filtered-IVF 10x recall@1(eps=0.15): $h/$nq = ${h.toDouble / nq}%.3f")
+    assert(nq >= 500, s"recall probe audited only $nq queries")
+    assert(h.toDouble >= 0.85 * nq,
+      f"filtered-IVF ε-recall@1 at the 10× fixture is ${h.toDouble / nq}%.3f " +
+        "— below the 0.85 floor check_ann_filtered holds at sf scale; " +
+        "the selectivity widening is not compensating as designed")
   }
 
   test("10x scale: routed semantic dedup recall floor holds where auto-routing actually engages") {
