@@ -1587,11 +1587,14 @@ object ContinuousIngest {
     * (a digest never disappears before its doc does).
     *
     * Contract (same as [[compactState]]): run BETWEEN batches from
-    * the single-writer maintenance context, quiesce queries for the
-    * swaps, and only delete docs from COMMITTED batches — a replay of
-    * an in-flight batch rewrites its full partition set and would
-    * resurrect the doc in every table at once (re-issue the delete
-    * after the drain instead). `ids` must be broadcastable
+    * the single-writer maintenance context, quiesce queries AND
+    * [[serve]] streams for the swaps (a serving batch replayed after
+    * a delete rewrites its output with post-delete answers — current,
+    * not frozen, but no longer byte-identical to the pre-crash
+    * write), and only delete docs from COMMITTED batches — a replay
+    * of an in-flight ingest batch rewrites its full partition set and
+    * would resurrect the doc in every table at once (re-issue the
+    * delete after the drain instead). `ids` must be broadcastable
     * (takedown-scale, not corpus-scale — removing a large fraction of
     * the corpus is a [[rebuildIndexes]]-class operation). Cost: two
     * column-pruned passes over the docs table (the id match and the

@@ -1444,6 +1444,46 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(admitted === Set(701L), s"post-compaction re-admission: $admitted")
   }
 
+  test("tombstone delete between streamed runs: the checkpoint continues past the maintenance pass, nothing resurrects") {
+    val root = freshRoot()
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    val st = bootstrapped(s"$root/state")
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      st, P).awaitTermination()
+    // maintenance between streams: the drained checkpoint has no
+    // replay window, so every batch is committed and deletable
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(103L, 302L).toDF("doc_id")) === 2L)
+    // second streamed run picks up NEW chunks on the SAME checkpoint:
+    // 103's exact text re-admits (digest purged), 302's near dup
+    // admits (keys purged with it), surviving 203's text still drops
+    Seq(401L -> text(3), 402L -> text(8, shift = 1), 403L -> text(6))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/in/chunk_3")
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      st, P).awaitTermination()
+    val docs = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs === Set(101L, 102L, 203L, 303L, 401L, 402L),
+      s"streamed-run docs after delete: $docs")
+    // the maintained accounting survived delete + second stream
+    val gotStats = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    val wantStats = ContinuousIngest.readTable(spark, st.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
+  }
+
   test("tombstone delete on a dedup-only root (no ann): index tables absent are skipped, dedup laws hold") {
     val root = freshRoot()
     val st = bootstrapped(root.toString)
