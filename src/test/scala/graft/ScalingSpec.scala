@@ -568,6 +568,26 @@ class ScalingSpec extends SparkSpec {
       f"filtered-IVF ε-recall@1 at the 10× fixture is ${h.toDouble / nq}%.3f " +
         "— below the 0.85 floor check_ann_filtered holds at sf scale; " +
         "the selectivity widening is not compensating as designed")
+    // the ADC twin compounds THREE approximations — selectivity
+    // widening × coarse routing × PQ distance (exact rerank on top) —
+    // and its recall is floored only at sf scale (check_ann_filtered's
+    // 0.80 ADC leg); this is the compounded floor at the scale where
+    // nlist, the widening, and the m-byte codes actually interact
+    val fltAdc = Similarity.annIvfPqFiltered(e, 1,
+        nlist = Similarity.nlistFor(n), nprobe = 4, corpusPred = pred,
+        m = 8, ksub = 16, rerank = 32, queryPred = slice)
+      .select(col("vec_id"), col("nn_id").as("nn_a")).localCheckpoint()
+    assert(fltAdc.join(e.where(pred).select(col("vec_id").as("nn_a")),
+        Seq("nn_a"), "left_anti").count() === 0,
+      "an ineligible neighbor leaked from the filtered ADC face at 10×")
+    val (ha, nqa) = graft.queries.CheckQueries.recallAt1(ev, ex, fltAdc,
+      "nn_a", eps = 0.15)
+    info(f"filtered-ADC 10x recall@1(eps=0.15): $ha/$nqa = ${ha.toDouble / nqa}%.3f")
+    assert(ha.toDouble >= 0.80 * nqa,
+      f"filtered-ADC compounded ε-recall@1 at the 10× fixture is " +
+        f"${ha.toDouble / nqa}%.3f — below the 0.80 floor the sf-scale " +
+        "check holds; the rerank is not recovering the PQ approximation " +
+        "under the widened probing")
   }
 
   test("10x scale: routed semantic dedup recall floor holds where auto-routing actually engages") {
