@@ -1336,11 +1336,25 @@ object CheckQueries extends QueryPack {
             rerank = 8, idCol = "doc_id", queryPred = slice,
             centroids = Some(quant.cents), books = Some(quant.books)),
           "ingest_fltadc_extra", "ingest_fltadc_missing")
+        // the INDEX-ONLY filtered ADC face (eligible-only code
+        // re-pack, rerank floats gathered from the packed segments,
+        // docs never read) must also equal the one-shot operator
+        val fltAdcIxViol = multisetDiffViolations(
+          ContinuousIngest.annIvfPqFilteredMaintained(s, st, p.ann.get,
+            docs.where(slice), k = 3, nprobe = 2,
+            eligible = docs.where(fltPred).select("doc_id"), rerank = 8,
+            quantizers = Some(quant), rerankFromIndex = true),
+          Similarity.annIvfPqFiltered(docs, 3, nlist = nlist, nprobe = 2,
+            corpusPred = fltPred, m = p.ann.get.m, ksub = p.ann.get.ksub,
+            rerank = 8, idCol = "doc_id", queryPred = slice,
+            centroids = Some(quant.cents), books = Some(quant.books)),
+          "ingest_fltadcix_extra", "ingest_fltadcix_missing")
         // collect BEFORE the finally deletes the parquet the frames
         // scan (the check_ivf_append lesson)
         val out = ivfViol.unionByName(packViol).unionByName(adcPackViol)
           .unionByName(pqViol).unionByName(searchViol).unionByName(ixViol)
           .unionByName(fltViol).unionByName(fltAdcViol)
+          .unionByName(fltAdcIxViol)
           .collect().map(_.getString(0)).toSeq
         import s.implicits._
         out.toDF("violation")

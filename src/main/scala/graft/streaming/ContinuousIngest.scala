@@ -853,7 +853,8 @@ object ContinuousIngest {
                                  quantizers: Option[AnnQuantizers] = None,
                                  idCol: String = "doc_id",
                                  excludeSelf: Boolean = true,
-                                 adaptProbe: Boolean = true): DataFrame = {
+                                 adaptProbe: Boolean = true,
+                                 rerankFromIndex: Boolean = false): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfPqFilteredMaintained")
     val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
@@ -865,6 +866,22 @@ object ContinuousIngest {
         readTable(spark, st.pqPackedPath)
           .where(col("list").isin(probed.toSeq: _*)))
       .join(elig, Seq("nn_id"), "left_semi")
+    if (rerankFromIndex) {
+      // INDEX-ONLY filtered serving (the docs-free tier, filtered
+      // twin of [[annIvfPqMaintained]]'s shape): the eligible-only
+      // candidate codes re-pack per call (inherent — an ad-hoc
+      // predicate has no persisted pack; the input is the same
+      // probed-eligible m-byte volume the scan itself reads), the
+      // shortlist runs against THAT table, and the rerank floats
+      // gather from the packed float segments — byte-identical to the
+      // docs-store shape, docs table never read
+      require(rerank >= math.max(1, k),
+        s"annIvfPqFilteredMaintained: rerankFromIndex needs a rerank " +
+          s"stage (rerank=$rerank < k=$k)")
+      return annIvfPqIndexRerank(spark, st, a, queries, k, nprobeEff,
+        rerank, q, idCol, excludeSelf,
+        codePacked = Some(Similarity.pqPack(index, m = packedAdcM(spark, st))))
+    }
     val corpus = readTable(spark, st.docsPath)
       .select(col("doc_id").as(idCol), col(a.vecCol))
     Similarity.annIvfPqFromIndex(index, queries, k, nprobeEff, q.cents,
@@ -1083,16 +1100,22 @@ object ContinuousIngest {
                                   a: AnnParams, queries: DataFrame, k: Int,
                                   nprobe: Int, rerank: Int,
                                   q: AnnQuantizers, idCol: String,
-                                  excludeSelf: Boolean): DataFrame = {
+                                  excludeSelf: Boolean,
+                                  codePacked: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // action 1 (tiny): the union of every query's probed lists — the
     // only lists a candidate can come from, recomputed from the
     // centroid literal over the nq query rows (no corpus scan)
     val probedLists = Similarity.probedLists(queries, q.cents, nprobe,
       idCol, a.vecCol)
-    // action 2: the ADC candidate stage, collected — nq·rerank id pairs
+    // action 2: the ADC candidate stage, collected — nq·rerank id
+    // pairs. `codePacked` lets a caller substitute a restricted code
+    // table (the filtered face's eligible-only re-pack); candidates
+    // then come only from it, and the float gather below stays valid
+    // because its id set can only shrink
     val pairs = Similarity.pqPackedShortlist(
-        readTable(spark, st.pqPackedPath), queries, nprobe, q.cents, q.books,
+        codePacked.getOrElse(readTable(spark, st.pqPackedPath)),
+        queries, nprobe, q.cents, q.books,
         rerank, idCol, a.vecCol, lit(true), excludeSelf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val wanted = pairs.map(_._2).distinct.sorted

@@ -786,12 +786,29 @@ class ContinuousIngestSpec extends SparkSpec {
     // it before parking the table (a real deployment's allowlist is
     // its own table; the FACE reads only the index root)
     val eligCp = eligible.localCheckpoint()
+    // the index-only ADC twin must be byte-identical to the
+    // docs-store shape BEFORE the parking proves its docs-free claim
+    val gotAdcIx = ContinuousIngest.annIvfPqFilteredMaintained(spark, st, ann,
+      docs.where(slice), k = 2, nprobe = 2, eligible, rerank = 8, q,
+      rerankFromIndex = true).localCheckpoint()
+    assert(gotAdcIx.exceptAll(wantAdc).isEmpty &&
+      wantAdc.exceptAll(gotAdcIx).isEmpty,
+      "index-only filtered IVFADC differs from the one-shot answers")
     java.nio.file.Files.move(docsDir, parked)
     try {
       val noDocs = ContinuousIngest.annIvfFilteredMaintained(spark, st, ann,
         extQ, k = 2, nprobe = 2, eligCp, q)
       assert(noDocs.count() === 10,
         "filtered maintained search must answer with the docs table gone")
+      // filtered ADC serving from the index root alone: external
+      // queries answered with the corpus table physically absent
+      val noDocsAdc = ContinuousIngest.annIvfPqFilteredMaintained(spark, st,
+        ann, extQ, k = 2, nprobe = 2, eligCp, rerank = 8, q,
+        excludeSelf = false, rerankFromIndex = true)
+      assert(noDocsAdc.count() === 10,
+        "index-only filtered IVFADC must answer with the docs table gone")
+      assert(noDocsAdc.select("nn_id").as[Long].collect().forall(eligSet),
+        "an ineligible neighbor leaked from the docs-free filtered ADC face")
     } finally java.nio.file.Files.move(parked, docsDir)
   }
 
