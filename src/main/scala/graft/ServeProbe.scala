@@ -129,6 +129,12 @@ object ServeProbe {
       val fltAdcMed = medLat(q => ContinuousIngest.annIvfPqFilteredMaintained(
         spark, st, ann, q, k = 10, nprobe = 4, eligible, rerank = 32,
         quantizers = quant, excludeSelf = false).count())
+      // the docs-free filtered tier: same candidates, rerank floats
+      // gathered from the packed segments instead of the docs column
+      val fltAdcIxMed = medLat(q => ContinuousIngest.annIvfPqFilteredMaintained(
+        spark, st, ann, q, k = 10, nprobe = 4, eligible, rerank = 32,
+        quantizers = quant, excludeSelf = false,
+        rerankFromIndex = true).count())
       // containment spot-check at probe scale: no ineligible answer
       val inelig = ContinuousIngest.annIvfFilteredMaintained(spark, st, ann,
           q0, k = 10, nprobe = 4, eligible, quant)
@@ -150,7 +156,8 @@ object ServeProbe {
         f"directIxMedianSec=${directIx(directIx.size / 2)}%.2f " +
         f"storeDiffRows=$diff " +
         f"exactMedianSec=$exactMed%.2f fltExactMedianSec=$fltExactMed%.2f " +
-        f"fltAdcMedianSec=$fltAdcMed%.2f fltIneligRows=$inelig " +
+        f"fltAdcMedianSec=$fltAdcMed%.2f " +
+        f"fltAdcIxMedianSec=$fltAdcIxMed%.2f fltIneligRows=$inelig " +
         f"deleteDocs=$nDel deleteSec=$delSec%.1f")
     } finally {
       import java.nio.file.{Files, Path}
