@@ -826,6 +826,26 @@ object ContinuousIngest {
       else math.min(nCells, math.ceil(nprobe.toDouble * n / e).toInt)
     }
 
+  /** The selectivity-widened probe count the filtered faces derive
+    * per call when `adaptProbe` is on (two integer-column scans of
+    * the slim assignment table — ~12 bytes/row, but still a
+    * corpus-scale read) — EXPOSED so a serving loop over a STABLE
+    * eligible set measures ONCE and passes the result as `nprobe`
+    * with `adaptProbe = false`: same arithmetic, so the answers are
+    * identical to the per-call adaptive path (spec-pinned), and the
+    * per-batch cost drops to the probed-segment scans alone. Re-derive
+    * after ingest appends or deletes shift the eligible fraction
+    * materially — the widening only compensates recall, so a stale
+    * width degrades recall gracefully, never correctness. */
+  def filteredProbeWidth(spark: SparkSession, st: IngestState,
+                         a: AnnParams, eligible: DataFrame, nprobe: Int,
+                         quantizers: Option[AnnQuantizers] = None): Int = {
+    val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
+    filteredNprobe(spark, st,
+      eligible.select(col(eligible.columns.head).as("nn_id")),
+      nprobe, q.cents.length, adaptProbe = true)
+  }
+
   /** FILTERED IVFADC over the MAINTAINED index: the
     * [[graft.ops.Similarity.annIvfPqFiltered]] semantics (top-k among
     * the eligible ids, candidates generated from eligible codes only

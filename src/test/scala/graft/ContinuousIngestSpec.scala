@@ -786,6 +786,16 @@ class ContinuousIngestSpec extends SparkSpec {
     // it before parking the table (a real deployment's allowlist is
     // its own table; the FACE reads only the index root)
     val eligCp = eligible.localCheckpoint()
+    // measure-once serving: filteredProbeWidth + adaptProbe=false is
+    // the same arithmetic as the per-call adaptive path, so a serving
+    // loop that hoists the two assignment scans answers identically
+    val width = ContinuousIngest.filteredProbeWidth(spark, st, ann,
+      eligible, nprobe = 2, q)
+    val gotHoisted = ContinuousIngest.annIvfFilteredMaintained(spark, st, ann,
+      docs.where(slice), k = 2, nprobe = width, eligible, q,
+      adaptProbe = false)
+    assert(gotHoisted.exceptAll(got).isEmpty && got.exceptAll(gotHoisted).isEmpty,
+      "hoisted probe width answers differ from the per-call adaptive path")
     // the index-only ADC twin must be byte-identical to the
     // docs-store shape BEFORE the parking proves its docs-free claim
     val gotAdcIx = ContinuousIngest.annIvfPqFilteredMaintained(spark, st, ann,
