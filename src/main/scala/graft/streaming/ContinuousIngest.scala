@@ -315,6 +315,14 @@ object ContinuousIngest {
     * as the reserved `batch=-1` partition (foreachBatch ids start at
     * 0, so the bootstrap is never self-excluded). */
   def bootstrap(corpus: DataFrame, st: IngestState, p: IngestParams): Unit = {
+    // re-bootstrapping over an existing root with a PENDING tombstone:
+    // the intent belongs to the OLD state (its captured batch lineage
+    // and digests reference the corpus being replaced — applying it
+    // after the overwrite could purge NEW rows that reuse ids), and
+    // silently discarding a takedown intent is worse. Complete it
+    // against the old state first; on a fresh root this is one
+    // existence check.
+    recoverDeletes(corpus.sparkSession, st)
     corpus.write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
     corpus.select(md5(col("text")).as("text"))
       .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
@@ -464,6 +472,15 @@ object ContinuousIngest {
     // the single writer this call also finishes a crashed CLAIMED
     // swap (readers leave those strictly alone)
     recoverIndexSwap(spark, st, asWriter = true)
+    // ...and a crashed delete: the rebuild consolidates the index
+    // tables under batch=-1, so a pending tombstone recovered AFTER it
+    // would find none of its captured batch dirs in the index set —
+    // its index rewrites would no-op while the docs purge still
+    // landed, leaving deleted docs searchable with no corpus row
+    // until the next rebuild. Completing the delete first means the
+    // corpus read below is already purged and the rebuilt index never
+    // contains the deleted docs.
+    recoverDeletes(spark, st)
     val corpus = readTable(spark, st.docsPath)
     require(corpus.limit(1).count() > 0,
       "rebuildIndexes needs a non-empty corpus to retrain the quantizers")
@@ -1587,12 +1604,12 @@ object ContinuousIngest {
     * corpus needs), WITHOUT retraining or rebuilding: every state
     * table (docs, digests, keys, stats, and the embedding-index
     * tables when present) is purged copy-on-write, rewriting only the
-    * `batch=` partitions that actually contain a deleted row. Batch
-    * lineage is shared across tables (a doc's digest/keys/index rows
-    * land in the same batch partition its docs row did — the
-    * append-discipline invariant, preserved by compaction's uniform
-    * collapse), so ONE capture of the deleted docs' batch ids drives
-    * every table's purge; no table is scanned to find its partitions.
+    * `batch=` partitions that actually contain a deleted row —
+    * detected against EACH TABLE'S OWN layout with one pruned
+    * key-column scan (id columns and the packed tables' id arrays,
+    * never floats or code bytes), because batch layouts legitimately
+    * diverge across tables: [[rebuildIndexes]] consolidates the index
+    * set under `batch=-1` while docs keeps its lineage.
     *
     * Semantics after completion:
     *  - no read face (docs, dedup admit, any ANN/semantic search)
@@ -1641,8 +1658,9 @@ object ContinuousIngest {
     * (takedown-scale, not corpus-scale — removing a large fraction of
     * the corpus is a [[rebuildIndexes]]-class operation). Cost: two
     * column-pruned passes over the docs table (the id match and the
-    * survivor digest-carry check) plus one rewrite per affected
-    * partition per table.
+    * survivor digest-carry check), one pruned key-column detection
+    * scan per table, one rewrite per affected partition per table,
+    * and one text-column pass for the wholesale stats re-anchor.
     *
     * Returns the number of distinct docs actually deleted (requested
     * ids absent from the corpus are ignored). */
@@ -1657,14 +1675,13 @@ object ContinuousIngest {
     val capture = new HPath(st.root, DeleteCaptureDir)
     val pending = new HPath(st.root, DeletePendingDir)
     fs.delete(capture, true)
-    val docsB = spark.read.option("basePath", st.docsPath).parquet(st.docsPath)
+    val docsB = readTable(spark, st.docsPath)
     val del = ids.select(col("doc_id")).distinct()
-    // pass 1 — capture (doc_id, batch, digest) of every matched doc;
+    // pass 1 — capture (doc_id, digest) of every matched doc;
     // materialized (hidden dir, no authority) so the carry check and
     // the tombstone write don't recompute the corpus join
     docsB.join(broadcast(del), Seq("doc_id"))
-      .select(col("doc_id"), col("batch").cast("long").as("batch"),
-        md5(col("text")).as("digest"))
+      .select(col("doc_id"), md5(col("text")).as("digest"))
       .coalesce(1).write.mode("overwrite").parquet(capture.toString)
     val hit = spark.read.parquet(capture.toString)
     // pass 2 — a digest leaves the admit table only when NO surviving
@@ -1677,7 +1694,7 @@ object ContinuousIngest {
       .distinct()
     hit.join(broadcast(carried.withColumn("_carried", lit(true))),
         Seq("digest"), "left")
-      .select(col("doc_id"), col("batch"), col("digest"),
+      .select(col("doc_id"), col("digest"),
         col("_carried").isNull.as("purge_digest"))
       .coalesce(1).write.mode("overwrite").parquet(pending.toString)
     fs.delete(capture, true)
@@ -1707,12 +1724,30 @@ object ContinuousIngest {
   }
 
   /** Purge every state table of the committed pending tombstone set,
-    * then retire it. Idempotent: rewrites are driven by the
-    * tombstone's captured batch ids and anti-joins, so a re-run after
-    * a crash redoes no-op rewrites at worst. Table order is part of
-    * the crash contract — index tables first, docs, stats (recomputed
-    * from the purged docs partitions), digests LAST (see
-    * [[deleteDocs]]). */
+    * then retire it. Affected partitions are detected against EACH
+    * TABLE'S OWN batch layout (one pruned key-column scan per table;
+    * the packed tables through their id arrays, never the payload
+    * bytes) — layouts legitimately diverge across tables:
+    * [[rebuildIndexes]] consolidates the index set under `batch=-1`
+    * while docs keeps its lineage, and a compaction that crashed
+    * between tables leaves a mixed horizon until its next run. A
+    * shared-lineage shortcut would silently no-op the index purge
+    * after a rebuild, leaving deleted docs searchable with no corpus
+    * row. Idempotent: a recovery re-run detects nothing in
+    * already-purged tables and skips them. Table order is part of the
+    * crash contract — index tables first, docs, stats, digests LAST
+    * (see [[deleteDocs]]).
+    *
+    * Stats are re-anchored WHOLESALE (all partials replaced by one
+    * consolidated partial over the purged docs table, installed under
+    * the highest existing stats id through the marked-tmp swap):
+    * per-partition recompute would need a docs↔stats dir
+    * correspondence that diverged layouts don't guarantee, and the
+    * one text-column scan is the same cost class as the digest-carry
+    * pass the capture already pays. A crash between installing the
+    * consolidated partial and clearing the old ones double-counts
+    * only until recovery re-runs — the pending dir retires strictly
+    * last. */
   private def applyPendingDelete(spark: SparkSession, st: IngestState): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
@@ -1720,49 +1755,80 @@ object ContinuousIngest {
     val tomb = spark.read.parquet(pending.toString)
     val tombIds = tomb.select("doc_id").distinct()
     val digs = tomb.where(col("purge_digest")).select("digest").distinct()
-    val aff: Seq[Long] = tomb.select(col("batch")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    def anti(keyCol: String): DataFrame => DataFrame =
-      df => df.join(broadcast(tombIds.select(col("doc_id").as(keyCol))),
+    def anti(keyCol: String, keys: DataFrame = tombIds,
+             keysCol: String = "doc_id"): DataFrame => DataFrame =
+      df => df.join(broadcast(keys.select(col(keysCol).as(keyCol))),
         Seq(keyCol), "left_anti")
+    // affected dirs for ONE table, against its own layout: pruned
+    // key-column scan semi-joined with the broadcast tombstones
+    def affected(path: String, keyCol: String, packedIds: Boolean,
+                 keys: DataFrame = tombIds,
+                 keysCol: String = "doc_id"): Seq[Long] = {
+      val withB = spark.read.option("basePath", path).parquet(path)
+      val keyed =
+        if (packedIds) withB.select(col("batch"), explode(col("ids")).as(keyCol))
+        else withB.select(col("batch"), col(keyCol))
+      keyed.join(broadcast(keys.select(col(keysCol).as(keyCol))),
+          Seq(keyCol), "left_semi")
+        .select(col("batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
     // packed-geometry peeks taken ONCE, before any rewrite
     val hasIvfPacked = fs.exists(new HPath(st.ivfPackedPath))
     val hasPqPacked = fs.exists(new HPath(st.pqPackedPath))
     val dimV = if (hasIvfPacked) packedDim(spark, st) else 1
     val mV = if (hasPqPacked) packedAdcM(spark, st) else 1
-    val tables: Seq[(String, DataFrame => DataFrame)] = Seq(
-      st.ivfPath -> anti("nn_id"),
-      st.ivfPackedPath -> { df: DataFrame =>
-        Similarity.ivfPack(anti("nn_id")(Similarity.ivfUnpack(df)), dim = dimV) },
-      st.pqPath -> anti("vec_id"),
-      st.pqPackedPath -> { df: DataFrame =>
-        Similarity.pqPack(anti("nn_id")(Similarity.pqUnpack(df)), m = mV) },
-      st.semPath -> anti("id"),
-      st.keysPath -> anti("id"),
-      st.docsPath -> anti("doc_id"))
-    tables.foreach { case (path, purge) =>
+    // (path, key column, packed-ids layout, purge rewrite)
+    val tables: Seq[(String, String, Boolean, DataFrame => DataFrame)] = Seq(
+      (st.ivfPath, "nn_id", false, anti("nn_id")),
+      (st.ivfPackedPath, "nn_id", true, { df: DataFrame =>
+        Similarity.ivfPack(anti("nn_id")(Similarity.ivfUnpack(df)), dim = dimV) }),
+      (st.pqPath, "vec_id", false, anti("vec_id")),
+      (st.pqPackedPath, "nn_id", true, { df: DataFrame =>
+        Similarity.pqPack(anti("nn_id")(Similarity.pqUnpack(df)), m = mV) }),
+      (st.semPath, "id", false, anti("id")),
+      (st.keysPath, "id", false, anti("id")),
+      (st.docsPath, "doc_id", false, anti("doc_id")))
+    tables.foreach { case (path, keyCol, packedIds, purge) =>
       if (fs.exists(new HPath(path))) {
         resolvePurgeTmps(spark, path)
-        aff.foreach(b => rewritePartition(spark, path, b, purge))
+        affected(path, keyCol, packedIds)
+          .foreach(b => rewritePartition(spark, path, b, purge))
       }
     }
-    // stats partials recompute from the NOW-PURGED docs partitions
-    if (fs.exists(new HPath(st.statsPath))) {
+    // stats: wholesale re-anchor over the purged docs table (see
+    // scaladoc) — UNCONDITIONAL while a pending delete is being
+    // applied, because no cheap signal distinguishes "already
+    // re-anchored by the crashed attempt" from "still stale" across
+    // every layout (docs reads as fully purged on any recovery
+    // re-run); one extra text-column pass per delete buys
+    // always-correct accounting
+    if (fs.exists(new HPath(st.statsPath)) &&
+        fs.exists(new HPath(st.docsPath))) {
       resolvePurgeTmps(spark, st.statsPath)
-      aff.foreach { b =>
-        if (fs.exists(new HPath(s"${st.docsPath}/batch=$b")))
-          rewritePartition(spark, st.statsPath, b,
-            _ => partialStats(spark.read.parquet(s"${st.docsPath}/batch=$b")))
+      val statDirs = fs.listStatus(new HPath(st.statsPath))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+      if (statDirs.nonEmpty) {
+        val target = statDirs.max
+        rewritePartition(spark, st.statsPath, target,
+          _ => partialStats(readTable(spark, st.docsPath)))
+        statDirs.filter(_ != target).foreach { b =>
+          fs.delete(new HPath(s"${st.statsPath}/batch=$b"), true)
+        }
       }
     }
     // the admit key goes last — a digest is never gone while its doc
     // remains, so every crash window keeps exact-dup admission
     // conservative (identical re-ingest stays dropped until the
     // delete fully completes)
-    resolvePurgeTmps(spark, st.digestsPath)
-    aff.foreach(b => rewritePartition(spark, st.digestsPath, b,
-      df => df.join(broadcast(digs.select(col("digest").as("text"))),
-        Seq("text"), "left_anti")))
+    if (fs.exists(new HPath(st.digestsPath))) {
+      resolvePurgeTmps(spark, st.digestsPath)
+      affected(st.digestsPath, "text", packedIds = false,
+          keys = digs, keysCol = "digest")
+        .foreach(b => rewritePartition(spark, st.digestsPath, b,
+          anti("text", digs, "digest")))
+    }
     val n = tombIds.count()
     fs.delete(pending, true)
     n

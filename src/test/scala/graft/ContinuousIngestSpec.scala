@@ -1361,8 +1361,8 @@ class ContinuousIngestSpec extends SparkSpec {
     // window 1 — crash INSIDE the tombstone write: pending dir without
     // _SUCCESS. Nothing was purged; the set is incomplete; discarded.
     val pending = JPath.of(s"$root/b/.delete_pending")
-    delIds.map(i => (i, -1L)).toDF("doc_id", "batch")
-      .select(col("doc_id"), col("batch"),
+    delIds.toDF("doc_id")
+      .select(col("doc_id"),
         md5(lit("x")).as("digest"), lit(true).as("purge_digest"))
       .coalesce(1).write.parquet(pending.toString)
     JFiles.delete(pending.resolve("_SUCCESS"))
@@ -1382,10 +1382,8 @@ class ContinuousIngestSpec extends SparkSpec {
     // everything to exactly the reference outcome.
     val delTexts = Map(1001L -> text(1001L), 1005L -> text(1005L),
       102L -> text(2), 103L -> text(3), 303L -> text(9))
-    val delBatch = Map(1001L -> -1L, 1005L -> -1L, 102L -> 0L,
-      103L -> 0L, 303L -> 2L)
-    delIds.map(i => (i, delBatch(i), delTexts(i))).toDF("doc_id", "batch", "t")
-      .select(col("doc_id"), col("batch"), md5(col("t")).as("digest"),
+    delIds.map(i => (i, delTexts(i))).toDF("doc_id", "t")
+      .select(col("doc_id"), md5(col("t")).as("digest"),
         lit(true).as("purge_digest"))
       .coalesce(1).write.parquet(pending.toString)
     // half-purged ivf: batch 0 already rewritten by the crashed run
@@ -1440,6 +1438,43 @@ class ContinuousIngestSpec extends SparkSpec {
     deleteStateTables(stA).zip(deleteStateTables(stB)).foreach {
       case ((name, a), (_, b)) => assertSameTable(s"recovered $name", a, b)
     }
+  }
+
+  test("tombstone delete after a rebuild: index layouts diverged from docs' lineage, the purge still lands everywhere") {
+    import graft.ops.Similarity
+    val root = freshRoot()
+    val (st, pa) = builtAnnRoot(s"$root/a")
+    // the rebuild consolidates every index table under batch=-1 while
+    // docs keeps batch=-1,0,1,2 — the layout divergence that breaks
+    // any shared-lineage purge shortcut
+    ContinuousIngest.rebuildIndexes(spark, st, pa.ann.get)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, pa.ann.get)
+    // delete docs that lived in BATCH partitions of docs (absent as
+    // dirs in the rebuilt index set) and in the bootstrap
+    val n = ContinuousIngest.deleteDocs(spark, st, delIds.toDF("doc_id"))
+    assert(n === delIds.size.toLong)
+    deleteStateTables(st).foreach { case (name, df) =>
+      df.columns.find(Set("doc_id", "nn_id", "vec_id", "id")).foreach { c =>
+        assert(df.where(col(c).isin(delIds: _*)).count() === 0L,
+          s"$name still holds deleted ids after a rebuild+delete")
+      }
+    }
+    // the search face answers from the purged rebuilt index and equals
+    // the one-shot operator over corpus-minus-deleted under the
+    // REBUILT centroids
+    val remaining = ContinuousIngest.readTable(spark, st.docsPath)
+    assertSameTable("post-rebuild-delete search",
+      ContinuousIngest.annIvfMaintained(spark, st, pa.ann.get,
+        remaining, k = 2, nprobe = 2, Some(quant)),
+      Similarity.annIvf(remaining, 2, nlist = pa.ann.get.nlist, nprobe = 2,
+        idCol = "doc_id", centroids = Some(quant.cents)))
+    val gotStats = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    val wantStats = remaining
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
   }
 
   test("tombstone delete then compaction: consolidation preserves the purge; laws hold across both maintenance passes") {
