@@ -1692,10 +1692,17 @@ object ContinuousIngest {
       .select(md5(col("text")).as("digest"))
       .join(broadcast(hit.select("digest").distinct()), Seq("digest"), "left_semi")
       .distinct()
+    // op identity + request time ride the committed intent, so the
+    // audit row is deterministic across recovery re-runs (stamped at
+    // capture, not completion) and the log write can be keyed +
+    // overwrite-idempotent
+    val opId = java.util.UUID.randomUUID().toString
     hit.join(broadcast(carried.withColumn("_carried", lit(true))),
         Seq("digest"), "left")
       .select(col("doc_id"), col("digest"),
-        col("_carried").isNull.as("purge_digest"))
+        col("_carried").isNull.as("purge_digest"),
+        lit(opId).as("op_id"),
+        current_timestamp().as("requested_at"))
       .coalesce(1).write.mode("overwrite").parquet(pending.toString)
     fs.delete(capture, true)
     applyPendingDelete(spark, st)
@@ -1829,9 +1836,45 @@ object ContinuousIngest {
         .foreach(b => rewritePartition(spark, st.digestsPath, b,
           anti("text", digs, "digest")))
     }
+    // audit trail BEFORE the intent retires: a takedown must stay
+    // provable after its tombstone is destroyed. (doc_id, op_id,
+    // requested_at) only — deliberately NO digest and NO text, so the
+    // log itself cannot resurrect the forgotten content. Keyed by the
+    // capture-stamped op id and written with overwrite, so a recovery
+    // re-run rewrites the same rows instead of duplicating them; a
+    // crash between this write and the pending delete below replays
+    // into the same op dir.
     val n = tombIds.count()
+    if (n > 0) {
+      val opId = tomb.select("op_id").head().getString(0)
+      tomb.select(col("doc_id"), col("op_id"), col("requested_at"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${st.root}/deletes_log/op=$opId")
+    }
     fs.delete(pending, true)
     n
+  }
+
+  /** The takedown audit log: one row per deleted doc per completed
+    * [[deleteDocs]] operation — `(doc_id, op_id, requested_at)`,
+    * append-only across operations (each op owns its `op=` partition),
+    * carrying deliberately nothing that could reconstruct the deleted
+    * content. Empty (with this schema) before any delete completes. */
+  def deletesLog(spark: SparkSession, st: IngestState): DataFrame = {
+    val path = s"${st.root}/deletes_log"
+    if (fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.option("basePath", path).parquet(path)
+        .select("doc_id", "op_id", "requested_at")
+    else
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("op_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("requested_at",
+            org.apache.spark.sql.types.TimestampType))))
   }
 
   /** Resolve leftover `.purge_tmp_batch=` swaps under one table root —

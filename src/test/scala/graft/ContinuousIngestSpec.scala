@@ -1299,6 +1299,12 @@ class ContinuousIngestSpec extends SparkSpec {
     // requesting ids that don't exist (or are already gone) is a no-op
     assert(ContinuousIngest.deleteDocs(spark, st,
       Seq(1001L, 999999L).toDF("doc_id")) === 0L)
+    // audit: one log row per deleted doc under one op id; the no-op
+    // second call logged nothing (nothing was deleted)
+    val log = ContinuousIngest.deletesLog(spark, st)
+    assert(log.select("doc_id").as[Long].collect().toSet === delIds.toSet &&
+      log.select("op_id").distinct().count() === 1L,
+      "audit log must hold exactly the deleted set under one op")
 
     // containment: no face ever sees a deleted doc again
     deleteStateTables(st).foreach { case (name, df) =>
@@ -1363,7 +1369,9 @@ class ContinuousIngestSpec extends SparkSpec {
     val pending = JPath.of(s"$root/b/.delete_pending")
     delIds.toDF("doc_id")
       .select(col("doc_id"),
-        md5(lit("x")).as("digest"), lit(true).as("purge_digest"))
+        md5(lit("x")).as("digest"), lit(true).as("purge_digest"),
+        lit("op-crash-w1").as("op_id"),
+        current_timestamp().as("requested_at"))
       .coalesce(1).write.parquet(pending.toString)
     JFiles.delete(pending.resolve("_SUCCESS"))
     assert(ContinuousIngest.recoverDeletes(spark, stB) === 0L)
@@ -1384,7 +1392,8 @@ class ContinuousIngestSpec extends SparkSpec {
       102L -> text(2), 103L -> text(3), 303L -> text(9))
     delIds.map(i => (i, delTexts(i))).toDF("doc_id", "t")
       .select(col("doc_id"), md5(col("t")).as("digest"),
-        lit(true).as("purge_digest"))
+        lit(true).as("purge_digest"), lit("op-crash-w2").as("op_id"),
+        current_timestamp().as("requested_at"))
       .coalesce(1).write.parquet(pending.toString)
     // half-purged ivf: batch 0 already rewritten by the crashed run
     val ivf0 = s"${stB.ivfPath}/batch=0"
@@ -1438,6 +1447,15 @@ class ContinuousIngestSpec extends SparkSpec {
     deleteStateTables(stA).zip(deleteStateTables(stB)).foreach {
       case ((name, a), (_, b)) => assertSameTable(s"recovered $name", a, b)
     }
+    // the audit trail survives the crash recovery: exactly the
+    // tombstone set under the intent's op id, nothing duplicated by
+    // the recovery replay, and no content-bearing column
+    val log = ContinuousIngest.deletesLog(spark, stB)
+    assert(log.columns.toSet === Set("doc_id", "op_id", "requested_at"),
+      s"audit log must carry no content columns: ${log.columns.toSeq}")
+    val logged = log.where(col("op_id") === "op-crash-w2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(logged === delIds.toSet, s"audit log rows: $logged")
   }
 
   test("tombstone delete after a rebuild: index layouts diverged from docs' lineage, the purge still lands everywhere") {
