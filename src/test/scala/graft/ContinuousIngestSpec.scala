@@ -1570,6 +1570,12 @@ class ContinuousIngestSpec extends SparkSpec {
     chunks.zipWithIndex.foreach { case (rows, i) =>
       ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
     }
+    // before any delete the audit log is EMPTY WITH SCHEMA (readable,
+    // joinable, zero rows) — the face a monitoring job reads blindly
+    val preLog = ContinuousIngest.deletesLog(spark, st)
+    assert(preLog.count() === 0L &&
+      preLog.columns.toSeq === Seq("doc_id", "op_id", "requested_at"),
+      "deletesLog on an undeleted root must be empty with the log schema")
     // delete 103: its exact text AND its near-dup shadow (202's text)
     // must both be admissible again
     assert(ContinuousIngest.deleteDocs(spark, st, Seq(103L).toDF("doc_id")) === 1L)
