@@ -283,7 +283,8 @@ object Similarity {
   def annIvfFromIndex(index: DataFrame, queries: DataFrame,
                       k: Int, nprobe: Int, centroids: Array[Array[Double]],
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      segSize: Int = 0): DataFrame = {
+                      segSize: Int = 0,
+                      excludeSelf: Boolean = true): DataFrame = {
     require(centroids.nonEmpty,
       "annIvfFromIndex: empty centroid array — train the coarse " +
         "quantizer (ivfCentroids) before searching")
@@ -304,7 +305,7 @@ object Similarity {
           explode(graft.functions.Native.topDotNative(spark, col("v"), flat, nprobe)
             .getField("list")).as("list"))
       val scored = probe.join(index, Seq("list"))
-        .where(col("vec_id") =!= col("nn_id"))
+        .where(if (excludeSelf) col("vec_id") =!= col("nn_id") else lit(true))
         .select(col("vec_id"), col("nn_id"),
           graft.functions.Native.dotNative(spark, col("va"), col("vb")).as("cos"))
       topKByCos(scored, k)
@@ -325,7 +326,8 @@ object Similarity {
         .select(col("list"),
           transform(col("ent"), e => e.getField("nn_id")).as("ids"),
           flatten(transform(col("ent"), e => e.getField("vb"))).as("packed"))
-      annIvfFromPacked(packed, queries, k, nprobe, centroids, idCol, vecCol)
+      annIvfFromPacked(packed, queries, k, nprobe, centroids, idCol, vecCol,
+        excludeSelf = excludeSelf)
     }
   }
 
@@ -554,7 +556,8 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryPred: Column = lit(true),
                      centroids: Option[Array[Array[Double]]] = None,
-                     adaptProbe: Boolean = true): DataFrame = {
+                     adaptProbe: Boolean = true,
+                     excludeSelf: Boolean = true): DataFrame = {
     val cents = centroids
       .getOrElse(ivfCentroids(embs, nlist, sampleSize, idCol, vecCol))
     val nprobeEff =
@@ -568,7 +571,8 @@ object Similarity {
           math.ceil(nprobe.toDouble * n / e).toInt)
       }
     annIvfFromIndex(ivfAssign(embs.where(corpusPred), cents, idCol, vecCol),
-      embs.where(queryPred), k, nprobeEff, cents, idCol, vecCol)
+      embs.where(queryPred), k, nprobeEff, cents, idCol, vecCol,
+      excludeSelf = excludeSelf)
   }
 
   /** FILTERED IVFADC: [[annIvfFiltered]]'s pre-filter semantics on

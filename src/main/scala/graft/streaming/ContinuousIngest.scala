@@ -81,6 +81,11 @@ object ContinuousIngest {
     val digestsPath: String = s"$root/digests"
     val keysPath: String = s"$root/keys"
     val statsPath: String = s"$root/stats"
+    // op-keyed NEGATIVE stats partials written by completed deletes
+    // (one 1-row partial per takedown op) — [[readStats]] sums them
+    // beside the per-batch positives, so takedown accounting never
+    // re-scans corpus text (see [[applyPendingDelete]])
+    val statsDeltasPath: String = s"$root/stats_deltas"
     val bloomPath: java.nio.file.Path = java.nio.file.Paths.get(root, "state.bloom")
     val checkpointPath: String = s"$root/_checkpoint"
     // embedding-index tables (maintained when IngestParams.ann is
@@ -302,6 +307,48 @@ object ContinuousIngest {
                                 bands: Int = 8, seed: Long = 42L,
                                 ann: Option[AnnParams] = None)
 
+  /** The V2 digests schema marker (underscore-prefixed inside the
+    * digests dir, so parquet readers skip it — the AnnConfigFile
+    * pattern). V2 rows are PER-DOC `(doc_id, text=md5, n_chars,
+    * n_ws_tokens)` instead of the legacy bare digest column, which
+    * turns every corpus-text pass [[deleteDocs]] used to pay into a
+    * metadata-class join against this table: the capture (which docs
+    * match the takedown ids, and their digests), the survivor
+    * digest-carry check (does any NON-deleted row still hold a
+    * tombstoned digest), and the stats adjustment (the per-doc
+    * length/token factors ride the digest row, so the delete
+    * subtracts a 1-row negative partial instead of re-aggregating
+    * the purged corpus). ~50 bytes/row — at 10⁸ docs a 5 GB
+    * column-pruned side table vs a 100 TB text scan. Dedup admission
+    * is untouched: every digest reader selects the `text` column and
+    * column pruning skips the rest.
+    *
+    * New roots are V2 from [[bootstrap]]; a legacy root keeps its
+    * bare-digest schema (and the legacy text-scan delete path,
+    * unchanged) until [[migrateDigests]] rebuilds the table from docs
+    * — mixing the two schemas in one table is exactly what the marker
+    * exists to prevent. */
+  private val DigestsV2Marker = "_GRAFT_DIGESTS_V2"
+
+  private def digestsV2(spark: SparkSession, st: IngestState): Boolean =
+    fsFor(spark, st.digestsPath).exists(
+      new org.apache.hadoop.fs.Path(st.digestsPath, DigestsV2Marker))
+
+  private def writeDigestsV2Marker(spark: SparkSession, st: IngestState): Unit =
+    fsFor(spark, st.digestsPath).create(
+      new org.apache.hadoop.fs.Path(st.digestsPath, DigestsV2Marker), true)
+      .close()
+
+  /** One V2 digest row per doc — the admit key (`text` = md5, the
+    * legacy column name, so every digest reader is schema-compatible
+    * via column pruning) plus the per-doc stats factors the delete
+    * path subtracts without touching corpus text. Computed in the
+    * same text pass that always hashed the batch. */
+  private def digestRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"))
+
   /** Read a state table (union of all batch partitions), optionally
     * excluding one batch's partitions — the self-exclusion read used
     * while that batch is being processed. The `batch` lineage column
@@ -324,8 +371,9 @@ object ContinuousIngest {
     // existence check.
     recoverDeletes(corpus.sparkSession, st)
     corpus.write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
-    corpus.select(md5(col("text")).as("text"))
+    digestRows(corpus)
       .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
+    writeDigestsV2Marker(corpus.sparkSession, st)
     partialStats(corpus).write.mode("overwrite").parquet(s"${st.statsPath}/batch=-1")
     // exact-only deployments maintain no band-key table (and pay no
     // shingling); flipping nearDup on later requires re-bootstrapping
@@ -798,15 +846,20 @@ object ContinuousIngest {
     * rows exactly and both faces derive the same widened nprobe from
     * the same counts) — law-pinned by `check_ingest_ann_replay`'s
     * `ingest_filtered_*` and by ContinuousIngestSpec through a
-    * physically-absent docs table. Self-hits are excluded (the
-    * one-shot face's convention). Guarded by
+    * physically-absent docs table. `excludeSelf` as on
+    * [[annIvfPqFilteredMaintained]] (default true — the dedup
+    * convention; an EXTERNAL query batch whose id namespace may
+    * collide with corpus doc_ids must pass `false`, or a query
+    * sharing an id with its true nearest eligible corpus row
+    * silently loses that answer). Guarded by
     * [[requireIndexBatchParity]] like every maintained face. */
   def annIvfFilteredMaintained(spark: SparkSession, st: IngestState,
                                a: AnnParams, queries: DataFrame, k: Int,
                                nprobe: Int, eligible: DataFrame,
                                quantizers: Option[AnnQuantizers] = None,
                                idCol: String = "doc_id",
-                               adaptProbe: Boolean = true): DataFrame = {
+                               adaptProbe: Boolean = true,
+                               excludeSelf: Boolean = true): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfFilteredMaintained")
     val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
@@ -821,7 +874,7 @@ object ContinuousIngest {
           .where(col("list").isin(probed.toSeq: _*)))
       .join(elig, Seq("nn_id"), "left_semi")
     Similarity.annIvfFromIndex(index, queries, k, nprobeEff, q.cents,
-      idCol = idCol, vecCol = a.vecCol)
+      idCol = idCol, vecCol = a.vecCol, excludeSelf = excludeSelf)
   }
 
   /** [[graft.ops.Similarity.annIvfFiltered]]'s selectivity-widened
@@ -830,30 +883,68 @@ object ContinuousIngest {
     * column-pruned integer scans, no float I/O — then
     * `ceil(nprobe/sel)` capped at the trained cell count. Matches the
     * one-shot faces' arithmetic exactly (the `ingest_filtered_*` /
-    * `ingest_fltadc_*` equality laws depend on it). */
+    * `ingest_fltadc_*` equality laws depend on it).
+    *
+    * MEMOIZED so the `adaptProbe = true` DEFAULT is serving-loop
+    * cheap: a loop answering M batches against a stable eligible set
+    * measures once, not 2·M corpus-scale integer scans. The cache key
+    * is (state root, the eligible plan's canonical form, the
+    * assignment table's batch-dir set, the delete log's op-dir set,
+    * nprobe, nCells) — an ingest append changes the dir set and a
+    * completed delete adds an op dir, so both invalidate the entry at
+    * metadata (two listings) cost per call; compaction renames dirs
+    * and forces one harmless re-measure. Same-JVM scope (the driver's
+    * lifetime — exactly the serving loop the memo exists for); bounded
+    * by wholesale clear past 1024 entries. The widening only
+    * compensates recall, so even a hypothetically stale width degrades
+    * recall gracefully, never correctness ([[filteredProbeWidth]]'s
+    * contract). */
+  private val selectivityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Measurement count, test-visible: specs pin "one measurement per
+    * (eligible, state) across a serving loop". */
+  private[graft] val selectivityMeasurements =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def filteredNprobe(spark: SparkSession, st: IngestState,
                              elig: DataFrame, nprobe: Int, nCells: Int,
                              adaptProbe: Boolean): Int =
     if (!adaptProbe) nprobe
     else {
-      val slim = readTable(spark, st.ivfPath).select("nn_id")
-      val n = slim.count()
-      val e = slim.join(elig, Seq("nn_id"), "left_semi").count()
-      if (e <= 0 || e >= n) nprobe
-      else math.min(nCells, math.ceil(nprobe.toDouble * n / e).toInt)
+      val eligFp = elig.queryExecution.analyzed.canonicalized.hashCode()
+      val stateFp = (batchDirNames(spark, st.ivfPath).toSeq.sorted,
+        opDirNames(spark, s"${st.root}/deletes_log")).hashCode()
+      val key = s"${st.root}|$eligFp|$stateFp|$nprobe|$nCells"
+      if (selectivityCache.size > 1024) selectivityCache.clear()
+      selectivityCache.computeIfAbsent(key, { _ =>
+        selectivityMeasurements.incrementAndGet()
+        val slim = readTable(spark, st.ivfPath).select("nn_id")
+        val n = slim.count()
+        val e = slim.join(elig, Seq("nn_id"), "left_semi").count()
+        if (e <= 0 || e >= n) nprobe
+        else math.min(nCells, math.ceil(nprobe.toDouble * n / e).toInt)
+      }).intValue()
     }
 
+  private def opDirNames(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
   /** The selectivity-widened probe count the filtered faces derive
-    * per call when `adaptProbe` is on (two integer-column scans of
-    * the slim assignment table — ~12 bytes/row, but still a
-    * corpus-scale read) — EXPOSED so a serving loop over a STABLE
-    * eligible set measures ONCE and passes the result as `nprobe`
-    * with `adaptProbe = false`: same arithmetic, so the answers are
-    * identical to the per-call adaptive path (spec-pinned), and the
-    * per-batch cost drops to the probed-segment scans alone. Re-derive
-    * after ingest appends or deletes shift the eligible fraction
-    * materially — the widening only compensates recall, so a stale
-    * width degrades recall gracefully, never correctness. */
+    * when `adaptProbe` is on — EXPOSED so a caller can measure
+    * explicitly and pass the result as `nprobe` with
+    * `adaptProbe = false`: same arithmetic, so the answers are
+    * identical to the adaptive path (spec-pinned). Since the adaptive
+    * default is now MEMOIZED (see [[filteredNprobe]] — a serving loop
+    * over a stable eligible set measures once, with automatic
+    * ingest/delete invalidation), this face is for callers that want
+    * the width pinned across state changes, or derived on one root
+    * and applied to another. The widening only compensates recall, so
+    * a stale width degrades recall gracefully, never correctness. */
   def filteredProbeWidth(spark: SparkSession, st: IngestState,
                          a: AnnParams, eligible: DataFrame, nprobe: Int,
                          quantizers: Option[AnnQuantizers] = None): Int = {
@@ -974,12 +1065,26 @@ object ContinuousIngest {
     // batch is the MAXIMAL id until replayed — foreachBatch retries
     // it before committing later batches — so a genuine crash always
     // disturbs the maximum, which consolidation cannot explain away).
+    // Dir names alone are NOT sufficient evidence, though: a
+    // pre-packed-era root with any post-upgrade append (core tables
+    // {-1..N}, packed tables {N}) canons to the SAME set, and
+    // misreading that migration as skew would (a) tell queries the
+    // wrong remedy and (b) let compactState's slim rewrite destroy
+    // the fat assignment batches — backfillPackedIvf's only float
+    // source — while re-packing only batch N, silently dropping every
+    // pre-upgrade vector from the packed tables behind a now-clean
+    // dir layout. So the diagnosis must ALSO pass the row-coverage
+    // check: a genuine interrupted compaction preserves every table's
+    // distinct-id coverage (consolidation is a row union; the packed
+    // re-pack is answer-preserving), while the migration shape has
+    // the packed tables covering strictly fewer ids.
     val h = if (upTo != Long.MaxValue) upTo else union.max
     def canon(s: Set[Long]): Set[Long] = {
       val lo = s.filter(_ <= h)
       s.filter(_ > h) ++ (if (lo.nonEmpty) Set(lo.max) else Set.empty[Long])
     }
-    if (sets.map(canon).distinct.size == 1) {
+    if (sets.map(canon).distinct.size == 1 &&
+        consolidationCoverageAgrees(spark, st, h)) {
       if (forCompaction) return
       sys.error(s"$caller: index tables are at different consolidation " +
         s"levels (batches ${unpaired.toSeq.sorted.mkString(", ")}) — an " +
@@ -1004,6 +1109,37 @@ object ContinuousIngest {
     sys.error(s"$caller: index batch directories disagree " +
       s"(ivf/pq/packed/sem): " +
       s"${unpaired.toSeq.sorted.map(b => s"batch=$b").mkString(", ")} — $hint")
+  }
+
+  /** EVIDENCE for the consolidation-skew diagnosis (see the caller in
+    * [[requireIndexBatchParity]]): all five index tables must cover
+    * the same number of distinct ids at or below the horizon. A
+    * compactState that crashed between tables preserves coverage
+    * (consolidation is a row union; the packed re-pack is
+    * answer-preserving by the segmentation-independence law), so a
+    * genuine skew passes; a pre-packed-era root with post-upgrade
+    * appends — the dir shape that MIMICS skew — has the packed
+    * tables covering strictly fewer ids and fails, falling through
+    * to the migration/crashed-append classification. Five
+    * column-pruned integer scans (id columns and the packed tables'
+    * id arrays, never float or code payloads), paid only on the
+    * already-rare skew-shaped root — a diagnosis path, not a
+    * serving path. */
+  private def consolidationCoverageAgrees(spark: SparkSession,
+                                          st: IngestState, h: Long): Boolean = {
+    def cov(path: String, keyCol: String, packedIds: Boolean): Long = {
+      val df = spark.read.option("basePath", path).parquet(path)
+        .where(col("batch") <= lit(h))
+      val ids =
+        if (packedIds) df.select(explode(col("ids")).as("_id"))
+        else df.select(col(keyCol).as("_id"))
+      ids.agg(count_distinct(col("_id"))).head().getLong(0)
+    }
+    Seq(cov(st.ivfPath, "nn_id", packedIds = false),
+      cov(st.pqPath, "vec_id", packedIds = false),
+      cov(st.ivfPackedPath, "", packedIds = true),
+      cov(st.pqPackedPath, "", packedIds = true),
+      cov(st.semPath, "id", packedIds = false)).distinct.size == 1
   }
 
   /** MIGRATION twin of [[backfillPackedIvf]] for the packed ADC
@@ -1259,7 +1395,11 @@ object ContinuousIngest {
     // the table needs anyway, for free.)
     kept.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
     val survivors = spark.read.parquet(s"${st.docsPath}/batch=$batchId")
-    survivors.select(md5(col("text")).as("text"))
+    // a legacy (pre-V2) root keeps its bare-digest schema until
+    // migrateDigests rebuilds it — appending V2 rows into a legacy
+    // table would mix schemas behind one path
+    (if (digestsV2(spark, st)) digestRows(survivors)
+     else survivors.select(md5(col("text")).as("text")))
       .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=$batchId")
     if (p.nearDup)
       Dedup.minhashBandKeys(survivors, p.shingleN, p.numHashes, p.bands, p.seed)
@@ -1597,6 +1737,7 @@ object ContinuousIngest {
 
   private val DeletePendingDir = ".delete_pending"
   private val DeleteCaptureDir = ".delete_capture"
+  private val DeleteDiscardedDir = ".delete_discarded"
   private val PurgeTmpPrefix = ".purge_tmp_batch="
 
   /** TOMBSTONE DELETE — remove documents from the maintained state by
@@ -1714,9 +1855,16 @@ object ContinuousIngest {
     * [[start]]. A pending dir WITHOUT its `_SUCCESS` marker is a
     * crash inside the tombstone write itself — nothing was purged
     * yet (purges only start after the marker), and the set is
-    * incomplete, so it is discarded: re-issue the delete. Returns the
-    * number of docs whose completed delete this call finished (0 when
-    * there was nothing pending). */
+    * incomplete, so it cannot be applied: the dir is parked under
+    * `.delete_discarded` (replacing any earlier parked copy) with a
+    * LOUD stderr warning naming the remedy, because this recovery
+    * runs automatically from [[start]]/[[compactState]]/[[bootstrap]]
+    * and a silently vanishing takedown intent — return 0 reads as
+    * "nothing pending" — would simply forget a deleted-content
+    * request. RE-ISSUE THE DELETE; the parked dir is evidence, not
+    * state (no read path ever consults it), and the next discard
+    * replaces it. Returns the number of docs whose completed delete
+    * this call finished (0 when there was nothing pending). */
   def recoverDeletes(spark: SparkSession, st: IngestState): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
@@ -1724,7 +1872,15 @@ object ContinuousIngest {
     val pending = new HPath(st.root, DeletePendingDir)
     if (!fs.exists(pending)) return 0L
     if (!fs.exists(new HPath(pending, "_SUCCESS"))) {
-      fs.delete(pending, true)
+      val parked = new HPath(st.root, DeleteDiscardedDir)
+      fs.delete(parked, true)
+      if (!fs.rename(pending, parked)) fs.delete(pending, true)
+      Console.err.println(
+        s"[graft] WARNING: discarded an UNCOMMITTED deleteDocs tombstone " +
+          s"under ${st.root} (a crash inside the intent capture — nothing " +
+          s"was purged, and the set is incomplete). The takedown did NOT " +
+          s"happen: RE-ISSUE THE DELETE. Evidence parked at " +
+          s"${st.root}/$DeleteDiscardedDir.")
       return 0L
     }
     applyPendingDelete(spark, st)
@@ -1939,9 +2095,16 @@ object ContinuousIngest {
     * in-flight batch and the idempotent state writes absorb it. */
   def start(stream: DataFrame, st: IngestState, p: IngestParams,
             availableNow: Boolean = true): StreamingQuery = {
-    // deployment-startup recovery: complete a crashed deleteDocs
-    // before any batch reads the state it half-purged (deletes run
-    // between streams, so starting the stream IS the writer context)
+    // deployment-startup recovery: starting the stream IS the
+    // single-writer maintenance context (rebuilds and deletes run
+    // between streams), so complete BOTH kinds of crashed
+    // maintenance here — a post-marker rebuild crash would otherwise
+    // leave the root torn until a human remembered the explicit
+    // recoverIndexSwap remedy, and a crashed deleteDocs would
+    // half-purge the state every batch reads. Swap first (the
+    // delete recovery's table reads need a consistent index set —
+    // the deleteDocs ordering).
+    recoverIndexSwap(stream.sparkSession, st, asWriter = true)
     recoverDeletes(stream.sparkSession, st)
     // the quantizers are immutable post-bootstrap — load once for the
     // whole stream instead of re-reading + re-collecting per batch
@@ -1987,6 +2150,12 @@ object ContinuousIngest {
             availableNow: Boolean = true,
             rerankFromIndex: Boolean = false): StreamingQuery = {
     val spark = queryStream.sparkSession
+    // same deployment-startup argument as [[start]]: bringing the
+    // serving stream up happens from the maintenance context (the
+    // rebuild contract quiesces serving for the swap anyway), so a
+    // crashed post-marker rebuild heals here instead of failing
+    // every batch until a human runs the explicit remedy
+    recoverIndexSwap(spark, st, asWriter = true)
     val quant = Some(quantizers.getOrElse(loadQuantizers(spark, st, a)))
     val writer = queryStream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
