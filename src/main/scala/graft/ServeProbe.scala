@@ -147,6 +147,18 @@ object ServeProbe {
           spark.range(n).where(col("id") % 200 === 7)
             .select(col("id").as("doc_id")))
       }
+      // batched-takedown A/B at the same per-op size (n/800 ids each):
+      // 3 sequential deleteDocs calls vs 3 enqueues + ONE drain — the
+      // drain pays one set of detection scans + partition rewrites
+      def opIds(k: Int) = spark.range(n).where(col("id") % 800 === k)
+        .select(col("id").as("doc_id"))
+      val (_, seqSec) = timed {
+        (1 to 3).foreach(k => ContinuousIngest.deleteDocs(spark, st, opIds(k)))
+      }
+      val (nQ, queueSec) = timed {
+        (11 to 13).foreach(k => ContinuousIngest.enqueueDelete(spark, st, opIds(k)))
+        ContinuousIngest.processDeleteQueue(spark, st)
+      }
       println(f"SERVE_PROBE n=$n dim=$dim nlist=${ann.nlist} nq=$nq " +
         f"batches=$batches answered=$answered bootSec=$bootSec%.1f " +
         f"streamSec=$streamSec%.1f perBatchSec=${streamSec / batches}%.1f " +
@@ -158,7 +170,9 @@ object ServeProbe {
         f"exactMedianSec=$exactMed%.2f fltExactMedianSec=$fltExactMed%.2f " +
         f"fltAdcMedianSec=$fltAdcMed%.2f " +
         f"fltAdcIxMedianSec=$fltAdcIxMed%.2f fltIneligRows=$inelig " +
-        f"deleteDocs=$nDel deleteSec=$delSec%.1f")
+        f"deleteDocs=$nDel deleteSec=$delSec%.1f " +
+        f"seq3DeleteSec=$seqSec%.1f queued3DeleteSec=$queueSec%.1f " +
+        f"queued3Docs=$nQ")
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator

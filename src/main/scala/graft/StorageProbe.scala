@@ -66,9 +66,17 @@ object StorageProbe {
         .write.mode("overwrite").parquet(s"$fatDir/ivf_fat")
       Similarity.pqEncode(docs, q.books, idCol = "doc_id")
         .write.mode("overwrite").parquet(s"$fatDir/pq_fat")
+      // the FLOAT-ONCE twin (storeEmbeddingsInDocs = false): same
+      // corpus, docs table without the embedding column — the
+      // round-15 layout that removes the docs/packed float duplication
+      val slimRoot = java.nio.file.Files.createTempDirectory("graft_storage_slim")
+      val stSlim = IngestState(slimRoot.toString)
+      ContinuousIngest.bootstrap(docs, stSlim,
+        p.copy(storeEmbeddingsInDocs = false))
       val out = Map[String, Long](
         "n" -> n, "dim" -> dim.toLong, "nlist" -> nlist.toLong,
         "docs" -> bytes(st.docsPath),
+        "docs_noemb" -> bytes(stSlim.docsPath),
         "ivf_slim" -> bytes(st.ivfPath),
         "ivf_fat" -> bytes(s"$fatDir/ivf_fat"),
         "ivf_packed" -> bytes(st.ivfPackedPath),
@@ -78,12 +86,23 @@ object StorageProbe {
       val slimTotal = out("ivf_slim") + out("ivf_packed") + out("pq_slim") +
         out("pq_packed")
       val fatTotal = out("ivf_fat") + out("ivf_packed") + out("pq_fat")
+      // corpus + index bytes under the three layouts: pre-slim-index
+      // (fat assignment + docs), slim-index (round 14), float-once
+      // docs (round 15)
+      val totalFatIdx = out("docs") + fatTotal
+      val totalR14 = out("docs") + slimTotal
+      val totalR15 = out("docs_noemb") + slimTotal
       println((out.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" } ++
         Seq(s""""index_slim_total":$slimTotal""",
             s""""index_fat_total":$fatTotal""",
-            f""""slim_over_fat":${slimTotal.toDouble / fatTotal}%.3f"""))
+            f""""slim_over_fat":${slimTotal.toDouble / fatTotal}%.3f""",
+            s""""corpus_index_fat":$totalFatIdx""",
+            s""""corpus_index_r14":$totalR14""",
+            s""""corpus_index_floatonce":$totalR15""",
+            f""""floatonce_over_r14":${totalR15.toDouble / totalR14}%.3f"""))
         .mkString("{", ",", "}"))
       rmTree(fatDir)
+      rmTree(slimRoot)
     } finally {
       rmTree(root)
     }

@@ -1383,7 +1383,11 @@ object CheckQueries extends QueryPack {
     //     (its digest left the admit table; the stale bloom bit only
     //     costs the verify join), while a surviving doc's text under a
     //     fresh id stays dropped — deletion changes dedup's answer for
-    //     the deleted content only.
+    //     the deleted content only;
+    //  7. filtered search law post-delete: the maintained filtered
+    //     face (eligible from the purged docs, widening re-derived)
+    //     leaks no deleted id and equals the one-shot filtered
+    //     operator over corpus-minus-deleted.
     // Texts are md5 strings (shingle-rich, mutually near-dup-safe) so
     // nearDup = true exercises the band-key purge without LSH noise.
     "check_delete" -> ((s, d) => scratchTable(s, d, "delete_viol") {
@@ -1454,10 +1458,36 @@ object CheckQueries extends QueryPack {
             coalesce(sum(size(split(col("text"), "\\s+")).cast("long")),
               lit(0L)).as("n_ws_tokens")),
           "delete_stats_extra", "delete_stats_missing")
+        // 7. FILTERED search law post-delete: the maintained filtered
+        //    face (eligible set derived from the PURGED docs table, the
+        //    widening re-derived from the purged assignment) neither
+        //    leaks a deleted id nor loses an eligible survivor — it
+        //    equals the one-shot filtered operator over
+        //    corpus-minus-deleted under the same persisted centroids
+        val eligPred = pmod(col("doc_id"), lit(3)) === 0
+        val fltDelViol = multisetDiffViolations(
+          ContinuousIngest.annIvfFilteredMaintained(s, st, p.ann.get,
+            docs.where(slice && !delPred), k = 3, nprobe = 2,
+            eligible = ContinuousIngest.readTable(s, st.docsPath)
+              .where(eligPred).select("doc_id"),
+            quantizers = Some(quant)),
+          Similarity.annIvfFiltered(docs.where(!delPred), 3, nlist = nlist,
+            nprobe = 2, corpusPred = eligPred, idCol = "doc_id",
+            queryPred = slice && !delPred, centroids = Some(quant.cents)),
+          "delete_flt_extra", "delete_flt_missing")
+        val fltDelLeak = ContinuousIngest.annIvfFilteredMaintained(s, st,
+            p.ann.get, docs.where(slice && !delPred), k = 3, nprobe = 2,
+            eligible = ContinuousIngest.readTable(s, st.docsPath)
+              .where(eligPred).select("doc_id"),
+            quantizers = Some(quant))
+          .where(pmod(col("nn_id"), lit(7)) === 0)
+          .select(concat(lit("delete_flt_leak="),
+            col("nn_id").cast("string")).as("violation"))
         // collect every law BEFORE the re-admission ingest mutates the
         // state the lazy frames read (and before the finally deletes it)
         val lawViol = ivfViol.unionByName(pqViol).unionByName(searchViol)
-          .unionByName(statsViol)
+          .unionByName(statsViol).unionByName(fltDelViol)
+          .unionByName(fltDelLeak)
           .collect().map(_.getString(0)).toSeq
         // re-admission LAST: one deleted doc's original row (must be
         // admitted — its digest is gone) + a surviving doc's text

@@ -208,6 +208,61 @@ object DocQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // the FLOAT-ONCE ingest lifecycle under the same hash gate:
+    // identical replayed-batch semantics to ingest_dedup_replay, but
+    // ann-enabled with storeEmbeddingsInDocs = false — the docs table
+    // carries no embedding column (the packed index segments are the
+    // only float store), every batch appends the maintained IVF/PQ/
+    // semantic tables through the hidden survivor stage, and the
+    // final batch is re-delivered once. The oracle is the same
+    // first-arrival window (storage layout must never change a dedup
+    // decision); the lifecycle side (slim docs + index parity through
+    // replay) is what the query exercises. Bootstrap is the deduped
+    // first range (ann needs a non-empty training corpus), so global
+    // first-arrival still holds.
+    "ingest_floatonce_replay" -> ((s, d) => {
+      import graft.streaming.ContinuousIngest
+      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+      val nAll = Tables.documentsCount(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false,
+        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))),
+        storeEmbeddingsInDocs = false)
+      val root = java.nio.file.Files.createTempDirectory("graft_ingest_fo")
+      try {
+        val st = IngestState(root.toString)
+        val r = docs.agg(min("doc_id"), max("doc_id")).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val k = 4
+        def batchOf(i: Int): DataFrame = {
+          val b0 = lo + (hi - lo + 1) * i / k
+          val b1 = lo + (hi - lo + 1) * (i + 1) / k
+          docs.where(col("doc_id") >= b0 && col("doc_id") < b1)
+        }
+        // bootstrap = the deduped first range (bootstrap writes its
+        // corpus verbatim, so within-range dups must drop here for
+        // the global first-arrival oracle to hold)
+        val b0 = batchOf(0)
+        ContinuousIngest.bootstrap(
+          b0.join(Dedup.exactDupFlags(b0).where(!col("is_dup"))
+            .select("doc_id"), Seq("doc_id"), "left_semi"), st, p)
+        (1 until k).foreach { i =>
+          ContinuousIngest.ingestBatch(batchOf(i), i.toLong, st, p) }
+        ContinuousIngest.ingestBatch(batchOf(k - 1), (k - 1).toLong, st, p)
+        ContinuousIngest.readTable(s, st.docsPath)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .localCheckpoint()
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // exact n-gram Jaccard near-dup pairs (the verifier path)
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), NGRAM, MINJAC)
@@ -789,6 +844,17 @@ object DocQueries extends QueryPack {
         |  SELECT doc_id, text,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
         |  FROM documents) WHERE rk = 1""".stripMargin,
+    // the float-once lifecycle must keep the SAME dedup answer — the
+    // storage layout (no embedding column in docs; floats only in the
+    // packed index segments) can never change a decision. Restricted
+    // to docs that have an embedding row (the ann lifecycle requires
+    // the column on every batch).
+    "ingest_floatonce_replay" ->
+      """SELECT doc_id, md5(text) AS digest FROM (
+        |  SELECT d.doc_id, d.text,
+        |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rk
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+        |WHERE rk = 1""".stripMargin,
     // identical answer by construction: the bloom pre-filter only
     // reroutes rows around the verify join, never changes the multiset
     "dedup_incremental_bloom" ->

@@ -300,12 +300,51 @@ object ContinuousIngest {
     * near-dup uses the maintained band-key table with these LSH
     * parameters. `nearDup = false` runs exact-only ingest. `ann`
     * additionally maintains the IVF inverted lists, PQ code table,
-    * and semantic spill-assignment table per batch. */
+    * and semantic spill-assignment table per batch.
+    *
+    * `storeEmbeddingsInDocs = false` is the FLOAT-ONCE storage layout
+    * (requires `ann`): the docs table drops the embedding column —
+    * the corpus floats live solely in the packed index segments,
+    * which the slim-index discipline already maintains exactly
+    * ([[graft.ops.Similarity.ivfUnpack]] restores every vector). At
+    * corpus scale the embedding column is the docs table's dominant
+    * bytes, so this removes the 2× float duplication the round-14
+    * notes called out. Consequences, all handled in-engine: serving
+    * reranks ALWAYS gather from the packed segments (the docs float
+    * column doesn't exist — [[annIvfPqMaintained]] switches
+    * automatically), [[rebuildIndexes]] reconstructs the training
+    * corpus via [[reconstructEmbeddings]] (exact up to the
+    * float-width cast — see that face's scaladoc), and ingest stages
+    * each batch's survivors (with floats) through a hidden dir so
+    * the index append never recomputes the dedup pipeline. The
+    * layout is stamped per root (`_GRAFT_DOCS_SLIM` in the docs dir)
+    * and a mismatched caller is refused loudly — mixing slim and fat
+    * batches in one docs table would break every reader. */
   final case class IngestParams(expectedDigests: Long, fpp: Double = 0.01,
                                 nearDup: Boolean = true, minJaccard: Double = 0.5,
                                 shingleN: Int = 3, numHashes: Int = 32,
                                 bands: Int = 8, seed: Long = 42L,
-                                ann: Option[AnnParams] = None)
+                                ann: Option[AnnParams] = None,
+                                storeEmbeddingsInDocs: Boolean = true)
+
+  private val DocsSlimMarker = "_GRAFT_DOCS_SLIM"
+
+  /** Is this root's docs table float-once (no embedding column)? */
+  def docsSlim(spark: SparkSession, st: IngestState): Boolean =
+    fsFor(spark, st.docsPath).exists(
+      new org.apache.hadoop.fs.Path(st.docsPath, DocsSlimMarker))
+
+  private def requireLayoutMatch(spark: SparkSession, st: IngestState,
+                                 p: IngestParams): Unit = {
+    val slim = docsSlim(spark, st)
+    require(slim == !p.storeEmbeddingsInDocs,
+      s"docs-layout drift: the root at ${st.root} is " +
+        s"${if (slim) "FLOAT-ONCE (slim)" else "embedding-carrying (fat)"} " +
+        s"but the caller's IngestParams.storeEmbeddingsInDocs=" +
+        s"${p.storeEmbeddingsInDocs} says otherwise — mixing layouts in " +
+        "one docs table breaks every reader; fix the params (or " +
+        "re-bootstrap under the intended layout)")
+  }
 
   /** The V2 digests schema marker (underscore-prefixed inside the
     * digests dir, so parquet readers skip it — the AnnConfigFile
@@ -349,6 +388,27 @@ object ContinuousIngest {
       length(col("text")).cast("long").as("n_chars"),
       size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"))
 
+  /** The corpus embeddings reconstructed from the packed float
+    * segments — the read face of the FLOAT-ONCE layout
+    * (`IngestParams.storeEmbeddingsInDocs = false`), and usable on
+    * any ann root: `(doc_id, <vecCol>)`, one row per indexed doc.
+    * [[graft.ops.Similarity.ivfUnpack]] restores the UNIT vectors
+    * [[graft.ops.Similarity.ivfAssign]] stored (exact doubles); the
+    * column is cast back to the corpus float width, so the result is
+    * schema-compatible with an embedding-carrying docs table. The
+    * cast is the one place the round trip is lossy: a rebuild that
+    * re-trains on reconstructed vectors normalizes
+    * `float(unit(f))` instead of `f` — unit-identical up to
+    * float-width rounding, so cell assignments, codes, and top-k
+    * answers agree wherever margins exceed ~1e-7 (DocsSlimSpec pins
+    * the id-level equality on the fixture), while float BYTES of
+    * retrained quantizers may differ in final ulps. */
+  def reconstructEmbeddings(spark: SparkSession, st: IngestState,
+                            a: AnnParams): DataFrame =
+    Similarity.ivfUnpack(readTable(spark, st.ivfPackedPath))
+      .select(col("nn_id").as("doc_id"),
+        col("vb").cast("array<float>").as(a.vecCol))
+
   /** Read a state table (union of all batch partitions), optionally
     * excluding one batch's partitions — the self-exclusion read used
     * while that batch is being processed. The `batch` lineage column
@@ -370,7 +430,16 @@ object ContinuousIngest {
     // against the old state first; on a fresh root this is one
     // existence check.
     recoverDeletes(corpus.sparkSession, st)
-    corpus.write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
+    require(p.storeEmbeddingsInDocs || p.ann.isDefined,
+      "storeEmbeddingsInDocs = false needs ann: the packed index " +
+        "segments are then the ONLY float store")
+    (if (p.storeEmbeddingsInDocs) corpus
+     else corpus.drop(p.ann.get.vecCol))
+      .write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
+    if (!p.storeEmbeddingsInDocs)
+      fsFor(corpus.sparkSession, st.docsPath).create(
+        new org.apache.hadoop.fs.Path(st.docsPath, DocsSlimMarker), true)
+        .close()
     digestRows(corpus)
       .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
     writeDigestsV2Marker(corpus.sparkSession, st)
@@ -529,7 +598,19 @@ object ContinuousIngest {
     // corpus read below is already purged and the rebuilt index never
     // contains the deleted docs.
     recoverDeletes(spark, st)
-    val corpus = readTable(spark, st.docsPath)
+    // FLOAT-ONCE roots reconstruct the training corpus from the packed
+    // segments (the only float store) — but only from a COMPLETE index
+    // set: rebuilding through a crashed append's gap would silently
+    // train and re-assign without that batch's vectors, so the parity
+    // guard runs first and names the replay remedy. The per-batch
+    // float reads all hit the OLD tables (the tmp build is a separate
+    // dir; the swap happens after every write commits).
+    val slim = docsSlim(spark, st)
+    if (slim) requireIndexBatchParity(spark, st, "rebuildIndexes")
+    def withFloats(df: DataFrame): DataFrame =
+      if (slim) df.join(reconstructEmbeddings(spark, st, a), Seq("doc_id"))
+      else df
+    val corpus = withFloats(readTable(spark, st.docsPath))
     require(corpus.limit(1).count() > 0,
       "rebuildIndexes needs a non-empty corpus to retrain the quantizers")
     val fs = fsFor(spark, st.root)
@@ -545,11 +626,11 @@ object ContinuousIngest {
       case None =>
         appendIndexes(corpus, -1L, tmpSt, a, q)
       case Some(b) =>
-        appendIndexes(readTable(spark, st.docsPath, excludeBatch = b),
+        appendIndexes(withFloats(readTable(spark, st.docsPath, excludeBatch = b)),
           -1L, tmpSt, a, q)
-        appendIndexes(spark.read.option("basePath", st.docsPath)
+        appendIndexes(withFloats(spark.read.option("basePath", st.docsPath)
             .parquet(st.docsPath)
-            .where(col("batch") === lit(b)).drop("batch"),
+            .where(col("batch") === lit(b)).drop("batch")),
           b, tmpSt, a, q)
     }
     // fresh reference era for the drift monitor: the rebuild IS a
@@ -994,7 +1075,10 @@ object ContinuousIngest {
         readTable(spark, st.pqPackedPath)
           .where(col("list").isin(probed.toSeq: _*)))
       .join(elig, Seq("nn_id"), "left_semi")
-    if (rerankFromIndex) {
+    // a FLOAT-ONCE root reranks from the packed segments (no docs
+    // float column exists — see annIvfPqMaintained)
+    val slim = docsSlim(spark, st)
+    if (rerankFromIndex || (slim && rerank >= math.max(1, k))) {
       // INDEX-ONLY filtered serving (the docs-free tier, filtered
       // twin of [[annIvfPqMaintained]]'s shape): the eligible-only
       // candidate codes re-pack per call (inherent — an ad-hoc
@@ -1010,11 +1094,15 @@ object ContinuousIngest {
         rerank, q, idCol, excludeSelf,
         codePacked = Some(Similarity.pqPack(index, m = packedAdcM(spark, st))))
     }
-    val corpus = readTable(spark, st.docsPath)
-      .select(col("doc_id").as(idCol), col(a.vecCol))
+    // rerank = 0 (the pure-ADC audit shape) never touches floats —
+    // a slim root passes no corpus
+    val corpus =
+      if (slim) None
+      else Some(readTable(spark, st.docsPath)
+        .select(col("doc_id").as(idCol), col(a.vecCol)))
     Similarity.annIvfPqFromIndex(index, queries, k, nprobeEff, q.cents,
       q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
-      corpus = Some(corpus), excludeSelf = excludeSelf)
+      corpus = corpus, excludeSelf = excludeSelf)
   }
 
   /** The five maintained index tables (assignment, packed float
@@ -1202,7 +1290,11 @@ object ContinuousIngest {
                          rerankFromIndex: Boolean = false): DataFrame = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfPqMaintained")
-    if (rerankFromIndex) {
+    // a FLOAT-ONCE root has no docs float column — reranks ALWAYS
+    // gather from the packed segments there (same answers: the index
+    // store serves the exact unit vectors the docs shape normalizes to)
+    val slim = docsSlim(spark, st)
+    if (rerankFromIndex || (slim && rerank >= math.max(1, k))) {
       require(rerank >= math.max(1, k),
         s"annIvfPqMaintained: rerankFromIndex needs a rerank stage " +
           s"(rerank=$rerank < k=$k) — the pure-ADC face has no float reads " +
@@ -1210,25 +1302,31 @@ object ContinuousIngest {
       return annIvfPqIndexRerank(spark, st, a, queries, k, nprobe, rerank,
         q, idCol, excludeSelf)
     }
-    val corpus = readTable(spark, st.docsPath)
-      .select(col("doc_id").as(idCol), col(a.vecCol))
-    if (rerank >= math.max(1, k))
+    if (rerank >= math.max(1, k)) {
       // the product path: scan the PERSISTED code segments — no
       // corpus-sized ivf ⋈ pq join, no per-call re-pack (measured
       // 3.0 s of a 3.2 s serving batch before pack-once)
+      val corpus = readTable(spark, st.docsPath)
+        .select(col("doc_id").as(idCol), col(a.vecCol))
       Similarity.annIvfPqFromPacked(readTable(spark, st.pqPackedPath),
         queries, k, nprobe, q.cents, q.books, rerank = rerank,
         idCol = idCol, vecCol = a.vecCol,
         corpus = Some(corpus), excludeSelf = excludeSelf)
-    else {
+    } else {
       // rerank = 0 is the pure-ADC audit face (the degenerate-law
-      // shape) — rare, and served from the core tables
+      // shape) — rare, served from the core tables, and float-free
+      // (corpus is only consulted when rerank > 0, so a slim root
+      // passes None)
       val index = readTable(spark, st.ivfPath).select("nn_id", "list")
         .join(readTable(spark, st.pqPath)
           .select(col("vec_id").as("nn_id"), col("codes")), "nn_id")
+      val corpus =
+        if (slim) None
+        else Some(readTable(spark, st.docsPath)
+          .select(col("doc_id").as(idCol), col(a.vecCol)))
       Similarity.annIvfPqFromIndex(index, queries, k, nprobe,
         q.cents, q.books, rerank = rerank, idCol = idCol, vecCol = a.vecCol,
-        corpus = Some(corpus), excludeSelf = excludeSelf)
+        corpus = corpus, excludeSelf = excludeSelf)
     }
   }
 
@@ -1364,6 +1462,7 @@ object ContinuousIngest {
         st.root, DeletePendingDir)),
       s"a pending deleteDocs tombstone exists under ${st.root} — run " +
         "recoverDeletes(spark, st) (or re-issue the delete) before ingesting")
+    requireLayoutMatch(spark, st, p)
     val local = batch.join(
       Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -1393,8 +1492,26 @@ object ContinuousIngest {
     // storage — blocks that outlive the batch and accumulate across a
     // long-lived driver; parquet-on-state-dir is the same durability
     // the table needs anyway, for free.)
-    kept.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
-    val survivors = spark.read.parquet(s"${st.docsPath}/batch=$batchId")
+    // float-once layout: the survivor pin (with floats — the index
+    // append's input) goes to a HIDDEN stage dir, the visible docs
+    // partition is written slim from it, and the stage is dropped once
+    // the index writes land. The stage plays exactly the docs-write's
+    // pin role (kept's self-excluded reads are fixed on disk before
+    // any state moves); a crash leaves only hidden dirs the replay
+    // overwrites, and compactState sweeps orphans below the horizon.
+    val slim = !p.storeEmbeddingsInDocs
+    val stage = s"${st.docsPath}/$IngestStagePrefix$batchId"
+    val survivors =
+      if (slim) {
+        kept.write.mode("overwrite").parquet(stage)
+        val pinned = spark.read.parquet(stage)
+        pinned.drop(p.ann.get.vecCol)
+          .write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
+        pinned
+      } else {
+        kept.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
+        spark.read.parquet(s"${st.docsPath}/batch=$batchId")
+      }
     // a legacy (pre-V2) root keeps its bare-digest schema until
     // migrateDigests rebuilds it — appending V2 rows into a legacy
     // table would mix schemas behind one path
@@ -1413,8 +1530,15 @@ object ContinuousIngest {
       appendIndexes(survivors, batchId, st, a,
         quantizers.getOrElse(loadQuantizers(spark, st, a)))
     }
-    survivors
+    if (slim) {
+      fsFor(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
+      // the stage is gone — hand back the STORED survivor rows (the
+      // slim partition), not a frame over a deleted dir
+      spark.read.parquet(s"${st.docsPath}/batch=$batchId")
+    } else survivors
   }
+
+  private val IngestStagePrefix = ".ingest_stage_batch="
 
   /** One batch's contribution to the maintained corpus accounting —
     * a 1-row mergeable partial aggregate (counts and sums only, no
@@ -1429,14 +1553,26 @@ object ContinuousIngest {
   /** Corpus totals from the maintained stats table — incremental view
     * maintenance for the accounting a nightly run reports: one
     * metadata-sized scan over #batches 1-row partials instead of a
-    * full corpus re-aggregation. Same replay contract as every other
-    * state table (per-batch partition overwrite ⇒ idempotent), and
-    * equality with a from-scratch aggregation of the docs table is
-    * pinned by ContinuousIngestSpec. */
-  def readStats(spark: SparkSession, st: IngestState): DataFrame =
-    readTable(spark, st.statsPath)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
-        sum(col("n_ws_tokens")).as("n_ws_tokens"))
+    * full corpus re-aggregation, PLUS the op-keyed negative partials
+    * completed deletes leave under `stats_deltas/` (one 1-row partial
+    * per takedown application — V2 roots adjust accounting without
+    * ever re-scanning corpus text). Same replay contract as every
+    * other state table (per-batch / per-op overwrite ⇒ idempotent),
+    * and equality with a from-scratch aggregation of the purged docs
+    * table is pinned by ContinuousIngestSpec through deletes. */
+  def readStats(spark: SparkSession, st: IngestState): DataFrame = {
+    val base = readTable(spark, st.statsPath)
+    val all =
+      if (fsFor(spark, st.statsDeltasPath).exists(
+          new org.apache.hadoop.fs.Path(st.statsDeltasPath)))
+        base.unionByName(
+          spark.read.option("basePath", st.statsDeltasPath)
+            .parquet(st.statsDeltasPath)
+            .select("n_docs", "n_chars", "n_ws_tokens"))
+      else base
+    all.agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+      sum(col("n_ws_tokens")).as("n_ws_tokens"))
+  }
 
   // both maintained cell tables are monitorable: the semantic
   // spill assignments (cluster) and the IVF inverted lists (list)
@@ -1612,6 +1748,16 @@ object ContinuousIngest {
       .filter(_.getPath.getName.stripPrefix(".assign_tmp_batch=")
         .toLong <= upToBatch)
       .foreach(s => ivfFs.delete(s.getPath, true))
+    // ...and the float-once layout's survivor stages (same orphan
+    // rule: an in-flight batch's stage is left for its replay)
+    val docsRoot = new org.apache.hadoop.fs.Path(st.docsPath)
+    val docsFs = fsFor(spark, st.docsPath)
+    if (docsFs.exists(docsRoot)) docsFs.listStatus(docsRoot)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(IngestStagePrefix))
+      .filter(_.getPath.getName.stripPrefix(IngestStagePrefix)
+        .toLong <= upToBatch)
+      .foreach(s => docsFs.delete(s.getPath, true))
     // the packed-segment table is DERIVED data: consolidating it is a
     // RE-PACK (unpack the per-batch segments, re-segment the union),
     // not a row union — per-batch packs of small batches fragment into
@@ -1772,7 +1918,8 @@ object ContinuousIngest {
     *    and [[indexDrift]] should see them.
     *
     * CRASH-SAFE, idempotent, retry-to-complete: the tombstone set
-    * (doc_id, batch, digest) is captured and committed to a hidden
+    * (doc_id, digest, carry flag, op identity [, per-doc stats
+    * factors on V2]) is captured and committed to a hidden
     * pending dir FIRST (gated on Spark's `_SUCCESS`, like
     * compaction's tmp); each partition rewrite goes through a marked
     * `.purge_tmp_batch=` swap with the same recovery rules as
@@ -1797,56 +1944,105 @@ object ContinuousIngest {
     * would resurrect the doc in every table at once (re-issue the
     * delete after the drain instead). `ids` must be broadcastable
     * (takedown-scale, not corpus-scale — removing a large fraction of
-    * the corpus is a [[rebuildIndexes]]-class operation). Cost: two
-    * column-pruned passes over the docs table (the id match and the
-    * survivor digest-carry check), one pruned key-column detection
-    * scan per table, one rewrite per affected partition per table,
-    * and one text-column pass for the wholesale stats re-anchor.
+    * the corpus is a [[rebuildIndexes]]-class operation).
+    *
+    * Cost, on a V2-digests root (any root bootstrapped at or after
+    * the per-doc digest schema — [[migrateDigests]] upgrades older
+    * ones): NO corpus text reads at all. The capture and the
+    * survivor digest-carry check are joins against the slim per-doc
+    * digest table (~50 bytes/row, column-pruned), the stats
+    * adjustment is a 1-row NEGATIVE partial summed from the captured
+    * per-doc factors (op-keyed + overwrite-idempotent, the audit
+    * log's crash discipline), and the only remaining I/O is the
+    * per-table pruned key-column detection scans plus one rewrite per
+    * AFFECTED partition per table (which rewrites whatever columns
+    * that partition holds — text is touched only inside affected docs
+    * partitions, never corpus-wide; ContinuousIngestSpec pins this by
+    * deleting from a root whose docs table has NO text column at
+    * all). A legacy root keeps the pre-V2 shape (two corpus text
+    * passes + wholesale stats re-anchor) until migrated.
     *
     * Returns the number of distinct docs actually deleted (requested
     * ids absent from the corpus are ignored). */
   def deleteDocs(spark: SparkSession, st: IngestState, ids: DataFrame): Long = {
-    import org.apache.hadoop.fs.{Path => HPath}
     // complete crashed maintenance first — the capture below must see
     // a consistent root (this call is in the single-writer maintenance
     // context, the rebuildIndexes contract)
     recoverIndexSwap(spark, st, asWriter = true)
     recoverDeletes(spark, st)
-    val fs = fsFor(spark, st.root)
-    val capture = new HPath(st.root, DeleteCaptureDir)
-    val pending = new HPath(st.root, DeletePendingDir)
-    fs.delete(capture, true)
-    val docsB = readTable(spark, st.docsPath)
-    val del = ids.select(col("doc_id")).distinct()
-    // pass 1 — capture (doc_id, digest) of every matched doc;
-    // materialized (hidden dir, no authority) so the carry check and
-    // the tombstone write don't recompute the corpus join
-    docsB.join(broadcast(del), Seq("doc_id"))
-      .select(col("doc_id"), md5(col("text")).as("digest"))
-      .coalesce(1).write.mode("overwrite").parquet(capture.toString)
-    val hit = spark.read.parquet(capture.toString)
-    // pass 2 — a digest leaves the admit table only when NO surviving
-    // doc still carries it (non-deduplicated bootstrap corpora can
-    // hold several doc_ids with one text); column-pruned content-hash
-    // pass over survivors, pre-filtered by the broadcast tomb digests
-    val carried = docsB.join(broadcast(del), Seq("doc_id"), "left_anti")
-      .select(md5(col("text")).as("digest"))
-      .join(broadcast(hit.select("digest").distinct()), Seq("digest"), "left_semi")
-      .distinct()
     // op identity + request time ride the committed intent, so the
     // audit row is deterministic across recovery re-runs (stamped at
     // capture, not completion) and the log write can be keyed +
     // overwrite-idempotent
     val opId = java.util.UUID.randomUUID().toString
+    captureTombstone(spark, st,
+      ids.select(col("doc_id")).distinct()
+        .withColumn("op_id", lit(opId))
+        .withColumn("requested_at", current_timestamp()))
+    applyPendingDelete(spark, st)
+  }
+
+  /** Capture + commit the tombstone intent for `reqs` — `(doc_id,
+    * op_id, requested_at)` rows, possibly spanning several takedown
+    * requests ([[processDeleteQueue]] passes a union of queued ops; a
+    * doc named by two requests purges once but is attributed to BOTH
+    * ops in the audit log). Ids absent from the corpus drop out here.
+    * On a V2 root both passes join the slim per-doc digest table
+    * (metadata cost, no text reads); on a legacy root they hash
+    * corpus text (the pre-V2 shape). The capture dir is hidden
+    * staging with no authority; the pending dir's `_SUCCESS` is the
+    * commit point. */
+  private def captureTombstone(spark: SparkSession, st: IngestState,
+                               reqs: DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.root)
+    val capture = new HPath(st.root, DeleteCaptureDir)
+    val pending = new HPath(st.root, DeletePendingDir)
+    fs.delete(capture, true)
+    val del = reqs.select("doc_id").distinct()
+    val v2 = digestsV2(spark, st)
+    // pass 1 — capture the matched docs' (doc_id, digest [, per-doc
+    // stats factors]); materialized (hidden dir, no authority) so the
+    // carry check and the tombstone write don't recompute the join
+    (if (v2)
+       readTable(spark, st.digestsPath)
+         .join(broadcast(del), Seq("doc_id"))
+         .select(col("doc_id"), col("text").as("digest"),
+           col("n_chars"), col("n_ws_tokens"))
+     else
+       readTable(spark, st.docsPath)
+         .join(broadcast(del), Seq("doc_id"))
+         .select(col("doc_id"), md5(col("text")).as("digest")))
+      .coalesce(1).write.mode("overwrite").parquet(capture.toString)
+    val hit = spark.read.parquet(capture.toString)
+    // pass 2 — a digest leaves the admit table only when NO surviving
+    // doc still carries it (non-deduplicated bootstrap corpora can
+    // hold several doc_ids with one text); a slim digest-table
+    // self-check on V2, a column-pruned content-hash pass over
+    // survivors on legacy — both pre-filtered by the broadcast tomb
+    // digests
+    val carried =
+      (if (v2)
+         readTable(spark, st.digestsPath)
+           .join(broadcast(del), Seq("doc_id"), "left_anti")
+           .select(col("text").as("digest"))
+       else
+         readTable(spark, st.docsPath)
+           .join(broadcast(del), Seq("doc_id"), "left_anti")
+           .select(md5(col("text")).as("digest")))
+        .join(broadcast(hit.select("digest").distinct()), Seq("digest"), "left_semi")
+        .distinct()
     hit.join(broadcast(carried.withColumn("_carried", lit(true))),
         Seq("digest"), "left")
-      .select(col("doc_id"), col("digest"),
-        col("_carried").isNull.as("purge_digest"),
-        lit(opId).as("op_id"),
-        current_timestamp().as("requested_at"))
+      .join(broadcast(reqs.select("doc_id", "op_id", "requested_at")),
+        Seq("doc_id"))
+      .select(Seq(col("doc_id"), col("digest"),
+          col("_carried").isNull.as("purge_digest"),
+          col("op_id"), col("requested_at")) ++
+        (if (v2) Seq(col("n_chars"), col("n_ws_tokens")) else Nil): _*)
       .coalesce(1).write.mode("overwrite").parquet(pending.toString)
     fs.delete(capture, true)
-    applyPendingDelete(spark, st)
+    ()
   }
 
   /** Complete a [[deleteDocs]] interrupted by a crash. Idempotent and
@@ -1901,16 +2097,21 @@ object ContinuousIngest {
     * crash contract — index tables first, docs, stats, digests LAST
     * (see [[deleteDocs]]).
     *
-    * Stats are re-anchored WHOLESALE (all partials replaced by one
-    * consolidated partial over the purged docs table, installed under
-    * the highest existing stats id through the marked-tmp swap):
-    * per-partition recompute would need a docs↔stats dir
-    * correspondence that diverged layouts don't guarantee, and the
-    * one text-column scan is the same cost class as the digest-carry
-    * pass the capture already pays. A crash between installing the
-    * consolidated partial and clearing the old ones double-counts
-    * only until recovery re-runs — the pending dir retires strictly
-    * last. */
+    * Stats: a V2 tombstone carries the per-doc length/token factors
+    * captured from the digest table, so the adjustment is ONE 1-row
+    * NEGATIVE partial (count/char/token sums over the distinct
+    * tombstoned docs) written op-keyed under `stats_deltas/` —
+    * overwrite-idempotent across recovery re-runs (the tombstone is
+    * the deterministic input), summed by [[readStats]] beside the
+    * per-batch positives, and never touching corpus text. A legacy
+    * tombstone (no factors) falls back to the WHOLESALE re-anchor:
+    * all partials replaced by one consolidated partial over the
+    * purged docs table, installed under the highest existing stats id
+    * through the marked-tmp swap — per-partition recompute would need
+    * a docs↔stats dir correspondence that diverged layouts don't
+    * guarantee. A crash anywhere between the stats adjustment and the
+    * pending retire replays idempotently — the pending dir retires
+    * strictly last. */
   private def applyPendingDelete(spark: SparkSession, st: IngestState): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
@@ -1959,14 +2160,32 @@ object ContinuousIngest {
           .foreach(b => rewritePartition(spark, path, b, purge))
       }
     }
-    // stats: wholesale re-anchor over the purged docs table (see
-    // scaladoc) — UNCONDITIONAL while a pending delete is being
-    // applied, because no cheap signal distinguishes "already
-    // re-anchored by the crashed attempt" from "still stale" across
-    // every layout (docs reads as fully purged on any recovery
-    // re-run); one extra text-column pass per delete buys
-    // always-correct accounting
-    if (fs.exists(new HPath(st.statsPath)) &&
+    // stats. V2 tombstones (per-doc factors captured from the digest
+    // table) subtract a 1-row NEGATIVE partial — op-keyed overwrite
+    // under stats_deltas/, deterministic from the committed tombstone,
+    // so recovery re-runs rewrite identical rows; corpus text is never
+    // read. Legacy tombstones re-anchor WHOLESALE (see scaladoc) —
+    // UNCONDITIONAL while a pending delete is being applied, because
+    // no cheap signal distinguishes "already re-anchored by the
+    // crashed attempt" from "still stale" across every layout.
+    val n = tombIds.count()
+    val v2Pending = tomb.columns.contains("n_chars")
+    if (v2Pending) {
+      if (n > 0 && fs.exists(new HPath(st.statsPath))) {
+        // one delta per APPLICATION (a queued multi-op purge is one
+        // application): keyed by the lexicographically first op id —
+        // deterministic across recovery re-runs, unique because every
+        // op retires with exactly one successful application
+        val deltaOp = tomb.agg(min(col("op_id"))).head().getString(0)
+        tomb.select("doc_id", "n_chars", "n_ws_tokens").distinct()
+          .agg((-count(lit(1))).cast("long").as("n_docs"),
+            (-coalesce(sum(col("n_chars")), lit(0L))).cast("long").as("n_chars"),
+            (-coalesce(sum(col("n_ws_tokens")), lit(0L))).cast("long")
+              .as("n_ws_tokens"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${st.statsDeltasPath}/op=$deltaOp")
+      }
+    } else if (fs.exists(new HPath(st.statsPath)) &&
         fs.exists(new HPath(st.docsPath))) {
       resolvePurgeTmps(spark, st.statsPath)
       val statDirs = fs.listStatus(new HPath(st.statsPath))
@@ -1984,31 +2203,145 @@ object ContinuousIngest {
     // the admit key goes last — a digest is never gone while its doc
     // remains, so every crash window keeps exact-dup admission
     // conservative (identical re-ingest stays dropped until the
-    // delete fully completes)
+    // delete fully completes). On a V2 root the rows are per-doc, so
+    // the purge is the same doc_id anti-join as every other table —
+    // carried digests survive automatically because their surviving
+    // docs' rows stay; legacy purges by digest under the carry flag.
     if (fs.exists(new HPath(st.digestsPath))) {
       resolvePurgeTmps(spark, st.digestsPath)
-      affected(st.digestsPath, "text", packedIds = false,
-          keys = digs, keysCol = "digest")
-        .foreach(b => rewritePartition(spark, st.digestsPath, b,
-          anti("text", digs, "digest")))
+      if (digestsV2(spark, st))
+        affected(st.digestsPath, "doc_id", packedIds = false)
+          .foreach(b => rewritePartition(spark, st.digestsPath, b,
+            anti("doc_id")))
+      else
+        affected(st.digestsPath, "text", packedIds = false,
+            keys = digs, keysCol = "digest")
+          .foreach(b => rewritePartition(spark, st.digestsPath, b,
+            anti("text", digs, "digest")))
     }
     // audit trail BEFORE the intent retires: a takedown must stay
     // provable after its tombstone is destroyed. (doc_id, op_id,
     // requested_at) only — deliberately NO digest and NO text, so the
     // log itself cannot resurrect the forgotten content. Keyed by the
-    // capture-stamped op id and written with overwrite, so a recovery
-    // re-run rewrites the same rows instead of duplicating them; a
-    // crash between this write and the pending delete below replays
-    // into the same op dir.
-    val n = tombIds.count()
+    // capture-stamped op ids (one dir per op — a queued purge logs
+    // each request under its own op) and written with overwrite, so a
+    // recovery re-run rewrites the same rows instead of duplicating
+    // them; a crash between these writes and the pending delete below
+    // replays into the same op dirs.
     if (n > 0) {
-      val opId = tomb.select("op_id").head().getString(0)
-      tomb.select(col("doc_id"), col("op_id"), col("requested_at"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${st.root}/deletes_log/op=$opId")
+      tomb.select("op_id").distinct().collect().map(_.getString(0))
+        .foreach { opId =>
+          tomb.where(col("op_id") === lit(opId))
+            .select(col("doc_id"), col("op_id"), col("requested_at"))
+            .distinct()
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"${st.root}/deletes_log/op=$opId")
+        }
     }
     fs.delete(pending, true)
     n
+  }
+
+  private val DeleteQueueDir = ".delete_queue"
+
+  /** Queue a takedown request WITHOUT purging — the batched-takedown
+    * face: requests accumulate as committed id sets (one `op=` dir
+    * each, `_SUCCESS`-gated) and [[processDeleteQueue]] drains them
+    * ALL in ONE purge pass, so N queued requests cost one set of
+    * detection scans + partition rewrites instead of N (the per-op
+    * fixed job overhead is the dominant cost of small takedowns —
+    * measured ~12 s per op at 200k docs, almost all of it
+    * per-rewrite job overhead that batching amortizes). Queued
+    * requests don't block ingest (only an in-flight tombstone intent
+    * does); each request keeps its own op identity + request
+    * timestamp, so the audit log attributes every doc to the request
+    * that named it even through a coalesced purge. Returns the
+    * request's op id. */
+  def enqueueDelete(spark: SparkSession, st: IngestState,
+                    ids: DataFrame): String = {
+    val opId = java.util.UUID.randomUUID().toString
+    ids.select(col("doc_id")).distinct()
+      .withColumn("op_id", lit(opId))
+      .withColumn("requested_at", current_timestamp())
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${st.root}/$DeleteQueueDir/op=$opId")
+    opId
+  }
+
+  /** Drain every committed queued takedown request in ONE purge pass:
+    * union the request id sets, capture ONE tombstone intent (docs
+    * named by several requests purge once, audit under each), apply
+    * it, then retire the drained request dirs. Crash-safe by
+    * composition of the existing disciplines: a crash after the
+    * intent committed is completed by [[recoverDeletes]] (run here
+    * first, like every maintenance face), and the re-capture of
+    * already-purged ids is empty, so the retirement converges with
+    * nothing double-counted (the audit and stats-delta writes are
+    * op-keyed overwrites). A request dir WITHOUT `_SUCCESS` is a
+    * crashed [[enqueueDelete]] whose caller never received an op id —
+    * discarded with a warning. Same contract as [[deleteDocs]]
+    * otherwise (single-writer maintenance context, between batches,
+    * committed ids only — judged at PROCESS time). Returns the number
+    * of distinct docs purged by this drain. */
+  def processDeleteQueue(spark: SparkSession, st: IngestState): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    recoverIndexSwap(spark, st, asWriter = true)
+    recoverDeletes(spark, st)
+    val fs = fsFor(spark, st.root)
+    val qRoot = new HPath(st.root, DeleteQueueDir)
+    if (!fs.exists(qRoot)) return 0L
+    val dirs = fs.listStatus(qRoot).filter(_.isDirectory).map(_.getPath)
+    val (committed, torn) =
+      dirs.partition(d => fs.exists(new HPath(d, "_SUCCESS")))
+    torn.foreach { d =>
+      Console.err.println(s"[graft] WARNING: discarding an uncommitted " +
+        s"takedown request at $d (a crashed enqueueDelete — its caller " +
+        "never received an op id); re-issue the request if it was real.")
+      fs.delete(d, true)
+    }
+    if (committed.isEmpty) return 0L
+    val reqs = spark.read.parquet(committed.map(_.toString).toSeq: _*)
+      .select("doc_id", "op_id", "requested_at")
+    captureTombstone(spark, st, reqs)
+    val n = applyPendingDelete(spark, st)
+    // retire the drained requests strictly AFTER the purge completed —
+    // a crash above replays into an empty re-capture (ids already
+    // purged), and the queue clears on the retry
+    committed.foreach(d => fs.delete(d, true))
+    n
+  }
+
+  /** MIGRATION: rebuild the digests table from docs in the V2 per-doc
+    * schema — `(doc_id, text = md5, n_chars, n_ws_tokens)` — and
+    * stamp the marker that switches [[deleteDocs]] onto the
+    * no-text-scan paths. One text-column pass over the corpus, ONCE;
+    * after it every takedown is metadata-cost (see [[deleteDocs]]).
+    * The digest table's content is derivable from docs alone (it is
+    * exactly md5 over the corpus), so the rebuild writes one digests
+    * partition per DOCS batch dir and deletes digests dirs docs
+    * doesn't have (layouts can diverge through crashed compactions;
+    * content equality is what matters, and readers take the union).
+    * Idempotent and crash-tolerant: a crash mid-migration leaves a
+    * mixed-schema table WITHOUT the marker — every digest reader
+    * selects the shared `text` column, so admission stays correct,
+    * deletes keep the legacy path, and a re-run completes the
+    * migration. No-op on a root that is already V2. */
+  def migrateDigests(spark: SparkSession, st: IngestState): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    // a pending tombstone belongs to the OLD schema's delete path —
+    // complete it against the state it captured first
+    recoverDeletes(spark, st)
+    if (digestsV2(spark, st)) return
+    val fs = fsFor(spark, st.root)
+    val docDirs = batchDirNames(spark, st.docsPath)
+    docDirs.foreach { b =>
+      digestRows(spark.read.parquet(s"${st.docsPath}/$b"))
+        .write.mode("overwrite").parquet(s"${st.digestsPath}/$b")
+    }
+    (batchDirNames(spark, st.digestsPath) -- docDirs).foreach { b =>
+      fs.delete(new HPath(s"${st.digestsPath}/$b"), true)
+    }
+    writeDigestsV2Marker(spark, st)
   }
 
   /** The takedown audit log: one row per deleted doc per completed

@@ -1390,10 +1390,15 @@ class ContinuousIngestSpec extends SparkSpec {
     // everything to exactly the reference outcome.
     val delTexts = Map(1001L -> text(1001L), 1005L -> text(1005L),
       102L -> text(2), 103L -> text(3), 303L -> text(9))
+    // the V2 tombstone shape deleteDocs captures on this root: digest
+    // + the per-doc stats factors (the negative-partial input), so the
+    // recovery drives the same no-text-scan paths as the direct twin
     delIds.map(i => (i, delTexts(i))).toDF("doc_id", "t")
       .select(col("doc_id"), md5(col("t")).as("digest"),
         lit(true).as("purge_digest"), lit("op-crash-w2").as("op_id"),
-        current_timestamp().as("requested_at"))
+        current_timestamp().as("requested_at"),
+        length(col("t")).cast("long").as("n_chars"),
+        size(split(col("t"), "\\s+")).cast("long").as("n_ws_tokens"))
       .coalesce(1).write.parquet(pending.toString)
     // half-purged ivf: batch 0 already rewritten by the crashed run
     val ivf0 = s"${stB.ivfPath}/batch=0"
@@ -1447,6 +1452,11 @@ class ContinuousIngestSpec extends SparkSpec {
     deleteStateTables(stA).zip(deleteStateTables(stB)).foreach {
       case ((name, a), (_, b)) => assertSameTable(s"recovered $name", a, b)
     }
+    // the negative stats partials (delta dirs are op-keyed, so compare
+    // the merged view) agree with the direct twin
+    assert(ContinuousIngest.readStats(spark, stA).collect().toSeq ===
+      ContinuousIngest.readStats(spark, stB).collect().toSeq,
+      "recovered stats totals differ from the direct twin")
     // the audit trail survives the crash recovery: exactly the
     // tombstone set under the intent's op id, nothing duplicated by
     // the recovery replay, and no content-bearing column
@@ -1562,6 +1572,160 @@ class ContinuousIngestSpec extends SparkSpec {
         sum(size(split(col("text"), "\\s+")).cast("long")))
       .as[(Long, Long, Long)].head()
     assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
+  }
+
+  /** THE no-text-scan pin for V2 deletes: strip the text column from
+    * every docs partition, then delete — if ANY delete-path job read
+    * docs.text (the pre-V2 capture, carry check, or wholesale stats
+    * re-anchor), analysis would fail loudly. Affected docs partitions
+    * still rewrite (whatever columns they hold); the stats adjustment
+    * comes from the captured per-doc factors. */
+  test("V2 delete never reads corpus text: a docs table with NO text column purges fine") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    import java.util.Comparator
+    val root = freshRoot()
+    val (st, _) = builtAnnRoot(s"$root/a")
+    val preStats = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    // factors of the docs about to be deleted, for the stats law below
+    val delFactors = ContinuousIngest.readTable(spark, st.docsPath)
+      .where(col("doc_id").isin(delIds: _*))
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    // strip text from every docs partition (metadata-equivalent of a
+    // deployment that keeps text elsewhere)
+    val docsDir = new java.io.File(st.docsPath)
+    docsDir.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("batch=")).foreach { d =>
+      val slim = spark.read.parquet(d.toString).drop("text").localCheckpoint()
+      JFiles.walk(d.toPath).sorted(Comparator.reverseOrder[JPath]())
+        .forEach(f => JFiles.deleteIfExists(f))
+      slim.write.parquet(d.toString)
+    }
+    val n = ContinuousIngest.deleteDocs(spark, st, delIds.toDF("doc_id"))
+    assert(n === delIds.size.toLong, s"textless delete purged $n")
+    deleteStateTables(st).foreach { case (name, df) =>
+      df.columns.find(Set("doc_id", "nn_id", "vec_id", "id")).foreach { c =>
+        assert(df.where(col(c).isin(delIds: _*)).count() === 0L,
+          s"$name still holds deleted ids on the textless root")
+      }
+    }
+    // accounting adjusted purely from the captured factors
+    val post = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    assert(post === (preStats._1 - delFactors._1, preStats._2 - delFactors._2,
+      preStats._3 - delFactors._3),
+      s"textless-delete stats: $post vs pre=$preStats minus del=$delFactors")
+  }
+
+  /** Legacy (pre-V2) roots: the bare-digest schema keeps working on
+    * the old delete path, and `migrateDigests` upgrades it in place —
+    * one text pass, after which the root behaves exactly like a
+    * natively-V2 twin. */
+  test("legacy digest roots: old delete path still correct; migrateDigests upgrades to the V2 twin") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    import java.util.Comparator
+    val root = freshRoot()
+    // build two identical V2 roots, then DOWNGRADE both to the
+    // faithful legacy layout (bare digest column, no marker)
+    def downgrade(st: IngestState): Unit = {
+      val digDir = new java.io.File(st.digestsPath)
+      digDir.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("batch=")).foreach { d =>
+        val legacy = spark.read.parquet(d.toString)
+          .select("text").localCheckpoint()
+        JFiles.walk(d.toPath).sorted(Comparator.reverseOrder[JPath]())
+          .forEach(f => JFiles.deleteIfExists(f))
+        legacy.write.parquet(d.toString)
+      }
+      JFiles.deleteIfExists(JPath.of(st.digestsPath, "_GRAFT_DIGESTS_V2"))
+      ()
+    }
+    val (stL, pl) = builtAnnRoot(s"$root/legacy")
+    val (stM, _) = builtAnnRoot(s"$root/migrated")
+    downgrade(stL); downgrade(stM)
+    // legacy path: the delete works via the text-scan shape
+    assert(ContinuousIngest.deleteDocs(spark, stL,
+      delIds.toDF("doc_id")) === delIds.size.toLong)
+    // ...with correct containment, stats, and re-admission
+    assert(ContinuousIngest.readTable(spark, stL.docsPath)
+      .where(col("doc_id").isin(delIds: _*)).count() === 0L)
+    val gotL = ContinuousIngest.readStats(spark, stL)
+      .as[(Long, Long, Long)].head()
+    val wantL = ContinuousIngest.readTable(spark, stL.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotL === wantL, s"legacy-path stats $gotL != $wantL")
+    val readmitL = ContinuousIngest.ingestBatch(
+      Seq((801L, text(1005L), annEmb(801L))).toDF("doc_id", "text", "embedding"),
+      3L, stL, pl).count()
+    assert(readmitL === 1L, "legacy-path delete must re-admit the deleted text")
+    // migration: one pass, marker stamped, digests == the V2 recompute
+    ContinuousIngest.migrateDigests(spark, stM)
+    assert(JFiles.exists(JPath.of(stM.digestsPath, "_GRAFT_DIGESTS_V2")),
+      "migration must stamp the V2 marker")
+    val mig = ContinuousIngest.readTable(spark, stM.digestsPath)
+    val want = ContinuousIngest.readTable(spark, stM.docsPath)
+      .select(col("doc_id"), md5(col("text")).as("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"))
+    assertSameTable("migrated digests", mig, want)
+    // and the migrated root deletes down the V2 path to the same
+    // outcome as the legacy-path twin
+    assert(ContinuousIngest.deleteDocs(spark, stM,
+      delIds.toDF("doc_id")) === delIds.size.toLong)
+    assertSameTable("migrated-vs-legacy docs",
+      ContinuousIngest.readTable(spark, stM.docsPath),
+      ContinuousIngest.readTable(spark, stL.docsPath)
+        .where(col("doc_id") =!= 801L))
+    // wantL was captured BEFORE stL's 801 re-admission, so it is
+    // exactly the purged-corpus accounting the migrated root must show
+    assert(ContinuousIngest.readStats(spark, stM)
+        .as[(Long, Long, Long)].head()._1 === wantL._1,
+      "migrated-root stats must match the purged corpus")
+  }
+
+  /** The batched-takedown face: N queued requests drain in ONE purge
+    * pass with the same final state as N sequential deleteDocs calls,
+    * each request keeping its own audit identity. */
+  test("queued takedowns: enqueue x2 + one processDeleteQueue == two sequential deletes; audit per request") {
+    val root = freshRoot()
+    val idsA = Seq(1001L, 102L)
+    val idsB = Seq(1005L, 103L, 303L)
+    // reference: two sequential full-cost deletes
+    val (stA, _) = builtAnnRoot(s"$root/a")
+    ContinuousIngest.deleteDocs(spark, stA, idsA.toDF("doc_id"))
+    ContinuousIngest.deleteDocs(spark, stA, idsB.toDF("doc_id"))
+    // twin: two queued requests, one drain
+    val (stB, pb) = builtAnnRoot(s"$root/b")
+    val opA = ContinuousIngest.enqueueDelete(spark, stB, idsA.toDF("doc_id"))
+    // queued requests must NOT block ingest (only an in-flight intent
+    // does) — a batch lands between enqueue and drain
+    ContinuousIngest.ingestBatch(
+      Seq((901L, text(901L), annEmb(901L))).toDF("doc_id", "text", "embedding"),
+      3L, stB, pb)
+    ContinuousIngest.ingestBatch(
+      Seq((901L, text(901L), annEmb(901L))).toDF("doc_id", "text", "embedding"),
+      3L, stA, pb)
+    val opB = ContinuousIngest.enqueueDelete(spark, stB, idsB.toDF("doc_id"))
+    assert(ContinuousIngest.processDeleteQueue(spark, stB) ===
+      (idsA.size + idsB.size).toLong)
+    deleteStateTables(stA).zip(deleteStateTables(stB)).foreach {
+      case ((name, a), (_, b)) => assertSameTable(s"queued $name", a, b)
+    }
+    assert(ContinuousIngest.readStats(spark, stA).collect().toSeq ===
+      ContinuousIngest.readStats(spark, stB).collect().toSeq,
+      "queued-drain stats differ from the sequential twin")
+    // audit: each request's docs under its OWN op id
+    val log = ContinuousIngest.deletesLog(spark, stB)
+    assert(log.where(col("op_id") === opA).select("doc_id").as[Long]
+      .collect().toSet === idsA.toSet, "request A's audit rows")
+    assert(log.where(col("op_id") === opB).select("doc_id").as[Long]
+      .collect().toSet === idsB.toSet, "request B's audit rows")
+    // the queue drained; a second drain is a no-op
+    assert(ContinuousIngest.processDeleteQueue(spark, stB) === 0L)
   }
 
   test("tombstone delete on a dedup-only root (no ann): index tables absent are skipped, dedup laws hold") {

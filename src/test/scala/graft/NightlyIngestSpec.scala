@@ -121,9 +121,16 @@ class NightlyIngestSpec extends SparkSpec {
     val finalDocs = ContinuousIngest.readTable(spark, st.docsPath)
     assert(finalDocs.exceptAll(corpus).isEmpty && corpus.exceptAll(finalDocs).isEmpty,
       "final corpus differs from the stateless twin's")
+    // V2 digest rows are per-doc: the admit key under the legacy
+    // column name plus the per-doc stats factors the delete path
+    // subtracts — the whole table must equal a recompute over docs
     val digests = ContinuousIngest.readTable(spark, st.digestsPath)
-    assert(digests.exceptAll(finalDocs.select(md5(col("text")).as("text"))).isEmpty &&
-      finalDocs.select(md5(col("text")).as("text")).exceptAll(digests).isEmpty,
+    val digestsWant = finalDocs.select(col("doc_id"),
+      md5(col("text")).as("text"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"))
+    assert(digests.exceptAll(digestsWant).isEmpty &&
+      digestsWant.exceptAll(digests).isEmpty,
       "digest table out of sync with the corpus")
     val keysStored = ContinuousIngest.readTable(spark, st.keysPath)
     val keysFresh = Dedup.minhashBandKeys(finalDocs, 3, 32, 8, SEED)
