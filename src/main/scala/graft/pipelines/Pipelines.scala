@@ -58,6 +58,15 @@ object Hw1 {
 
 object Hw2 {
 
+  /** The reference's session tuning (`HWK_2/G029HW2.py:148`): relax
+    * data locality so the small FFT rounds never idle waiting for a
+    * preferred executor. `spark.locality.wait` is a SCHEDULER conf
+    * read at SparkContext construction — apply this to the conf the
+    * session is BUILT with (a running session cannot change it):
+    * `SparkSession.builder.config(Hw2.referenceConf(new SparkConf))`. */
+  def referenceConf(conf: org.apache.spark.SparkConf): org.apache.spark.SparkConf =
+    conf.set("spark.locality.wait", "0s")
+
   /** HW2 (`HWK_2/G029HW2.py:132-177`): MRFFT clustering radius feeding
     * the grid outlier detector (formats per lines 87-105,128-129,
     * 144-173). */

@@ -236,7 +236,7 @@ object DocQueries extends QueryPack {
         val st = IngestState(root.toString)
         val r = docs.agg(min("doc_id"), max("doc_id")).head()
         val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val k = 4
+        val k = 3
         def batchOf(i: Int): DataFrame = {
           val b0 = lo + (hi - lo + 1) * i / k
           val b1 = lo + (hi - lo + 1) * (i + 1) / k
@@ -249,9 +249,12 @@ object DocQueries extends QueryPack {
         ContinuousIngest.bootstrap(
           b0.join(Dedup.exactDupFlags(b0).where(!col("is_dup"))
             .select("doc_id"), Seq("doc_id"), "left_semi"), st, p)
+        // quantizers load once and thread through the appends — the
+        // serving-loop pattern (a per-batch reload is pure overhead)
+        val quant = Some(ContinuousIngest.loadQuantizers(s, st, p.ann.get))
         (1 until k).foreach { i =>
-          ContinuousIngest.ingestBatch(batchOf(i), i.toLong, st, p) }
-        ContinuousIngest.ingestBatch(batchOf(k - 1), (k - 1).toLong, st, p)
+          ContinuousIngest.ingestBatch(batchOf(i), i.toLong, st, p, quant) }
+        ContinuousIngest.ingestBatch(batchOf(k - 1), (k - 1).toLong, st, p, quant)
         ContinuousIngest.readTable(s, st.docsPath)
           .select(col("doc_id"), md5(col("text")).as("digest"))
           .localCheckpoint()

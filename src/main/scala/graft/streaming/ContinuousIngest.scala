@@ -1556,18 +1556,29 @@ object ContinuousIngest {
     * full corpus re-aggregation, PLUS the op-keyed negative partials
     * completed deletes leave under `stats_deltas/` (one 1-row partial
     * per takedown application — V2 roots adjust accounting without
-    * ever re-scanning corpus text). Same replay contract as every
-    * other state table (per-batch / per-op overwrite ⇒ idempotent),
-    * and equality with a from-scratch aggregation of the purged docs
-    * table is pinned by ContinuousIngestSpec through deletes. */
+    * ever re-scanning corpus text; [[compactState]] folds them into
+    * the stats table via [[foldStatsDeltas]] so they never accrete).
+    * Same replay contract as every other state table (per-batch /
+    * per-op overwrite ⇒ idempotent), and equality with a
+    * from-scratch aggregation of the purged docs table is pinned by
+    * ContinuousIngestSpec through deletes. */
   def readStats(spark: SparkSession, st: IngestState): DataFrame = {
     val base = readTable(spark, st.statsPath)
+    // list the op dirs rather than existence-check the root: a fold
+    // that retired every delta may leave an empty root behind, and an
+    // empty-dir read has no schema to infer
+    val deltaDirs = {
+      val fs = fsFor(spark, st.statsDeltasPath)
+      val root = new org.apache.hadoop.fs.Path(st.statsDeltasPath)
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("op="))
+        .map(_.getPath.toString)
+    }
     val all =
-      if (fsFor(spark, st.statsDeltasPath).exists(
-          new org.apache.hadoop.fs.Path(st.statsDeltasPath)))
+      if (deltaDirs.nonEmpty)
         base.unionByName(
-          spark.read.option("basePath", st.statsDeltasPath)
-            .parquet(st.statsDeltasPath)
+          spark.read.parquet(deltaDirs.toSeq: _*)
             .select("n_docs", "n_chars", "n_ws_tokens"))
       else base
     all.agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
@@ -1720,6 +1731,11 @@ object ContinuousIngest {
     // the stream's to replay and don't block compaction.
     requireIndexBatchParity(spark, st, "compactState", upTo = upToBatch,
       forCompaction = true)
+    // fold takedowns' per-op negative stats partials into the stats
+    // table FIRST — its recovery honors a crashed fold's manifest
+    // before the consolidation below could drop it (see the face's
+    // crash contract)
+    foldStatsDeltas(spark, st, upToBatch)
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
         st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
@@ -1879,6 +1895,127 @@ object ContinuousIngest {
       s"compactTable: final rename $tmp failed — tmp retained (marked), " +
         "the next run's recovery completes the move")
     ()
+  }
+
+  private val FoldedOpsManifest = "_GRAFT_FOLDED_OPS"
+  private val FoldTmpPrefix = ".fold_tmp_batch="
+
+  /** Fold completed takedowns' negative stats partials
+    * (`stats_deltas/op=*`, see [[applyPendingDelete]]) into the stats
+    * table as ordinary partial rows — [[compactState]]'s maintenance
+    * for the one per-op artifact metadata-cost takedowns leave
+    * behind. Without it a root absorbing takedowns forever accretes
+    * one tiny delta dir per op — the same small-files listing cost
+    * compaction exists to bound; after the fold [[readStats]] reads
+    * the adjustments as rows of the consolidated stats partition and
+    * the delta dirs are gone.
+    *
+    * CRASH-SAFE by a manifest-carrying tmp swap: the folded rows land
+    * in a hidden `.fold_tmp_batch=<id>` dir that is authoritative
+    * ONLY with BOTH Spark's `_SUCCESS` and a `_GRAFT_FOLDED_OPS`
+    * manifest naming the op dirs it absorbed. The manifest is what
+    * makes the swap replayable — a recovered tmp without it could
+    * not retire its sources, and refolding them would double-count —
+    * so a manifest-less tmp is discarded as partial (its sources are
+    * all still intact: deletions only start after both markers
+    * exist). Completion order: install the tmp over the target
+    * partition, THEN delete the manifest-named delta dirs, THEN drop
+    * the manifest; every crash window replays to the same totals
+    * (delta-dir deletion is idempotent, and the manifest rides the
+    * authoritative partition until its sources are gone). Runs
+    * BEFORE the stats table's consolidation in [[compactState]], so
+    * a crashed fold's manifest is always honored before a rewrite
+    * could drop it.
+    *
+    * Folds only into a partition at or below `upToBatch` — the same
+    * replay-horizon rule as consolidation (a partition above the
+    * horizon can be overwritten by its batch's re-delivery, which
+    * would destroy the folded rows); with no such partition the
+    * deltas simply wait for a later horizon. Delta dirs without
+    * `_SUCCESS` belong to a crashed [[applyPendingDelete]] whose
+    * pending intent [[recoverDeletes]] — already run by
+    * [[compactState]] — rewrites; they are left alone here. */
+  private def foldStatsDeltas(spark: SparkSession, st: IngestState,
+                              upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.statsPath)
+    val statsRoot = new HPath(st.statsPath)
+    val deltaRoot = new HPath(st.statsDeltasPath)
+    if (!fs.exists(statsRoot)) return
+    def readManifest(dir: HPath): Seq[String] = {
+      val m = new HPath(dir, FoldedOpsManifest)
+      if (!fs.exists(m)) Nil
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          .filter(_.nonEmpty)
+        finally in.close()
+      }
+    }
+    // finish a crashed completion: delete the manifest-named delta
+    // dirs (idempotent), then the manifest itself
+    def retire(dir: HPath): Unit = {
+      readManifest(dir).foreach(op =>
+        fs.delete(new HPath(deltaRoot, s"op=$op"), true))
+      fs.delete(new HPath(dir, FoldedOpsManifest), false)
+      ()
+    }
+    // recovery 1: resolve fold tmps — authoritative only with BOTH
+    // markers (see the crash contract); otherwise partial, sources
+    // intact, discard
+    fs.listStatus(statsRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(FoldTmpPrefix))
+      .foreach { tmpSt =>
+        val tmp = tmpSt.getPath
+        val id = tmp.getName.stripPrefix(FoldTmpPrefix).toLong
+        if (fs.exists(new HPath(tmp, "_SUCCESS")) &&
+            fs.exists(new HPath(tmp, FoldedOpsManifest))) {
+          fs.delete(new HPath(statsRoot, s"batch=$id"), true)
+          require(fs.rename(tmp, new HPath(statsRoot, s"batch=$id")),
+            s"foldStatsDeltas: recovery rename $tmp failed — tmp " +
+              "retained, re-run compaction")
+          retire(new HPath(statsRoot, s"batch=$id"))
+        } else fs.delete(tmp, true)
+        ()
+      }
+    // recovery 2: a manifest in a live partition is a fold that
+    // crashed between its rename and its source retirement
+    fs.listStatus(statsRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach(s => retire(s.getPath))
+    // the fold proper
+    if (!fs.exists(deltaRoot)) return
+    val ops = fs.listStatus(deltaRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("op="))
+      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
+      .map(_.getPath).sortBy(_.getName)
+    if (ops.isEmpty) return
+    val targets = fs.listStatus(statsRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ <= upToBatch)
+    if (targets.isEmpty) return
+    val targetId = targets.max
+    val target = new HPath(statsRoot, s"batch=$targetId")
+    val folded = spark.read.parquet(target.toString)
+      .unionByName(spark.read.parquet(ops.map(_.toString).toSeq: _*)
+        .select("n_docs", "n_chars", "n_ws_tokens"))
+    val tmp = new HPath(statsRoot, s"$FoldTmpPrefix$targetId")
+    fs.delete(tmp, true)
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.exists(new HPath(tmp, "_SUCCESS")),
+      s"foldStatsDeltas: $tmp committed without _SUCCESS " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
+        "enabled) — sources left untouched")
+    val manifest = fs.create(new HPath(tmp, FoldedOpsManifest), true)
+    try manifest.write(ops.map(_.getName.stripPrefix("op="))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally manifest.close()
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"foldStatsDeltas: final rename $tmp failed — tmp retained " +
+        "(marked), the next run's recovery completes the move")
+    retire(target)
   }
 
   private val DeletePendingDir = ".delete_pending"

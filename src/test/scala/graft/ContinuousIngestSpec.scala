@@ -1728,6 +1728,95 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(ContinuousIngest.processDeleteQueue(spark, stB) === 0L)
   }
 
+  /** compactState folds the per-op negative stats partials takedowns
+    * leave under `stats_deltas/` into the stats table (they must not
+    * accrete forever), and every fold crash window replays to the
+    * same totals: a committed tmp (both markers) completes, a
+    * manifest-less tmp is discarded as partial, and a manifest in the
+    * live partition retires its delta dirs WITHOUT refolding them. */
+  test("compactState folds takedown stats deltas; fold crash windows replay to the same totals") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    import java.util.Comparator
+    def deltaOps(st: IngestState): Set[String] = {
+      val d = new java.io.File(st.statsDeltasPath)
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("op=")).toSet
+    }
+    def totals(st: IngestState): (Long, Long, Long) =
+      ContinuousIngest.readStats(spark, st).as[(Long, Long, Long)].head()
+    def deltaRows(st: IngestState): DataFrame =
+      spark.read.parquet(deltaOps(st).toSeq
+          .map(op => s"${st.statsDeltasPath}/$op"): _*)
+        .select("n_docs", "n_chars", "n_ws_tokens")
+    val root = freshRoot()
+
+    // the plain fold: two takedowns → two delta dirs → one compaction
+    val (stA, _) = builtAnnRoot(s"$root/a")
+    ContinuousIngest.deleteDocs(spark, stA, Seq(1001L, 102L).toDF("doc_id"))
+    ContinuousIngest.deleteDocs(spark, stA, Seq(1005L, 303L).toDF("doc_id"))
+    val wantA = totals(stA)
+    assert(deltaOps(stA).size === 2, s"fixture: ${deltaOps(stA)}")
+    ContinuousIngest.compactState(spark, stA, 2L)
+    assert(deltaOps(stA).isEmpty, s"deltas not folded: ${deltaOps(stA)}")
+    assert(totals(stA) === wantA, s"fold changed totals: ${totals(stA)} vs $wantA")
+    assert(!new java.io.File(stA.statsPath).listFiles()
+      .exists(_.getName.startsWith(".fold_tmp")), "fold tmp left behind")
+    val recompute = ContinuousIngest.readTable(spark, stA.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(totals(stA) === recompute, "folded totals drifted from the corpus")
+
+    // crash window 1: committed fold tmp (BOTH markers), sources all
+    // intact — recovery installs it and retires the deltas
+    val (stB, _) = builtAnnRoot(s"$root/b")
+    ContinuousIngest.deleteDocs(spark, stB, Seq(1001L, 102L).toDF("doc_id"))
+    val wantB = totals(stB)
+    val opsB = deltaOps(stB)
+    val tmpB = s"${stB.statsPath}/.fold_tmp_batch=2"
+    spark.read.parquet(s"${stB.statsPath}/batch=2")
+      .unionByName(deltaRows(stB)).coalesce(1).write.parquet(tmpB)
+    JFiles.write(JPath.of(tmpB, "_GRAFT_FOLDED_OPS"),
+      opsB.toSeq.sorted.map(_.stripPrefix("op="))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    ContinuousIngest.compactState(spark, stB, 2L)
+    assert(deltaOps(stB).isEmpty && totals(stB) === wantB,
+      s"window-1 recovery: ${totals(stB)} vs $wantB, deltas ${deltaOps(stB)}")
+
+    // crash window 2: tmp with _SUCCESS but NO manifest is a PARTIAL
+    // fold — discarded (poisoned rows must never be installed), then
+    // refolded from the intact sources
+    val (stC, _) = builtAnnRoot(s"$root/c")
+    ContinuousIngest.deleteDocs(spark, stC, Seq(1005L).toDF("doc_id"))
+    val wantC = totals(stC)
+    Seq((99999L, 0L, 0L)).toDF("n_docs", "n_chars", "n_ws_tokens")
+      .coalesce(1).write.parquet(s"${stC.statsPath}/.fold_tmp_batch=2")
+    ContinuousIngest.compactState(spark, stC, 2L)
+    assert(totals(stC) === wantC,
+      s"window-2: a manifest-less tmp must be discarded (${totals(stC)} vs $wantC)")
+    assert(deltaOps(stC).isEmpty, "window-2: deltas must still fold")
+
+    // crash window 3: fold renamed in but retirement unfinished — the
+    // manifest sits in the LIVE partition while its delta dirs still
+    // exist; recovery must retire them WITHOUT refolding
+    val (stD, _) = builtAnnRoot(s"$root/d")
+    ContinuousIngest.deleteDocs(spark, stD, Seq(103L).toDF("doc_id"))
+    val wantD = totals(stD)
+    val opsD = deltaOps(stD)
+    val foldedD = spark.read.parquet(s"${stD.statsPath}/batch=2")
+      .unionByName(deltaRows(stD)).localCheckpoint()
+    val liveD = new java.io.File(s"${stD.statsPath}/batch=2")
+    JFiles.walk(liveD.toPath).sorted(Comparator.reverseOrder[JPath]())
+      .forEach(f => JFiles.deleteIfExists(f))
+    foldedD.coalesce(1).write.parquet(liveD.toString)
+    JFiles.write(JPath.of(liveD.toString, "_GRAFT_FOLDED_OPS"),
+      opsD.toSeq.sorted.map(_.stripPrefix("op="))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    ContinuousIngest.compactState(spark, stD, 2L)
+    assert(deltaOps(stD).isEmpty && totals(stD) === wantD,
+      s"window-3: retired manifest refolded (${totals(stD)} vs $wantD)")
+  }
+
   test("tombstone delete on a dedup-only root (no ann): index tables absent are skipped, dedup laws hold") {
     val root = freshRoot()
     val st = bootstrapped(root.toString)

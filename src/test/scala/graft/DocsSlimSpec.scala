@@ -207,6 +207,29 @@ class DocsSlimSpec extends SparkSpec {
       "post-rebuild slim replay changed the assignment table")
   }
 
+  test("compactState on a float-once root: layout marker survives, answers preserved, lifecycle continues") {
+    val root = freshRoot()
+    val stS = build(s"$root/slim", Pslim)
+    val quant = Some(ContinuousIngest.loadQuantizers(spark, stS, ann))
+    val queries = batchDf(Seq(9001L, 9002L)).select("doc_id", "embedding")
+    def answers(): DataFrame =
+      ContinuousIngest.annIvfPqMaintained(spark, stS, ann, queries,
+        k = 3, nprobe = 2, rerank = 8, quant, excludeSelf = false)
+    val pre = answers().localCheckpoint()
+    ContinuousIngest.compactState(spark, stS, 1L)
+    // the marker is a root-level file — consolidation must not drop it
+    assert(ContinuousIngest.docsSlim(spark, stS),
+      "slim layout marker lost by compaction")
+    assertSame("post-compaction ANN answers", answers(), pre)
+    assert(!ContinuousIngest.readTable(spark, stS.docsPath)
+      .columns.contains("embedding"), "embedding column appeared")
+    // the lifecycle continues on the compacted root (the layout guard
+    // still reads slim)
+    ContinuousIngest.ingestBatch(batchDf(6001L to 6003L), 2L, stS, Pslim, quant)
+    assert(ContinuousIngest.readTable(spark, stS.docsPath)
+      .where(col("doc_id").isin(6001L, 6002L, 6003L)).count() === 3L)
+  }
+
   test("tombstone delete purges a float-once root; accounting from captured factors") {
     val root = freshRoot()
     val stS = build(s"$root/slim", Pslim)

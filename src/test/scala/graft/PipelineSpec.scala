@@ -52,6 +52,13 @@ class PipelineSpec extends SparkSpec {
     assert(lines.exists(_.startsWith("Running time of MRFFT Round 3 = ")))
   }
 
+  test("Hw2.referenceConf: the reference's locality relaxation lands in the build conf") {
+    // G029HW2.py:148 — conf.set("spark.locality.wait", "0s"); a
+    // scheduler conf, so parity is at session BUILD time
+    val c = Hw2.referenceConf(new org.apache.spark.SparkConf(false))
+    assert(c.get("spark.locality.wait") === "0s")
+  }
+
   test("Hw3: frequent-items report with +/- annotations") {
     val xs = (Seq.fill(40)(7L) ++ Seq.fill(25)(9L) ++ (100L until 135L))
     val items = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("ord", "item")
