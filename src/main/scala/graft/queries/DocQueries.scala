@@ -224,9 +224,13 @@ object DocQueries extends QueryPack {
       import graft.streaming.ContinuousIngest
       import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
       val nAll = Tables.documentsCount(s, d)
+      // the lifecycle below evaluates this join many times (range
+      // min/max, 3 batch filters + the replay, and bootstrap's
+      // multi-pass training/assignment reads) — cache it once
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .join(Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .cache()
       val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
         nearDup = false,
         ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))),
@@ -246,9 +250,13 @@ object DocQueries extends QueryPack {
         // corpus verbatim, so within-range dups must drop here for
         // the global first-arrival oracle to hold)
         val b0 = batchOf(0)
-        ContinuousIngest.bootstrap(
-          b0.join(Dedup.exactDupFlags(b0).where(!col("is_dup"))
-            .select("doc_id"), Seq("doc_id"), "left_semi"), st, p)
+        // bootstrap trains quantizers and writes five state tables from
+        // this frame — cache the (window-function) dedup once instead
+        // of recomputing it per pass
+        val boot = b0.join(Dedup.exactDupFlags(b0).where(!col("is_dup"))
+          .select("doc_id"), Seq("doc_id"), "left_semi").cache()
+        ContinuousIngest.bootstrap(boot, st, p)
+        boot.unpersist()
         // quantizers load once and thread through the appends — the
         // serving-loop pattern (a per-batch reload is pure overhead)
         val quant = Some(ContinuousIngest.loadQuantizers(s, st, p.ann.get))
@@ -259,6 +267,7 @@ object DocQueries extends QueryPack {
           .select(col("doc_id"), md5(col("text")).as("digest"))
           .localCheckpoint()
       } finally {
+        docs.unpersist()
         import java.nio.file.{Files, Path}
         import java.util.Comparator
         try Files.walk(root).sorted(Comparator.reverseOrder[Path]())

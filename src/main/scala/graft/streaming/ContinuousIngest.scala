@@ -394,10 +394,12 @@ object ContinuousIngest {
     * any ann root: `(doc_id, <vecCol>)`, one row per indexed doc.
     * [[graft.ops.Similarity.ivfUnpack]] restores the UNIT vectors
     * [[graft.ops.Similarity.ivfAssign]] stored (exact doubles); the
-    * column is cast back to the corpus float width, so the result is
-    * schema-compatible with an embedding-carrying docs table. The
-    * cast is the one place the round trip is lossy: a rebuild that
-    * re-trains on reconstructed vectors normalizes
+    * column is cast back to `array<float>` — float32 is the REQUIRED
+    * corpus width for every ann-enabled root ([[bootstrap]] asserts
+    * it loudly; the PQ encoder's typed map refuses anything else) —
+    * so the result is schema-compatible with an embedding-carrying
+    * docs table. The cast is the one place the round trip is lossy: a
+    * rebuild that re-trains on reconstructed vectors normalizes
     * `float(unit(f))` instead of `f` — unit-identical up to
     * float-width rounding, so cell assignments, codes, and top-k
     * answers agree wherever margins exceed ~1e-7 (DocsSlimSpec pins
@@ -433,25 +435,62 @@ object ContinuousIngest {
     require(p.storeEmbeddingsInDocs || p.ann.isDefined,
       "storeEmbeddingsInDocs = false needs ann: the packed index " +
         "segments are then the ONLY float store")
-    (if (p.storeEmbeddingsInDocs) corpus
-     else corpus.drop(p.ann.get.vecCol))
-      .write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
-    if (!p.storeEmbeddingsInDocs)
-      fsFor(corpus.sparkSession, st.docsPath).create(
-        new org.apache.hadoop.fs.Path(st.docsPath, DocsSlimMarker), true)
-        .close()
-    digestRows(corpus)
-      .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
-    writeDigestsV2Marker(corpus.sparkSession, st)
-    partialStats(corpus).write.mode("overwrite").parquet(s"${st.statsPath}/batch=-1")
-    // exact-only deployments maintain no band-key table (and pay no
-    // shingling); flipping nearDup on later requires re-bootstrapping
-    // the keys from the corpus (one minhashBandKeys run)
-    if (p.nearDup)
-      Dedup.minhashBandKeys(corpus, p.shingleN, p.numHashes, p.bands, p.seed)
-        .write.mode("overwrite").parquet(s"${st.keysPath}/batch=-1")
-    java.nio.file.Files.write(st.bloomPath, Dedup.bloomToBytes(
-      Dedup.buildDigestBloom(corpus, p.expectedDigests, p.fpp)))
+    // float32 is the contract width for ann-enabled roots: the PQ
+    // encoder's typed map reads Array[Float], and the float-once
+    // reconstruction casts back to array<float> — a double corpus
+    // would either fail deep in an encoder or silently narrow on
+    // rebuild. Refuse it here, by name.
+    p.ann.foreach { a =>
+      val et = corpus.schema(a.vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(t, _) => t
+        case other => sys.error(s"bootstrap: embedding column " +
+          s"'${a.vecCol}' must be array<float> (got $other)")
+      }
+      require(et == org.apache.spark.sql.types.FloatType,
+        s"bootstrap: ann-enabled ingest requires an array<float> " +
+          s"embedding column — '${a.vecCol}' is array<$et>; cast the " +
+          "corpus to float32 first (the engine's contract width: PQ " +
+          "encoding and float-once reconstruction are float32)")
+    }
+    // the group below runs concurrently — the bloom file's parent dir
+    // must exist BEFORE the group (sequentially, the first parquet
+    // write used to create it; concurrently, the bloom thunk can run
+    // first)
+    fsFor(corpus.sparkSession, st.root).mkdirs(
+      new org.apache.hadoop.fs.Path(st.root))
+    // the dedup-state writes all derive independently from the caller's
+    // corpus frame — one concurrent group (a crashed bootstrap is
+    // re-bootstrapped wholesale, so write order carries nothing; the
+    // layout/schema markers ride their table's thunk, after its write)
+    inParallel(Seq[() => Unit](
+      () => {
+        (if (p.storeEmbeddingsInDocs) corpus
+         else corpus.drop(p.ann.get.vecCol))
+          .write.mode("overwrite").parquet(s"${st.docsPath}/batch=-1")
+        if (!p.storeEmbeddingsInDocs)
+          fsFor(corpus.sparkSession, st.docsPath).create(
+            new org.apache.hadoop.fs.Path(st.docsPath, DocsSlimMarker), true)
+            .close()
+      },
+      () => {
+        digestRows(corpus)
+          .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=-1")
+        writeDigestsV2Marker(corpus.sparkSession, st)
+      },
+      () => partialStats(corpus)
+        .write.mode("overwrite").parquet(s"${st.statsPath}/batch=-1")) ++
+      // exact-only deployments maintain no band-key table (and pay no
+      // shingling); flipping nearDup on later requires re-bootstrapping
+      // the keys from the corpus (one minhashBandKeys run)
+      (if (p.nearDup) Seq(() =>
+        Dedup.minhashBandKeys(corpus, p.shingleN, p.numHashes, p.bands, p.seed)
+          .write.mode("overwrite").parquet(s"${st.keysPath}/batch=-1"))
+       else Nil) ++
+      Seq({ () =>
+        java.nio.file.Files.write(st.bloomPath, Dedup.bloomToBytes(
+          Dedup.buildDigestBloom(corpus, p.expectedDigests, p.fpp)))
+        ()
+      }: () => Unit))
     p.ann.foreach { a =>
       // train-once: the quantizers persist beside the index tables and
       // every later batch loads them — never retrains (see AnnParams)
@@ -499,40 +538,68 @@ object ContinuousIngest {
   private def trainQuantizers(corpus: DataFrame, st: IngestState,
                               a: AnnParams): AnnQuantizers = {
     val spark = corpus.sparkSession
-    val cents = Similarity.ivfCentroids(corpus, a.nlist, a.sampleSize,
-      idCol = "doc_id", vecCol = a.vecCol)
-    Similarity.centroidsToDF(spark, cents)
-      .write.mode("overwrite").parquet(st.centroidsPath)
-    // the assignment-identity fingerprint, stamped INSIDE the
-    // centroids dir (underscore-prefixed, so parquet readers skip it,
-    // and it rides the rebuild swap with its quantizer for free):
-    // loadQuantizers refuses params that would silently mix
-    // assignment conventions in the maintained tables
-    writeAnnConfig(spark, st, a)
-    val tree = a.semClusters match {
-      case Some(nc) if semRouted(a) =>
-        val t = Similarity.hierarchicalCentroids(corpus, nc, a.sampleSize,
-          idCol = "doc_id", vecCol = a.vecCol, spill = effSpill(a))
-        Similarity.treeToDF(spark, t)
-          .write.mode("overwrite").parquet(st.semTreePath)
-        Some(t)
-      case _ => None
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = stateWriteEc
+    // the (up to) three quantizer trains are independent — separate
+    // driver samples, separate output tables — so they overlap on the
+    // state-write pool (a crashed (re)train re-runs wholesale; no
+    // cross-ordering to preserve)
+    val centsF = Future {
+      val cents = Similarity.ivfCentroids(corpus, a.nlist, a.sampleSize,
+        idCol = "doc_id", vecCol = a.vecCol)
+      Similarity.centroidsToDF(spark, cents)
+        .write.mode("overwrite").parquet(st.centroidsPath)
+      // the assignment-identity fingerprint, stamped INSIDE the
+      // centroids dir (underscore-prefixed, so parquet readers skip it,
+      // and it rides the rebuild swap with its quantizer for free):
+      // loadQuantizers refuses params that would silently mix
+      // assignment conventions in the maintained tables
+      writeAnnConfig(spark, st, a)
+      cents
     }
-    val semCents = a.semClusters match {
-      case _ if tree.isDefined => Array.empty[Array[Double]]
-      case Some(nc) =>
-        val sc = Similarity.ivfCentroids(corpus, nc, a.sampleSize,
-          idCol = "doc_id", vecCol = a.vecCol)
-        Similarity.centroidsToDF(spark, sc)
-          .write.mode("overwrite").parquet(st.semCentroidsPath)
-        sc
-      case None => cents
+    val treeF = Future {
+      a.semClusters match {
+        case Some(nc) if semRouted(a) =>
+          val t = Similarity.hierarchicalCentroids(corpus, nc, a.sampleSize,
+            idCol = "doc_id", vecCol = a.vecCol, spill = effSpill(a))
+          Similarity.treeToDF(spark, t)
+            .write.mode("overwrite").parquet(st.semTreePath)
+          Some(t)
+        case _ => None
+      }
     }
-    val books = Similarity.pqTrain(corpus, a.m, a.ksub, a.sampleSize,
-      idCol = "doc_id", vecCol = a.vecCol)
-    Similarity.booksToDF(spark, books)
-      .write.mode("overwrite").parquet(st.booksPath)
-    AnnQuantizers(cents, semCents, books, tree)
+    val semF = Future {
+      a.semClusters match {
+        case Some(nc) if !semRouted(a) =>
+          val sc = Similarity.ivfCentroids(corpus, nc, a.sampleSize,
+            idCol = "doc_id", vecCol = a.vecCol)
+          Similarity.centroidsToDF(spark, sc)
+            .write.mode("overwrite").parquet(st.semCentroidsPath)
+          Some(sc)
+        case _ => None
+      }
+    }
+    val booksF = Future {
+      val books = Similarity.pqTrain(corpus, a.m, a.ksub, a.sampleSize,
+        idCol = "doc_id", vecCol = a.vecCol)
+      Similarity.booksToDF(spark, books)
+        .write.mode("overwrite").parquet(st.booksPath)
+      books
+    }
+    // settle everything before surfacing the first failure — no train
+    // left in flight when the caller unwinds (the inParallel rule)
+    def settle[T](f: Future[T]): Either[Throwable, T] =
+      Await.ready(f, Duration.Inf).value.get.toEither
+    val (rCents, rTree, rSem, rBooks) =
+      (settle(centsF), settle(treeF), settle(semF), settle(booksF))
+    Seq[Either[Throwable, Any]](rCents, rTree, rSem, rBooks)
+      .collectFirst { case Left(e) => throw e }
+    val (cents, tree) = (rCents.toOption.get, rTree.toOption.get)
+    val semCents =
+      if (tree.isDefined) Array.empty[Array[Double]]
+      else rSem.toOption.get.getOrElse(cents)
+    AnnQuantizers(cents, semCents, rBooks.toOption.get, tree)
   }
 
   /** The drift response: retrain the quantizers on the CURRENT corpus
@@ -831,20 +898,34 @@ object ContinuousIngest {
     val stage = s"${st.ivfPath}/.assign_tmp_batch=$batchId"
     Similarity.ivfAssign(batch, q.cents, idCol = "doc_id", vecCol = a.vecCol)
       .write.mode("overwrite").parquet(stage)
-    Similarity.ivfPack(spark.read.parquet(stage), dim = q.cents.head.length)
-      .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/batch=$batchId")
-    spark.read.parquet(stage).select("nn_id", "list")
-      .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId")
+    // four independent derivations — packed floats + slim assignment
+    // from the staged assign, codes + semantic cells from the batch —
+    // each one Spark action on its own output dir; the group runs
+    // concurrently (see [[inParallel]]: replay covers any completed
+    // subset, so only the stage-before-derivations order is
+    // load-bearing)
+    inParallel(Seq(
+      () => Similarity.ivfPack(spark.read.parquet(stage),
+          dim = q.cents.head.length)
+        .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/batch=$batchId"),
+      () => spark.read.parquet(stage).select("nn_id", "list")
+        .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId"),
+      // slim here too: codes_arr is codes widened to ints (a law-audit
+      // convenience on the one-shot face) — 4·m bytes of pure
+      // redundancy per vector in a table whose point is m-byte codes.
+      // The maintained table keeps codes (scoring) + rerr (the ADC
+      // error bound, a monitoring signal floats can't be re-derived
+      // from without a full re-encode).
+      () => Similarity.pqEncode(batch, q.books, idCol = "doc_id",
+          vecCol = a.vecCol)
+        .drop("codes_arr")
+        .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId"),
+      () => (q.semTree match {
+        case Some(t) => routedSemAssign(batch, t, a)
+        case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
+          idCol = "doc_id", vecCol = a.vecCol)
+      }).write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")))
     fsFor(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
-    // slim here too: codes_arr is codes widened to ints (a law-audit
-    // convenience on the one-shot face) — 4·m bytes of pure
-    // redundancy per vector in a table whose point is m-byte codes.
-    // The maintained table keeps codes (scoring) + rerr (the ADC
-    // error bound, a monitoring signal floats can't be re-derived
-    // from without a full re-encode).
-    Similarity.pqEncode(batch, q.books, idCol = "doc_id", vecCol = a.vecCol)
-      .drop("codes_arr")
-      .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId")
     // pack-once for the ADC face too: the batch's (nn_id, list,
     // codes) join — two STORED, column-pruned batch partitions, so
     // neither the assignment nor the encode recomputes — packed into
@@ -859,11 +940,6 @@ object ContinuousIngest {
         counts = Some(spark.read.parquet(s"${st.ivfPath}/batch=$batchId")
           .groupBy("list").agg(count(lit(1)).as("_n"))))
       .write.mode("overwrite").parquet(s"${st.pqPackedPath}/batch=$batchId")
-    (q.semTree match {
-      case Some(t) => routedSemAssign(batch, t, a)
-      case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
-        idCol = "doc_id", vecCol = a.vecCol)
-    }).write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")
   }
 
   /** ANN query face over the MAINTAINED index: probe + scan the
@@ -992,9 +1068,14 @@ object ContinuousIngest {
                              adaptProbe: Boolean): Int =
     if (!adaptProbe) nprobe
     else {
-      val eligFp = elig.queryExecution.analyzed.canonicalized.hashCode()
-      val stateFp = (batchDirNames(spark, st.ivfPath).toSeq.sorted,
-        opDirNames(spark, s"${st.root}/deletes_log")).hashCode()
+      // strong digest, not hashCode: two distinct eligible sets in one
+      // long-lived serving JVM colliding on a 32-bit hash would
+      // silently reuse the wrong probe width (recall-only per the
+      // contract, but undetectable) — md5 makes that negligible
+      val eligFp = md5Hex(elig.queryExecution.analyzed.canonicalized.toString)
+      val stateFp = md5Hex(
+        batchDirNames(spark, st.ivfPath).toSeq.sorted.mkString(",") + "#" +
+          opDirNames(spark, s"${st.root}/deletes_log").mkString(","))
       val key = s"${st.root}|$eligFp|$stateFp|$nprobe|$nCells"
       if (selectivityCache.size > 1024) selectivityCache.clear()
       selectivityCache.computeIfAbsent(key, { _ =>
@@ -1006,6 +1087,49 @@ object ContinuousIngest {
         else math.min(nCells, math.ceil(nprobe.toDouble * n / e).toInt)
       }).intValue()
     }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Scheduler pool for INDEPENDENT state writes within one
+    * maintenance op (distinct output paths, one Spark action each).
+    * Cached (unbounded, daemon) so nested groups — a batch's write
+    * group contains the index-append, which runs its own group —
+    * can never starve each other into deadlock; the bound on live
+    * threads is the handful of writes a single batch performs.
+    * Spark actions are thread-safe across driver threads by design
+    * (each carries its own plan; the session is shared). */
+  private lazy val stateWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-state-write")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Run independent state writes concurrently and rethrow the FIRST
+    * failure only after every thunk has settled (no write is left in
+    * flight when the caller unwinds — a half-issued group would widen
+    * the crash surface past what the replay contract describes). The
+    * ordering between a batch's table writes was never load-bearing:
+    * a crashed batch is re-delivered in full and every partition
+    * overwritten (the self-excluded reads + partition-overwrite
+    * idempotence contract), so ANY completed subset replays to the
+    * same state — concurrency turns K sequential job-overhead
+    * payments into the group's critical path, which is what a
+    * nightly batch's latency actually needs. */
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = stateWriteEc
+    val settled = tasks.map(t =>
+      Future(t()).map(_ => Option.empty[Throwable])
+        .recover { case e => Some(e) })
+    val errs = settled.flatMap(f => Await.result(f, Duration.Inf))
+    errs.headOption.foreach(e => throw e)
+  }
 
   private def opDirNames(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsFor(spark, path)
@@ -1504,32 +1628,43 @@ object ContinuousIngest {
     val survivors =
       if (slim) {
         kept.write.mode("overwrite").parquet(stage)
-        val pinned = spark.read.parquet(stage)
-        pinned.drop(p.ann.get.vecCol)
-          .write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
-        pinned
+        spark.read.parquet(stage)
       } else {
         kept.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
         spark.read.parquet(s"${st.docsPath}/batch=$batchId")
       }
+    // everything below derives from the PINNED survivors — distinct
+    // output paths, no cross-reads — so the per-table writes run as
+    // one concurrent group (see [[inParallel]]: a crashed batch
+    // re-delivers in full, so any completed subset replays to the
+    // same state; the bloom stays over-approximate-safe in every
+    // window because a maybe-hit verifies against the digest table)
+    val group = Seq.newBuilder[() => Unit]
+    if (slim)
+      group += (() => survivors.drop(p.ann.get.vecCol)
+        .write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId"))
     // a legacy (pre-V2) root keeps its bare-digest schema until
     // migrateDigests rebuilds it — appending V2 rows into a legacy
     // table would mix schemas behind one path
-    (if (digestsV2(spark, st)) digestRows(survivors)
-     else survivors.select(md5(col("text")).as("text")))
-      .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=$batchId")
+    val v2 = digestsV2(spark, st)
+    group += (() =>
+      (if (v2) digestRows(survivors)
+       else survivors.select(md5(col("text")).as("text")))
+        .write.mode("overwrite").parquet(s"${st.digestsPath}/batch=$batchId"))
     if (p.nearDup)
-      Dedup.minhashBandKeys(survivors, p.shingleN, p.numHashes, p.bands, p.seed)
-        .write.mode("overwrite").parquet(s"${st.keysPath}/batch=$batchId")
-    partialStats(survivors)
-      .write.mode("overwrite").parquet(s"${st.statsPath}/batch=$batchId")
-    java.nio.file.Files.write(st.bloomPath, Dedup.mergeBloomBytes(
+      group += (() =>
+        Dedup.minhashBandKeys(survivors, p.shingleN, p.numHashes, p.bands, p.seed)
+          .write.mode("overwrite").parquet(s"${st.keysPath}/batch=$batchId"))
+    group += (() => partialStats(survivors)
+      .write.mode("overwrite").parquet(s"${st.statsPath}/batch=$batchId"))
+    group += (() => java.nio.file.Files.write(st.bloomPath, Dedup.mergeBloomBytes(
       java.nio.file.Files.readAllBytes(st.bloomPath),
-      Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp))))
+      Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp)))))
     p.ann.foreach { a =>
-      appendIndexes(survivors, batchId, st, a,
-        quantizers.getOrElse(loadQuantizers(spark, st, a)))
+      group += (() => appendIndexes(survivors, batchId, st, a,
+        quantizers.getOrElse(loadQuantizers(spark, st, a))))
     }
+    inParallel(group.result())
     if (slim) {
       fsFor(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
       // the stage is gone — hand back the STORED survivor rows (the
@@ -1566,13 +1701,19 @@ object ContinuousIngest {
     val base = readTable(spark, st.statsPath)
     // list the op dirs rather than existence-check the root: a fold
     // that retired every delta may leave an empty root behind, and an
-    // empty-dir read has no schema to infer
+    // empty-dir read has no schema to infer. Gate on `_SUCCESS` like
+    // foldStatsDeltas: a delta dir without it is a crashed
+    // applyPendingDelete mid-write — its pending intent rewrites it on
+    // recovery; reading it here would fold a partial (or fail) into
+    // monitoring totals
     val deltaDirs = {
       val fs = fsFor(spark, st.statsDeltasPath)
       val root = new org.apache.hadoop.fs.Path(st.statsDeltasPath)
       if (!fs.exists(root)) Array.empty[String]
       else fs.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("op="))
+        .filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
     }
     val all =
@@ -1736,6 +1877,9 @@ object ContinuousIngest {
     // before the consolidation below could drop it (see the face's
     // crash contract)
     foldStatsDeltas(spark, st, upToBatch)
+    // ...and the audit log's per-op dirs (same accretion-bounding
+    // rule; content-preserving union, so no horizon applies)
+    compactDeletesLog(spark, st)
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
         st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
@@ -1958,6 +2102,9 @@ object ContinuousIngest {
       readManifest(dir).foreach(op =>
         fs.delete(new HPath(deltaRoot, s"op=$op"), true))
       fs.delete(new HPath(dir, FoldedOpsManifest), false)
+      // a manifest temp that crashed before its rename is invisible to
+      // recovery (by design) — sweep it so it can't accrete
+      fs.delete(new HPath(dir, s".$FoldedOpsManifest.tmp"), false)
       ()
     }
     // recovery 1: resolve fold tmps — authoritative only with BOTH
@@ -2007,10 +2154,21 @@ object ContinuousIngest {
       s"foldStatsDeltas: $tmp committed without _SUCCESS " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
         "enabled) — sources left untouched")
-    val manifest = fs.create(new HPath(tmp, FoldedOpsManifest), true)
+    // the manifest must be ALL-OR-NOTHING — its existence is what
+    // makes the tmp authoritative to recovery, so a crash between
+    // create and close must not leave an empty/truncated manifest
+    // beside _SUCCESS (recovery would retire only the listed op dirs
+    // and the unlisted-but-folded deltas would refold: double-counted
+    // stats). Write to a dot-prefixed temp and rename it into place —
+    // the same atomic-install discipline the partitions use.
+    val manifestTmp = new HPath(tmp, s".$FoldedOpsManifest.tmp")
+    val manifest = fs.create(manifestTmp, true)
     try manifest.write(ops.map(_.getName.stripPrefix("op="))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally manifest.close()
+    require(fs.rename(manifestTmp, new HPath(tmp, FoldedOpsManifest)),
+      s"foldStatsDeltas: manifest install under $tmp failed — tmp " +
+        "left unmarked (recovery discards it; sources intact)")
     fs.delete(target, true)
     require(fs.rename(tmp, target),
       s"foldStatsDeltas: final rename $tmp failed — tmp retained " +
@@ -2089,8 +2247,9 @@ object ContinuousIngest {
     * survivor digest-carry check are joins against the slim per-doc
     * digest table (~50 bytes/row, column-pruned), the stats
     * adjustment is a 1-row NEGATIVE partial summed from the captured
-    * per-doc factors (op-keyed + overwrite-idempotent, the audit
-    * log's crash discipline), and the only remaining I/O is the
+    * per-doc factors (keyed by the capture-stamped application id —
+    * overwrite-idempotent under recovery, additive across
+    * applications), and the only remaining I/O is the
     * per-table pruned key-column detection scans plus one rewrite per
     * AFFECTED partition per table (which rewrites whatever columns
     * that partition holds — text is touched only inside affected docs
@@ -2169,13 +2328,25 @@ object ContinuousIngest {
            .select(md5(col("text")).as("digest")))
         .join(broadcast(hit.select("digest").distinct()), Seq("digest"), "left_semi")
         .distinct()
+    // `app_id` is stamped per CAPTURE, not per request: it is the
+    // application identity the stats-delta key needs. Two
+    // applications of the SAME op ids are a real possibility — a
+    // processDeleteQueue crash after the purge but before the queue
+    // retires, followed by a legitimate re-ingest of a purged doc,
+    // makes the retry's re-capture non-empty — and each application
+    // purged real rows, so each must leave its OWN negative stats
+    // partial (a reused key would overwrite the first application's
+    // delta and permanently overcount). Recovery re-runs replay the
+    // COMMITTED tombstone, so they see the same app_id and stay
+    // overwrite-idempotent.
     hit.join(broadcast(carried.withColumn("_carried", lit(true))),
         Seq("digest"), "left")
       .join(broadcast(reqs.select("doc_id", "op_id", "requested_at")),
         Seq("doc_id"))
+      .withColumn("app_id", lit(java.util.UUID.randomUUID().toString))
       .select(Seq(col("doc_id"), col("digest"),
           col("_carried").isNull.as("purge_digest"),
-          col("op_id"), col("requested_at")) ++
+          col("op_id"), col("requested_at"), col("app_id")) ++
         (if (v2) Seq(col("n_chars"), col("n_ws_tokens")) else Nil): _*)
       .coalesce(1).write.mode("overwrite").parquet(pending.toString)
     fs.delete(capture, true)
@@ -2230,9 +2401,14 @@ object ContinuousIngest {
     * shared-lineage shortcut would silently no-op the index purge
     * after a rebuild, leaving deleted docs searchable with no corpus
     * row. Idempotent: a recovery re-run detects nothing in
-    * already-purged tables and skips them. Table order is part of the
-    * crash contract — index tables first, docs, stats, digests LAST
-    * (see [[deleteDocs]]).
+    * already-purged tables and skips them. TIER order is part of the
+    * crash contract — index tables first, then docs, stats, digests
+    * LAST (see [[deleteDocs]]) — but within a tier the tables, and
+    * within a table its affected partitions, purge CONCURRENTLY:
+    * each partition rewrite is an independent marked swap, and
+    * per-rewrite job overhead dominates a takedown's cost, so the
+    * tiering collapses ~#affected-partitions sequential jobs to four
+    * tier critical paths.
     *
     * Stats: a V2 tombstone carries the per-doc length/token factors
     * captured from the digest table, so the adjustment is ONE 1-row
@@ -2279,8 +2455,24 @@ object ContinuousIngest {
     val hasPqPacked = fs.exists(new HPath(st.pqPackedPath))
     val dimV = if (hasIvfPacked) packedDim(spark, st) else 1
     val mV = if (hasPqPacked) packedAdcM(spark, st) else 1
-    // (path, key column, packed-ids layout, purge rewrite)
-    val tables: Seq[(String, String, Boolean, DataFrame => DataFrame)] = Seq(
+    // detect + rewrite one table's affected partitions; each
+    // partition is an independent marked swap, so they run as a
+    // concurrent group (see [[inParallel]] — recovery re-detects and
+    // completes/discards per partition, exactly as before)
+    def purgeTable(path: String, keyCol: String, packedIds: Boolean,
+                   purge: DataFrame => DataFrame): Unit =
+      if (fs.exists(new HPath(path))) {
+        resolvePurgeTmps(spark, path)
+        inParallel(affected(path, keyCol, packedIds)
+          .map(b => () => rewritePartition(spark, path, b, purge)))
+      }
+    // TIER 1 — the index-side tables (+ band keys), CONCURRENTLY: the
+    // crash contract orders TIERS (index before docs before stats,
+    // digests last), never tables within a tier, and a takedown's
+    // dominant cost is per-rewrite job overhead (~48 small jobs at
+    // the measured 200k root) that tiering collapses to ~4 critical
+    // paths. (path, key column, packed-ids layout, purge rewrite)
+    inParallel(Seq[(String, String, Boolean, DataFrame => DataFrame)](
       (st.ivfPath, "nn_id", false, anti("nn_id")),
       (st.ivfPackedPath, "nn_id", true, { df: DataFrame =>
         Similarity.ivfPack(anti("nn_id")(Similarity.ivfUnpack(df)), dim = dimV) }),
@@ -2288,17 +2480,14 @@ object ContinuousIngest {
       (st.pqPackedPath, "nn_id", true, { df: DataFrame =>
         Similarity.pqPack(anti("nn_id")(Similarity.pqUnpack(df)), m = mV) }),
       (st.semPath, "id", false, anti("id")),
-      (st.keysPath, "id", false, anti("id")),
-      (st.docsPath, "doc_id", false, anti("doc_id")))
-    tables.foreach { case (path, keyCol, packedIds, purge) =>
-      if (fs.exists(new HPath(path))) {
-        resolvePurgeTmps(spark, path)
-        affected(path, keyCol, packedIds)
-          .foreach(b => rewritePartition(spark, path, b, purge))
-      }
-    }
+      (st.keysPath, "id", false, anti("id")))
+      .map { case (path, keyCol, packedIds, purge) =>
+        () => purgeTable(path, keyCol, packedIds, purge)
+      })
+    // TIER 2 — docs
+    purgeTable(st.docsPath, "doc_id", packedIds = false, anti("doc_id"))
     // stats. V2 tombstones (per-doc factors captured from the digest
-    // table) subtract a 1-row NEGATIVE partial — op-keyed overwrite
+    // table) subtract a 1-row NEGATIVE partial — app-keyed overwrite
     // under stats_deltas/, deterministic from the committed tombstone,
     // so recovery re-runs rewrite identical rows; corpus text is never
     // read. Legacy tombstones re-anchor WHOLESALE (see scaladoc) —
@@ -2309,11 +2498,20 @@ object ContinuousIngest {
     val v2Pending = tomb.columns.contains("n_chars")
     if (v2Pending) {
       if (n > 0 && fs.exists(new HPath(st.statsPath))) {
-        // one delta per APPLICATION (a queued multi-op purge is one
-        // application): keyed by the lexicographically first op id —
-        // deterministic across recovery re-runs, unique because every
-        // op retires with exactly one successful application
-        val deltaOp = tomb.agg(min(col("op_id"))).head().getString(0)
+        // one delta per APPLICATION, keyed by the capture-stamped
+        // app_id: deterministic across recovery re-runs (it rides the
+        // committed tombstone) and unique across applications — a
+        // queued-takedown retry whose re-capture is non-empty (ids
+        // re-ingested after the first application purged them) is a
+        // SECOND application of the same op ids, and both purged real
+        // rows, so both deltas must count (an op-keyed overwrite here
+        // would destroy the first and permanently overcount stats).
+        // Pre-app_id pendings (one legacy crash window) fall back to
+        // the old min-op key.
+        val deltaOp =
+          if (tomb.columns.contains("app_id"))
+            tomb.agg(min(col("app_id"))).head().getString(0)
+          else tomb.agg(min(col("op_id"))).head().getString(0)
         tomb.select("doc_id", "n_chars", "n_ws_tokens").distinct()
           .agg((-count(lit(1))).cast("long").as("n_docs"),
             (-coalesce(sum(col("n_chars")), lit(0L))).cast("long").as("n_chars"),
@@ -2347,32 +2545,65 @@ object ContinuousIngest {
     if (fs.exists(new HPath(st.digestsPath))) {
       resolvePurgeTmps(spark, st.digestsPath)
       if (digestsV2(spark, st))
-        affected(st.digestsPath, "doc_id", packedIds = false)
-          .foreach(b => rewritePartition(spark, st.digestsPath, b,
-            anti("doc_id")))
+        inParallel(affected(st.digestsPath, "doc_id", packedIds = false)
+          .map(b => () => rewritePartition(spark, st.digestsPath, b,
+            anti("doc_id"))))
       else
-        affected(st.digestsPath, "text", packedIds = false,
+        inParallel(affected(st.digestsPath, "text", packedIds = false,
             keys = digs, keysCol = "digest")
-          .foreach(b => rewritePartition(spark, st.digestsPath, b,
-            anti("text", digs, "digest")))
+          .map(b => () => rewritePartition(spark, st.digestsPath, b,
+            anti("text", digs, "digest"))))
     }
     // audit trail BEFORE the intent retires: a takedown must stay
     // provable after its tombstone is destroyed. (doc_id, op_id,
     // requested_at) only — deliberately NO digest and NO text, so the
-    // log itself cannot resurrect the forgotten content. Keyed by the
-    // capture-stamped op ids (one dir per op — a queued purge logs
-    // each request under its own op) and written with overwrite, so a
-    // recovery re-run rewrites the same rows instead of duplicating
-    // them; a crash between these writes and the pending delete below
-    // replays into the same op dirs.
+    // log itself cannot resurrect the forgotten content. One dir per
+    // op (a queued purge logs each request under its own op), written
+    // as a MERGE — union + distinct with any existing op dir, through
+    // a marked-tmp swap — never a bare overwrite: a second
+    // application of the same op (queued-takedown retry after a
+    // purged id was legitimately re-ingested) captures only the
+    // re-ingested subset, and overwriting would replace the first
+    // application's audit rows with that subset, making the takedown
+    // unprovable. Recovery re-runs replay the same rows, so the
+    // union stays duplicate-free (distinct over identical rows).
     if (n > 0) {
+      val logRoot = s"${st.root}/deletes_log"
+      val logFs = fsFor(spark, logRoot)
       tomb.select("op_id").distinct().collect().map(_.getString(0))
         .foreach { opId =>
-          tomb.where(col("op_id") === lit(opId))
+          val target = new HPath(logRoot, s"op=$opId")
+          val tmp = new HPath(logRoot, s"$LogTmpPrefix$opId")
+          // resolve a leftover swap first: a tmp WITH _SUCCESS whose
+          // target is gone is a crash between target-delete and
+          // rename (finish the move — it holds the complete union of
+          // its time); anything else is reproducible in-flight work
+          // (the pending intent that wrote it is still the one being
+          // applied), so discard and re-merge
+          if (logFs.exists(tmp)) {
+            if (logFs.exists(new HPath(tmp, "_SUCCESS")) &&
+                !logFs.exists(target))
+              require(logFs.rename(tmp, target),
+                s"applyPendingDelete: log recovery rename $tmp failed " +
+                  "— tmp retained, re-run recovery")
+            else logFs.delete(tmp, true)
+          }
+          val fresh = tomb.where(col("op_id") === lit(opId))
             .select(col("doc_id"), col("op_id"), col("requested_at"))
-            .distinct()
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"${st.root}/deletes_log/op=$opId")
+          val merged =
+            (if (logFs.exists(target))
+               fresh.unionByName(spark.read.parquet(target.toString)
+                 .select("doc_id", "op_id", "requested_at"))
+             else fresh).distinct()
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          require(logFs.exists(new HPath(tmp, "_SUCCESS")),
+            s"applyPendingDelete: $tmp committed without _SUCCESS " +
+              "(mapreduce.fileoutputcommitter.marksuccessfuljobs must " +
+              "stay enabled) — target left untouched")
+          logFs.delete(target, true)
+          require(logFs.rename(tmp, target),
+            s"applyPendingDelete: log rename $tmp failed — tmp " +
+              "retained (marked), the next recovery completes the move")
         }
     }
     fs.delete(pending, true)
@@ -2380,6 +2611,9 @@ object ContinuousIngest {
   }
 
   private val DeleteQueueDir = ".delete_queue"
+  /** Hidden swap dir for the audit-log merge ([[applyPendingDelete]]) —
+    * dot-prefixed, so parquet readers of `deletes_log/` never see it. */
+  private val LogTmpPrefix = ".log_tmp_op="
 
   /** Queue a takedown request WITHOUT purging — the batched-takedown
     * face: requests accumulate as committed id sets (one `op=` dir
@@ -2411,10 +2645,14 @@ object ContinuousIngest {
     * it, then retire the drained request dirs. Crash-safe by
     * composition of the existing disciplines: a crash after the
     * intent committed is completed by [[recoverDeletes]] (run here
-    * first, like every maintenance face), and the re-capture of
-    * already-purged ids is empty, so the retirement converges with
-    * nothing double-counted (the audit and stats-delta writes are
-    * op-keyed overwrites). A request dir WITHOUT `_SUCCESS` is a
+    * first, like every maintenance face), and a retry's re-capture
+    * covers only ids still (or again) present — usually empty, but a
+    * purged id legitimately RE-INGESTED before the retry is a real
+    * second application of the same op: its purge subtracts its own
+    * capture-keyed stats delta (never overwriting the first
+    * application's), and the audit log MERGES (union + distinct)
+    * into the op dir instead of overwriting, so the first
+    * application's rows stay provable. A request dir WITHOUT `_SUCCESS` is a
     * crashed [[enqueueDelete]] whose caller never received an op id —
     * discarded with a warning. Same contract as [[deleteDocs]]
     * otherwise (single-writer maintenance context, between batches,
@@ -2489,8 +2727,12 @@ object ContinuousIngest {
   def deletesLog(spark: SparkSession, st: IngestState): DataFrame = {
     val path = s"${st.root}/deletes_log"
     if (fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      // distinct IS the contract (one row per deleted doc per op): a
+      // row can legitimately appear in two dirs — compaction absorbed
+      // the op dir and a later second application of the same op
+      // (queued retry after re-ingest) rewrote a fresh one
       spark.read.option("basePath", path).parquet(path)
-        .select("doc_id", "op_id", "requested_at")
+        .select("doc_id", "op_id", "requested_at").distinct()
     else
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -2501,6 +2743,102 @@ object ContinuousIngest {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("requested_at",
             org.apache.spark.sql.types.TimestampType))))
+  }
+
+  private val LogCompactTmp = ".log_compact_tmp"
+  private val CompactedOpDir = "op=_compacted"
+  private val LogCompactManifest = "_GRAFT_COMPACTED_OPS"
+
+  /** Consolidate the takedown audit log's per-op dirs into one
+    * `op=_compacted` partition — [[compactState]]'s maintenance for
+    * the one dir per completed takedown [[applyPendingDelete]] leaves
+    * behind (the same small-files listing cost [[foldStatsDeltas]]
+    * bounds for the stats deltas; a takedown-heavy deployment accretes
+    * them forever otherwise). Content-preserving by construction:
+    * the new partition is the union+distinct of everything absorbed —
+    * including the previous `_compacted` — and [[deletesLog]] reads
+    * the union of whatever dirs exist, so every crash window reads
+    * the same distinct row set.
+    *
+    * CRASH-SAFE by the [[foldStatsDeltas]] discipline: the union lands
+    * in a hidden tmp that is authoritative ONLY with BOTH Spark's
+    * `_SUCCESS` and a manifest (atomically installed via dot-temp +
+    * rename) naming the op dirs it absorbed; install, THEN delete the
+    * manifest-named sources, THEN drop the manifest. A manifest-less
+    * tmp is partial (sources intact — discard); a manifest riding the
+    * live partition is a crash between install and retirement
+    * (retire, never re-absorb). A later SECOND application of an
+    * absorbed op (queued retry after re-ingest) simply writes a fresh
+    * op dir beside `_compacted`; the reader's distinct keeps the
+    * one-row-per-(doc, op) contract. */
+  private def compactDeletesLog(spark: SparkSession, st: IngestState): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.root)
+    val logRoot = new HPath(s"${st.root}/deletes_log")
+    if (!fs.exists(logRoot)) return
+    val compacted = new HPath(logRoot, CompactedOpDir)
+    def readManifest(dir: HPath): Seq[String] = {
+      val m = new HPath(dir, LogCompactManifest)
+      if (!fs.exists(m)) Nil
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          .filter(_.nonEmpty)
+        finally in.close()
+      }
+    }
+    def retire(dir: HPath): Unit = {
+      readManifest(dir).foreach(op =>
+        fs.delete(new HPath(logRoot, s"op=$op"), true))
+      fs.delete(new HPath(dir, LogCompactManifest), false)
+      fs.delete(new HPath(dir, s".$LogCompactManifest.tmp"), false)
+      ()
+    }
+    // recovery 1: resolve a leftover tmp — authoritative only with
+    // both markers; otherwise partial with sources intact, discard
+    val tmp = new HPath(logRoot, LogCompactTmp)
+    if (fs.exists(tmp)) {
+      if (fs.exists(new HPath(tmp, "_SUCCESS")) &&
+          fs.exists(new HPath(tmp, LogCompactManifest))) {
+        fs.delete(compacted, true)
+        require(fs.rename(tmp, compacted),
+          s"compactDeletesLog: recovery rename $tmp failed — tmp " +
+            "retained, re-run compaction")
+        retire(compacted)
+      } else fs.delete(tmp, true)
+    }
+    // recovery 2: a manifest in the live partition is a crash between
+    // install and retirement
+    if (fs.exists(compacted)) retire(compacted)
+    // the compaction proper
+    val ops = fs.listStatus(logRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("op=") &&
+        s.getPath.getName != CompactedOpDir)
+      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
+      .map(_.getPath).sortBy(_.getName)
+    if (ops.isEmpty) return
+    val inputs = ops.map(_.toString) ++
+      (if (fs.exists(compacted)) Seq(compacted.toString) else Nil)
+    spark.read.parquet(inputs.toSeq: _*)
+      .select("doc_id", "op_id", "requested_at").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.exists(new HPath(tmp, "_SUCCESS")),
+      s"compactDeletesLog: $tmp committed without _SUCCESS " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
+        "enabled) — sources left untouched")
+    val manifestTmp = new HPath(tmp, s".$LogCompactManifest.tmp")
+    val out = fs.create(manifestTmp, true)
+    try out.write(ops.map(_.getName.stripPrefix("op="))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(manifestTmp, new HPath(tmp, LogCompactManifest)),
+      s"compactDeletesLog: manifest install under $tmp failed — tmp " +
+        "left unmarked (recovery discards it; sources intact)")
+    fs.delete(compacted, true)
+    require(fs.rename(tmp, compacted),
+      s"compactDeletesLog: final rename $tmp failed — tmp retained " +
+        "(marked), the next run's recovery completes the move")
+    retire(compacted)
   }
 
   /** Resolve leftover `.purge_tmp_batch=` swaps under one table root —

@@ -1268,7 +1268,12 @@ class ContinuousIngestSpec extends SparkSpec {
       "docs" -> ContinuousIngest.readTable(spark, st.docsPath),
       "digests" -> ContinuousIngest.readTable(spark, st.digestsPath),
       "keys" -> ContinuousIngest.readTable(spark, st.keysPath),
-      "stats" -> ContinuousIngest.readTable(spark, st.statsPath),
+      // the ACCOUNTING is the stats contract, not the partial-row
+      // layout: maintenance legitimately re-shapes the rows (a fold
+      // moves a takedown's negative delta from stats_deltas/ into the
+      // stats table; a queued drain writes one delta where sequential
+      // deletes write two) — compare totals
+      "stats" -> ContinuousIngest.readStats(spark, st),
       "ivf" -> ContinuousIngest.readTable(spark, st.ivfPath),
       "pq" -> ContinuousIngest.readTable(spark, st.pqPath),
       "sem" -> ContinuousIngest.readTable(spark, st.semPath),
@@ -1532,6 +1537,61 @@ class ContinuousIngestSpec extends SparkSpec {
       Seq((701L, text(1005L), annEmb(701L))).toDF("doc_id", "text", "embedding"),
       3L, stB, pb).select("doc_id").as[Long].collect().toSet
     assert(admitted === Set(701L), s"post-compaction re-admission: $admitted")
+    // the audit log compacts with the rest of the state: content
+    // identical to the uncompacted twin (timestamps differ per root —
+    // compare the provable facts), one consolidated dir
+    assert(ContinuousIngest.deletesLog(spark, stB)
+      .select("doc_id").as[Long].collect().toSet === delIds.toSet,
+      "compacted audit log lost rows")
+    val logDirs = new java.io.File(s"${stB.root}/deletes_log").listFiles()
+      .map(_.getName).filter(_.startsWith("op=")).toSet
+    assert(logDirs === Set("op=_compacted"),
+      s"audit log dirs not consolidated: $logDirs")
+  }
+
+  /** The audit-log compaction's crash windows replay without loss or
+    * re-absorption — same discipline as the stats fold: a tmp without
+    * its manifest is partial (poison discarded, sources intact); a
+    * manifest riding the live compacted dir retires its named sources
+    * WITHOUT absorbing them again. */
+  test("deletes_log compaction crash windows: manifest-less tmp discarded, live manifest retires without re-absorbing") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    val root = freshRoot()
+    val (st, _) = builtAnnRoot(s"$root/a")
+    ContinuousIngest.deleteDocs(spark, st, Seq(1001L, 102L).toDF("doc_id"))
+    ContinuousIngest.deleteDocs(spark, st, Seq(103L).toDF("doc_id"))
+    val want = ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet
+    // window 1: tmp with _SUCCESS but NO manifest (crash before the
+    // manifest's atomic install) holds poison rows — discarded
+    Seq((666L, "op-poison", new java.sql.Timestamp(0L)))
+      .toDF("doc_id", "op_id", "requested_at").coalesce(1)
+      .write.parquet(s"${st.root}/deletes_log/.log_compact_tmp")
+    ContinuousIngest.compactState(spark, st, 2L)
+    val got = ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want, s"window-1 lost/gained rows: $got vs $want")
+    assert(new java.io.File(s"${st.root}/deletes_log").listFiles()
+      .map(_.getName).filter(_.startsWith("op=")).toSet ===
+      Set("op=_compacted"), "window-1: dirs not consolidated")
+    // window 2: crash between install and retirement — the manifest
+    // rides the LIVE compacted dir naming a source that recovery must
+    // retire WITHOUT re-absorbing (its rows are poison precisely so a
+    // re-absorb would be visible)
+    Seq((999L, "op-ghost", new java.sql.Timestamp(0L)))
+      .toDF("doc_id", "op_id", "requested_at").coalesce(1)
+      .write.parquet(s"${st.root}/deletes_log/op=ghost")
+    JFiles.write(
+      JPath.of(s"${st.root}/deletes_log/op=_compacted/_GRAFT_COMPACTED_OPS"),
+      "ghost\n".getBytes("UTF-8"))
+    ContinuousIngest.compactState(spark, st, 2L)
+    val got2 = ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 === want,
+      s"window-2: retired source re-absorbed or rows lost: $got2 vs $want")
+    assert(new java.io.File(s"${st.root}/deletes_log").listFiles()
+      .map(_.getName).filter(_.startsWith("op=")).toSet ===
+      Set("op=_compacted"), "window-2: ghost dir not retired")
   }
 
   test("tombstone delete between streamed runs: the checkpoint continues past the maintenance pass, nothing resurrects") {
@@ -1815,6 +1875,115 @@ class ContinuousIngestSpec extends SparkSpec {
     ContinuousIngest.compactState(spark, stD, 2L)
     assert(deltaOps(stD).isEmpty && totals(stD) === wantD,
       s"window-3: retired manifest refolded (${totals(stD)} vs $wantD)")
+
+    // crash window 4: the manifest reached its dot-temp but not its
+    // rename — the tmp carries _SUCCESS and poisoned rows, yet no
+    // manifest, so it is PARTIAL and must be discarded (the old
+    // in-place manifest write could leave a truncated-but-present
+    // manifest here, making recovery install the poison and retire
+    // only the listed ops)
+    val (stE, _) = builtAnnRoot(s"$root/e")
+    ContinuousIngest.deleteDocs(spark, stE, Seq(1005L).toDF("doc_id"))
+    val wantE = totals(stE)
+    val tmpE = s"${stE.statsPath}/.fold_tmp_batch=2"
+    Seq((77777L, 1L, 1L)).toDF("n_docs", "n_chars", "n_ws_tokens")
+      .coalesce(1).write.parquet(tmpE)
+    JFiles.write(JPath.of(tmpE, "._GRAFT_FOLDED_OPS.tmp"),
+      Array.emptyByteArray)
+    ContinuousIngest.compactState(spark, stE, 2L)
+    assert(totals(stE) === wantE,
+      s"window-4: a manifest-temp-only tmp must be discarded " +
+        s"(${totals(stE)} vs $wantE)")
+    assert(deltaOps(stE).isEmpty, "window-4: deltas must still fold")
+  }
+
+  /** readStats must apply the same `_SUCCESS` gate foldStatsDeltas
+    * does: a delta dir a crashed applyPendingDelete left mid-write is
+    * rewritten by the pending intent's recovery — reading it early
+    * would fold a partial into monitoring totals. */
+  test("readStats ignores an uncommitted (no _SUCCESS) stats delta") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    val root = freshRoot()
+    val (st, _) = builtAnnRoot(s"$root/a")
+    ContinuousIngest.deleteDocs(spark, st, Seq(103L).toDF("doc_id"))
+    val want = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    Seq((-99999L, -7L, -7L)).toDF("n_docs", "n_chars", "n_ws_tokens")
+      .coalesce(1).write.parquet(s"${st.statsDeltasPath}/op=crashed")
+    JFiles.delete(JPath.of(s"${st.statsDeltasPath}/op=crashed/_SUCCESS"))
+    assert(ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head() === want,
+      "a partial (uncommitted) delta leaked into monitoring totals")
+  }
+
+  /** The queued-takedown RETRY hole: a crash after applyPendingDelete
+    * (pending retired) but before the queue dirs retire, followed by a
+    * legitimate re-ingest of a purged id, makes the retry's re-capture
+    * non-empty — a real SECOND application of the same op. Both
+    * applications purged real rows, so both stats deltas must count
+    * (capture-keyed dirs, never a reused-key overwrite) and the audit
+    * log must keep the FIRST application's rows (merge, never
+    * overwrite) — stats stay exactly the corpus recompute and the
+    * takedown stays provable. */
+  test("queued-takedown retry after re-ingest: stats deltas additive, audit rows merge") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    val root = freshRoot()
+    val (st, pa) = builtAnnRoot(s"$root/a")
+    val ids = Seq(102L, 103L)
+    val opId = ContinuousIngest.enqueueDelete(spark, st, ids.toDF("doc_id"))
+    // stash the committed queue dir — the crash window leaves it behind
+    val qDir = JPath.of(s"${st.root}/.delete_queue/op=$opId")
+    val stash = JPath.of(s"$root/stash")
+    JFiles.createDirectories(stash)
+    JFiles.list(qDir).forEach(f =>
+      JFiles.copy(f, stash.resolve(f.getFileName.toString)))
+    assert(ContinuousIngest.processDeleteQueue(spark, st) === ids.size.toLong)
+    // crash simulation: the purge completed but queue retirement never
+    // ran — restore the committed request dir
+    JFiles.createDirectories(qDir)
+    JFiles.list(stash).forEach(f =>
+      JFiles.copy(f, qDir.resolve(f.getFileName.toString)))
+    // a purged id legitimately re-ingests (re-admission is the contract)
+    ContinuousIngest.ingestBatch(
+      Seq((102L, text(2), annEmb(102L))).toDF("doc_id", "text", "embedding"),
+      3L, st, pa)
+    // the retry drains again: re-capture = {102} — a second application
+    assert(ContinuousIngest.processDeleteQueue(spark, st) === 1L)
+    // stats: exact equality with a from-scratch corpus aggregation —
+    // an overwritten first delta would permanently overcount
+    val got = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    val want = ContinuousIngest.readTable(spark, st.docsPath)
+      .agg(count(lit(1)),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)),
+        coalesce(sum(size(split(col("text"), "\\s+")).cast("long")), lit(0L)))
+      .as[(Long, Long, Long)].head()
+    assert(got === want, s"retry overcounted stats: $got vs $want")
+    // audit: the first application's rows survive the second — 103 was
+    // purged only by the first, and must still be provable
+    val logged = ContinuousIngest.deletesLog(spark, st)
+      .where(col("op_id") === opId).select("doc_id").as[Long].collect().toSet
+    assert(logged === ids.toSet, s"audit lost rows: $logged vs ${ids.toSet}")
+    // one delta dir per application — additive, not overwritten
+    val deltas = new java.io.File(st.statsDeltasPath).listFiles()
+      .map(_.getName).filter(_.startsWith("op=")).toSet
+    assert(deltas.size === 2, s"expected two capture-keyed deltas: $deltas")
+    // the queue drained for good this time
+    assert(ContinuousIngest.processDeleteQueue(spark, st) === 0L)
+  }
+
+  test("bootstrap refuses a non-float32 embedding column on an ann-enabled root, by name") {
+    import graft.streaming.ContinuousIngest.AnnParams
+    val root = freshRoot()
+    val st = IngestState(s"$root/dbl")
+    val pa = P.copy(ann = Some(AnnParams(nlist = 2, m = 4, ksub = 4)))
+    val dbl = Seq((1L, text(1), (0 until 16).map(_.toDouble)))
+      .toDF("doc_id", "text", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ContinuousIngest.bootstrap(dbl, st, pa)
+    }
+    assert(e.getMessage.contains("array<float>"),
+      s"error must name the contract width: ${e.getMessage}")
   }
 
   test("tombstone delete on a dedup-only root (no ann): index tables absent are skipped, dedup laws hold") {
