@@ -2289,7 +2289,8 @@ object ContinuousIngest {
     * staging with no authority; the pending dir's `_SUCCESS` is the
     * commit point. */
   private def captureTombstone(spark: SparkSession, st: IngestState,
-                               reqs: DataFrame): Unit = {
+                               reqs: DataFrame,
+                               excludeBatch: Long = Long.MinValue): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val capture = new HPath(st.root, DeleteCaptureDir)
@@ -2299,14 +2300,20 @@ object ContinuousIngest {
     val v2 = digestsV2(spark, st)
     // pass 1 — capture the matched docs' (doc_id, digest [, per-doc
     // stats factors]); materialized (hidden dir, no authority) so the
-    // carry check and the tombstone write don't recompute the join
+    // carry check and the tombstone write don't recompute the join.
+    // `excludeBatch` keeps an IN-FLIGHT ingest batch's rows out of
+    // the capture (the stream-boundary drain): purging a doc the
+    // replay window still re-delivers would be resurrected by the
+    // replay's partition overwrite — such docs are "not yet
+    // committed" at process time and are judged then, like any id
+    // that hasn't arrived
     (if (v2)
-       readTable(spark, st.digestsPath)
+       readTable(spark, st.digestsPath, excludeBatch = excludeBatch)
          .join(broadcast(del), Seq("doc_id"))
          .select(col("doc_id"), col("text").as("digest"),
            col("n_chars"), col("n_ws_tokens"))
      else
-       readTable(spark, st.docsPath)
+       readTable(spark, st.docsPath, excludeBatch = excludeBatch)
          .join(broadcast(del), Seq("doc_id"))
          .select(col("doc_id"), md5(col("text")).as("digest")))
       .coalesce(1).write.mode("overwrite").parquet(capture.toString)
@@ -2319,11 +2326,11 @@ object ContinuousIngest {
     // digests
     val carried =
       (if (v2)
-         readTable(spark, st.digestsPath)
+         readTable(spark, st.digestsPath, excludeBatch = excludeBatch)
            .join(broadcast(del), Seq("doc_id"), "left_anti")
            .select(col("text").as("digest"))
        else
-         readTable(spark, st.docsPath)
+         readTable(spark, st.docsPath, excludeBatch = excludeBatch)
            .join(broadcast(del), Seq("doc_id"), "left_anti")
            .select(md5(col("text")).as("digest")))
         .join(broadcast(hit.select("digest").distinct()), Seq("digest"), "left_semi")
@@ -2621,8 +2628,9 @@ object ContinuousIngest {
     * ALL in ONE purge pass, so N queued requests cost one set of
     * detection scans + partition rewrites instead of N (the per-op
     * fixed job overhead is the dominant cost of small takedowns —
-    * measured ~12 s per op at 200k docs, almost all of it
-    * per-rewrite job overhead that batching amortizes). Queued
+    * ServeProbe at 200k docs measures a single 1000-id op at ~10 s
+    * even with the tiered-concurrent rewrites, and a 3-op drain at
+    * ~9 s vs ~22 s sequential). Queued
     * requests don't block ingest (only an in-flight tombstone intent
     * does); each request keeps its own op identity + request
     * timestamp, so the audit log attributes every doc to the request
@@ -2630,12 +2638,31 @@ object ContinuousIngest {
     * request's op id. */
   def enqueueDelete(spark: SparkSession, st: IngestState,
                     ids: DataFrame): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
     val opId = java.util.UUID.randomUUID().toString
+    val fs = fsFor(spark, st.root)
+    // ATOMIC PUBLISH — write to a hidden temp, then rename into the
+    // queue: with the stream-boundary drain ([[start]]'s
+    // `drainQueuedDeletes`), enqueues are CONCURRENT with drains by
+    // design, and an in-place write would expose a half-written
+    // request dir to a drain's listing (discarded as torn, or worse,
+    // half-read). After the rename, every `op=` dir in the queue is
+    // committed by construction; the temp is dot-prefixed, so drains
+    // never look at it. A crash before the rename leaks only the
+    // hidden temp (the caller never received the op id — re-issue).
+    val tmp = new HPath(s"${st.root}/$DeleteQueueDir/.enqueue_tmp_$opId")
     ids.select(col("doc_id")).distinct()
       .withColumn("op_id", lit(opId))
       .withColumn("requested_at", current_timestamp())
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${st.root}/$DeleteQueueDir/op=$opId")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.exists(new HPath(tmp, "_SUCCESS")),
+      s"enqueueDelete: $tmp committed without _SUCCESS " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
+        "enabled) — request not published")
+    val dst = new HPath(s"${st.root}/$DeleteQueueDir/op=$opId")
+    require(fs.rename(tmp, dst),
+      s"enqueueDelete: publish rename $tmp -> $dst failed — request " +
+        "not published, re-issue")
     opId
   }
 
@@ -2657,18 +2684,34 @@ object ContinuousIngest {
     * discarded with a warning. Same contract as [[deleteDocs]]
     * otherwise (single-writer maintenance context, between batches,
     * committed ids only — judged at PROCESS time). Returns the number
-    * of distinct docs purged by this drain. */
-  def processDeleteQueue(spark: SparkSession, st: IngestState): Long = {
+    * of distinct docs purged by this drain.
+    *
+    * `excludeBatch`: the id of an ingest batch the stream may still
+    * RE-DELIVER (the [[start]] boundary drain passes the batch about
+    * to ingest) — its rows stay out of the capture, because a replay's
+    * partition overwrite would resurrect anything purged from it.
+    * Such docs are simply not committed yet at process time. */
+  def processDeleteQueue(spark: SparkSession, st: IngestState,
+                         excludeBatch: Long = Long.MinValue): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     recoverIndexSwap(spark, st, asWriter = true)
     recoverDeletes(spark, st)
     val fs = fsFor(spark, st.root)
     val qRoot = new HPath(st.root, DeleteQueueDir)
     if (!fs.exists(qRoot)) return 0L
-    val dirs = fs.listStatus(qRoot).filter(_.isDirectory).map(_.getPath)
+    // only published `op=` dirs: an in-flight enqueue's hidden temp
+    // (concurrent with this drain by design under the stream-boundary
+    // face) is dot-prefixed and must not be touched — its rename will
+    // publish it for a LATER drain
+    val dirs = fs.listStatus(qRoot)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("op="))
+      .map(_.getPath)
     val (committed, torn) =
       dirs.partition(d => fs.exists(new HPath(d, "_SUCCESS")))
     torn.foreach { d =>
+      // can only be a pre-atomic-publish legacy dir (enqueueDelete now
+      // renames complete dirs in): a crashed in-place write whose
+      // caller never received an op id
       Console.err.println(s"[graft] WARNING: discarding an uncommitted " +
         s"takedown request at $d (a crashed enqueueDelete — its caller " +
         "never received an op id); re-issue the request if it was real.")
@@ -2677,7 +2720,7 @@ object ContinuousIngest {
     if (committed.isEmpty) return 0L
     val reqs = spark.read.parquet(committed.map(_.toString).toSeq: _*)
       .select("doc_id", "op_id", "requested_at")
-    captureTombstone(spark, st, reqs)
+    captureTombstone(spark, st, reqs, excludeBatch)
     val n = applyPendingDelete(spark, st)
     // retire the drained requests strictly AFTER the purge completed —
     // a crash above replays into an empty re-capture (ids already
@@ -2900,9 +2943,23 @@ object ContinuousIngest {
     * `availableNow` the query drains the source and stops (the
     * catch-up/backfill run); without it, it runs until stopped (the
     * continuous feed). Restart-safe: the checkpoint replays the
-    * in-flight batch and the idempotent state writes absorb it. */
+    * in-flight batch and the idempotent state writes absorb it.
+    *
+    * `drainQueuedDeletes = true` runs [[processDeleteQueue]] at every
+    * micro-batch boundary (before the batch ingests), so a CONTINUOUS
+    * deployment applies queued takedowns without ever stopping the
+    * stream: the foreachBatch body is exactly the single-writer
+    * maintenance context, every batch below the one in hand is
+    * committed, and the in-hand batch id is passed as the capture's
+    * `excludeBatch` so a replay's partition overwrite can never
+    * resurrect a purged row. Ids that arrive only in (or after) the
+    * in-hand batch are judged at their drain's process time, like any
+    * not-yet-ingested id — [[enqueueDelete]] after the fact if the
+    * content landed. Costs three filesystem existence checks per
+    * boundary when the queue is empty. */
   def start(stream: DataFrame, st: IngestState, p: IngestParams,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true,
+            drainQueuedDeletes: Boolean = false): StreamingQuery = {
     // deployment-startup recovery: starting the stream IS the
     // single-writer maintenance context (rebuilds and deletes run
     // between streams), so complete BOTH kinds of crashed
@@ -2919,6 +2976,8 @@ object ContinuousIngest {
     val quant = p.ann.map(a => loadQuantizers(stream.sparkSession, st, a))
     val writer = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
+        if (drainQueuedDeletes) processDeleteQueue(b.sparkSession, st,
+          excludeBatch = id)
         ingestBatch(b, id, st, p, quant); () }
       .option("checkpointLocation", st.checkpointPath)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

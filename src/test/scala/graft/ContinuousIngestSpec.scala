@@ -1972,6 +1972,51 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(ContinuousIngest.processDeleteQueue(spark, st) === 0L)
   }
 
+  /** start(drainQueuedDeletes = true): queued takedowns apply at
+    * micro-batch boundaries without stopping the stream — the
+    * foreachBatch body is the single-writer maintenance context, and
+    * the in-hand batch is excluded from the capture so a replay can
+    * never resurrect a purged row. Ids that haven't arrived yet are
+    * judged at drain time (retired no-op) and land normally after. */
+  test("start with drainQueuedDeletes: queue drains at batch boundaries, late ids judged at process time") {
+    val root = freshRoot()
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(
+      Seq(1001L -> text(1001L), 1002L -> text(1002L)).toDF("doc_id", "text"),
+      st, P)
+    // queue BEFORE the stream: 1001 exists (purges at the first
+    // boundary); 302 only arrives in chunk 2 (judged no-op, lands)
+    ContinuousIngest.enqueueDelete(spark, st, Seq(1001L, 302L).toDF("doc_id"))
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      st, P, drainQueuedDeletes = true).awaitTermination()
+    val docs = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!docs.contains(1001L), "queued takedown did not purge at the boundary")
+    assert(docs.contains(302L),
+      "a not-yet-arrived id must land after its no-op judgment")
+    assert(docs.contains(1002L), "survivor lost")
+    val qDir = new java.io.File(s"${st.root}/.delete_queue")
+    assert(qDir.listFiles() == null || qDir.listFiles().isEmpty,
+      "queue not retired")
+    assert(ContinuousIngest.deletesLog(spark, st).select("doc_id").as[Long]
+      .collect().toSet === Set(1001L), "audit rows")
+    // accounting stayed exact through the boundary drain
+    val got = ContinuousIngest.readStats(spark, st)
+      .as[(Long, Long, Long)].head()
+    val want = ContinuousIngest.readTable(spark, st.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(got === want, s"stats $got != $want")
+  }
+
   test("bootstrap refuses a non-float32 embedding column on an ann-enabled root, by name") {
     import graft.streaming.ContinuousIngest.AnnParams
     val root = freshRoot()
