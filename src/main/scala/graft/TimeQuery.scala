@@ -28,6 +28,14 @@ object TimeQuery {
       val fn = SparkEntry.queries(name)
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
+      // SPARK_GRAFT_ROWS=1 → also print the row count and a sample
+      // (the check_* queries' violation rows, without a Verify sweep)
+      if (sys.env.get("SPARK_GRAFT_ROWS").contains("1")) {
+        val rows = fn(spark, sfDir).collect()
+        println(s"ROWS $name n=${rows.length}")
+        rows.take(20).foreach(r => println(s"  $r"))
+        spark.sharedState.cacheManager.clearCache()
+      }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

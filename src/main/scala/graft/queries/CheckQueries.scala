@@ -1517,6 +1517,95 @@ object CheckQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // Stream-boundary takedown-drain laws — start(drainQueuedDeletes)
+    // over a scratch root with a REAL file-chunk stream (one chunk per
+    // micro-batch, the bounded-replay pattern):
+    //  1. a queued id present at stream start is PURGED at the first
+    //     boundary: absent from docs and digests at the end;
+    //  2. a queued id that only arrives in the LAST chunk is judged at
+    //     its drain's process time (retired no-op) and LANDS — a
+    //     takedown can never block future ingest of re-admitted
+    //     content;
+    //  3. the queue fully drains (no request dirs survive the run);
+    //  4. the incremental stats view equals a direct re-aggregation of
+    //     the final docs table THROUGH the mid-stream purge;
+    //  5. the audit log holds exactly the purged id.
+    // Texts are synthesized unique (md5 of the id) so dedup can never
+    // drop the late-arriving id for an accidental content collision.
+    "check_ingest_drain" -> ((s, d) => scratchTable(s, d, "ingest_drain_viol") {
+      import graft.streaming.{Bounded, ContinuousIngest}
+      import graft.streaming.ContinuousIngest.{IngestParams, IngestState}
+      val nAll = Tables.documentsCount(s, d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(concat(lit("v"), col("doc_id"))).as("text"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0      // streamed fifth
+      val lastChunk = pmod(col("doc_id"), lit(10)) === 5 // its second half
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false)
+      val root = java.nio.file.Files.createTempDirectory("graft_drain")
+      try {
+        val st = IngestState(s"$root/state")
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        val aId = docs.where(!isNew).agg(min("doc_id")).head.getLong(0)
+        val cId = docs.where(isNew && lastChunk).agg(min("doc_id"))
+          .head.getLong(0)
+        import s.implicits._
+        ContinuousIngest.enqueueDelete(s, st, Seq(aId, cId).toDF("doc_id"))
+        // two chunk files -> two micro-batches (distinct mtimes pin the
+        // delivery order; cId's chunk is LAST)
+        docs.where(isNew && !lastChunk).coalesce(1)
+          .write.parquet(s"$root/in/chunk_0")
+        Thread.sleep(5)
+        docs.where(isNew && lastChunk).coalesce(1)
+          .write.parquet(s"$root/in/chunk_1")
+        ContinuousIngest.start(
+          Bounded.fileStream(s, s"$root/in/chunk_*",
+            schemaDDL = "doc_id BIGINT, text STRING"),
+          st, p, drainQueuedDeletes = true).awaitTermination()
+        val finalIds = ContinuousIngest.readTable(s, st.docsPath)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val digestIds = ContinuousIngest.readTable(s, st.digestsPath)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val purgeViol =
+          (if (!finalIds.contains(aId)) Seq.empty[String]
+           else Seq(s"drain_purge_missed_docs=$aId")) ++
+          (if (!digestIds.contains(aId)) Seq.empty[String]
+           else Seq(s"drain_purge_missed_digests=$aId"))
+        val lateViol =
+          if (finalIds.contains(cId)) Seq.empty[String]
+          else Seq(s"drain_late_id_lost=$cId")
+        val qDir = new java.io.File(s"${st.root}/.delete_queue")
+        val leftover = Option(qDir.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.startsWith("op="))
+        val queueViol =
+          if (leftover.isEmpty) Seq.empty[String]
+          else Seq(s"drain_queue_left=${leftover.mkString(",")}")
+        val statsViol = multisetDiffViolations(
+          ContinuousIngest.readStats(s, st),
+          ContinuousIngest.readTable(s, st.docsPath).agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("n_chars"),
+            coalesce(sum(size(split(col("text"), "\\s+")).cast("long")),
+              lit(0L)).as("n_ws_tokens")),
+          "drain_stats_extra", "drain_stats_missing")
+          .collect().map(_.getString(0)).toSeq
+        val logIds = ContinuousIngest.deletesLog(s, st)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val logViol =
+          if (logIds == Set(aId)) Seq.empty[String]
+          else Seq(s"drain_log_ids=${logIds.toSeq.sorted.mkString(",")}" +
+            s"_want=$aId")
+        (purgeViol ++ lateViol ++ queueViol ++ statsViol ++ logViol)
+          .toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty

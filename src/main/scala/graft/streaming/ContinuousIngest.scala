@@ -487,9 +487,8 @@ object ContinuousIngest {
           .write.mode("overwrite").parquet(s"${st.keysPath}/batch=-1"))
        else Nil) ++
       Seq({ () =>
-        java.nio.file.Files.write(st.bloomPath, Dedup.bloomToBytes(
+        writeBloomAtomic(st.bloomPath, Dedup.bloomToBytes(
           Dedup.buildDigestBloom(corpus, p.expectedDigests, p.fpp)))
-        ()
       }: () => Unit))
     p.ann.foreach { a =>
       // train-once: the quantizers persist beside the index tables and
@@ -1092,6 +1091,25 @@ object ContinuousIngest {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Write the serialized bloom ATOMICALLY (temp + ATOMIC_MOVE). The
+    * bloom is the one state FILE (not a parquet dir with a `_SUCCESS`
+    * contract), and an in-place write truncates first — a crash
+    * mid-write would leave a TORN file that fails `bloomFromBytes` on
+    * the next batch with no recovery path (parquet state replays; the
+    * bloom would need a manual rebuild). With the move, every crash
+    * window holds either the old bytes or the new — both safe: the
+    * bloom is over-approximate state, and a stale filter only costs
+    * verify-join rows, never answers (re-delivery re-merges it). */
+  private def writeBloomAtomic(path: java.nio.file.Path,
+                               bytes: Array[Byte]): Unit = {
+    val tmp = path.resolveSibling(s".${path.getFileName}.tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Scheduler pool for INDEPENDENT state writes within one
     * maintenance op (distinct output paths, one Spark action each).
     * Cached (unbounded, daemon) so nested groups — a batch's write
@@ -1657,7 +1675,7 @@ object ContinuousIngest {
           .write.mode("overwrite").parquet(s"${st.keysPath}/batch=$batchId"))
     group += (() => partialStats(survivors)
       .write.mode("overwrite").parquet(s"${st.statsPath}/batch=$batchId"))
-    group += (() => java.nio.file.Files.write(st.bloomPath, Dedup.mergeBloomBytes(
+    group += (() => writeBloomAtomic(st.bloomPath, Dedup.mergeBloomBytes(
       java.nio.file.Files.readAllBytes(st.bloomPath),
       Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp)))))
     p.ann.foreach { a =>
