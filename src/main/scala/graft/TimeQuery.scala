@@ -29,11 +29,13 @@ object TimeQuery {
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
       // SPARK_GRAFT_ROWS=1 → also print the row count and a sample
-      // (the check_* queries' violation rows, without a Verify sweep)
+      // (the check_* queries' violation rows, without a Verify sweep).
+      // count + limit(20), never a full collect — the flag can name a
+      // corpus-scale query
       if (sys.env.get("SPARK_GRAFT_ROWS").contains("1")) {
-        val rows = fn(spark, sfDir).collect()
-        println(s"ROWS $name n=${rows.length}")
-        rows.take(20).foreach(r => println(s"  $r"))
+        val df = fn(spark, sfDir)
+        println(s"ROWS $name n=${df.count()}")
+        df.limit(20).collect().foreach(r => println(s"  $r"))
         spark.sharedState.cacheManager.clearCache()
       }
       val times = (1 to runs).map { _ =>

@@ -1070,8 +1070,23 @@ object ContinuousIngest {
       // strong digest, not hashCode: two distinct eligible sets in one
       // long-lived serving JVM colliding on a 32-bit hash would
       // silently reuse the wrong probe width (recall-only per the
-      // contract, but undetectable) — md5 makes that negligible
-      val eligFp = md5Hex(elig.queryExecution.analyzed.canonicalized.toString)
+      // contract, but undetectable). The plan STRING alone is not
+      // enough — LocalRelation (an in-memory allowlist DF, the
+      // scaladoc's own example) prints only its schema, so every such
+      // allowlist would share one key; digest the local rows and the
+      // plan hash alongside the structure.
+      val plan = elig.queryExecution.analyzed.canonicalized
+      val eligFp = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(plan.toString.getBytes("UTF-8"))
+        md.update(plan.hashCode().toString.getBytes("UTF-8"))
+        plan.foreach {
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+          case _ => ()
+        }
+        md.digest().map("%02x".format(_)).mkString
+      }
       val stateFp = md5Hex(
         batchDirNames(spark, st.ivfPath).toSeq.sorted.mkString(",") + "#" +
           opDirNames(spark, s"${st.root}/deletes_log").mkString(","))
@@ -1137,16 +1152,30 @@ object ContinuousIngest {
     * idempotence contract), so ANY completed subset replays to the
     * same state — concurrency turns K sequential job-overhead
     * payments into the group's critical path, which is what a
-    * nightly batch's latency actually needs. */
+    * nightly batch's latency actually needs.
+    *
+    * Submission is CHUNKED at `MaxConcurrentStateWrites` per wave: a
+    * broad takedown can name every partition of a long-lived root,
+    * and an unchunked fan-out would park one blocked driver thread +
+    * one scheduled Spark job per partition at once (thread stacks,
+    * listener-bus floods, scheduler thrash) where hiding per-job
+    * overhead only needs a bounded window. Chunking — rather than a
+    * bounded pool — keeps NESTED groups (a batch's group contains the
+    * index-append, which runs its own) deadlock-free: waves never
+    * hold workers while waiting on sub-waves' admission. */
+  private val MaxConcurrentStateWrites =
+    math.max(4, Runtime.getRuntime.availableProcessors() / 2)
   private def inParallel(tasks: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = stateWriteEc
-    val settled = tasks.map(t =>
-      Future(t()).map(_ => Option.empty[Throwable])
-        .recover { case e => Some(e) })
-    val errs = settled.flatMap(f => Await.result(f, Duration.Inf))
-    errs.headOption.foreach(e => throw e)
+    tasks.grouped(MaxConcurrentStateWrites).foreach { wave =>
+      val settled = wave.map(t =>
+        Future(t()).map(_ => Option.empty[Throwable])
+          .recover { case e => Some(e) })
+      val errs = settled.flatMap(f => Await.result(f, Duration.Inf))
+      errs.headOption.foreach(e => throw e)
+    }
   }
 
   private def opDirNames(spark: SparkSession, path: String): Seq[String] = {
@@ -2808,7 +2837,10 @@ object ContinuousIngest {
 
   private val LogCompactTmp = ".log_compact_tmp"
   private val CompactedOpDir = "op=_compacted"
-  private val LogCompactManifest = "_GRAFT_COMPACTED_OPS"
+  /** Legacy marker from the manifest-carrying first cut of the log
+    * compaction — swept on sight (see the merge-safety note below:
+    * retiring manifest-named sources is UNSOUND for the audit log). */
+  private val LegacyLogManifest = "_GRAFT_COMPACTED_OPS"
 
   /** Consolidate the takedown audit log's per-op dirs into one
     * `op=_compacted` partition — [[compactState]]'s maintenance for
@@ -2821,56 +2853,49 @@ object ContinuousIngest {
     * the union of whatever dirs exist, so every crash window reads
     * the same distinct row set.
     *
-    * CRASH-SAFE by the [[foldStatsDeltas]] discipline: the union lands
-    * in a hidden tmp that is authoritative ONLY with BOTH Spark's
-    * `_SUCCESS` and a manifest (atomically installed via dot-temp +
-    * rename) naming the op dirs it absorbed; install, THEN delete the
-    * manifest-named sources, THEN drop the manifest. A manifest-less
-    * tmp is partial (sources intact — discard); a manifest riding the
-    * live partition is a crash between install and retirement
-    * (retire, never re-absorb). A later SECOND application of an
-    * absorbed op (queued retry after re-ingest) simply writes a fresh
-    * op dir beside `_compacted`; the reader's distinct keeps the
-    * one-row-per-(doc, op) contract. */
+    * CRASH-SAFE by SET SEMANTICS, deliberately NOT by the
+    * [[foldStatsDeltas]] manifest discipline: log rows are a set
+    * (distinct IS the reader's contract), so re-absorbing a source
+    * twice is free, while retiring a source from stale knowledge is
+    * NOT — a queued-takedown retry can MERGE new rows into an op dir
+    * between a crashed compaction and its recovery, and a recovery
+    * that deleted the dir because an old manifest named it would
+    * destroy those rows (stats deltas never mutate in place, which is
+    * why the fold's retire-by-manifest is sound there and unsound
+    * here). Discipline: build the union in a hidden tmp; install
+    * (delete `_compacted`, rename tmp in); delete exactly the source
+    * dirs THIS invocation read (in-memory list, single-writer — no
+    * merge can interleave one invocation). Crash windows: a tmp
+    * found while `_compacted` exists is a pre-install crash (sources
+    * intact — discard); a `_SUCCESS`-marked tmp with NO `_compacted`
+    * is mid-install (the tmp is the only copy of the absorbed set —
+    * finish the rename, delete NO sources: the next compaction
+    * re-absorbs them, distinct collapsing the overlap); unretired
+    * sources after a crash between install and deletion simply
+    * re-absorb next time. */
   private def compactDeletesLog(spark: SparkSession, st: IngestState): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val logRoot = new HPath(s"${st.root}/deletes_log")
     if (!fs.exists(logRoot)) return
     val compacted = new HPath(logRoot, CompactedOpDir)
-    def readManifest(dir: HPath): Seq[String] = {
-      val m = new HPath(dir, LogCompactManifest)
-      if (!fs.exists(m)) Nil
-      else {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          .filter(_.nonEmpty)
-        finally in.close()
-      }
-    }
-    def retire(dir: HPath): Unit = {
-      readManifest(dir).foreach(op =>
-        fs.delete(new HPath(logRoot, s"op=$op"), true))
-      fs.delete(new HPath(dir, LogCompactManifest), false)
-      fs.delete(new HPath(dir, s".$LogCompactManifest.tmp"), false)
-      ()
-    }
-    // recovery 1: resolve a leftover tmp — authoritative only with
-    // both markers; otherwise partial with sources intact, discard
+    // sweep the legacy manifest wherever it survived — its retire
+    // semantics are the unsound path this discipline replaces, and
+    // leaving it could only confuse a rolled-back binary
+    fs.delete(new HPath(compacted, LegacyLogManifest), false)
+    // recovery: resolve a leftover tmp
     val tmp = new HPath(logRoot, LogCompactTmp)
     if (fs.exists(tmp)) {
-      if (fs.exists(new HPath(tmp, "_SUCCESS")) &&
-          fs.exists(new HPath(tmp, LogCompactManifest))) {
-        fs.delete(compacted, true)
+      fs.delete(new HPath(tmp, LegacyLogManifest), false)
+      if (fs.exists(new HPath(tmp, "_SUCCESS")) && !fs.exists(compacted)) {
+        // mid-install crash: the tmp holds the ONLY copy of the
+        // previously-compacted rows — finish the move; sources are
+        // left for the pass below to re-absorb (set semantics)
         require(fs.rename(tmp, compacted),
           s"compactDeletesLog: recovery rename $tmp failed — tmp " +
             "retained, re-run compaction")
-        retire(compacted)
       } else fs.delete(tmp, true)
     }
-    // recovery 2: a manifest in the live partition is a crash between
-    // install and retirement
-    if (fs.exists(compacted)) retire(compacted)
     // the compaction proper
     val ops = fs.listStatus(logRoot)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("op=") &&
@@ -2887,19 +2912,13 @@ object ContinuousIngest {
       s"compactDeletesLog: $tmp committed without _SUCCESS " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
         "enabled) — sources left untouched")
-    val manifestTmp = new HPath(tmp, s".$LogCompactManifest.tmp")
-    val out = fs.create(manifestTmp, true)
-    try out.write(ops.map(_.getName.stripPrefix("op="))
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(manifestTmp, new HPath(tmp, LogCompactManifest)),
-      s"compactDeletesLog: manifest install under $tmp failed — tmp " +
-        "left unmarked (recovery discards it; sources intact)")
     fs.delete(compacted, true)
     require(fs.rename(tmp, compacted),
       s"compactDeletesLog: final rename $tmp failed — tmp retained " +
         "(marked), the next run's recovery completes the move")
-    retire(compacted)
+    // retire exactly what THIS invocation absorbed — a crash anywhere
+    // in this loop leaves dirs the next compaction re-absorbs
+    ops.foreach(op => fs.delete(op, true))
   }
 
   /** Resolve leftover `.purge_tmp_batch=` swaps under one table root —

@@ -1549,49 +1549,79 @@ class ContinuousIngestSpec extends SparkSpec {
       s"audit log dirs not consolidated: $logDirs")
   }
 
-  /** The audit-log compaction's crash windows replay without loss or
-    * re-absorption — same discipline as the stats fold: a tmp without
-    * its manifest is partial (poison discarded, sources intact); a
-    * manifest riding the live compacted dir retires its named sources
-    * WITHOUT absorbing them again. */
-  test("deletes_log compaction crash windows: manifest-less tmp discarded, live manifest retires without re-absorbing") {
+  /** The audit-log compaction recovers by SET SEMANTICS, never by
+    * retiring sources from stale knowledge: log rows are a set (the
+    * reader's distinct is the contract), so re-absorbing is free while
+    * a stale retire could destroy rows a queued-takedown retry MERGED
+    * into an op dir between the crash and its recovery — the exact
+    * "takedown stays provable" invariant. Windows: a tmp without
+    * `_SUCCESS` is a mid-write crash (discarded); a marked tmp beside
+    * a live `_compacted` is a pre-install crash (discarded — sources
+    * intact); a marked tmp with NO `_compacted` is mid-install (the
+    * only copy — renamed in); an unretired source after a crashed
+    * retirement re-absorbs, INCLUDING rows merged into it after the
+    * crash. */
+  test("deletes_log compaction crash windows: set-semantics recovery loses nothing, including post-crash merges") {
     import java.nio.file.{Files => JFiles, Path => JPath}
+    import java.util.Comparator
     val root = freshRoot()
     val (st, _) = builtAnnRoot(s"$root/a")
     ContinuousIngest.deleteDocs(spark, st, Seq(1001L, 102L).toDF("doc_id"))
     ContinuousIngest.deleteDocs(spark, st, Seq(103L).toDF("doc_id"))
     val want = ContinuousIngest.deletesLog(spark, st)
       .select("doc_id").as[Long].collect().toSet
-    // window 1: tmp with _SUCCESS but NO manifest (crash before the
-    // manifest's atomic install) holds poison rows — discarded
+    val logDir = s"${st.root}/deletes_log"
+    def opDirs(): Set[String] = new java.io.File(logDir).listFiles()
+      .map(_.getName).filter(_.startsWith("op=")).toSet
+    def logged(): Set[Long] = ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet
+    // window 1: a tmp WITHOUT _SUCCESS is a mid-write crash — its
+    // poison rows must never surface
     Seq((666L, "op-poison", new java.sql.Timestamp(0L)))
       .toDF("doc_id", "op_id", "requested_at").coalesce(1)
-      .write.parquet(s"${st.root}/deletes_log/.log_compact_tmp")
+      .write.parquet(s"$logDir/.log_compact_tmp")
+    JFiles.delete(JPath.of(s"$logDir/.log_compact_tmp/_SUCCESS"))
     ContinuousIngest.compactState(spark, st, 2L)
-    val got = ContinuousIngest.deletesLog(spark, st)
-      .select("doc_id").as[Long].collect().toSet
-    assert(got === want, s"window-1 lost/gained rows: $got vs $want")
-    assert(new java.io.File(s"${st.root}/deletes_log").listFiles()
-      .map(_.getName).filter(_.startsWith("op=")).toSet ===
-      Set("op=_compacted"), "window-1: dirs not consolidated")
-    // window 2: crash between install and retirement — the manifest
-    // rides the LIVE compacted dir naming a source that recovery must
-    // retire WITHOUT re-absorbing (its rows are poison precisely so a
-    // re-absorb would be visible)
-    Seq((999L, "op-ghost", new java.sql.Timestamp(0L)))
+    assert(logged() === want, s"window-1 lost/gained rows: ${logged()}")
+    assert(opDirs() === Set("op=_compacted"), s"window-1 dirs: ${opDirs()}")
+    // window 2: a MARKED tmp beside a live _compacted is a
+    // pre-install crash — discarded, sources intact (poison visible
+    // if it were trusted)
+    Seq((667L, "op-poison2", new java.sql.Timestamp(0L)))
       .toDF("doc_id", "op_id", "requested_at").coalesce(1)
-      .write.parquet(s"${st.root}/deletes_log/op=ghost")
-    JFiles.write(
-      JPath.of(s"${st.root}/deletes_log/op=_compacted/_GRAFT_COMPACTED_OPS"),
-      "ghost\n".getBytes("UTF-8"))
+      .write.parquet(s"$logDir/.log_compact_tmp")
+    // another real takedown so the compaction proper has work to do
+    ContinuousIngest.deleteDocs(spark, st, Seq(303L).toDF("doc_id"))
+    val want2 = want + 303L
     ContinuousIngest.compactState(spark, st, 2L)
-    val got2 = ContinuousIngest.deletesLog(spark, st)
-      .select("doc_id").as[Long].collect().toSet
-    assert(got2 === want,
-      s"window-2: retired source re-absorbed or rows lost: $got2 vs $want")
-    assert(new java.io.File(s"${st.root}/deletes_log").listFiles()
-      .map(_.getName).filter(_.startsWith("op=")).toSet ===
-      Set("op=_compacted"), "window-2: ghost dir not retired")
+    assert(logged() === want2, s"window-2 lost/gained rows: ${logged()}")
+    assert(opDirs() === Set("op=_compacted"), s"window-2 dirs: ${opDirs()}")
+    // window 3: mid-install crash — _compacted deleted, the marked tmp
+    // is the ONLY copy; recovery must rename it in, losing nothing
+    spark.read.parquet(s"$logDir/op=_compacted").coalesce(1)
+      .write.parquet(s"$logDir/.log_compact_tmp")
+    JFiles.walk(JPath.of(s"$logDir/op=_compacted"))
+      .sorted(Comparator.reverseOrder[JPath]())
+      .forEach(f => JFiles.deleteIfExists(f))
+    ContinuousIngest.compactState(spark, st, 2L)
+    assert(logged() === want2, s"window-3 lost rows: ${logged()}")
+    assert(opDirs() === Set("op=_compacted"), s"window-3 dirs: ${opDirs()}")
+    // window 4: crashed retirement + POST-CRASH MERGE — an absorbed op
+    // dir survives the crash and a retry merges a NEW row into it
+    // before the next compaction; recovery must re-absorb (set
+    // semantics), never retire from stale knowledge
+    val mergedOp = "retry-op"
+    spark.read.parquet(s"$logDir/op=_compacted").limit(1)
+      .select(col("doc_id"), lit(mergedOp).as("op_id"), col("requested_at"))
+      .unionByName(Seq((4242L, mergedOp, new java.sql.Timestamp(0L)))
+        .toDF("doc_id", "op_id", "requested_at"))
+      .coalesce(1).write.parquet(s"$logDir/op=$mergedOp")
+    ContinuousIngest.compactState(spark, st, 2L)
+    val got4 = logged()
+    assert(got4.contains(4242L),
+      s"window-4: the post-crash merged row was destroyed: $got4")
+    assert((want2 -- got4).isEmpty, s"window-4 lost rows: $got4")
+    assert(opDirs() === Set("op=_compacted"), s"window-4 dirs: ${opDirs()}")
   }
 
   test("tombstone delete between streamed runs: the checkpoint continues past the maintenance pass, nothing resurrects") {
@@ -2015,6 +2045,31 @@ class ContinuousIngestSpec extends SparkSpec {
         sum(size(split(col("text"), "\\s+")).cast("long")))
       .as[(Long, Long, Long)].head()
     assert(got === want, s"stats $got != $want")
+  }
+
+  /** The selectivity memo must distinguish two IN-MEMORY allowlists:
+    * a LocalRelation plan prints only its schema, so a
+    * plan-string-keyed memo would hand the second allowlist the first
+    * one's widened probe count — silent recall loss the widening
+    * contract can't detect. The fingerprint digests the local rows. */
+  test("filtered-serving memo distinguishes distinct in-memory allowlists") {
+    val root = freshRoot()
+    val (st, pa) = builtAnnRoot(s"$root/a")
+    val ann = pa.ann.get
+    val q = Some(ContinuousIngest.loadQuantizers(spark, st, ann))
+    // narrow: 2 eligible of 26 → ceil(1/sel) caps at nlist; broad: all
+    // eligible → sel = 1 → width stays nprobe. Both are LocalRelations
+    // with the SAME schema (and so the same plan string).
+    val narrow = Seq(1001L, 1002L).toDF("doc_id")
+    val broad = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSeq.toDF("doc_id")
+    val wNarrow = ContinuousIngest.filteredProbeWidth(spark, st, ann,
+      narrow, nprobe = 1, q)
+    val wBroad = ContinuousIngest.filteredProbeWidth(spark, st, ann,
+      broad, nprobe = 1, q)
+    assert(wNarrow > wBroad,
+      s"memo served one allowlist the other's width: narrow=$wNarrow " +
+        s"broad=$wBroad (LocalRelation fingerprints must differ)")
   }
 
   test("bootstrap refuses a non-float32 embedding column on an ann-enabled root, by name") {
