@@ -86,7 +86,11 @@ object ContinuousIngest {
     // beside the per-batch positives, so takedown accounting never
     // re-scans corpus text (see [[applyPendingDelete]])
     val statsDeltasPath: String = s"$root/stats_deltas"
-    val bloomPath: java.nio.file.Path = java.nio.file.Paths.get(root, "state.bloom")
+    // a STRING path like every other table — the bloom must ride the
+    // Hadoop FileSystem API (see [[readBloomBytes]]/[[writeBloomAtomic]]):
+    // it is state, and a state root on hdfs:// or an object store is
+    // the only place a 100 TB corpus's state can live
+    val bloomPath: String = s"$root/state.bloom"
     val checkpointPath: String = s"$root/_checkpoint"
     // embedding-index tables (maintained when IngestParams.ann is
     // set; every batch must then carry the embedding column — a
@@ -487,7 +491,7 @@ object ContinuousIngest {
           .write.mode("overwrite").parquet(s"${st.keysPath}/batch=-1"))
        else Nil) ++
       Seq({ () =>
-        writeBloomAtomic(st.bloomPath, Dedup.bloomToBytes(
+        writeBloomAtomic(corpus.sparkSession, st.bloomPath, Dedup.bloomToBytes(
           Dedup.buildDigestBloom(corpus, p.expectedDigests, p.fpp)))
       }: () => Unit))
     p.ann.foreach { a =>
@@ -1106,23 +1110,134 @@ object ContinuousIngest {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Write the serialized bloom ATOMICALLY (temp + ATOMIC_MOVE). The
-    * bloom is the one state FILE (not a parquet dir with a `_SUCCESS`
-    * contract), and an in-place write truncates first — a crash
-    * mid-write would leave a TORN file that fails `bloomFromBytes` on
-    * the next batch with no recovery path (parquet state replays; the
-    * bloom would need a manual rebuild). With the move, every crash
-    * window holds either the old bytes or the new — both safe: the
-    * bloom is over-approximate state, and a stale filter only costs
-    * verify-join rows, never answers (re-delivery re-merges it). */
-  private def writeBloomAtomic(path: java.nio.file.Path,
+  // ---- bloom state file: Hadoop-FS IO + framed crash recovery ------
+  //
+  // The bloom is the one state artifact that is a FILE, not a parquet
+  // dir with a `_SUCCESS` contract — so it gets its own completeness
+  // frame: magic + payload length + payload + md5(payload). The frame
+  // lets recovery distinguish a COMPLETE temp (crash between
+  // target-delete and rename — finish the install) from a TORN one
+  // (crash mid-write — the target, when present, is authoritative).
+  // Unframed files are legacy roots (pre-frame builds wrote raw bloom
+  // bytes): read as-is, rewritten framed on the next merge.
+  private val BloomMagic = "GRFTBLM1".getBytes("UTF-8")
+  private def frameBloom(payload: Array[Byte]): Array[Byte] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val out = java.nio.ByteBuffer.allocate(
+      BloomMagic.length + 4 + payload.length + md5.length)
+    out.put(BloomMagic).putInt(payload.length).put(payload).put(md5)
+    out.array()
+  }
+  /** Some(payload) iff `bytes` is a complete well-framed bloom;
+    * None for a torn frame. A file NOT starting with the magic is a
+    * legacy raw bloom — the caller handles that case by path. */
+  private def unframeBloom(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < BloomMagic.length + 4 + 16) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](BloomMagic.length); buf.get(magic)
+    if (!java.util.Arrays.equals(magic, BloomMagic)) return None
+    val len = buf.getInt
+    if (len < 0 || bytes.length != BloomMagic.length + 4 + len + 16) return None
+    val payload = new Array[Byte](len); buf.get(payload)
+    val md5 = new Array[Byte](16); buf.get(md5)
+    if (java.util.Arrays.equals(md5,
+        java.security.MessageDigest.getInstance("MD5").digest(payload)))
+      Some(payload)
+    else None
+  }
+  private def isFramedBloom(bytes: Array[Byte]): Boolean =
+    bytes.length >= BloomMagic.length &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, BloomMagic.length), BloomMagic)
+  private def bloomTmp(path: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+  }
+  private def readFileBytes(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$p is ${len}B — not a bloom file")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  /** Write the serialized bloom ATOMICALLY through the Hadoop
+    * FileSystem API — framed temp, then rename into place
+    * (FileContext OVERWRITE where the FS binds one, so HDFS/POSIX
+    * keep single-syscall replace; delete + rename otherwise). Every
+    * crash window is safe: target intact + torn temp reads the
+    * target; target deleted + complete framed temp is finished
+    * forward by [[readBloomBytes]]; and the bloom is over-approximate
+    * state anyway — a stale filter only costs verify-join rows, never
+    * answers (re-delivery re-merges it). Routed through the SAME
+    * FileSystem as every other state table, so a state root on
+    * hdfs:// or an object store works — the old `java.nio` IO pinned
+    * the bloom to the driver's local disk. */
+  private def writeBloomAtomic(spark: SparkSession, path: String,
                                bytes: Array[Byte]): Unit = {
-    val tmp = path.resolveSibling(s".${path.getFileName}.tmp")
-    java.nio.file.Files.write(tmp, bytes)
-    java.nio.file.Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, path)
+    val target = new HPath(path)
+    val tmp = bloomTmp(path)
+    val out = fs.create(tmp, true)
+    try out.write(frameBloom(bytes)) finally out.close()
+    val renamed =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        // no AbstractFileSystem binding for this scheme — fall back to
+        // delete + rename (the framed temp makes the gap recoverable)
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!renamed) {
+      fs.delete(target, false)
+      require(fs.rename(tmp, target),
+        s"writeBloomAtomic: rename $tmp -> $target failed — complete " +
+          "framed temp retained, the next read finishes the install")
+    }
     ()
+  }
+
+  /** The bloom payload bytes, through the Hadoop FileSystem API, with
+    * crash recovery: a missing target + a COMPLETE framed temp is a
+    * crash between target-delete and rename — finish the install and
+    * read it; a torn temp is discarded wherever the target exists; an
+    * unframed target is a legacy root's raw bloom (read as-is). */
+  private[graft] def readBloomBytes(spark: SparkSession,
+                                    st: IngestState): Array[Byte] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, st.bloomPath)
+    val target = new HPath(st.bloomPath)
+    val tmp = bloomTmp(st.bloomPath)
+    if (fs.exists(target)) {
+      val bytes = readFileBytes(fs, target)
+      if (!isFramedBloom(bytes)) bytes // legacy raw bloom
+      else unframeBloom(bytes).getOrElse(sys.error(
+        s"readBloomBytes: ${st.bloomPath} is framed but fails its " +
+          "checksum — installs are rename-atomic, so this is storage " +
+          "corruption, not a crash window; rebuild the bloom by " +
+          "re-bootstrapping or re-merging from the digest table"))
+    } else if (fs.exists(tmp)) {
+      unframeBloom(readFileBytes(fs, tmp)) match {
+        case Some(payload) =>
+          // mid-install crash: the temp is the only (complete) copy
+          require(fs.rename(tmp, target),
+            s"readBloomBytes: recovery rename $tmp failed — temp " +
+              "retained, re-run")
+          payload
+        case None => sys.error(
+          s"readBloomBytes: no bloom at ${st.bloomPath} and the temp " +
+            "beside it is torn (a crash inside the very first bloom " +
+            "write — nothing complete was ever installed); " +
+            "re-bootstrap the root")
+      }
+    } else sys.error(s"readBloomBytes: no bloom at ${st.bloomPath} — " +
+      "not a bootstrapped root")
   }
 
   /** Scheduler pool for INDEPENDENT state writes within one
@@ -1154,27 +1269,61 @@ object ContinuousIngest {
     * payments into the group's critical path, which is what a
     * nightly batch's latency actually needs.
     *
-    * Submission is CHUNKED at `MaxConcurrentStateWrites` per wave: a
-    * broad takedown can name every partition of a long-lived root,
-    * and an unchunked fan-out would park one blocked driver thread +
-    * one scheduled Spark job per partition at once (thread stacks,
-    * listener-bus floods, scheduler thrash) where hiding per-job
-    * overhead only needs a bounded window. Chunking — rather than a
-    * bounded pool — keeps NESTED groups (a batch's group contains the
-    * index-append, which runs its own) deadlock-free: waves never
-    * hold workers while waiting on sub-waves' admission. */
-  private val MaxConcurrentStateWrites =
+    * Admission is PERMIT-BASED against ONE GLOBAL semaphore of
+    * `MaxConcurrentStateWrites`: a broad takedown can name every
+    * partition of a long-lived root, and an unbounded fan-out would
+    * park one blocked driver thread + one scheduled Spark job per
+    * partition at once (thread stacks, listener-bus floods, scheduler
+    * thrash) where hiding per-job overhead only needs a bounded
+    * window. The bound is GLOBAL across nested groups (a batch's
+    * group contains the index-append, which runs its own; tier-1
+    * purges fan tables × partitions) — per-group chunking bounded
+    * each level but let the product grow multiplicatively. Two rules
+    * keep nesting deadlock-free AND thread-bounded:
+    *   1. a permit is acquired BEFORE a thunk's Future is submitted
+    *      (the submitting loop blocks, so at most
+    *      `MaxConcurrentStateWrites` pool threads exist at once), and
+    *      released when that thunk settles;
+    *   2. a thread never HOLDS a permit while awaiting a nested
+    *      group: a thunk that calls [[inParallel]] releases its own
+    *      permit for the duration of the nested group and re-acquires
+    *      it before resuming — so every held permit belongs to a
+    *      thunk making forward progress, never to one blocked on
+    *      admission, and a blocked acquirer holds nothing another
+    *      acquirer could be waiting for.
+    * No wave barriers: a straggler partition admits new work the
+    * moment any permit frees (the old chunking idled up to
+    * cores/2−1 slots behind the slowest wave member). */
+  private[graft] val MaxConcurrentStateWrites =
     math.max(4, Runtime.getRuntime.availableProcessors() / 2)
-  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+  private val stateWritePermits =
+    new java.util.concurrent.Semaphore(MaxConcurrentStateWrites)
+  private val holdsStateWritePermit: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = stateWriteEc
-    tasks.grouped(MaxConcurrentStateWrites).foreach { wave =>
-      val settled = wave.map(t =>
-        Future(t()).map(_ => Option.empty[Throwable])
-          .recover { case e => Some(e) })
+    // rule 2: a nested caller lends its permit to its children
+    val nested = holdsStateWritePermit.get()
+    if (nested) { holdsStateWritePermit.set(false); stateWritePermits.release() }
+    try {
+      val settled = tasks.map { t =>
+        stateWritePermits.acquire() // rule 1: admission gates submission
+        Future {
+          holdsStateWritePermit.set(true)
+          try { t(); Option.empty[Throwable] }
+          catch { case e: Throwable => Some(e) }
+          finally {
+            holdsStateWritePermit.set(false)
+            stateWritePermits.release()
+          }
+        }
+      }
       val errs = settled.flatMap(f => Await.result(f, Duration.Inf))
       errs.headOption.foreach(e => throw e)
+    } finally {
+      if (nested) { stateWritePermits.acquire(); holdsStateWritePermit.set(true) }
     }
   }
 
@@ -1637,7 +1786,7 @@ object ContinuousIngest {
     val local = batch.join(
       Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val bloom = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(st.bloomPath))
+    val bloom = Dedup.bloomFromBytes(readBloomBytes(spark, st))
     val admitted = Dedup.incrementalNewBloom(local,
       readTable(spark, st.digestsPath, excludeBatch = batchId),
       expectedDigests = p.expectedDigests, fpp = p.fpp,
@@ -1704,8 +1853,8 @@ object ContinuousIngest {
           .write.mode("overwrite").parquet(s"${st.keysPath}/batch=$batchId"))
     group += (() => partialStats(survivors)
       .write.mode("overwrite").parquet(s"${st.statsPath}/batch=$batchId"))
-    group += (() => writeBloomAtomic(st.bloomPath, Dedup.mergeBloomBytes(
-      java.nio.file.Files.readAllBytes(st.bloomPath),
+    group += (() => writeBloomAtomic(spark, st.bloomPath, Dedup.mergeBloomBytes(
+      readBloomBytes(spark, st),
       Dedup.bloomToBytes(Dedup.buildDigestBloom(survivors, p.expectedDigests, p.fpp)))))
     p.ann.foreach { a =>
       group += (() => appendIndexes(survivors, batchId, st, a,

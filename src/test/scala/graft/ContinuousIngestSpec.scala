@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   *    reads exclude the batch's own partitions and the bloom's
   *    pre-claimed digests are re-verified against the digest table.
   */
+/** A non-`file://` Hadoop filesystem for the state-root locality spec:
+  * RawLocalFileSystem re-schemed as `mockfs:` — every access MUST go
+  * through the Hadoop FileSystem API (a `java.nio` path like
+  * `mockfs:/x` fails), which is exactly what the spec pins. */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 class ContinuousIngestSpec extends SparkSpec {
   import spark.implicits._
 
@@ -66,7 +74,7 @@ class ContinuousIngestSpec extends SparkSpec {
       .collect().map(_.mkString("|")).toSet
     (rows(st.docsPath), rows(st.digestsPath), rows(st.keysPath),
       rows(st.statsPath),
-      java.nio.file.Files.readAllBytes(st.bloomPath).toSeq)
+      ContinuousIngest.readBloomBytes(spark, st).toSeq)
   }
 
   test("file-chunk stream through start() == manual ingestBatch loop; replay is idempotent; mid-crash replay self-heals") {
@@ -2120,5 +2128,111 @@ class ContinuousIngestSpec extends SparkSpec {
         sum(size(split(col("text"), "\\s+")).cast("long")))
       .as[(Long, Long, Long)].head()
     assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
+  }
+
+  test("state root on a non-file:// Hadoop filesystem: the full dedup lifecycle works, bloom crash windows recover") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockfs.impl", classOf[MockFs].getName)
+    val root = s"mockfs:${freshRoot()}/m"
+    val st = IngestState(root)
+    val fs = new HPath(root).getFileSystem(conf)
+    ContinuousIngest.bootstrap(Seq.empty[(Long, String)].toDF("doc_id", "text"), st, P)
+    // the bloom landed THROUGH the FS API, not the driver's local nio
+    // (a java.nio path "mockfs:/..." does not exist as a local file)
+    assert(fs.exists(new HPath(st.bloomPath)),
+      "bloom missing from the mockfs root — it bypassed the Hadoop FS")
+    def ingest(i: Int): Set[Long] =
+      ContinuousIngest.ingestBatch(chunks(i).toDF("doc_id", "text"),
+        i.toLong, st, P).select("doc_id").as[Long].collect().toSet
+    // full drop-path coverage, all state on mockfs: within-batch dup,
+    // cross-batch exact dup (bloom-probed), cross-batch near dup
+    assert(ingest(0) === Set(101L, 102L, 103L))
+    assert(ingest(1) === Set(203L))
+    // crash window A — torn temp beside an intact target: the target
+    // stays authoritative, the next merge overwrites the temp
+    val tmp = new HPath(new HPath(st.bloomPath).getParent, ".state.bloom.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("torn garbage".getBytes("UTF-8")) finally out.close()
+    val viaTarget = ContinuousIngest.readBloomBytes(spark, st)
+    assert(ingest(2) === Set(302L, 303L))
+    // crash window B — mid-install (target deleted, COMPLETE framed
+    // temp): readBloomBytes finishes the rename and returns the bytes
+    assert(fs.rename(new HPath(st.bloomPath), tmp),
+      "test setup: move target to temp")
+    val recovered = ContinuousIngest.readBloomBytes(spark, st)
+    assert(fs.exists(new HPath(st.bloomPath)) && !fs.exists(tmp),
+      "mid-install recovery must reinstall the target")
+    // the recovered bytes carry everything the pre-crash bloom did
+    // (bloom merges are monotone; window A's read preceded batch 2's
+    // merge, so compare against a superset check, not equality)
+    assert(recovered.length === viaTarget.length)
+    // crash window C — torn temp and NO target (a crash inside the
+    // very first bloom write): loud refusal, not a silent empty bloom
+    fs.delete(new HPath(st.bloomPath), false)
+    val out2 = fs.create(tmp, true)
+    try out2.write("also torn".getBytes("UTF-8")) finally out2.close()
+    val err = intercept[RuntimeException] {
+      ContinuousIngest.readBloomBytes(spark, st)
+    }
+    assert(err.getMessage.contains("torn"),
+      s"window C must name the torn temp, got: ${err.getMessage}")
+  }
+
+  test("inParallel: permit admission passes a straggler, nested groups stay globally bounded and deadlock-free, errors settle-all") {
+    val n = ContinuousIngest.MaxConcurrentStateWrites
+    // straggler: 1 slow thunk + 3n fast ones submitted AFTER it. The
+    // old wave chunking barriered every later wave behind the slow
+    // member, so most fast thunks finished after it; permit admission
+    // must complete EVERY fast thunk while the straggler still runs.
+    val finished = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val slowMs = 1500L
+    val straggler: Seq[() => Unit] =
+      ((() => { Thread.sleep(slowMs); finished.add(("slow", System.nanoTime())); () }): () => Unit) +:
+        Seq.fill(3 * n)(() => {
+          Thread.sleep(5L); finished.add(("fast", System.nanoTime())); ()
+        }: Unit)
+    ContinuousIngest.inParallel(straggler)
+    val byKind = finished.toArray(Array.empty[(String, Long)]).groupBy(_._1)
+    assert(byKind("fast").length === 3 * n)
+    val slowAt = byKind("slow").head._2
+    val lateFast = byKind("fast").count(_._2 > slowAt)
+    assert(lateFast === 0,
+      s"$lateFast of ${3 * n} fast thunks finished after the straggler " +
+        "— wave-barrier behavior, permits should admit past it")
+    // nested groups: 2n outer thunks each running an inner group of
+    // 2n leaves (4n² leaves total, permits = n). Must terminate (a
+    // permit held across a nested await would deadlock once all
+    // permits sit in awaiting outers) and the GLOBAL concurrent-leaf
+    // high-water mark must respect the single shared semaphore — the
+    // per-group chunking this replaces let the product of nested
+    // bounds grow multiplicatively.
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val highWater = new java.util.concurrent.atomic.AtomicInteger(0)
+    val leaves = new java.util.concurrent.atomic.AtomicInteger(0)
+    ContinuousIngest.inParallel(Seq.fill(2 * n)(() => {
+      ContinuousIngest.inParallel(Seq.fill(2 * n)(() => {
+        val r = running.incrementAndGet()
+        highWater.accumulateAndGet(r, math.max(_, _))
+        Thread.sleep(2L)
+        leaves.incrementAndGet()
+        running.decrementAndGet()
+        ()
+      }: Unit))
+    }: Unit))
+    assert(leaves.get() === 4 * n * n)
+    assert(highWater.get() <= n,
+      s"concurrent leaf high-water ${highWater.get()} exceeds the " +
+        s"global permit bound $n — the semaphore is not shared across nesting")
+    // settle-all error contract unchanged: the first failure is
+    // rethrown only after every thunk ran
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val err = intercept[RuntimeException] {
+      ContinuousIngest.inParallel(
+        ((() => { ran.incrementAndGet(); sys.error("boom") }): () => Unit) +:
+          Seq.fill(2 * n)(() => { ran.incrementAndGet(); () }: Unit))
+    }
+    assert(err.getMessage === "boom")
+    assert(ran.get() === 2 * n + 1, "a failure must not stop later thunks")
   }
 }

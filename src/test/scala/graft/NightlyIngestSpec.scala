@@ -137,7 +137,7 @@ class NightlyIngestSpec extends SparkSpec {
     assert(keysStored.exceptAll(keysFresh).isEmpty && keysFresh.exceptAll(keysStored).isEmpty,
       "band-key table differs from a from-scratch key run")
     // merged bloom has NO false negatives over the final digest set
-    val bf = Dedup.bloomFromBytes(java.nio.file.Files.readAllBytes(st.bloomPath))
+    val bf = Dedup.bloomFromBytes(ContinuousIngest.readBloomBytes(spark, st))
     val missed = digests.where(!graft.functions.Native.mightContainNative(
       spark, bf, xxhash64(col("text")))).count()
     assert(missed == 0, s"merged bloom false-negative on $missed stored digest(s)")
