@@ -75,8 +75,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object ContinuousIngest {
 
-  /** On-disk state layout rooted at `root` (any Hadoop-visible path). */
+  /** Schemes whose rename is a COPY + DELETE, not an atomic move:
+    * every crash-safe install in this lifecycle (the marked-tmp
+    * partition swaps, the atomic enqueue publish, the fold-manifest
+    * and bloom installs) relies on rename atomicity for its
+    * "published means complete" invariant, and on these stores a
+    * reader can observe a half-renamed artifact. HDFS, POSIX local
+    * filesystems, and ADLS Gen2 (`abfs`) rename atomically and are
+    * fine. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "swift", "oss", "cos", "wasb", "wasbs")
+
+  /** On-disk state layout rooted at `root` (any Hadoop-visible path
+    * whose rename is atomic — constructing a state on a raw object
+    * store is refused loudly, see [[NonAtomicRenameSchemes]]). */
   final case class IngestState(root: String) {
+    Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .filter(NonAtomicRenameSchemes.contains)
+      .foreach { s =>
+        sys.error(s"IngestState root '$root' is on '$s:', an object " +
+          "store whose rename is copy+delete, not atomic: every " +
+          "crash-safe install in this lifecycle (marked-tmp partition " +
+          "swaps, takedown-queue publishes, the bloom and fold-manifest " +
+          "installs) relies on 'published means complete', which a " +
+          "non-atomic rename breaks — a concurrent reader can observe " +
+          "a half-renamed artifact. Put the state root on a " +
+          "rename-atomic filesystem (HDFS, a POSIX mount, ADLS " +
+          "Gen2/abfs) or front the store with one.")
+      }
     val docsPath: String = s"$root/docs"
     val digestsPath: String = s"$root/digests"
     val keysPath: String = s"$root/keys"
@@ -2075,7 +2102,7 @@ object ContinuousIngest {
     foldStatsDeltas(spark, st, upToBatch)
     // ...and the audit log's per-op dirs (same accretion-bounding
     // rule; content-preserving union, so no horizon applies)
-    compactDeletesLog(spark, st)
+    compactDeletesLog(spark, st, targetRowsPerFile)
     Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath,
         st.semPath)
       .foreach(p => compactTable(spark, p, upToBatch, targetRowsPerFile))
@@ -2484,6 +2511,25 @@ object ContinuousIngest {
     * corpus text (the pre-V2 shape). The capture dir is hidden
     * staging with no authority; the pending dir's `_SUCCESS` is the
     * commit point. */
+  /** Rows-per-file bound for the takedown artifacts (the tombstone
+    * capture, the pending intent, the audit-log merges) — sized so a
+    * typical takedown still writes one file, while a BULK purge (a
+    * whole-domain takedown naming millions of ids) neither funnels
+    * its capture join through one task nor produces one giant file.
+    * Test seam (single-writer context; specs shrink it to force
+    * multi-file layouts on small fixtures). */
+  @volatile private[graft] var takedownRowsPerFile: Long = 4L * 1000L * 1000L
+
+  /** Output-file count for a takedown artifact of ~`nRows` rows. Used
+    * as `repartition(n)` — REPARTITION, never `coalesce(1)`: coalesce
+    * pushes the 1-partition constraint up through the (broadcast)
+    * capture join, serializing the whole detection scan into one
+    * task; the tiny round-robin shuffle decouples the join's
+    * parallelism from the artifact's file count. */
+  private[graft] def takedownFilesFor(nRows: Long): Int =
+    math.max(1L, math.min(10000L,
+      (nRows + takedownRowsPerFile - 1L) / takedownRowsPerFile)).toInt
+
   private def captureTombstone(spark: SparkSession, st: IngestState,
                                reqs: DataFrame,
                                excludeBatch: Long = Long.MinValue): Unit = {
@@ -2493,6 +2539,11 @@ object ContinuousIngest {
     val pending = new HPath(st.root, DeletePendingDir)
     fs.delete(capture, true)
     val del = reqs.select("doc_id").distinct()
+    // one metadata-sized count to bound the artifact files: capture
+    // and pending rows are each ≤ the distinct requested ids (matched
+    // docs; multi-op attribution joins back against `reqs`)
+    val nReq = del.count()
+    val nFiles = takedownFilesFor(nReq)
     val v2 = digestsV2(spark, st)
     // pass 1 — capture the matched docs' (doc_id, digest [, per-doc
     // stats factors]); materialized (hidden dir, no authority) so the
@@ -2512,7 +2563,7 @@ object ContinuousIngest {
        readTable(spark, st.docsPath, excludeBatch = excludeBatch)
          .join(broadcast(del), Seq("doc_id"))
          .select(col("doc_id"), md5(col("text")).as("digest")))
-      .coalesce(1).write.mode("overwrite").parquet(capture.toString)
+      .repartition(nFiles).write.mode("overwrite").parquet(capture.toString)
     val hit = spark.read.parquet(capture.toString)
     // pass 2 — a digest leaves the admit table only when NO surviving
     // doc still carries it (non-deduplicated bootstrap corpora can
@@ -2551,7 +2602,7 @@ object ContinuousIngest {
           col("_carried").isNull.as("purge_digest"),
           col("op_id"), col("requested_at"), col("app_id")) ++
         (if (v2) Seq(col("n_chars"), col("n_ws_tokens")) else Nil): _*)
-      .coalesce(1).write.mode("overwrite").parquet(pending.toString)
+      .repartition(nFiles).write.mode("overwrite").parquet(pending.toString)
     fs.delete(capture, true)
     ()
   }
@@ -2798,7 +2849,11 @@ object ContinuousIngest {
                fresh.unionByName(spark.read.parquet(target.toString)
                  .select("doc_id", "op_id", "requested_at"))
              else fresh).distinct()
-          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          // bounded like every takedown artifact (the tombstone count
+          // bounds this op's fresh rows; a previously-merged dir is
+          // the same order of magnitude)
+          merged.repartition(takedownFilesFor(n))
+            .write.mode("overwrite").parquet(tmp.toString)
           require(logFs.exists(new HPath(tmp, "_SUCCESS")),
             s"applyPendingDelete: $tmp committed without _SUCCESS " +
               "(mapreduce.fileoutputcommitter.marksuccessfuljobs must " +
@@ -2814,6 +2869,13 @@ object ContinuousIngest {
   }
 
   private val DeleteQueueDir = ".delete_queue"
+  private val EnqueueTmpPrefix = ".enqueue_tmp_"
+  /** How old an [[enqueueDelete]] temp must be before the drain sweeps
+    * it as a crash leak: a LIVE concurrent enqueue's temp exists only
+    * for the duration of one id-set write, so anything this stale has
+    * no caller waiting on it (the op id was never returned). Test
+    * seam. */
+  @volatile private[graft] var enqueueTmpGraceMs: Long = 15L * 60L * 1000L
   /** Hidden swap dir for the audit-log merge ([[applyPendingDelete]]) —
     * dot-prefixed, so parquet readers of `deletes_log/` never see it. */
   private val LogTmpPrefix = ".log_tmp_op="
@@ -2846,7 +2908,7 @@ object ContinuousIngest {
     // committed by construction; the temp is dot-prefixed, so drains
     // never look at it. A crash before the rename leaks only the
     // hidden temp (the caller never received the op id — re-issue).
-    val tmp = new HPath(s"${st.root}/$DeleteQueueDir/.enqueue_tmp_$opId")
+    val tmp = new HPath(s"${st.root}/$DeleteQueueDir/$EnqueueTmpPrefix$opId")
     ids.select(col("doc_id")).distinct()
       .withColumn("op_id", lit(opId))
       .withColumn("requested_at", current_timestamp())
@@ -2895,6 +2957,23 @@ object ContinuousIngest {
     val fs = fsFor(spark, st.root)
     val qRoot = new HPath(st.root, DeleteQueueDir)
     if (!fs.exists(qRoot)) return 0L
+    // sweep temps a CRASHED enqueueDelete leaked (drains only ever
+    // list op= dirs, so nothing else would reclaim them): a live
+    // concurrent enqueue's temp is seconds old, so only those beyond
+    // the grace window are swept — their caller never received an op
+    // id, exactly like the torn-dir case below
+    val nowMs = System.currentTimeMillis()
+    fs.listStatus(qRoot)
+      .filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(EnqueueTmpPrefix) &&
+        nowMs - d.getModificationTime > enqueueTmpGraceMs)
+      .foreach { d =>
+        Console.err.println(s"[graft] WARNING: sweeping a crashed " +
+          s"enqueueDelete temp at ${d.getPath} (older than the " +
+          "publish grace window — its caller never received an op " +
+          "id); re-issue the request if it was real.")
+        fs.delete(d.getPath, true)
+      }
     // only published `op=` dirs: an in-flight enqueue's hidden temp
     // (concurrent with this drain by design under the stream-boundary
     // face) is dot-prefixed and must not be touched — its rename will
@@ -2986,21 +3065,43 @@ object ContinuousIngest {
 
   private val LogCompactTmp = ".log_compact_tmp"
   private val CompactedOpDir = "op=_compacted"
+  private val LogCompactTmpPrefix = ".log_compact_tmp_"
+  private val CompactedEpochPrefix = "op=_compacted_"
+  /** Epoch-dir budget before a compaction CONSOLIDATES (re-absorbs
+    * every epoch into one): each normal pass reads only NEW op dirs,
+    * so epochs accrete one per pass-with-work; the occasional
+    * consolidation amortizes the full-history rewrite to once per
+    * `MaxLogEpochs` passes instead of every pass. */
+  private[graft] val MaxLogEpochs = 16
   /** Legacy marker from the manifest-carrying first cut of the log
     * compaction — swept on sight (see the merge-safety note below:
     * retiring manifest-named sources is UNSOUND for the audit log). */
   private val LegacyLogManifest = "_GRAFT_COMPACTED_OPS"
 
-  /** Consolidate the takedown audit log's per-op dirs into one
-    * `op=_compacted` partition — [[compactState]]'s maintenance for
-    * the one dir per completed takedown [[applyPendingDelete]] leaves
-    * behind (the same small-files listing cost [[foldStatsDeltas]]
-    * bounds for the stats deltas; a takedown-heavy deployment accretes
-    * them forever otherwise). Content-preserving by construction:
-    * the new partition is the union+distinct of everything absorbed —
-    * including the previous `_compacted` — and [[deletesLog]] reads
-    * the union of whatever dirs exist, so every crash window reads
-    * the same distinct row set.
+  /** Consolidate the takedown audit log's per-op dirs into PER-EPOCH
+    * `op=_compacted_<N>` partitions — [[compactState]]'s maintenance
+    * for the one dir per completed takedown [[applyPendingDelete]]
+    * leaves behind (the same small-files listing cost
+    * [[foldStatsDeltas]] bounds for the stats deltas; a
+    * takedown-heavy deployment accretes them forever otherwise).
+    * Content-preserving by construction: each epoch is the
+    * union+distinct of exactly what it absorbed, and [[deletesLog]]
+    * reads the union of whatever dirs exist, so every crash window
+    * reads the same distinct row set.
+    *
+    * COST SCALES WITH NEW OPS, NOT LIFETIME HISTORY: a normal pass
+    * absorbs only the op dirs written since the last one into a fresh
+    * epoch — prior epochs are never read or rewritten (the previous
+    * single-`_compacted` shape re-read and re-wrote the entire
+    * takedown history through one task on every pass). A pass with
+    * zero new ops touches nothing. Once the epoch count exceeds
+    * [[MaxLogEpochs]] the pass consolidates (absorbs every epoch too),
+    * amortizing the full rewrite to once per `MaxLogEpochs` passes.
+    * Output files are bounded by `targetRowsPerFile`, never
+    * `coalesce(1)` — compacting years of takedowns through one task
+    * and into one file was the accretion problem moved up a level. A
+    * surviving legacy `op=_compacted` dir is absorbed as a source
+    * (one-time migration).
     *
     * CRASH-SAFE by SET SEMANTICS, deliberately NOT by the
     * [[foldStatsDeltas]] manifest discipline: log rows are a set
@@ -3011,63 +3112,95 @@ object ContinuousIngest {
     * that deleted the dir because an old manifest named it would
     * destroy those rows (stats deltas never mutate in place, which is
     * why the fold's retire-by-manifest is sound there and unsound
-    * here). Discipline: build the union in a hidden tmp; install
-    * (delete `_compacted`, rename tmp in); delete exactly the source
-    * dirs THIS invocation read (in-memory list, single-writer — no
-    * merge can interleave one invocation). Crash windows: a tmp
-    * found while `_compacted` exists is a pre-install crash (sources
-    * intact — discard); a `_SUCCESS`-marked tmp with NO `_compacted`
-    * is mid-install (the tmp is the only copy of the absorbed set —
-    * finish the rename, delete NO sources: the next compaction
-    * re-absorbs them, distinct collapsing the overlap); unretired
+    * here). Discipline: build the union in a hidden epoch-named tmp;
+    * install (rename tmp to its fresh epoch dir); delete exactly the
+    * source dirs THIS invocation read (in-memory list, single-writer —
+    * no merge can interleave one invocation). Crash windows: a
+    * `_SUCCESS`-marked epoch tmp whose epoch dir is absent is a
+    * mid-install crash (epoch names are fresh per invocation, so the
+    * tmp is complete — finish the rename; its sources re-absorb into
+    * a LATER epoch, distinct collapsing the overlap); an unmarked tmp
+    * is a mid-write crash (sources intact — discard); unretired
     * sources after a crash between install and deletion simply
     * re-absorb next time. */
-  private def compactDeletesLog(spark: SparkSession, st: IngestState): Unit = {
+  private[graft] def compactDeletesLog(spark: SparkSession, st: IngestState,
+                                targetRowsPerFile: Long = 1000000L): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = fsFor(spark, st.root)
     val logRoot = new HPath(s"${st.root}/deletes_log")
     if (!fs.exists(logRoot)) return
-    val compacted = new HPath(logRoot, CompactedOpDir)
+    val legacyCompacted = new HPath(logRoot, CompactedOpDir)
     // sweep the legacy manifest wherever it survived — its retire
     // semantics are the unsound path this discipline replaces, and
     // leaving it could only confuse a rolled-back binary
-    fs.delete(new HPath(compacted, LegacyLogManifest), false)
-    // recovery: resolve a leftover tmp
-    val tmp = new HPath(logRoot, LogCompactTmp)
-    if (fs.exists(tmp)) {
-      fs.delete(new HPath(tmp, LegacyLogManifest), false)
-      if (fs.exists(new HPath(tmp, "_SUCCESS")) && !fs.exists(compacted)) {
-        // mid-install crash: the tmp holds the ONLY copy of the
-        // previously-compacted rows — finish the move; sources are
-        // left for the pass below to re-absorb (set semantics)
-        require(fs.rename(tmp, compacted),
-          s"compactDeletesLog: recovery rename $tmp failed — tmp " +
-            "retained, re-run compaction")
-      } else fs.delete(tmp, true)
+    fs.delete(new HPath(legacyCompacted, LegacyLogManifest), false)
+    // recovery 1: a leftover LEGACY tmp (pre-epoch builds targeted
+    // `op=_compacted` directly) — same windows as before
+    val legacyTmp = new HPath(logRoot, LogCompactTmp)
+    if (fs.exists(legacyTmp)) {
+      fs.delete(new HPath(legacyTmp, LegacyLogManifest), false)
+      if (fs.exists(new HPath(legacyTmp, "_SUCCESS")) &&
+          !fs.exists(legacyCompacted)) {
+        require(fs.rename(legacyTmp, legacyCompacted),
+          s"compactDeletesLog: recovery rename $legacyTmp failed — " +
+            "tmp retained, re-run compaction")
+      } else fs.delete(legacyTmp, true)
     }
+    // recovery 2: leftover epoch tmps — marked + epoch dir absent is
+    // mid-install (finish it; the tmp is complete, epoch names are
+    // never reused), anything else is a reproducible mid-write crash
+    fs.listStatus(logRoot)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(LogCompactTmpPrefix))
+      .foreach { s =>
+        val e = s.getPath.getName.stripPrefix(LogCompactTmpPrefix)
+        val epochDir = new HPath(logRoot, s"$CompactedEpochPrefix$e")
+        if (fs.exists(new HPath(s.getPath, "_SUCCESS")) &&
+            !fs.exists(epochDir))
+          require(fs.rename(s.getPath, epochDir),
+            s"compactDeletesLog: recovery rename ${s.getPath} failed " +
+              "— tmp retained, re-run compaction")
+        else fs.delete(s.getPath, true)
+      }
     // the compaction proper
-    val ops = fs.listStatus(logRoot)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("op=") &&
-        s.getPath.getName != CompactedOpDir)
-      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
-      .map(_.getPath).sortBy(_.getName)
-    if (ops.isEmpty) return
-    val inputs = ops.map(_.toString) ++
-      (if (fs.exists(compacted)) Seq(compacted.toString) else Nil)
-    spark.read.parquet(inputs.toSeq: _*)
+    def listOps() = fs.listStatus(logRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("op="))
+      .map(_.getPath)
+    val (epochDirs, plainOps) =
+      listOps().partition(_.getName.startsWith(CompactedEpochPrefix))
+    // new sources: real op dirs + a surviving legacy `op=_compacted`
+    // (absorbed once, like any source — set semantics make that free)
+    val sources = plainOps
+      .filter(p => fs.exists(new HPath(p, "_SUCCESS")) ||
+        p.getName == CompactedOpDir)
+      .sortBy(_.getName)
+    val epochs = epochDirs.flatMap(p =>
+      p.getName.stripPrefix(CompactedEpochPrefix).toLongOption).sorted
+    val consolidate = epochs.length >= MaxLogEpochs
+    if (sources.isEmpty && !consolidate) return
+    val absorbed = sources ++
+      (if (consolidate)
+         epochs.map(e => new HPath(logRoot, s"$CompactedEpochPrefix$e"))
+       else Array.empty[HPath])
+    if (absorbed.isEmpty) return
+    val epoch = epochs.lastOption.fold(0L)(_ + 1L)
+    val tmp = new HPath(logRoot, s"$LogCompactTmpPrefix$epoch")
+    val epochDir = new HPath(logRoot, s"$CompactedEpochPrefix$epoch")
+    val union = spark.read.parquet(absorbed.map(_.toString).toSeq: _*)
       .select("doc_id", "op_id", "requested_at").distinct()
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val nFiles = math.max(1L, math.min(10000L,
+      (union.count() + targetRowsPerFile - 1L) / targetRowsPerFile)).toInt
+    union.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     require(fs.exists(new HPath(tmp, "_SUCCESS")),
       s"compactDeletesLog: $tmp committed without _SUCCESS " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
         "enabled) — sources left untouched")
-    fs.delete(compacted, true)
-    require(fs.rename(tmp, compacted),
+    require(fs.rename(tmp, epochDir),
       s"compactDeletesLog: final rename $tmp failed — tmp retained " +
         "(marked), the next run's recovery completes the move")
     // retire exactly what THIS invocation absorbed — a crash anywhere
     // in this loop leaves dirs the next compaction re-absorbs
-    ops.foreach(op => fs.delete(op, true))
+    absorbed.foreach(op => fs.delete(op, true))
   }
 
   /** Resolve leftover `.purge_tmp_batch=` swaps under one table root —

@@ -1553,7 +1553,7 @@ class ContinuousIngestSpec extends SparkSpec {
       "compacted audit log lost rows")
     val logDirs = new java.io.File(s"${stB.root}/deletes_log").listFiles()
       .map(_.getName).filter(_.startsWith("op=")).toSet
-    assert(logDirs === Set("op=_compacted"),
+    assert(logDirs === Set("op=_compacted_0"),
       s"audit log dirs not consolidated: $logDirs")
   }
 
@@ -1562,13 +1562,15 @@ class ContinuousIngestSpec extends SparkSpec {
     * reader's distinct is the contract), so re-absorbing is free while
     * a stale retire could destroy rows a queued-takedown retry MERGED
     * into an op dir between the crash and its recovery — the exact
-    * "takedown stays provable" invariant. Windows: a tmp without
-    * `_SUCCESS` is a mid-write crash (discarded); a marked tmp beside
-    * a live `_compacted` is a pre-install crash (discarded — sources
-    * intact); a marked tmp with NO `_compacted` is mid-install (the
-    * only copy — renamed in); an unretired source after a crashed
-    * retirement re-absorbs, INCLUDING rows merged into it after the
-    * crash. */
+    * "takedown stays provable" invariant. Windows, for BOTH the
+    * legacy single-`op=_compacted` discipline (pre-epoch roots: an
+    * unmarked tmp is a mid-write crash, discarded; a marked tmp
+    * beside a live `_compacted` is pre-install, discarded; a marked
+    * tmp with NO `_compacted` is mid-install — the only copy, renamed
+    * in and then migrated) and the epoch discipline (a marked epoch
+    * tmp whose epoch dir is absent is mid-install — renamed in; an
+    * unretired source re-absorbs, INCLUDING rows merged into it after
+    * the crash). */
   test("deletes_log compaction crash windows: set-semantics recovery loses nothing, including post-crash merges") {
     import java.nio.file.{Files => JFiles, Path => JPath}
     import java.util.Comparator
@@ -1583,18 +1585,26 @@ class ContinuousIngestSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("op=")).toSet
     def logged(): Set[Long] = ContinuousIngest.deletesLog(spark, st)
       .select("doc_id").as[Long].collect().toSet
-    // window 1: a tmp WITHOUT _SUCCESS is a mid-write crash — its
-    // poison rows must never surface
+    def rmrf(p: String): Unit =
+      JFiles.walk(JPath.of(p)).sorted(Comparator.reverseOrder[JPath]())
+        .forEach(f => JFiles.deleteIfExists(f))
+    // window 1: a LEGACY tmp WITHOUT _SUCCESS is a mid-write crash —
+    // its poison rows must never surface; the real op dirs compact
+    // into the first epoch
     Seq((666L, "op-poison", new java.sql.Timestamp(0L)))
       .toDF("doc_id", "op_id", "requested_at").coalesce(1)
       .write.parquet(s"$logDir/.log_compact_tmp")
     JFiles.delete(JPath.of(s"$logDir/.log_compact_tmp/_SUCCESS"))
     ContinuousIngest.compactState(spark, st, 2L)
     assert(logged() === want, s"window-1 lost/gained rows: ${logged()}")
-    assert(opDirs() === Set("op=_compacted"), s"window-1 dirs: ${opDirs()}")
-    // window 2: a MARKED tmp beside a live _compacted is a
-    // pre-install crash — discarded, sources intact (poison visible
-    // if it were trusted)
+    assert(opDirs() === Set("op=_compacted_0"), s"window-1 dirs: ${opDirs()}")
+    // window 2: a MARKED legacy tmp beside a live legacy `op=_compacted`
+    // is a pre-install crash — discarded, sources intact (poison
+    // visible if it were trusted). Manufacture the legacy layout an
+    // old-binary root would hand over: its compacted dir under the
+    // legacy name, the crashed tmp beside it.
+    assert(new java.io.File(s"$logDir/op=_compacted_0")
+      .renameTo(new java.io.File(s"$logDir/op=_compacted")))
     Seq((667L, "op-poison2", new java.sql.Timestamp(0L)))
       .toDF("doc_id", "op_id", "requested_at").coalesce(1)
       .write.parquet(s"$logDir/.log_compact_tmp")
@@ -1603,23 +1613,24 @@ class ContinuousIngestSpec extends SparkSpec {
     val want2 = want + 303L
     ContinuousIngest.compactState(spark, st, 2L)
     assert(logged() === want2, s"window-2 lost/gained rows: ${logged()}")
-    assert(opDirs() === Set("op=_compacted"), s"window-2 dirs: ${opDirs()}")
-    // window 3: mid-install crash — _compacted deleted, the marked tmp
-    // is the ONLY copy; recovery must rename it in, losing nothing
-    spark.read.parquet(s"$logDir/op=_compacted").coalesce(1)
+    // the legacy dir migrated into the fresh epoch alongside the new op
+    assert(opDirs() === Set("op=_compacted_0"), s"window-2 dirs: ${opDirs()}")
+    // window 3: LEGACY mid-install crash — `op=_compacted` deleted,
+    // the marked legacy tmp is the ONLY copy; recovery renames it in,
+    // the migration then absorbs it, losing nothing
+    spark.read.parquet(s"$logDir/op=_compacted_0").coalesce(1)
       .write.parquet(s"$logDir/.log_compact_tmp")
-    JFiles.walk(JPath.of(s"$logDir/op=_compacted"))
-      .sorted(Comparator.reverseOrder[JPath]())
-      .forEach(f => JFiles.deleteIfExists(f))
+    rmrf(s"$logDir/op=_compacted_0")
     ContinuousIngest.compactState(spark, st, 2L)
     assert(logged() === want2, s"window-3 lost rows: ${logged()}")
-    assert(opDirs() === Set("op=_compacted"), s"window-3 dirs: ${opDirs()}")
+    assert(opDirs() === Set("op=_compacted_0"), s"window-3 dirs: ${opDirs()}")
     // window 4: crashed retirement + POST-CRASH MERGE — an absorbed op
     // dir survives the crash and a retry merges a NEW row into it
     // before the next compaction; recovery must re-absorb (set
-    // semantics), never retire from stale knowledge
+    // semantics), never retire from stale knowledge. The new rows land
+    // in their OWN epoch — the existing epoch is not rewritten.
     val mergedOp = "retry-op"
-    spark.read.parquet(s"$logDir/op=_compacted").limit(1)
+    spark.read.parquet(s"$logDir/op=_compacted_0").limit(1)
       .select(col("doc_id"), lit(mergedOp).as("op_id"), col("requested_at"))
       .unionByName(Seq((4242L, mergedOp, new java.sql.Timestamp(0L)))
         .toDF("doc_id", "op_id", "requested_at"))
@@ -1629,7 +1640,77 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(got4.contains(4242L),
       s"window-4: the post-crash merged row was destroyed: $got4")
     assert((want2 -- got4).isEmpty, s"window-4 lost rows: $got4")
-    assert(opDirs() === Set("op=_compacted"), s"window-4 dirs: ${opDirs()}")
+    assert(opDirs() === Set("op=_compacted_0", "op=_compacted_1"),
+      s"window-4 dirs: ${opDirs()}")
+    // window 5: EPOCH mid-install crash — a marked epoch tmp whose
+    // epoch dir is absent is the only copy of its absorbed set;
+    // recovery finishes the rename (epoch names are never reused)
+    spark.read.parquet(s"$logDir/op=_compacted_1").coalesce(1)
+      .write.parquet(s"$logDir/.log_compact_tmp_1")
+    rmrf(s"$logDir/op=_compacted_1")
+    ContinuousIngest.compactState(spark, st, 2L)
+    assert(logged() === got4, s"window-5 lost rows: ${logged()}")
+    assert(opDirs() === Set("op=_compacted_0", "op=_compacted_1"),
+      s"window-5 dirs: ${opDirs()}")
+  }
+
+  /** The epoch shape of the audit-log compaction: cost scales with
+    * NEW ops (prior epochs are never re-read), a pass with nothing to
+    * absorb touches nothing, output files are bounded by the rows
+    * target instead of `coalesce(1)`, and the epoch-dir count is
+    * bounded by the consolidation pass. */
+  test("deletes_log epoch compaction: per-pass cost ∝ new ops, bounded files, bounded epochs") {
+    val root = freshRoot()
+    val st = bootstrapped(s"$root/s")
+    val logDir = s"${st.root}/deletes_log"
+    def opRow(id: Long, op: String) =
+      Seq((id, op, new java.sql.Timestamp(1000L * id)))
+        .toDF("doc_id", "op_id", "requested_at")
+    def dirNames(): Set[String] = Option(new java.io.File(logDir).listFiles())
+      .fold(Set.empty[String])(_.map(_.getName).filter(_.startsWith("op=")).toSet)
+    def mtimes(): Map[String, Long] = new java.io.File(logDir).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    // pass 1: 3 fresh ops, rows target 1 → multi-file epoch output
+    (1 to 3).foreach(i => opRow(i.toLong, s"op-a$i").coalesce(1)
+      .write.parquet(s"$logDir/op=a$i"))
+    ContinuousIngest.compactDeletesLog(spark, st, targetRowsPerFile = 1L)
+    assert(dirNames() === Set("op=_compacted_0"))
+    val partFiles = new java.io.File(s"$logDir/op=_compacted_0").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles > 1,
+      s"3 rows at a 1-row/file target wrote $partFiles file(s) — " +
+        "the coalesce(1) fan-in is back")
+    // pass 2: nothing new → touches NOTHING (dir set and mtimes equal)
+    val before = mtimes()
+    ContinuousIngest.compactDeletesLog(spark, st, targetRowsPerFile = 1L)
+    assert(mtimes() === before, "an empty pass must not rewrite anything")
+    // pass 3: ONE new op → absorbed into its OWN epoch; epoch 0 is
+    // not re-read or rewritten
+    opRow(100L, "op-b").coalesce(1).write.parquet(s"$logDir/op=b")
+    val epoch0Before = before("op=_compacted_0")
+    ContinuousIngest.compactDeletesLog(spark, st, targetRowsPerFile = 1L)
+    assert(dirNames() === Set("op=_compacted_0", "op=_compacted_1"))
+    assert(mtimes()("op=_compacted_0") === epoch0Before,
+      "a later pass rewrote a prior epoch — cost no longer ∝ new ops")
+    assert(spark.read.parquet(s"$logDir/op=_compacted_1")
+      .select("doc_id").as[Long].collect().toSet === Set(100L),
+      "the new epoch must hold exactly the new op's rows")
+    // passes 4..: one new op each until the epoch budget trips → the
+    // consolidation pass collapses every epoch into one
+    var i = 200L
+    while (dirNames().size < ContinuousIngest.MaxLogEpochs) {
+      opRow(i, s"op-c$i").coalesce(1).write.parquet(s"$logDir/op=c$i")
+      ContinuousIngest.compactDeletesLog(spark, st, targetRowsPerFile = 1000000L)
+      i += 1L
+    }
+    opRow(i, "op-final").coalesce(1).write.parquet(s"$logDir/op=final")
+    ContinuousIngest.compactDeletesLog(spark, st, targetRowsPerFile = 1000000L)
+    assert(dirNames().size === 1,
+      s"consolidation must collapse the epochs, got ${dirNames()}")
+    val all = ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === (1L to 3L).toSet + 100L + i ++ (200L until i).toSet,
+      s"rows lost across epoch passes: $all")
   }
 
   test("tombstone delete between streamed runs: the checkpoint continues past the maintenance pass, nothing resurrects") {
@@ -2128,6 +2209,61 @@ class ContinuousIngestSpec extends SparkSpec {
         sum(size(split(col("text"), "\\s+")).cast("long")))
       .as[(Long, Long, Long)].head()
     assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
+  }
+
+  test("IngestState refuses a state root on a non-atomic-rename object store, by scheme") {
+    val err = intercept[RuntimeException] { IngestState("s3a://bucket/state") }
+    assert(err.getMessage.contains("rename") &&
+      err.getMessage.contains("s3a"),
+      s"refusal must name the scheme and the rename contract: ${err.getMessage}")
+    // rename-atomic roots construct fine
+    IngestState("hdfs://nn:8020/graft/state")
+    IngestState("file:/tmp/graft/state")
+    IngestState("/tmp/graft/state")
+  }
+
+  test("drain sweeps stale crashed-enqueue temps, spares live ones; bulk takedown artifacts are multi-file") {
+    val root = freshRoot()
+    val st = bootstrapped(s"$root/s")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
+    }
+    val qDir = s"${st.root}/.delete_queue"
+    // a STALE leaked temp (crashed enqueueDelete, older than the
+    // grace window) and a FRESH one (a live concurrent enqueue)
+    Seq((666L, "op-stale", new java.sql.Timestamp(0L)))
+      .toDF("doc_id", "op_id", "requested_at").coalesce(1)
+      .write.parquet(s"$qDir/.enqueue_tmp_stale")
+    assert(new java.io.File(s"$qDir/.enqueue_tmp_stale")
+      .setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
+    Seq((667L, "op-live", new java.sql.Timestamp(0L)))
+      .toDF("doc_id", "op_id", "requested_at").coalesce(1)
+      .write.parquet(s"$qDir/.enqueue_tmp_live")
+    val saved = ContinuousIngest.takedownRowsPerFile
+    try {
+      // 1-row files force the bulk shape on a small fixture: the
+      // capture/pending/audit writes must produce one file PER ROW,
+      // never the old coalesce(1) single task + single file
+      ContinuousIngest.takedownRowsPerFile = 1L
+      val opId = ContinuousIngest.enqueueDelete(spark, st,
+        Seq(101L, 102L).toDF("doc_id"))
+      assert(ContinuousIngest.processDeleteQueue(spark, st) === 2L)
+      val logFiles = new java.io.File(s"${st.root}/deletes_log/op=$opId")
+        .listFiles().count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      assert(logFiles === 2,
+        s"2 tombstone rows at 1 row/file wrote $logFiles audit file(s)")
+    } finally ContinuousIngest.takedownRowsPerFile = saved
+    // purge landed, the stale temp was swept, the live one survived
+    assert(ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet ===
+      Set(103L, 203L, 302L, 303L))
+    assert(!new java.io.File(s"$qDir/.enqueue_tmp_stale").exists(),
+      "stale crashed-enqueue temp must be swept")
+    assert(new java.io.File(s"$qDir/.enqueue_tmp_live").exists(),
+      "a fresh (possibly live) enqueue temp must be spared")
+    assert(ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet === Set(101L, 102L))
   }
 
   test("state root on a non-file:// Hadoop filesystem: the full dedup lifecycle works, bloom crash windows recover") {
