@@ -351,12 +351,22 @@ object ContinuousIngest {
     * layout is stamped per root (`_GRAFT_DOCS_SLIM` in the docs dir)
     * and a mismatched caller is refused loudly — mixing slim and fat
     * batches in one docs table would break every reader. */
+  /** `compactEveryNBatches` > 0 schedules [[compactState]] inside the
+    * streaming face ([[start]]): every N micro-batches the boundary
+    * slot — the same single-writer foreachBatch context the takedown
+    * drain uses — compacts up to the last COMMITTED batch (the
+    * in-hand batch is the stream's to replay, so the horizon is
+    * `id - 1`). Without it a forever-running deployment accretes
+    * per-batch partitions and per-op takedown metadata until an
+    * operator remembers to stop the stream and compact by hand. 0
+    * (the default) keeps compaction a between-streams call. */
   final case class IngestParams(expectedDigests: Long, fpp: Double = 0.01,
                                 nearDup: Boolean = true, minJaccard: Double = 0.5,
                                 shingleN: Int = 3, numHashes: Int = 32,
                                 bands: Int = 8, seed: Long = 42L,
                                 ann: Option[AnnParams] = None,
-                                storeEmbeddingsInDocs: Boolean = true)
+                                storeEmbeddingsInDocs: Boolean = true,
+                                compactEveryNBatches: Int = 0)
 
   private val DocsSlimMarker = "_GRAFT_DOCS_SLIM"
 
@@ -574,7 +584,11 @@ object ContinuousIngest {
     // the (up to) three quantizer trains are independent — separate
     // driver samples, separate output tables — so they overlap on the
     // state-write pool (a crashed (re)train re-runs wholesale; no
-    // cross-ordering to preserve)
+    // cross-ordering to preserve). MEMORY: each train collects its
+    // own ~sampleSize-vector driver sample, so peak driver memory is
+    // up to 3x the old sequential pipeline's — size the driver for
+    // three concurrent samples (or cap AnnParams.sampleSize; the
+    // auto-scaled default keeps samples metadata-sized)
     val centsF = Future {
       val cents = Similarity.ivfCentroids(corpus, a.nlist, a.sampleSize,
         idCol = "doc_id", vecCol = a.vecCol)
@@ -1050,7 +1064,8 @@ object ContinuousIngest {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfFilteredMaintained")
     val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
-    val nprobeEff = filteredNprobe(spark, st, elig, nprobe,
+    // the UNWRAPPED frame keys the memo (see filteredNprobe)
+    val nprobeEff = filteredNprobe(spark, st, eligible, nprobe,
       q.cents.length, adaptProbe)
     // only the probed lists' segments can contribute candidates —
     // prune them at the parquet scan before paying the unpack
@@ -1093,6 +1108,31 @@ object ContinuousIngest {
   private[graft] val selectivityMeasurements =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Digest-computation count, test-visible: specs pin "one row-walk
+    * per PLAN OBJECT across a serving loop" (the digest of a large
+    * in-memory allowlist walks every LocalRelation row — paying that
+    * per serving call just to LOOK UP the memo was the cost the
+    * digest fix for the hashCode collision introduced). */
+  private[graft] val fingerprintComputations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** plan-object → digest, WEAK-keyed by IDENTITY (guava weakKeys):
+    * `analyzed.canonicalized` is a lazy val on the Dataset's query
+    * execution, so a serving loop over one allowlist DataFrame hands
+    * back the same plan object every call — digest once, evict with
+    * the plan. A REBUILT (structurally equal) DataFrame misses and
+    * re-digests: correct, just not free, and exactly the "per
+    * plan-object identity" contract. */
+  private val eligDigestCache: com.google.common.cache.Cache[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String] =
+    com.google.common.cache.CacheBuilder.newBuilder()
+      .weakKeys().maximumSize(4096).build()
+
+  /** `elig` is the caller's UNWRAPPED eligible frame (first column =
+    * the id set): the digest below is keyed on ITS plan object, the
+    * one thing a serving loop actually reuses call-to-call — the
+    * `select(... as "nn_id")` wrap every face used to pass here
+    * constructs a FRESH plan per call, which would defeat the
+    * weak-identity digest cache. */
   private def filteredNprobe(spark: SparkSession, st: IngestState,
                              elig: DataFrame, nprobe: Int, nCells: Int,
                              adaptProbe: Boolean): Int =
@@ -1107,7 +1147,8 @@ object ContinuousIngest {
       // allowlist would share one key; digest the local rows and the
       // plan hash alongside the structure.
       val plan = elig.queryExecution.analyzed.canonicalized
-      val eligFp = {
+      val eligFp = eligDigestCache.get(plan, () => {
+        fingerprintComputations.incrementAndGet()
         val md = java.security.MessageDigest.getInstance("MD5")
         md.update(plan.toString.getBytes("UTF-8"))
         md.update(plan.hashCode().toString.getBytes("UTF-8"))
@@ -1117,7 +1158,7 @@ object ContinuousIngest {
           case _ => ()
         }
         md.digest().map("%02x".format(_)).mkString
-      }
+      })
       val stateFp = md5Hex(
         batchDirNames(spark, st.ivfPath).toSeq.sorted.mkString(",") + "#" +
           opDirNames(spark, s"${st.root}/deletes_log").mkString(","))
@@ -1127,7 +1168,9 @@ object ContinuousIngest {
         selectivityMeasurements.incrementAndGet()
         val slim = readTable(spark, st.ivfPath).select("nn_id")
         val n = slim.count()
-        val e = slim.join(elig, Seq("nn_id"), "left_semi").count()
+        val e = slim.join(
+          elig.select(col(elig.columns.head).as("nn_id")),
+          Seq("nn_id"), "left_semi").count()
         if (e <= 0 || e >= n) nprobe
         else math.min(nCells, math.ceil(nprobe.toDouble * n / e).toInt)
       }).intValue()
@@ -1377,8 +1420,7 @@ object ContinuousIngest {
                          a: AnnParams, eligible: DataFrame, nprobe: Int,
                          quantizers: Option[AnnQuantizers] = None): Int = {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
-    filteredNprobe(spark, st,
-      eligible.select(col(eligible.columns.head).as("nn_id")),
+    filteredNprobe(spark, st, eligible,
       nprobe, q.cents.length, adaptProbe = true)
   }
 
@@ -1414,7 +1456,8 @@ object ContinuousIngest {
     val q = quantizers.getOrElse(loadQuantizers(spark, st, a))
     requireIndexBatchParity(spark, st, "annIvfPqFilteredMaintained")
     val elig = eligible.select(col(eligible.columns.head).as("nn_id"))
-    val nprobeEff = filteredNprobe(spark, st, elig, nprobe,
+    // the UNWRAPPED frame keys the memo (see filteredNprobe)
+    val nprobeEff = filteredNprobe(spark, st, eligible, nprobe,
       q.cents.length, adaptProbe)
     val probed = Similarity.probedLists(queries, q.cents, nprobeEff,
       idCol, a.vecCol)
@@ -3297,6 +3340,15 @@ object ContinuousIngest {
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (drainQueuedDeletes) processDeleteQueue(b.sparkSession, st,
           excludeBatch = id)
+        // scheduled maintenance rides the same single-writer boundary
+        // slot; the horizon is the last COMMITTED batch (id - 1) —
+        // the in-hand batch may still replay, and consolidating it
+        // would race its own partition overwrite. Replay-safe: a
+        // re-delivered batch re-runs the compaction idempotently
+        // (nothing new below the horizon) before re-ingesting.
+        if (p.compactEveryNBatches > 0 && id > 0 &&
+            id % p.compactEveryNBatches == 0)
+          compactState(b.sparkSession, st, upToBatch = id - 1)
         ingestBatch(b, id, st, p, quant); () }
       .option("checkpointLocation", st.checkpointPath)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -2141,7 +2141,7 @@ class ContinuousIngestSpec extends SparkSpec {
     * plan-string-keyed memo would hand the second allowlist the first
     * one's widened probe count — silent recall loss the widening
     * contract can't detect. The fingerprint digests the local rows. */
-  test("filtered-serving memo distinguishes distinct in-memory allowlists") {
+  test("filtered-serving memo distinguishes distinct in-memory allowlists; the digest is paid once per allowlist object") {
     val root = freshRoot()
     val (st, pa) = builtAnnRoot(s"$root/a")
     val ann = pa.ann.get
@@ -2152,13 +2152,74 @@ class ContinuousIngestSpec extends SparkSpec {
     val narrow = Seq(1001L, 1002L).toDF("doc_id")
     val broad = ContinuousIngest.readTable(spark, st.docsPath)
       .select("doc_id").as[Long].collect().toSeq.toDF("doc_id")
+    val fp0 = ContinuousIngest.fingerprintComputations.get()
     val wNarrow = ContinuousIngest.filteredProbeWidth(spark, st, ann,
       narrow, nprobe = 1, q)
+    // a serving loop re-probing the SAME allowlist object digests its
+    // rows exactly once — the fingerprint rides the weak-keyed
+    // plan-object cache, not a per-call row walk
+    (1 to 5).foreach { _ =>
+      assert(ContinuousIngest.filteredProbeWidth(spark, st, ann,
+        narrow, nprobe = 1, q) === wNarrow)
+    }
+    assert(ContinuousIngest.fingerprintComputations.get() === fp0 + 1,
+      "the allowlist digest must be computed once per plan object " +
+        "across a serving loop")
     val wBroad = ContinuousIngest.filteredProbeWidth(spark, st, ann,
       broad, nprobe = 1, q)
+    assert(ContinuousIngest.fingerprintComputations.get() === fp0 + 2,
+      "a distinct allowlist object must get its own digest")
     assert(wNarrow > wBroad,
       s"memo served one allowlist the other's width: narrow=$wNarrow " +
         s"broad=$wBroad (LocalRelation fingerprints must differ)")
+  }
+
+  /** `compactEveryNBatches`: a forever-running stream compacts its own
+    * state in the boundary slot. The compacted stream's state must
+    * equal an untouched batch-loop twin's (content, not layout), the
+    * compaction must actually have consolidated the committed
+    * partitions, and replaying the last batch after the in-stream
+    * pass must remain idempotent. */
+  test("scheduled in-stream compaction: state == untouched twin, consolidation happened, replay stays idempotent") {
+    val root = freshRoot()
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    val pc = P.copy(compactEveryNBatches = 2)
+    val stC = IngestState(s"$root/c")
+    ContinuousIngest.bootstrap(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stC, pc)
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      stC, pc).awaitTermination()
+    // untouched twin: plain batch loop, no compaction
+    val stT = bootstrapped(s"$root/t")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, stT, P)
+    }
+    assert(snapshot(stC) === snapshot(stT),
+      "in-stream compaction changed state content")
+    // the pass really ran at the batch-2 boundary: batches {-1, 0, 1}
+    // consolidated into one partition, batch 2 ingested after it
+    val docDirs = new java.io.File(stC.docsPath).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(docDirs.size === 2,
+      s"expected consolidated + in-hand partitions, got $docDirs")
+    // replay idempotence THROUGH the in-stream pass
+    val before = snapshot(stC)
+    ContinuousIngest.ingestBatch(chunks(2).toDF("doc_id", "text"), 2L, stC, pc)
+    assert(snapshot(stC) === before,
+      "replaying the last batch after the in-stream compaction changed state")
+    val gotStats = ContinuousIngest.readStats(spark, stC)
+      .as[(Long, Long, Long)].head()
+    val wantStats = ContinuousIngest.readTable(spark, stC.docsPath)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), "\\s+")).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
   }
 
   test("bootstrap refuses a non-float32 embedding column on an ann-enabled root, by name") {
