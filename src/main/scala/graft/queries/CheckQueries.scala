@@ -1606,6 +1606,98 @@ object CheckQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // Scheduled in-stream compaction laws —
+    // start(drainQueuedDeletes, compactEveryNBatches=2) over a scratch
+    // root with a REAL four-chunk file stream, certifying the
+    // continuous face's full maintenance composition (drain + compact
+    // in the same boundary slot) end-to-end:
+    //  1. CONTENT parity: docs and digests equal a batch-loop twin
+    //     that ran the same boundary drains but never compacted —
+    //     batch ids are lineage, consolidation changes nothing;
+    //  2. the pass really ran mid-stream: the compacted root holds
+    //     FEWER docs partitions than the twin;
+    //  3. the incremental stats view equals a direct re-aggregation
+    //     of the final docs table THROUGH compaction and purge;
+    //  4. the audit log survives its own compaction exactly (the
+    //     purged id, under epoch dirs).
+    "check_ingest_compact" -> ((s, d) => scratchTable(s, d, "ingest_compact_viol") {
+      import graft.streaming.{Bounded, ContinuousIngest}
+      import graft.streaming.ContinuousIngest.{IngestParams, IngestState}
+      val nAll = Tables.documentsCount(s, d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(concat(lit("v"), col("doc_id"))).as("text"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0 // streamed fifth
+      def chunk(i: Int) = docs.where(isNew &&
+        pmod(col("doc_id"), lit(20)) === (5 * i))   // its quarters
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false, compactEveryNBatches = 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_cmp")
+      try {
+        import s.implicits._
+        val delId = docs.where(!isNew).agg(min("doc_id")).head.getLong(0)
+        // streamed face: drain + scheduled compaction at the boundary
+        val st = IngestState(s"$root/state")
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        ContinuousIngest.enqueueDelete(s, st, Seq(delId).toDF("doc_id"))
+        (0 until 4).foreach { i =>
+          chunk(i).coalesce(1).write.parquet(s"$root/in/chunk_$i")
+          Thread.sleep(5)
+        }
+        ContinuousIngest.start(
+          Bounded.fileStream(s, s"$root/in/chunk_*",
+            schemaDDL = "doc_id BIGINT, text STRING"),
+          st, p, drainQueuedDeletes = true).awaitTermination()
+        // twin: same boundary semantics, never compacts
+        val pt = p.copy(compactEveryNBatches = 0)
+        val tw = IngestState(s"$root/twin")
+        ContinuousIngest.bootstrap(docs.where(!isNew), tw, pt)
+        ContinuousIngest.enqueueDelete(s, tw, Seq(delId).toDF("doc_id"))
+        (0 until 4).foreach { i =>
+          ContinuousIngest.processDeleteQueue(s, tw, excludeBatch = i.toLong)
+          ContinuousIngest.ingestBatch(chunk(i), i.toLong, tw, pt)
+        }
+        val contentViol =
+          multisetDiffViolations(
+            ContinuousIngest.readTable(s, st.docsPath),
+            ContinuousIngest.readTable(s, tw.docsPath),
+            "compact_docs_extra", "compact_docs_missing")
+            .collect().map(_.getString(0)).toSeq ++
+          multisetDiffViolations(
+            ContinuousIngest.readTable(s, st.digestsPath),
+            ContinuousIngest.readTable(s, tw.digestsPath),
+            "compact_digests_extra", "compact_digests_missing")
+            .collect().map(_.getString(0)).toSeq
+        def docDirs(x: IngestState) =
+          Option(new java.io.File(x.docsPath).listFiles())
+            .getOrElse(Array.empty).count(_.getName.startsWith("batch="))
+        val ranViol =
+          if (docDirs(st) < docDirs(tw)) Seq.empty[String]
+          else Seq(s"compact_never_ran dirs=${docDirs(st)} twin=${docDirs(tw)}")
+        val statsViol = multisetDiffViolations(
+          ContinuousIngest.readStats(s, st),
+          ContinuousIngest.readTable(s, st.docsPath).agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("n_chars"),
+            coalesce(sum(size(split(col("text"), "\\s+")).cast("long")),
+              lit(0L)).as("n_ws_tokens")),
+          "compact_stats_extra", "compact_stats_missing")
+          .collect().map(_.getString(0)).toSeq
+        val logIds = ContinuousIngest.deletesLog(s, st)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val logViol =
+          if (logIds == Set(delId)) Seq.empty[String]
+          else Seq(s"compact_log_ids=${logIds.toSeq.sorted.mkString(",")}" +
+            s"_want=$delId")
+        (contentViol ++ ranViol ++ statsViol ++ logViol).toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty
