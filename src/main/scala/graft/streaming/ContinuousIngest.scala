@@ -84,7 +84,8 @@ object ContinuousIngest {
     * filesystems, and ADLS Gen2 (`abfs`) rename atomically and are
     * fine. */
   private val NonAtomicRenameSchemes =
-    Set("s3", "s3a", "s3n", "gs", "swift", "oss", "cos", "wasb", "wasbs")
+    Set("s3", "s3a", "s3n", "gs", "swift", "oss", "cos", "cosn",
+      "wasb", "wasbs")
 
   /** On-disk state layout rooted at `root` (any Hadoop-visible path
     * whose rename is atomic — constructing a state on a raw object
@@ -1393,7 +1394,14 @@ object ContinuousIngest {
       val errs = settled.flatMap(f => Await.result(f, Duration.Inf))
       errs.headOption.foreach(e => throw e)
     } finally {
-      if (nested) { stateWritePermits.acquire(); holdsStateWritePermit.set(true) }
+      // uninterruptibly: an interrupt here would unwind WITHOUT the
+      // permit while the enclosing Future body's finally still
+      // releases one — a phantom permit inflating the global bound
+      // forever, one interrupt at a time
+      if (nested) {
+        stateWritePermits.acquireUninterruptibly()
+        holdsStateWritePermit.set(true)
+      }
     }
   }
 
@@ -1852,6 +1860,11 @@ object ContinuousIngest {
         st.root, DeletePendingDir)),
       s"a pending deleteDocs tombstone exists under ${st.root} — run " +
         "recoverDeletes(spark, st) (or re-issue the delete) before ingesting")
+    // a crashed compaction's hidden tmp hides rows from the dedup
+    // reads below — admitting against it would re-admit every
+    // duplicate of the hidden window (one listing per table when
+    // clean; ingestBatch is the single-writer context)
+    recoverCompactionSwaps(spark, st)
     requireLayoutMatch(spark, st, p)
     val local = batch.join(
       Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
@@ -2223,6 +2236,67 @@ object ContinuousIngest {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Resolve leftover `.compact_tmp_batch=` swaps under one table
+    * root — a hidden tmp dir (ignored by partition discovery) is
+    * authoritative ONLY when it carries the `_SUCCESS` marker Spark
+    * writes on commit: then it is the COMPLETE union of the parts ≤
+    * its id as of its write, no parts ≤ id can appear later (batch
+    * ids are monotone; compaction runs below the replay horizon), and
+    * finishing the crashed run is: delete the remaining source parts,
+    * move the tmp in. Without the marker the write itself crashed —
+    * the tmp is PARTIAL and the sources are all still present
+    * (compactTable deletes sources only after its marker check), so
+    * the only safe move is to discard the tmp and re-compact from the
+    * intact sources. Installing an unmarked tmp would replace intact
+    * data with a partial copy — permanent loss. */
+  private def resolveCompactionTmps(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, path)
+    val root = new HPath(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_batch="))
+      .foreach { tmpSt =>
+        val tmp = tmpSt.getPath
+        val id = tmp.getName.stripPrefix(".compact_tmp_batch=").toLong
+        if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+          fs.listStatus(root)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+            .map(_.getPath)
+            .filter(_.getName.stripPrefix("batch=").toLong <= id)
+            .foreach(p => fs.delete(p, true))
+          // a false return (Hadoop's failure signal) must not be
+          // swallowed: the tmp is the only complete copy now
+          require(fs.rename(tmp, new HPath(root, s"batch=$id")),
+            s"resolveCompactionTmps: recovery rename $tmp failed — tmp " +
+              "retained, re-run compaction")
+        } else {
+          fs.delete(tmp, true)
+        }
+        ()
+      }
+  }
+
+  /** Writer-context recovery of CRASHED COMPACTION swaps across every
+    * batch-layout state table. A compactState that crashed between
+    * deleting a table's source partitions and renaming the marked tmp
+    * in leaves that table's rows visible ONLY inside a hidden
+    * `.compact_tmp_batch=` dir — invisible to parquet discovery, so a
+    * takedown capture taken in that window matches nothing, retires
+    * its request as a no-op, and the later compaction recovery then
+    * RESURRECTS the rows the takedown named (content survives, the
+    * request is consumed, nothing is logged — silent right-to-be-
+    * forgotten loss). Every single-writer face that reads state
+    * before the next compactState must therefore resolve these swaps
+    * first: [[deleteDocs]], [[processDeleteQueue]], [[ingestBatch]]
+    * (a dedup decision against hidden rows would re-admit their
+    * duplicates), and [[start]]'s deployment-startup recovery.
+    * Cheap when clean: one listing per table root. */
+  private def recoverCompactionSwaps(spark: SparkSession, st: IngestState): Unit =
+    Seq(st.docsPath, st.digestsPath, st.keysPath, st.statsPath, st.semPath,
+        st.ivfPath, st.pqPath, st.ivfPackedPath, st.pqPackedPath)
+      .foreach(p => resolveCompactionTmps(spark, p))
+
   private def compactTable(spark: SparkSession, path: String, upToBatch: Long,
                            targetRowsPerFile: Long,
                            rewrite: DataFrame => DataFrame = identity,
@@ -2235,35 +2309,7 @@ object ContinuousIngest {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath)
       .filter(_.getName.stripPrefix("batch=").toLong <= id)
-    // crash recovery: a hidden `.compact_tmp_batch=<id>` dir (ignored
-    // by partition discovery) is authoritative ONLY when it carries
-    // the `_SUCCESS` marker Spark writes on commit — then it is the
-    // COMPLETE union of the parts ≤ id as of its write, no parts ≤ id
-    // can appear later (batch ids are monotone; compaction runs below
-    // the replay horizon), and finishing the crashed run is: delete
-    // the remaining source parts, move the tmp in. Without the marker
-    // the write itself crashed — the tmp is PARTIAL and the sources
-    // are all still present (deletes only happen after the marker
-    // check below), so the only safe move is to discard the tmp and
-    // re-compact from the intact sources. Installing an unmarked tmp
-    // would replace intact data with a partial copy — permanent loss.
-    fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_batch="))
-      .foreach { tmpSt =>
-        val tmp = tmpSt.getPath
-        val id = tmp.getName.stripPrefix(".compact_tmp_batch=").toLong
-        if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
-          partsUpTo(id).foreach(p => fs.delete(p, true))
-          // a false return (Hadoop's failure signal) must not be
-          // swallowed: the tmp is the only complete copy now
-          require(fs.rename(tmp, new HPath(root, s"batch=$id")),
-            s"compactTable: recovery rename $tmp failed — tmp retained, " +
-              "re-run compaction")
-        } else {
-          fs.delete(tmp, true)
-        }
-        ()
-      }
+    resolveCompactionTmps(spark, path)
     val parts = partsUpTo(upToBatch)
     if (parts.isEmpty) return
     // a single partition has nothing to CONSOLIDATE, but may still
@@ -2529,8 +2575,11 @@ object ContinuousIngest {
   def deleteDocs(spark: SparkSession, st: IngestState, ids: DataFrame): Long = {
     // complete crashed maintenance first — the capture below must see
     // a consistent root (this call is in the single-writer maintenance
-    // context, the rebuildIndexes contract)
+    // context, the rebuildIndexes contract); compaction swaps BEFORE
+    // the tombstone work, or the capture reads tables whose rows are
+    // hidden in a crashed compaction's tmp (see recoverCompactionSwaps)
     recoverIndexSwap(spark, st, asWriter = true)
+    recoverCompactionSwaps(spark, st)
     recoverDeletes(spark, st)
     // op identity + request time ride the committed intent, so the
     // audit row is deterministic across recovery re-runs (stamped at
@@ -2563,6 +2612,11 @@ object ContinuousIngest {
     * multi-file layouts on small fixtures). */
   @volatile private[graft] var takedownRowsPerFile: Long = 4L * 1000L * 1000L
 
+  /** The shared output-file clamp: ⌈nRows / rowsPerFile⌉ in [1, 10000]. */
+  private def filesFor(nRows: Long, rowsPerFile: Long): Int =
+    math.max(1L, math.min(10000L,
+      (nRows + rowsPerFile - 1L) / rowsPerFile)).toInt
+
   /** Output-file count for a takedown artifact of ~`nRows` rows. Used
     * as `repartition(n)` — REPARTITION, never `coalesce(1)`: coalesce
     * pushes the 1-partition constraint up through the (broadcast)
@@ -2570,8 +2624,7 @@ object ContinuousIngest {
     * task; the tiny round-robin shuffle decouples the join's
     * parallelism from the artifact's file count. */
   private[graft] def takedownFilesFor(nRows: Long): Int =
-    math.max(1L, math.min(10000L,
-      (nRows + takedownRowsPerFile - 1L) / takedownRowsPerFile)).toInt
+    filesFor(nRows, takedownRowsPerFile)
 
   private def captureTombstone(spark: SparkSession, st: IngestState,
                                reqs: DataFrame,
@@ -2581,12 +2634,17 @@ object ContinuousIngest {
     val capture = new HPath(st.root, DeleteCaptureDir)
     val pending = new HPath(st.root, DeletePendingDir)
     fs.delete(capture, true)
-    val del = reqs.select("doc_id").distinct()
-    // one metadata-sized count to bound the artifact files: capture
-    // and pending rows are each ≤ the distinct requested ids (matched
-    // docs; multi-op attribution joins back against `reqs`)
-    val nReq = del.count()
-    val nFiles = takedownFilesFor(nReq)
+    // pin the distinct requested ids ONCE: the set is used three
+    // times (the file-count bound below, the broadcast capture join,
+    // the carry check's anti-join), and a deleteDocs caller may pass
+    // a COMPUTED frame (a corpus scan selecting ids) whose
+    // re-evaluation per use would triple the takedown's detection
+    // cost. Request-sized blocks, dropped with the frame.
+    val del = reqs.select("doc_id").distinct().localCheckpoint()
+    // bounds the artifact files: capture and pending rows are each ≤
+    // the distinct requested ids (matched docs; multi-op attribution
+    // joins back against `reqs`)
+    val nFiles = takedownFilesFor(del.count())
     val v2 = digestsV2(spark, st)
     // pass 1 — capture the matched docs' (doc_id, digest [, per-doc
     // stats factors]); materialized (hidden dir, no authority) so the
@@ -2913,12 +2971,16 @@ object ContinuousIngest {
 
   private val DeleteQueueDir = ".delete_queue"
   private val EnqueueTmpPrefix = ".enqueue_tmp_"
-  /** How old an [[enqueueDelete]] temp must be before the drain sweeps
-    * it as a crash leak: a LIVE concurrent enqueue's temp exists only
-    * for the duration of one id-set write, so anything this stale has
-    * no caller waiting on it (the op id was never returned). Test
-    * seam. */
-  @volatile private[graft] var enqueueTmpGraceMs: Long = 15L * 60L * 1000L
+  /** How long an [[enqueueDelete]] temp's SUBTREE must have been
+    * untouched before the drain sweeps it as a crash leak. Staleness
+    * is judged on the newest mtime anywhere under the temp, not the
+    * top-level dir's: a live bulk enqueue stages task output in
+    * nested `_temporary` dirs, so the top dir's mtime stays pinned at
+    * job start for the whole write — sweeping on it would delete a
+    * running write out from under its committer. Sized with a wide
+    * margin over any plausible single-write duration (the write is
+    * request-sized and bounded-files). Test seam. */
+  @volatile private[graft] var enqueueTmpGraceMs: Long = 60L * 60L * 1000L
   /** Hidden swap dir for the audit-log merge ([[applyPendingDelete]]) —
     * dot-prefixed, so parquet readers of `deletes_log/` never see it. */
   private val LogTmpPrefix = ".log_tmp_op="
@@ -2952,10 +3014,15 @@ object ContinuousIngest {
     // never look at it. A crash before the rename leaks only the
     // hidden temp (the caller never received the op id — re-issue).
     val tmp = new HPath(s"${st.root}/$DeleteQueueDir/$EnqueueTmpPrefix$opId")
-    ids.select(col("doc_id")).distinct()
-      .withColumn("op_id", lit(opId))
+    // pin the id set once (a computed ids frame would otherwise be
+    // evaluated for the count AND the write), then bound the files
+    // like every takedown artifact — coalesce(1) would serialize the
+    // caller's whole id-derivation into one task on a bulk enqueue
+    val del = ids.select(col("doc_id")).distinct().localCheckpoint()
+    del.withColumn("op_id", lit(opId))
       .withColumn("requested_at", current_timestamp())
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      .repartition(takedownFilesFor(del.count()))
+      .write.mode("overwrite").parquet(tmp.toString)
     require(fs.exists(new HPath(tmp, "_SUCCESS")),
       s"enqueueDelete: $tmp committed without _SUCCESS " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
@@ -2996,25 +3063,38 @@ object ContinuousIngest {
                          excludeBatch: Long = Long.MinValue): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     recoverIndexSwap(spark, st, asWriter = true)
+    // BEFORE the capture: a crashed compaction's hidden tmp would
+    // otherwise make this drain judge queued ids against tables whose
+    // rows it cannot see — retiring the requests as no-ops while the
+    // later compaction recovery resurrects the named docs
+    recoverCompactionSwaps(spark, st)
     recoverDeletes(spark, st)
     val fs = fsFor(spark, st.root)
     val qRoot = new HPath(st.root, DeleteQueueDir)
     if (!fs.exists(qRoot)) return 0L
     // sweep temps a CRASHED enqueueDelete leaked (drains only ever
-    // list op= dirs, so nothing else would reclaim them): a live
-    // concurrent enqueue's temp is seconds old, so only those beyond
-    // the grace window are swept — their caller never received an op
-    // id, exactly like the torn-dir case below
+    // list op= dirs, so nothing else would reclaim them): judged on
+    // the NEWEST mtime in the temp's subtree — a live concurrent
+    // enqueue keeps touching nested task files while its top dir's
+    // mtime stays pinned at job start — and only beyond the wide
+    // grace window; a swept temp's caller never received an op id,
+    // exactly like the torn-dir case below
     val nowMs = System.currentTimeMillis()
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val ss = fs.listStatus(p)
+      (fs.getFileStatus(p).getModificationTime +:
+        ss.map(s => if (s.isDirectory) newestMtime(s.getPath)
+                    else s.getModificationTime).toSeq).max
+    }
     fs.listStatus(qRoot)
       .filter(d => d.isDirectory &&
         d.getPath.getName.startsWith(EnqueueTmpPrefix) &&
-        nowMs - d.getModificationTime > enqueueTmpGraceMs)
+        nowMs - newestMtime(d.getPath) > enqueueTmpGraceMs)
       .foreach { d =>
         Console.err.println(s"[graft] WARNING: sweeping a crashed " +
-          s"enqueueDelete temp at ${d.getPath} (older than the " +
-          "publish grace window — its caller never received an op " +
-          "id); re-issue the request if it was real.")
+          s"enqueueDelete temp at ${d.getPath} (subtree untouched " +
+          "beyond the publish grace window — its caller never " +
+          "received an op id); re-issue the request if it was real.")
         fs.delete(d.getPath, true)
       }
     // only published `op=` dirs: an in-flight enqueue's hidden temp
@@ -3231,9 +3311,8 @@ object ContinuousIngest {
     val epochDir = new HPath(logRoot, s"$CompactedEpochPrefix$epoch")
     val union = spark.read.parquet(absorbed.map(_.toString).toSeq: _*)
       .select("doc_id", "op_id", "requested_at").distinct()
-    val nFiles = math.max(1L, math.min(10000L,
-      (union.count() + targetRowsPerFile - 1L) / targetRowsPerFile)).toInt
-    union.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    union.repartition(filesFor(union.count(), targetRowsPerFile))
+      .write.mode("overwrite").parquet(tmp.toString)
     require(fs.exists(new HPath(tmp, "_SUCCESS")),
       s"compactDeletesLog: $tmp committed without _SUCCESS " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
@@ -3330,8 +3409,11 @@ object ContinuousIngest {
     // recoverIndexSwap remedy, and a crashed deleteDocs would
     // half-purge the state every batch reads. Swap first (the
     // delete recovery's table reads need a consistent index set —
-    // the deleteDocs ordering).
+    // the deleteDocs ordering), then crashed COMPACTION swaps (their
+    // hidden tmps blind the delete recovery's and the first drain's
+    // table reads), then the tombstone.
     recoverIndexSwap(stream.sparkSession, st, asWriter = true)
+    recoverCompactionSwaps(stream.sparkSession, st)
     recoverDeletes(stream.sparkSession, st)
     // the quantizers are immutable post-bootstrap — load once for the
     // whole stream instead of re-reading + re-collecting per batch

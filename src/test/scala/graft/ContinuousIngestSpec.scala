@@ -2272,6 +2272,62 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(gotStats === wantStats, s"stats $gotStats != $wantStats")
   }
 
+  /** The compose-two-correct-mechanisms trap: compactTable's install
+    * window (sources deleted, rows visible only in the marked hidden
+    * tmp) blinds any capture taken before the NEXT compaction runs —
+    * a takedown naming a hidden doc would match nothing, retire its
+    * request as a no-op, and the later compaction recovery would
+    * resurrect the doc: content survives, nothing logged. Every
+    * single-writer face must therefore resolve compaction swaps
+    * BEFORE reading state (recoverCompactionSwaps). */
+  test("takedown over a crashed compaction swap: the hidden doc still purges, nothing resurrects") {
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    import java.util.Comparator
+    val root = freshRoot()
+    val st = bootstrapped(s"$root/s")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
+    }
+    // manufacture compactTable's delete-sources-then-rename window on
+    // docs AND digests: marked tmp holds the complete union of the
+    // parts ≤ 1, the source dirs are gone
+    def hide(path: String): Unit = {
+      val parts = Seq("batch=-1", "batch=0", "batch=1")
+        .map(b => s"$path/$b").filter(p => new java.io.File(p).exists())
+      assert(parts.nonEmpty)
+      spark.read.parquet(parts: _*).write
+        .parquet(s"$path/.compact_tmp_batch=1")
+      parts.foreach { p =>
+        JFiles.walk(JPath.of(p)).sorted(Comparator.reverseOrder[JPath]())
+          .forEach(f => JFiles.deleteIfExists(f))
+      }
+    }
+    hide(st.docsPath)
+    hide(st.digestsPath)
+    // doc 101 lives in the hidden window; the takedown must land
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(101L).toDF("doc_id")) === 1L,
+      "capture against the crashed-compaction window matched nothing " +
+        "— the takedown was silently consumed")
+    val ids = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(101L), s"hidden doc resurrected: $ids")
+    assert(ids.contains(102L) && ids.contains(302L),
+      s"recovery lost unrelated rows: $ids")
+    assert(ContinuousIngest.readTable(spark, st.digestsPath)
+      .where(col("doc_id") === 101L).count() === 0L,
+      "digest row for the purged doc survived")
+    assert(ContinuousIngest.deletesLog(spark, st)
+      .select("doc_id").as[Long].collect().toSet === Set(101L))
+    // and the drain face resolves the window too
+    hide(st.keysPath)
+    ContinuousIngest.enqueueDelete(spark, st, Seq(102L).toDF("doc_id"))
+    assert(ContinuousIngest.processDeleteQueue(spark, st) === 1L)
+    assert(ContinuousIngest.readTable(spark, st.keysPath)
+      .where(col("id") === 102L).count() === 0L,
+      "band keys hidden in a compaction swap survived the purge")
+  }
+
   test("IngestState refuses a state root on a non-atomic-rename object store, by scheme") {
     val err = intercept[RuntimeException] { IngestState("s3a://bucket/state") }
     assert(err.getMessage.contains("rename") &&
@@ -2295,8 +2351,12 @@ class ContinuousIngestSpec extends SparkSpec {
     Seq((666L, "op-stale", new java.sql.Timestamp(0L)))
       .toDF("doc_id", "op_id", "requested_at").coalesce(1)
       .write.parquet(s"$qDir/.enqueue_tmp_stale")
-    assert(new java.io.File(s"$qDir/.enqueue_tmp_stale")
-      .setLastModified(System.currentTimeMillis() - 16L * 60L * 1000L))
+    // staleness is judged on the SUBTREE's newest mtime (a live bulk
+    // write keeps touching nested files while the top dir's mtime
+    // stays pinned) — age every entry
+    java.nio.file.Files.walk(java.nio.file.Path.of(s"$qDir/.enqueue_tmp_stale"))
+      .forEach(f => assert(f.toFile.setLastModified(
+        System.currentTimeMillis() - 61L * 60L * 1000L)))
     Seq((667L, "op-live", new java.sql.Timestamp(0L)))
       .toDF("doc_id", "op_id", "requested_at").coalesce(1)
       .write.parquet(s"$qDir/.enqueue_tmp_live")
