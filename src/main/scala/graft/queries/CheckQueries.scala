@@ -1698,6 +1698,133 @@ object CheckQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // Snapshot-shipping laws (Snapshot.export / .state — the serving
+    // distribution tier):
+    //  1. SERVE PARITY: the maintained exact-IVF, IVFADC-with-rerank
+    //     (auto-switched to the index-only gather by the snapshot's
+    //     slim marker), and filtered faces answer from an exported
+    //     snapshot multiset-identically to the primary root;
+    //  2. INCREMENTALITY: an unchanged re-export copies ZERO pool
+    //     dirs (content stamps recognize every dir);
+    //  3. writer faces refuse the snapshot root loudly.
+    "check_snapshot_serve" -> ((s, d) => scratchTable(s, d, "snapshot_serve_viol") {
+      import graft.streaming.{ContinuousIngest, Snapshot}
+      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+      val nAll = Tables.embeddingsCount(s, d)
+      val docs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"),
+          concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false,
+        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))))
+      val root = java.nio.file.Files.createTempDirectory("graft_snapshot")
+      try {
+        val st = IngestState(s"$root/state")
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
+        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+        val ex = s"$root/export"
+        Snapshot.export(s, st, ex)
+        val snap = Snapshot.state(s, ex)
+        val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val exactViol = multisetDiffViolations(
+          ContinuousIngest.annIvfMaintained(s, snap, p.ann.get, q,
+            k = 3, nprobe = 4),
+          ContinuousIngest.annIvfMaintained(s, st, p.ann.get, q,
+            k = 3, nprobe = 4),
+          "snap_ivf_extra", "snap_ivf_missing")
+        val adcViol = multisetDiffViolations(
+          ContinuousIngest.annIvfPqMaintained(s, snap, p.ann.get, q,
+            k = 3, nprobe = 4, rerank = 8),
+          ContinuousIngest.annIvfPqMaintained(s, st, p.ann.get, q,
+            k = 3, nprobe = 4, rerank = 8),
+          "snap_adc_extra", "snap_adc_missing")
+        val elig = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select("doc_id")
+        val fltViol = multisetDiffViolations(
+          ContinuousIngest.annIvfFilteredMaintained(s, snap, p.ann.get, q,
+            k = 3, nprobe = 2, elig),
+          ContinuousIngest.annIvfFilteredMaintained(s, st, p.ann.get, q,
+            k = 3, nprobe = 2, elig),
+          "snap_flt_extra", "snap_flt_missing")
+        val r2 = Snapshot.export(s, st, ex)
+        val incViol =
+          if (r2.copiedPoolDirs == 0L) Seq.empty[String]
+          else Seq(s"snap_recopy dirs=${r2.copiedPoolDirs}")
+        val refuseViol =
+          try {
+            ContinuousIngest.deleteDocs(s, snap,
+              docs.limit(1).select("doc_id"))
+            Seq("snap_writer_admitted")
+          } catch {
+            case e: Throwable if (Option(e.getMessage).toSeq ++
+                Option(e.getCause).flatMap(c => Option(c.getMessage)))
+                .exists(_.contains("SNAPSHOT tree")) => Seq.empty[String]
+            case e: Throwable => Seq(s"snap_refusal_wrong ${e.getMessage}")
+          }
+        import s.implicits._
+        (exactViol.unionByName(adcViol).unionByName(fltViol)
+          .collect().map(_.getString(0)).toSeq ++ incViol ++ refuseViol)
+          .toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
+    // Snapshot takedown-propagation law: a completed primary takedown
+    // makes every pre-takedown snapshot STALE — the next export must
+    // prune them ALL (right-to-be-forgotten overrides keepVersions),
+    // the surviving snapshot's index must not contain the purged id,
+    // and the orphaned pool dirs must be vacuumed (no content pinned
+    // behind a deleted manifest).
+    "check_snapshot_takedown" -> ((s, d) => scratchTable(s, d, "snapshot_takedown_viol") {
+      import graft.streaming.{ContinuousIngest, Snapshot}
+      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+      val nAll = Tables.embeddingsCount(s, d)
+      val docs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"),
+          concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false,
+        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))))
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_td")
+      try {
+        import s.implicits._
+        val st = IngestState(s"$root/state")
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
+        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+        val ex = s"$root/export"
+        Snapshot.export(s, st, ex)
+        val victim = docs.where(isNew).agg(min("doc_id")).head().getLong(0)
+        ContinuousIngest.deleteDocs(s, st, Seq(victim).toDF("doc_id"))
+        val r = Snapshot.export(s, st, ex)
+        val pruneViol =
+          if (Snapshot.versions(s, ex) == Seq(r.version)) Seq.empty[String]
+          else Seq(s"snap_stale_survives " +
+            Snapshot.versions(s, ex).mkString(","))
+        val vacViol =
+          if (r.vacuumedPoolDirs > 0L) Seq.empty[String]
+          else Seq("snap_no_vacuum")
+        val purgedViol = Similarity.ivfUnpack(ContinuousIngest.readTable(s,
+            Snapshot.state(s, ex).ivfPackedPath))
+          .where(col("nn_id") === lit(victim))
+          .select(lit("snap_purged_id_survives").as("violation"))
+          .collect().map(_.getString(0)).toSeq
+        (pruneViol ++ vacViol ++ purgedViol).toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Media-pipeline laws (same parameters as the media_* queries):
     //  - frames: every non-empty payload yields exactly n frames with
     //    distinct frame_no ∈ [0, n) of 1..frameBytes bytes; empty

@@ -361,15 +361,23 @@ object ContinuousIngest {
     * per-batch partitions and per-op takedown metadata until an
     * operator remembers to stop the stream and compact by hand. 0
     * (the default) keeps compaction a between-streams call. */
+  /** `export` ships serving snapshots from the same boundary slot
+    * ([[Snapshot.ExportPolicy]]): every `everyNBatches` micro-batches
+    * the stream exports up to its last committed batch — a continuous
+    * deployment distributes its own index without stopping, and a
+    * drained takedown's staleness pruning rides the very next
+    * export. None (the default) keeps export a between-streams
+    * call. */
   final case class IngestParams(expectedDigests: Long, fpp: Double = 0.01,
                                 nearDup: Boolean = true, minJaccard: Double = 0.5,
                                 shingleN: Int = 3, numHashes: Int = 32,
                                 bands: Int = 8, seed: Long = 42L,
                                 ann: Option[AnnParams] = None,
                                 storeEmbeddingsInDocs: Boolean = true,
-                                compactEveryNBatches: Int = 0)
+                                compactEveryNBatches: Int = 0,
+                                export: Option[Snapshot.ExportPolicy] = None)
 
-  private val DocsSlimMarker = "_GRAFT_DOCS_SLIM"
+  private[streaming] val DocsSlimMarker = "_GRAFT_DOCS_SLIM"
 
   /** Is this root's docs table float-once (no embedding column)? */
   def docsSlim(spark: SparkSession, st: IngestState): Boolean =
@@ -456,16 +464,83 @@ object ContinuousIngest {
   /** Read a state table (union of all batch partitions), optionally
     * excluding one batch's partitions — the self-exclusion read used
     * while that batch is being processed. The `batch` lineage column
-    * is dropped; callers see the plain table schema. */
+    * is dropped; callers see the plain table schema.
+    *
+    * SNAPSHOT-AWARE: a table dir inside a [[Snapshot]] tree holds a
+    * `_GRAFT_DIRS` manifest instead of physical `batch=` dirs — the
+    * read then loads exactly the immutable pool dirs the manifest
+    * names (same partition-column parse via `basePath` on the pool
+    * table root, plus the `snapv=` content-stamp level, dropped like
+    * `batch`). One extra existence check per call on a primary root;
+    * the scan itself is unchanged. */
   def readTable(spark: SparkSession, path: String,
                 excludeBatch: Long = Long.MinValue): DataFrame =
-    spark.read.option("basePath", path).parquet(path)
-      .where(col("batch") =!= lit(excludeBatch)).drop("batch")
+    snapshotDirs(spark, path) match {
+      case Some((poolBase, entries)) =>
+        require(entries.nonEmpty,
+          s"readTable: the snapshot manifest at $path names no " +
+            "partitions — this table was empty at export time; " +
+            "re-export with the table populated (or don't read it)")
+        spark.read.option("basePath", poolBase)
+          .parquet(entries.map(_._2): _*)
+          .where(col("batch") =!= lit(excludeBatch))
+          .drop("batch").drop("snapv")
+      case None =>
+        spark.read.option("basePath", path).parquet(path)
+          .where(col("batch") =!= lit(excludeBatch)).drop("batch")
+    }
+
+  /** Marker file at a [[Snapshot]] v-tree root: its presence makes
+    * every writer face refuse the root loudly (snapshots are
+    * immutable serving artifacts — maintenance runs on the primary,
+    * then re-exports). */
+  private[streaming] val SnapshotMarkerFile = "_GRAFT_SNAPSHOT"
+  /** Per-table dir manifest inside a snapshot tree: each line is
+    * `batch=<id>\t<pool path relative to the export root>`, naming
+    * one immutable content-stamped pool dir. */
+  private[streaming] val SnapshotDirsFile = "_GRAFT_DIRS"
+
+  /** Some((pool basePath, (batchDirName, absolute pool dir) pairs))
+    * when `path` is a table dir inside a snapshot tree; None on a
+    * primary root. The export root is the manifest path's
+    * grandparent (`<exportRoot>/v=<n>/<table>`), so a snapshot tree
+    * is RELOCATABLE — the manifest stores export-root-relative
+    * paths. */
+  private[graft] def snapshotDirs(spark: SparkSession, path: String)
+      : Option[(String, Seq[(String, String)])] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = fsFor(spark, path)
+    val p = fs.makeQualified(new HPath(path))
+    val mf = new HPath(p, SnapshotDirsFile)
+    if (!fs.exists(mf)) None
+    else {
+      val exportRoot = p.getParent.getParent
+      val entries = new String(readFileBytes(fs, mf), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val Array(name, rel) = line.split("\t", 2)
+          (name, new HPath(exportRoot, rel).toString)
+        }
+      Some((new HPath(exportRoot, s"pool/${p.getName}").toString, entries))
+    }
+  }
+
+  /** Refuse a writer face on a snapshot tree. One existence check —
+    * the faces this guards are per-batch or maintenance calls, never
+    * per-row. */
+  private def refuseSnapshotRoot(spark: SparkSession, st: IngestState,
+                                 caller: String): Unit =
+    require(!fsFor(spark, st.root).exists(
+        new org.apache.hadoop.fs.Path(st.root, SnapshotMarkerFile)),
+      s"$caller: ${st.root} is a SNAPSHOT tree (Snapshot.export) — " +
+        "snapshots are immutable serving artifacts; run maintenance " +
+        "against the primary state root and re-export")
 
   /** Initialize state from a (possibly empty) starting corpus, written
     * as the reserved `batch=-1` partition (foreachBatch ids start at
     * 0, so the bootstrap is never self-excluded). */
   def bootstrap(corpus: DataFrame, st: IngestState, p: IngestParams): Unit = {
+    refuseSnapshotRoot(corpus.sparkSession, st, "bootstrap")
     // re-bootstrapping over an existing root with a PENDING tombstone:
     // the intent belongs to the OLD state (its captured batch lineage
     // and digests reference the corpus being replaced — applying it
@@ -1224,10 +1299,11 @@ object ContinuousIngest {
     val p = new org.apache.hadoop.fs.Path(path)
     new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
   }
-  private def readFileBytes(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def readFileBytes(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): Array[Byte] = {
     val len = fs.getFileStatus(p).getLen
-    require(len <= Int.MaxValue, s"$p is ${len}B — not a bloom file")
+    require(len <= Int.MaxValue,
+      s"$p is ${len}B — not a small state file (bloom/manifest)")
     val buf = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
@@ -1798,14 +1874,17 @@ object ContinuousIngest {
       idCol, a.vecCol, lit(true))
   }
 
-  private def batchDirNames(spark: SparkSession, path: String): Set[String] = {
-    val fs = fsFor(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName).toSet
-  }
+  private[streaming] def batchDirNames(spark: SparkSession, path: String): Set[String] =
+    snapshotDirs(spark, path) match {
+      case Some((_, entries)) => entries.map(_._1).toSet
+      case None =>
+        val fs = fsFor(spark, path)
+        val root = new org.apache.hadoop.fs.Path(path)
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName).toSet
+    }
 
   /** MIGRATION: pack every ivf batch partition that lacks a packed
     * twin — the upgrade path for state roots bootstrapped before the
@@ -1850,6 +1929,7 @@ object ContinuousIngest {
                   quantizers: Option[AnnQuantizers] = None): DataFrame = {
     require(batchId >= 0, s"batch ids are >= 0 (got $batchId; -1 is the bootstrap)")
     val spark = batch.sparkSession
+    refuseSnapshotRoot(spark, st, "ingestBatch")
     // one metadata check per batch: admitting against state a crashed
     // deleteDocs half-purged is loud-refused, not absorbed — the
     // digest-last purge order keeps admission conservative, but an
@@ -2135,6 +2215,7 @@ object ContinuousIngest {
     * state tables live on (HDFS/S3/local), same as the table I/O. */
   def compactState(spark: SparkSession, st: IngestState, upToBatch: Long,
                    targetRowsPerFile: Long = 1000000L): Unit = {
+    refuseSnapshotRoot(spark, st, "compactState")
     // a crashed deleteDocs first: its half-swapped partitions would
     // read as dir-set asymmetry to the parity guard below, and
     // consolidating around a pending tombstone would freeze
@@ -2232,7 +2313,7 @@ object ContinuousIngest {
       .select((size(col("packed")) / size(col("ids"))).cast("int").as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
 
-  private def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+  private[streaming] def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -2578,6 +2659,7 @@ object ContinuousIngest {
     // context, the rebuildIndexes contract); compaction swaps BEFORE
     // the tombstone work, or the capture reads tables whose rows are
     // hidden in a crashed compaction's tmp (see recoverCompactionSwaps)
+    refuseSnapshotRoot(spark, st, "deleteDocs")
     recoverIndexSwap(spark, st, asWriter = true)
     recoverCompactionSwaps(spark, st)
     recoverDeletes(spark, st)
@@ -3002,6 +3084,7 @@ object ContinuousIngest {
   def enqueueDelete(spark: SparkSession, st: IngestState,
                     ids: DataFrame): String = {
     import org.apache.hadoop.fs.{Path => HPath}
+    refuseSnapshotRoot(spark, st, "enqueueDelete")
     val opId = java.util.UUID.randomUUID().toString
     val fs = fsFor(spark, st.root)
     // ATOMIC PUBLISH — write to a hidden temp, then rename into the
@@ -3062,6 +3145,7 @@ object ContinuousIngest {
   def processDeleteQueue(spark: SparkSession, st: IngestState,
                          excludeBatch: Long = Long.MinValue): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
+    refuseSnapshotRoot(spark, st, "processDeleteQueue")
     recoverIndexSwap(spark, st, asWriter = true)
     // BEFORE the capture: a crashed compaction's hidden tmp would
     // otherwise make this drain judge queued ids against tables whose
@@ -3087,9 +3171,16 @@ object ContinuousIngest {
                     else s.getModificationTime).toSeq).max
     }
     fs.listStatus(qRoot)
-      .filter(d => d.isDirectory &&
-        d.getPath.getName.startsWith(EnqueueTmpPrefix) &&
-        nowMs - newestMtime(d.getPath) > enqueueTmpGraceMs)
+      .filter { d =>
+        d.isDirectory && d.getPath.getName.startsWith(EnqueueTmpPrefix) && {
+          // the temp can VANISH mid-walk: enqueueDelete publishes by
+          // renaming it away, and enqueues are concurrent with this
+          // drain by design — a vanished temp (or child) is a
+          // PUBLISHED request, not a leak; skip it
+          try nowMs - newestMtime(d.getPath) > enqueueTmpGraceMs
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+      }
       .foreach { d =>
         Console.err.println(s"[graft] WARNING: sweeping a crashed " +
           s"enqueueDelete temp at ${d.getPath} (subtree untouched " +
@@ -3412,6 +3503,7 @@ object ContinuousIngest {
     // the deleteDocs ordering), then crashed COMPACTION swaps (their
     // hidden tmps blind the delete recovery's and the first drain's
     // table reads), then the tombstone.
+    refuseSnapshotRoot(stream.sparkSession, st, "start")
     recoverIndexSwap(stream.sparkSession, st, asWriter = true)
     recoverCompactionSwaps(stream.sparkSession, st)
     recoverDeletes(stream.sparkSession, st)
@@ -3431,6 +3523,18 @@ object ContinuousIngest {
         if (p.compactEveryNBatches > 0 && id > 0 &&
             id % p.compactEveryNBatches == 0)
           compactState(b.sparkSession, st, upToBatch = id - 1)
+        // snapshot shipping LAST in the slot (after drain + compact,
+        // so a just-drained takedown's staleness pruning and a fresh
+        // consolidation ride this very export); horizon = the last
+        // COMMITTED batch — the in-hand batch may replay, and its
+        // possibly half-appended partitions must never enter a
+        // snapshot (Snapshot.export's upToBatch contract)
+        p.export.foreach { ep =>
+          if (ep.everyNBatches > 0 && id > 0 && id % ep.everyNBatches == 0)
+            Snapshot.export(b.sparkSession, st, ep.exportRoot,
+              includeDocs = ep.includeDocs, keepVersions = ep.keepVersions,
+              upToBatch = id - 1)
+        }
         ingestBatch(b, id, st, p, quant); () }
       .option("checkpointLocation", st.checkpointPath)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -1,0 +1,243 @@
+package graft
+
+import graft.ops.Similarity
+import graft.streaming.{ContinuousIngest, Snapshot}
+import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The snapshot SHIPPING lifecycle (`Snapshot.export` / `.state`):
+  * a maintained primary root exported as immutable versioned serving
+  * trees. Pins, in lifecycle order:
+  *
+  *  - SERVE PARITY: every maintained ANN face answers from a snapshot
+  *    multiset-identically to the primary (exact IVF, IVFADC with
+  *    rerank — which on the index-only snapshot auto-switches to the
+  *    packed-segment gather via the slim marker — and the filtered
+  *    face, whose selectivity memo and parity guard run against the
+  *    manifest, not a dir listing);
+  *  - INCREMENTALITY: an unchanged re-export copies ZERO pool dirs;
+  *    one new ingest batch copies exactly its five index partitions;
+  *  - RELOCATABILITY: renaming the whole export root breaks nothing
+  *    (manifests store export-root-relative paths);
+  *  - CRASH RECOVERY: leftover hidden tmps are swept; pool dirs
+  *    installed by a run that crashed before its version tree are
+  *    REUSED, not re-copied;
+  *  - TAKEDOWN PROPAGATION: a completed primary takedown makes every
+  *    pre-takedown version stale — the next export prunes them ALL
+  *    (overriding keepVersions), the new snapshot's index no longer
+  *    contains the purged id, and the orphaned pool dirs are
+  *    vacuumed;
+  *  - IMMUTABILITY: every writer face refuses a snapshot root loudly.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  // embeddings as an ingestable ann corpus (unique text — no dedup
+  // drops, every vector reaches the index); ⅘ bootstrap, ⅕ streamed
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"),
+        concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+  private val isNew = pmod(col("doc_id"), lit(5)) === 0
+  private lazy val nlist = Similarity.nlistFor(docs.count())
+  private lazy val P = IngestParams(expectedDigests = 1000L, fpp = 0.05,
+    nearDup = false, ann = Some(AnnParams(nlist = nlist)))
+
+  private def freshDir(name: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(name)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }
+    root.toString
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def poolDirCount(ex: String): Int = {
+    def subdirs(f: java.io.File) =
+      Option(f.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    subdirs(new java.io.File(s"$ex/pool"))
+      .flatMap(subdirs).flatMap(subdirs)
+      .count(_.getName.startsWith("snapv="))
+  }
+
+  test("export→serve parity, incremental re-export, relocation, crash reuse, takedown staleness, writer refusal") {
+    val primary = freshDir("graft_snap_src")
+    val ex = freshDir("graft_snap_ex")
+    val st = IngestState(s"$primary/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+
+    // ---- export v0 and serve every maintained face from it ---------
+    val r0 = Snapshot.export(spark, st, ex)
+    assert(r0.version === 0L)
+    // 5 index tables × 2 batch dirs (bootstrap + batch 0)
+    assert(r0.copiedPoolDirs === 10L && r0.skippedPoolDirs === 0L)
+    assert(r0.copiedFiles > 0L && r0.copiedBytes > 0L)
+    val snap = Snapshot.state(spark, ex)
+    val slice = pmod(col("doc_id"), lit(7)) === 0
+    val q = docs.where(slice)
+    assert(rows(ContinuousIngest.annIvfMaintained(spark, snap, P.ann.get,
+        q, k = 3, nprobe = 4)) ===
+      rows(ContinuousIngest.annIvfMaintained(spark, st, P.ann.get,
+        q, k = 3, nprobe = 4)))
+    // the index-only snapshot carries the slim marker: the rerank
+    // auto-gathers from the packed segments; answers must still equal
+    // the primary's docs-store shape
+    assert(ContinuousIngest.docsSlim(spark, snap))
+    assert(rows(ContinuousIngest.annIvfPqMaintained(spark, snap, P.ann.get,
+        q, k = 3, nprobe = 4, rerank = 8)) ===
+      rows(ContinuousIngest.annIvfPqMaintained(spark, st, P.ann.get,
+        q, k = 3, nprobe = 4, rerank = 8)))
+    val elig = docs.where(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+    assert(rows(ContinuousIngest.annIvfFilteredMaintained(spark, snap,
+        P.ann.get, q, k = 3, nprobe = 2, elig)) ===
+      rows(ContinuousIngest.annIvfFilteredMaintained(spark, st,
+        P.ann.get, q, k = 3, nprobe = 2, elig)))
+
+    // ---- unchanged re-export: zero copies, all dirs recognized -----
+    val r1 = Snapshot.export(spark, st, ex)
+    assert(r1.version === 1L)
+    assert(r1.copiedPoolDirs === 0L && r1.skippedPoolDirs === 10L)
+    assert(r1.prunedVersions.isEmpty && r1.vacuumedPoolDirs === 0L)
+
+    // ---- one new batch: exactly its five partitions ship -----------
+    val extra = docs.where(!isNew).limit(7)
+      .select(col("doc_id") + lit(100000L), // fresh ids, fresh text
+        concat(lit("x"), col("doc_id")).as("text"), col("embedding"))
+      .toDF("doc_id", "text", "embedding")
+    ContinuousIngest.ingestBatch(extra, 1L, st, P, Some(quant))
+    val r2 = Snapshot.export(spark, st, ex)
+    assert(r2.copiedPoolDirs === 5L && r2.skippedPoolDirs === 10L)
+    assert(Snapshot.versions(spark, ex) === Seq(0L, 1L, 2L))
+
+    // ---- crash window: pool dirs installed, version tree lost ------
+    // (simulated by deleting the newest v= dir — the next export must
+    // REUSE every pool dir and re-cut the version)
+    val exFs = new org.apache.hadoop.fs.Path(ex)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    exFs.delete(new org.apache.hadoop.fs.Path(s"$ex/v=2"), true)
+    // plus leftover hidden tmps from a hypothetical crashed run
+    exFs.mkdirs(new org.apache.hadoop.fs.Path(s"$ex/.vtree_tmp_9_dead"))
+    exFs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$ex/pool/ivf/batch=0/.pooltmp_dead_beef"))
+    val r3 = Snapshot.export(spark, st, ex)
+    assert(r3.copiedPoolDirs === 0L && r3.skippedPoolDirs === 15L)
+    assert(!exFs.exists(new org.apache.hadoop.fs.Path(s"$ex/.vtree_tmp_9_dead")))
+    assert(!exFs.exists(new org.apache.hadoop.fs.Path(
+      s"$ex/pool/ivf/batch=0/.pooltmp_dead_beef")))
+
+    // ---- relocation: the whole export root moves, reads still work -
+    val ex2 = s"${freshDir("graft_snap_moved")}/moved"
+    assert(exFs.rename(new org.apache.hadoop.fs.Path(ex),
+      new org.apache.hadoop.fs.Path(ex2)))
+    val movedSnap = Snapshot.state(spark, ex2)
+    assert(rows(ContinuousIngest.annIvfMaintained(spark, movedSnap,
+        P.ann.get, q, k = 3, nprobe = 4)) ===
+      rows(ContinuousIngest.annIvfMaintained(spark, st, P.ann.get,
+        q, k = 3, nprobe = 4)))
+
+    // ---- takedown: staleness overrides retention --------------------
+    val victim = docs.where(isNew).agg(min("doc_id")).head().getLong(0)
+    val poolBefore = poolDirCount(ex2)
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(victim).toDF("doc_id")) === 1L)
+    val r4 = Snapshot.export(spark, st, ex2)
+    // every pre-takedown version is stale — pruned despite keepVersions
+    assert(r4.prunedVersions.nonEmpty)
+    assert(Snapshot.versions(spark, ex2) === Seq(r4.version))
+    // the purge rewrote partitions in place → new stamps shipped
+    assert(r4.copiedPoolDirs > 0L)
+    // orphaned pool dirs (only the pruned versions referenced them) gone
+    assert(r4.vacuumedPoolDirs > 0L)
+    assert(poolDirCount(ex2) < poolBefore + r4.copiedPoolDirs.toInt)
+    // and the snapshot's index no longer contains the purged id
+    val purged = Snapshot.state(spark, ex2)
+    assert(Similarity.ivfUnpack(
+        ContinuousIngest.readTable(spark, purged.ivfPackedPath))
+      .where(col("nn_id") === lit(victim)).count() === 0L)
+    // surviving manifest dirs all physically exist (vacuum precision)
+    ContinuousIngest.snapshotDirs(spark, purged.ivfPackedPath).get
+      ._2.foreach { case (_, dir) =>
+        assert(exFs.exists(new org.apache.hadoop.fs.Path(dir)), dir) }
+
+    // ---- immutability: every writer face refuses the snapshot ------
+    def refusal(f: => Any): Unit = {
+      val e = intercept[Throwable](f)
+      assert(msgs(e).exists(_.contains("SNAPSHOT tree")), msgs(e).mkString(";"))
+    }
+    refusal(ContinuousIngest.ingestBatch(extra, 2L, purged, P, Some(quant)))
+    refusal(ContinuousIngest.deleteDocs(spark, purged, Seq(1L).toDF("doc_id")))
+    refusal(ContinuousIngest.enqueueDelete(spark, purged, Seq(1L).toDF("doc_id")))
+    refusal(ContinuousIngest.processDeleteQueue(spark, purged))
+    refusal(ContinuousIngest.compactState(spark, purged, upToBatch = 1L))
+    refusal(ContinuousIngest.bootstrap(docs.where(!isNew), purged, P))
+  }
+
+  test("continuous face ships its own snapshots at the boundary slot, horizon-bounded to committed batches") {
+    import graft.streaming.{Bounded, Snapshot => Snap}
+    val root = freshDir("graft_snap_stream")
+    val st = IngestState(s"$root/state")
+    val ex = s"$root/export"
+    val p = P.copy(export = Some(graft.streaming.Snapshot.ExportPolicy(
+      ex, everyNBatches = 2)))
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+    // four single-file chunks of the streamed fifth
+    (0 until 4).foreach { i =>
+      docs.where(isNew && pmod(col("doc_id"), lit(20)) === (5 * i))
+        .coalesce(1).write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>"),
+      st, p).awaitTermination()
+    // exactly one export fired (id = 2), horizon = batch 1: the
+    // snapshot must hold bootstrap + batches 0,1 and NOTHING above
+    val vs = Snap.versions(spark, ex)
+    assert(vs === Seq(0L))
+    val snap = Snap.state(spark, ex)
+    val snapIvf = rows(ContinuousIngest.readTable(spark, snap.ivfPath))
+    val primaryUpTo1 = rows(spark.read
+      .option("basePath", st.ivfPath).parquet(st.ivfPath)
+      .where(col("batch") <= lit(1L)).drop("batch"))
+    val primaryAll = rows(ContinuousIngest.readTable(spark, st.ivfPath))
+    assert(snapIvf === primaryUpTo1)
+    assert(snapIvf !== primaryAll) // batches 2,3 really exist above it
+    // and the snapshot SERVES at that horizon (parity guard included)
+    val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    assert(ContinuousIngest.annIvfMaintained(spark, snap, p.ann.get,
+      q, k = 3, nprobe = 4).count() > 0L)
+  }
+
+  test("docs-carrying export serves the docs-store rerank and readTable(docs)") {
+    val primary = freshDir("graft_snap_docs_src")
+    val ex = freshDir("graft_snap_docs_ex")
+    val st = IngestState(s"$primary/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val r = Snapshot.export(spark, st, ex, includeDocs = true)
+    // 7 tables × 2 batch dirs
+    assert(r.copiedPoolDirs === 14L)
+    val snap = Snapshot.state(spark, ex)
+    // a fat-root export carries NO slim marker: the rerank reads the
+    // snapshot's own docs floats (the docs-store shape, end to end)
+    assert(!ContinuousIngest.docsSlim(spark, snap))
+    val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    assert(rows(ContinuousIngest.annIvfPqMaintained(spark, snap, P.ann.get,
+        q, k = 3, nprobe = 4, rerank = 8)) ===
+      rows(ContinuousIngest.annIvfPqMaintained(spark, st, P.ann.get,
+        q, k = 3, nprobe = 4, rerank = 8)))
+    // the docs table itself round-trips (content, not just answers)
+    assert(rows(ContinuousIngest.readTable(spark, snap.docsPath)) ===
+      rows(ContinuousIngest.readTable(spark, st.docsPath)))
+  }
+}
