@@ -1266,7 +1266,7 @@ object ContinuousIngest {
   // (crash mid-write — the target, when present, is authoritative).
   // Unframed files are legacy roots (pre-frame builds wrote raw bloom
   // bytes): read as-is, rewritten framed on the next merge.
-  private val BloomMagic = "GRFTBLM1".getBytes("UTF-8")
+  private[streaming] val BloomMagic = "GRFTBLM1".getBytes("UTF-8")
   private def frameBloom(payload: Array[Byte]): Array[Byte] = {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val out = java.nio.ByteBuffer.allocate(
@@ -3533,7 +3533,7 @@ object ContinuousIngest {
           if (ep.everyNBatches > 0 && id > 0 && id % ep.everyNBatches == 0)
             Snapshot.export(b.sparkSession, st, ep.exportRoot,
               includeDocs = ep.includeDocs, keepVersions = ep.keepVersions,
-              upToBatch = id - 1)
+              upToBatch = id - 1, full = ep.full)
         }
         ingestBatch(b, id, st, p, quant); () }
       .option("checkpointLocation", st.checkpointPath)

@@ -58,7 +58,12 @@ import graft.streaming.ContinuousIngest.IngestState
   * retention keeps the newest `keepVersions` versions — that window
   * is the serving fleet's grace period for queries in flight on an
   * old version; pool dirs no surviving manifest references are
-  * vacuumed in the same pass.
+  * vacuumed in the same pass. Propagation therefore needs an EXPORT
+  * after the takedown: the streaming composition
+  * ([[ContinuousIngest.IngestParams.export]]) does this by
+  * construction (drain, compact, then export in one boundary slot);
+  * a between-streams operator pairs `deleteDocs` with the next
+  * `export` the way the takedown runbook pairs it with compaction.
   *
   * Crash safety (export runs in the primary's single-writer
   * maintenance context — between streams, or the boundary slot):
@@ -68,6 +73,15 @@ import graft.streaming.ContinuousIngest.IngestState
   * possibly installed-but-unreferenced pool dirs (reused by the next
   * export if still current, vacuumed otherwise). Nothing ever mutates
   * an installed pool dir or version tree.
+  *
+  * FULL BACKUPS ride the same machinery: `export(full = true)` ships
+  * the complete primary state — dedup tables, takedown metadata
+  * (audit log, stats deltas, queued requests), the bloom (stamped by
+  * its framed md5 trailer, so a standing bloom never re-ships) — and
+  * [[restore]] materializes a fresh primary root from any backup
+  * version, installed by one rename. Backups inherit the takedown
+  * staleness pruning, so right-to-be-forgotten holds across the
+  * backup chain too — the thing ad-hoc backup copies silently break.
   *
   * At 100 TB: the copy itself is a Spark job (one task per file,
   * executor-side FileSystem streams — the DistCp shape), so shipping
@@ -85,6 +99,17 @@ object Snapshot {
     * `includeDocs = true`. */
   private val IndexTables = Seq("ivf", "pq", "ivf_packed", "pq_packed", "sem")
   private val DocTables = Seq("docs", "digests")
+  /** The REMAINING state a `full = true` export (a restorable BACKUP)
+    * ships beyond the serving set: the batch-layout dedup tables, the
+    * op-keyed takedown metadata (audit log, stats deltas, the queued
+    * requests — pending takedowns are commitments and must survive a
+    * restore), and the bloom file. The `_checkpoint` is deliberately
+    * NOT state: it belongs to a specific stream, and the dedup engine
+    * makes source re-delivery against a restored root convergent
+    * (already-ingested docs drop as exact dups). */
+  private val FullBatchTables = Seq("keys", "stats")
+  private val OpLayoutTables = Seq("stats_deltas", "deletes_log",
+    ".delete_queue")
   /** Small non-batch dirs copied VERBATIM per version (quantizers are
     * KB–MB scale; physical copies keep [[ContinuousIngest.loadQuantizers]]
     * and the ann-config guard byte-identical on a snapshot). */
@@ -93,7 +118,11 @@ object Snapshot {
 
   private val VTreeTmpPrefix = ".vtree_tmp_"
   private val PoolTmpPrefix = ".pooltmp_"
+  private val RestoreTmpPrefix = ".restore_tmp_"
   private val OpsCountKey = "n_takedown_ops"
+  private val FullKey = "full"
+  /** v-tree file naming the pool path of the backed-up bloom. */
+  private val BloomPointerFile = "_GRAFT_BLOOM"
 
   /** What an export did — the spec seams: `copiedPoolDirs` pins
     * incrementality (an unchanged re-export copies zero),
@@ -116,9 +145,14 @@ object Snapshot {
     * break the parity guard on every serving session). Replay-safe:
     * a re-delivered batch re-runs the export idempotently (unchanged
     * content re-stamps to the same pool dirs). */
+  /** `full = true` schedules restorable BACKUPS instead of serving
+    * snapshots — same cadence, same horizon rule (the backup captures
+    * committed state; the bloom rides over-approximately, see
+    * [[export]]). */
   final case class ExportPolicy(exportRoot: String, everyNBatches: Int,
                                 keepVersions: Int = 3,
-                                includeDocs: Boolean = false)
+                                includeDocs: Boolean = false,
+                                full: Boolean = false)
 
   /** Export one consistent snapshot of `st` to `exportRoot`. Must run
     * in the primary's single-writer maintenance context (the
@@ -135,7 +169,8 @@ object Snapshot {
   def export(spark: SparkSession, st: IngestState, exportRoot: String,
              includeDocs: Boolean = false,
              keepVersions: Int = 3,
-             upToBatch: Long = Long.MaxValue): ExportResult = {
+             upToBatch: Long = Long.MaxValue,
+             full: Boolean = false): ExportResult = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     val srcFs = ContinuousIngest.fsFor(spark, st.root)
     require(!srcFs.exists(new HPath(st.root,
@@ -150,49 +185,95 @@ object Snapshot {
     sweepTmps(fs, exRoot)
 
     val annRoot = srcFs.exists(new HPath(st.centroidsPath))
-    require(annRoot || includeDocs,
+    require(annRoot || includeDocs || full,
       s"Snapshot.export: ${st.root} has no index tables (not an " +
         "ann-enabled root) and includeDocs = false — nothing to ship")
-    val tables = (if (annRoot) IndexTables else Nil) ++
-      (if (includeDocs) DocTables else Nil)
+    val batchTables = (if (annRoot) IndexTables else Nil) ++
+      (if (includeDocs || full) DocTables else Nil) ++
+      (if (full) FullBatchTables else Nil)
 
-    // ---- plan: stamp every source batch dir, split copied/skipped --
+    // ---- plan: stamp every source subdir, split copied/skipped -----
     // (manifest entries are planned for EVERY live dir either way)
     val copies = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)] // (srcFile, dstFile, srcLen)
-    // pool tmp dir -> (final dir, files expected in it)
+    // pool tmp dir -> final dir
     val poolInstalls = scala.collection.mutable.ArrayBuffer
-      .empty[(HPath, HPath, Seq[(String, Long)])]
+      .empty[(HPath, HPath)]
     var skipped = 0L
-    val manifests: Seq[(String, Seq[String])] = tables.flatMap { t =>
+    /** Plan one immutable pool copy; returns the manifest line. */
+    def planDir(t: String, srcDir: HPath): String = {
+      val files = srcFs.listStatus(srcDir).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+        .map(f => (f.getPath.getName, f.getLen))
+        .sortBy(_._1)
+      val stamp = dirStamp(srcDir.getName, files)
+      val rel = s"pool/$t/${srcDir.getName}/snapv=s$stamp"
+      val target = new HPath(exRoot, rel)
+      if (fs.exists(target)) { skipped += 1 }
+      else {
+        val tmp = new HPath(target.getParent,
+          s"$PoolTmpPrefix${stamp}_${java.util.UUID.randomUUID().toString.take(8)}")
+        fs.mkdirs(tmp)
+        files.foreach { case (name, len) =>
+          copies += ((new HPath(srcDir, name).toString,
+            new HPath(tmp, name).toString, len))
+        }
+        poolInstalls += ((tmp, target))
+      }
+      s"${srcDir.getName}\t$rel"
+    }
+    // batch-layout tables: `batch=` dirs at or below the horizon
+    val batchManifests: Seq[(String, Seq[String])] = batchTables.flatMap { t =>
       val srcTable = new HPath(s"${st.root}/$t")
       if (!srcFs.exists(srcTable)) None
       else Some(t -> srcFs.listStatus(srcTable).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
           s.getPath.getName.stripPrefix("batch=").toLong <= upToBatch)
         .sortBy(_.getPath.getName)
-        .map { bd =>
-          val files = srcFs.listStatus(bd.getPath).toSeq
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
-            .map(f => (f.getPath.getName, f.getLen))
-            .sortBy(_._1)
-          val stamp = dirStamp(bd.getPath.getName, files)
-          val rel = s"pool/$t/${bd.getPath.getName}/snapv=s$stamp"
-          val target = new HPath(exRoot, rel)
-          if (fs.exists(target)) { skipped += 1 }
-          else {
-            val tmp = new HPath(target.getParent,
-              s"$PoolTmpPrefix${stamp}_${java.util.UUID.randomUUID().toString.take(8)}")
-            fs.mkdirs(tmp)
-            files.foreach { case (name, len) =>
-              copies += ((new HPath(bd.getPath, name).toString,
-                new HPath(tmp, name).toString, len))
-            }
-            poolInstalls += ((tmp, target, files))
-          }
-          s"${bd.getPath.getName}\t$rel"
-        })
+        .map(bd => planDir(t, bd.getPath)))
     }
+    // op-layout tables (full backups): every committed subdir — op
+    // dirs and audit-log epochs are takedown-scoped, not
+    // batch-scoped, so no horizon applies (hidden temps stay behind)
+    val opManifests: Seq[(String, Seq[String])] =
+      (if (full) OpLayoutTables else Nil).flatMap { t =>
+        val srcTable = new HPath(s"${st.root}/$t")
+        if (!srcFs.exists(srcTable)) None
+        else Some(t -> srcFs.listStatus(srcTable).toSeq
+          .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+          .map(od => planDir(t, od.getPath)))
+      }
+    val manifests = batchManifests ++ opManifests
+    // the bloom (full backups): one immutable pool file, stamped by
+    // the payload md5 the framed format already carries as a trailer
+    // (sized for the corpus's growth horizon, the bloom can be GBs —
+    // never re-shipped while its content stands still). Shipping the
+    // CURRENT bloom under a batch horizon is sound: the bloom is
+    // over-approximate state, and an extra claimed digest only routes
+    // through the verify join against the (horizon-consistent) digest
+    // table — conservative, never wrong.
+    val bloomSrc = new HPath(st.bloomPath)
+    val bloomRel: Option[String] =
+      if (!full || !srcFs.exists(bloomSrc)) None
+      else {
+        val stamp = bloomStamp(srcFs, bloomSrc)
+        // same three-level pool shape as every table dir, so the
+        // sweep and vacuum walks cover it uniformly
+        val rel = s"pool/_bloom/bloom/snapv=s$stamp"
+        val target = new HPath(exRoot, rel)
+        if (fs.exists(target)) { skipped += 1 }
+        else {
+          val tmp = new HPath(target.getParent,
+            s"$PoolTmpPrefix${stamp}_${java.util.UUID.randomUUID().toString.take(8)}")
+          fs.mkdirs(tmp)
+          copies += ((bloomSrc.toString,
+            new HPath(tmp, bloomSrc.getName).toString,
+            srcFs.getFileStatus(bloomSrc).getLen))
+          poolInstalls += ((tmp, target))
+        }
+        Some(s"$rel/${bloomSrc.getName}")
+      }
 
     // ---- version tree (hidden tmp; renamed in LAST) ----------------
     val version = (listVersionDirs(fs, exRoot).map(versionOf) :+ -1L).max + 1L
@@ -227,7 +308,7 @@ object Snapshot {
         .foreach(f => copies += ((f.getPath.toString,
           new HPath(dst, f.getPath.getName).toString, f.getLen)))
     }
-    if (!includeDocs) {
+    if (!includeDocs && !full) {
       // index-only snapshot: no docs table at all. Stamp the slim
       // marker so the maintained reranks auto-switch to the packed
       // float segments (the float-once convention: "the floats live
@@ -236,19 +317,23 @@ object Snapshot {
       fs.mkdirs(dst)
       writeText(fs, new HPath(dst, ContinuousIngest.DocsSlimMarker), "")
     }
+    bloomRel.foreach(rel =>
+      writeText(fs, new HPath(vtmp, BloomPointerFile), rel))
 
     // ---- the copy itself: one Spark job, one task per file ---------
     val (nFiles, nBytes) = copyFiles(spark, copies.toSeq)
 
-    // ---- verify + install pool dirs (rename only after the length
-    // check — an installed pool dir is trusted forever after) -------
-    poolInstalls.foreach { case (tmp, target, files) =>
-      files.foreach { case (name, len) =>
-        val got = fs.getFileStatus(new HPath(tmp, name)).getLen
-        require(got == len,
-          s"Snapshot.export: copied ${tmp}/$name is ${got}B, source " +
-            s"was ${len}B — copy torn; tmp retained for inspection")
-      }
+    // ---- verify EVERY copied file's length before anything installs
+    // (pool dirs are trusted forever after; the version tree's small
+    // copies gate the same way — a torn quantizer table would serve
+    // wrong answers as quietly as a torn segment) --------------------
+    copies.foreach { case (_, dst, len) =>
+      val got = fs.getFileStatus(new HPath(dst)).getLen
+      require(got == len,
+        s"Snapshot.export: copied $dst is ${got}B, source was ${len}B " +
+          "— copy torn; tmps retained for inspection, nothing installed")
+    }
+    poolInstalls.foreach { case (tmp, target) =>
       fs.mkdirs(target.getParent)
       require(fs.rename(tmp, target),
         s"Snapshot.export: pool install rename $tmp -> $target failed")
@@ -261,6 +346,7 @@ object Snapshot {
         s"source=${st.root}",
         s"created_ms=${System.currentTimeMillis()}",
         s"$OpsCountKey=$nOps",
+        s"$FullKey=$full",
         s"tables=${manifests.map(_._1).mkString(",")}").mkString("\n"))
     val vDir = new HPath(exRoot, s"v=$version")
     require(fs.rename(vtmp, vDir),
@@ -279,13 +365,20 @@ object Snapshot {
     val kept = listVersionDirs(fs, exRoot).map(versionOf)
     val referenced: Set[String] = kept.flatMap { v =>
       val vRoot = new HPath(exRoot, s"v=$v")
-      fs.listStatus(vRoot).toSeq.filter(_.isDirectory).flatMap { td =>
-        val mf = new HPath(td.getPath, ContinuousIngest.SnapshotDirsFile)
-        if (!fs.exists(mf)) Nil
-        else new String(ContinuousIngest.readFileBytes(fs, mf), "UTF-8")
-          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-          .map(_.split("\t", 2)(1))
-      }
+      val fromManifests =
+        fs.listStatus(vRoot).toSeq.filter(_.isDirectory).flatMap { td =>
+          val mf = new HPath(td.getPath, ContinuousIngest.SnapshotDirsFile)
+          if (!fs.exists(mf)) Nil
+          else new String(ContinuousIngest.readFileBytes(fs, mf), "UTF-8")
+            .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(_.split("\t", 2)(1))
+        }
+      val bloomPtr = new HPath(vRoot, BloomPointerFile)
+      val fromBloom =
+        if (!fs.exists(bloomPtr)) Nil
+        else Seq(new String(ContinuousIngest.readFileBytes(fs, bloomPtr),
+          "UTF-8").trim).map(p => p.substring(0, p.lastIndexOf('/')))
+      fromManifests ++ fromBloom
     }.toSet
     var vacuumed = 0L
     if (fs.exists(pool)) fs.listStatus(pool).filter(_.isDirectory).foreach { td =>
@@ -350,6 +443,132 @@ object Snapshot {
       md.update(l.toString.getBytes("UTF-8"))
     }
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Content stamp of the bloom file. A framed bloom (every bloom
+    * this engine writes) carries md5(payload) as its trailing 16
+    * bytes — read those, never the payload (the bloom is sized for
+    * the corpus's growth horizon and can be GBs). A legacy unframed
+    * file is hashed wholesale (one-time: the next merge rewrites it
+    * framed). */
+  private def bloomStamp(fs: FileSystem, p: HPath): String = {
+    val len = fs.getFileStatus(p).getLen
+    val magic = ContinuousIngest.BloomMagic
+    if (len >= magic.length + 4 + 16) {
+      val in = fs.open(p)
+      try {
+        val head = new Array[Byte](magic.length)
+        in.readFully(0, head)
+        if (java.util.Arrays.equals(head, magic)) {
+          val tail = new Array[Byte](16)
+          in.readFully(len - 16, tail)
+          return tail.map("%02x".format(_)).mkString
+        }
+      } finally in.close()
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(ContinuousIngest.readFileBytes(fs, p))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Materialize a PRIMARY state root from a `full = true` backup
+    * version (default: the newest): manifest-named pool dirs copy
+    * back to physical partitions, small dirs and table markers
+    * verbatim, the bloom into place — then the whole tree installs by
+    * ONE rename (hidden tmp beside `newRoot`), so a crashed restore
+    * leaves only a hidden tmp (swept by the next restore to the same
+    * target) and `newRoot` either exists completely or not at all.
+    * `newRoot` must not exist — restores never merge into live state.
+    *
+    * What a restored root is: a primary equivalent for every batch
+    * face (ingestBatch continuation above the shipped horizon,
+    * takedowns, compaction, serving, re-export). What it is NOT: the
+    * stream's `_checkpoint` is deliberately absent — it belongs to a
+    * specific source binding; restart the stream with a fresh
+    * checkpoint and let re-delivery converge (already-ingested docs
+    * drop as exact dups — the dedup engine IS the idempotence
+    * layer), or continue with explicit `ingestBatch` ids. */
+  def restore(spark: SparkSession, exportRoot: String, newRoot: String,
+              version: Long = -1L): IngestState = {
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val exRoot = fs.makeQualified(new HPath(exportRoot))
+    val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
+    val v =
+      if (version >= 0L) {
+        require(vs.contains(version),
+          s"Snapshot.restore: no complete version $version at " +
+            s"$exportRoot (have: ${vs.mkString(", ")})")
+        version
+      } else vs.lastOption.getOrElse(sys.error(
+        s"Snapshot.restore: no complete snapshot at $exportRoot"))
+    val vRoot = new HPath(exRoot, s"v=$v")
+    val marker = new String(ContinuousIngest.readFileBytes(fs,
+      new HPath(vRoot, ContinuousIngest.SnapshotMarkerFile)), "UTF-8")
+    require(marker.split("\n").map(_.trim).contains(s"$FullKey=true"),
+      s"Snapshot.restore: version $v is a SERVING snapshot, not a " +
+        "full backup — it lacks the dedup/takedown state a primary " +
+        "needs; export with full = true for restorable backups")
+    val dstFs = ContinuousIngest.fsFor(spark, newRoot)
+    val dst = dstFs.makeQualified(new HPath(newRoot))
+    require(!dstFs.exists(dst),
+      s"Snapshot.restore: $newRoot already exists — restores never " +
+        "merge into live state; pick a fresh root (or delete the old " +
+        "one deliberately)")
+    dstFs.mkdirs(dst.getParent)
+    // sweep THIS target's crashed prior attempts only (other restores
+    // may legitimately run beside ours under the same parent)
+    dstFs.listStatus(dst.getParent).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$RestoreTmpPrefix${dst.getName}_"))
+      .foreach(s => dstFs.delete(s.getPath, true))
+    val tmp = new HPath(dst.getParent,
+      s"$RestoreTmpPrefix${dst.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val copies = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    fs.listStatus(vRoot).toSeq.filter(_.isDirectory).foreach { td =>
+      val tableName = td.getPath.getName
+      val outTable = new HPath(tmp, tableName)
+      ContinuousIngest.snapshotDirs(spark, td.getPath.toString) match {
+        case Some((_, entries)) =>
+          entries.foreach { case (sub, poolDir) =>
+            fs.listStatus(new HPath(poolDir)).filter(_.isFile).foreach(f =>
+              copies += ((f.getPath.toString,
+                new HPath(outTable, s"$sub/${f.getPath.getName}").toString,
+                f.getLen)))
+          }
+          // table-root markers beside the manifest (docs-slim,
+          // digests-v2, ann-config) ride back verbatim
+          fs.listStatus(td.getPath).filter(f => f.isFile &&
+              f.getPath.getName != ContinuousIngest.SnapshotDirsFile)
+            .foreach(f => copies += ((f.getPath.toString,
+              new HPath(outTable, f.getPath.getName).toString, f.getLen)))
+        case None =>
+          // small physical dir (quantizers, drift base): verbatim
+          fs.listStatus(td.getPath).filter(_.isFile)
+            .foreach(f => copies += ((f.getPath.toString,
+              new HPath(outTable, f.getPath.getName).toString, f.getLen)))
+      }
+    }
+    val bloomPtr = new HPath(vRoot, BloomPointerFile)
+    if (fs.exists(bloomPtr)) {
+      val rel = new String(ContinuousIngest.readFileBytes(fs, bloomPtr),
+        "UTF-8").trim
+      val src = new HPath(exRoot, rel)
+      copies += ((src.toString,
+        new HPath(tmp, src.getName).toString,
+        fs.getFileStatus(src).getLen))
+    }
+    copyFiles(spark, copies.toSeq)
+    copies.foreach { case (_, dstFile, len) =>
+      val got = dstFs.getFileStatus(new HPath(dstFile)).getLen
+      require(got == len,
+        s"Snapshot.restore: copied $dstFile is ${got}B, source was " +
+          s"${len}B — copy torn; tmp retained, nothing installed")
+    }
+    require(dstFs.rename(tmp, dst),
+      s"Snapshot.restore: install rename $tmp -> $dst failed — tmp " +
+        "retained, re-run")
+    IngestState(dst.toString)
   }
 
   /** Distributed file copy — one task per file, executor-side

@@ -215,6 +215,84 @@ class SnapshotSpec extends SparkSpec {
     val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
     assert(ContinuousIngest.annIvfMaintained(spark, snap, p.ann.get,
       q, k = 3, nprobe = 4).count() > 0L)
+    // the streaming SERVING face runs against the snapshot root too —
+    // the full shipped-tier deployment shape (query stream answered
+    // from an immutable snapshot, docs-free via the slim marker)
+    val qDir = s"$root/queries"
+    q.limit(10).coalesce(1).write.parquet(qDir)
+    val out = s"$root/answers"
+    ContinuousIngest.serve(
+      Bounded.fileStream(spark, qDir,
+        schemaDDL = "doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>")
+        .select("doc_id", "embedding"),
+      snap, p.ann.get, out, k = 3, nprobe = 4, rerank = 8,
+      rerankFromIndex = true).awaitTermination()
+    assert(spark.read.parquet(s"$out/batch=0").count() > 0L)
+  }
+
+  test("full backup + restore: every state table, the bloom, the audit log and the QUEUED takedowns round-trip; the restored root continues as a primary") {
+    val root = freshDir("graft_snap_restore")
+    val st = IngestState(s"$root/state")
+    val p2 = P.copy(nearDup = true) // cover the keys table too
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, p2)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, p2.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p2, Some(quant))
+    // one COMPLETED takedown (audit log content) and one QUEUED,
+    // undrained request (a pending commitment a backup must carry)
+    val victims = docs.where(isNew).orderBy("doc_id")
+      .limit(2).select("doc_id").collect().map(_.getLong(0))
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(victims(0)).toDF("doc_id")) === 1L)
+    ContinuousIngest.enqueueDelete(spark, st, Seq(victims(1)).toDF("doc_id"))
+    val ex = s"$root/backup"
+    val r = Snapshot.export(spark, st, ex, full = true)
+
+    // a serving-only version cannot restore (loud refusal)
+    val exServe = s"$root/serveonly"
+    Snapshot.export(spark, st, exServe)
+    val e = intercept[Throwable](
+      Snapshot.restore(spark, exServe, s"$root/nope"))
+    assert(msgs(e).exists(_.contains("full backup")), msgs(e).mkString(";"))
+
+    val rst = Snapshot.restore(spark, ex, s"$root/restored", r.version)
+    // state-table parity (Spark-side multiset diff — pq_packed's
+    // binary column makes driver-side Row.toString identity-based),
+    // bloom bytes, audit log
+    Seq(st.docsPath -> rst.docsPath, st.digestsPath -> rst.digestsPath,
+        st.keysPath -> rst.keysPath, st.statsPath -> rst.statsPath,
+        st.ivfPackedPath -> rst.ivfPackedPath,
+        st.pqPackedPath -> rst.pqPackedPath).foreach { case (a, b) =>
+      val l = ContinuousIngest.readTable(spark, a)
+      val r2 = ContinuousIngest.readTable(spark, b)
+      assert(l.exceptAll(r2).isEmpty && r2.exceptAll(l).isEmpty, a)
+    }
+    assert(ContinuousIngest.readBloomBytes(spark, rst).toSeq ===
+      ContinuousIngest.readBloomBytes(spark, st).toSeq)
+    assert(rows(ContinuousIngest.deletesLog(spark, rst)
+        .select("doc_id", "op_id")) ===
+      rows(ContinuousIngest.deletesLog(spark, st)
+        .select("doc_id", "op_id")))
+    // stats face (positives + takedown deltas) agrees
+    assert(rows(ContinuousIngest.readStats(spark, rst)) ===
+      rows(ContinuousIngest.readStats(spark, st)))
+
+    // CONTINUATION as a primary: a dup of an ingested doc drops (the
+    // restored digest state + bloom are live), a fresh doc lands
+    val existing = docs.where(isNew && !col("doc_id").isin(victims: _*))
+      .limit(1)
+    val fresh = existing.select(lit(999999L).as("doc_id"),
+      lit("freshdoc").as("text"), col("embedding"))
+    val admitted = ContinuousIngest.ingestBatch(
+      existing.unionByName(fresh), 1L, rst, p2, Some(quant))
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(999999L))
+    // the queued takedown survived the round trip and drains here
+    assert(ContinuousIngest.processDeleteQueue(spark, rst) === 1L)
+    assert(ContinuousIngest.readTable(spark, rst.docsPath)
+      .where(col("doc_id") === lit(victims(1))).count() === 0L)
+    // and the pre-restore primary still holds ITS copy (independence)
+    assert(ContinuousIngest.readTable(spark, st.docsPath)
+      .where(col("doc_id") === lit(victims(1))).count() === 1L)
   }
 
   test("docs-carrying export serves the docs-store rerank and readTable(docs)") {
