@@ -295,6 +295,41 @@ class SnapshotSpec extends SparkSpec {
       .where(col("doc_id") === lit(victims(1))).count() === 1L)
   }
 
+  test("float-once root backup: the packed segments are the ONLY float store and restore preserves them exactly") {
+    val root = freshDir("graft_snap_slim")
+    val st = IngestState(s"$root/state")
+    val pSlim = P.copy(storeEmbeddingsInDocs = false)
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, pSlim)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, pSlim.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, pSlim, Some(quant))
+    assert(ContinuousIngest.docsSlim(spark, st))
+    val ex = s"$root/backup"
+    Snapshot.export(spark, st, ex, full = true)
+    val rst = Snapshot.restore(spark, ex, s"$root/restored")
+    // the layout marker rode the round trip — a continuation caller
+    // with the slim params is admitted, a fat caller refused
+    assert(ContinuousIngest.docsSlim(spark, rst))
+    // the only float store round-trips EXACTLY: reconstruction from
+    // the restored packed segments equals the primary's
+    val a = ContinuousIngest.reconstructEmbeddings(spark, st, pSlim.ann.get)
+    val b = ContinuousIngest.reconstructEmbeddings(spark, rst, pSlim.ann.get)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the restored root CONTINUES under the slim discipline:
+    // a fresh doc (with floats) lands, docs stay embedding-free
+    val fresh = docs.where(!isNew).limit(1)
+      .select(lit(888888L).as("doc_id"), lit("slimfresh").as("text"),
+        col("embedding"))
+    val admitted = ContinuousIngest.ingestBatch(fresh, 1L, rst, pSlim,
+      Some(quant))
+    assert(admitted.count() === 1L)
+    assert(!ContinuousIngest.readTable(spark, rst.docsPath)
+      .columns.contains("embedding"))
+    // serving from the restored slim root (index-only rerank path)
+    val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    assert(ContinuousIngest.annIvfPqMaintained(spark, rst, pSlim.ann.get,
+      q, k = 3, nprobe = 4, rerank = 8, Some(quant)).count() > 0L)
+  }
+
   test("docs-carrying export serves the docs-store rerank and readTable(docs)") {
     val primary = freshDir("graft_snap_docs_src")
     val ex = freshDir("graft_snap_docs_ex")
