@@ -771,6 +771,10 @@ object ContinuousIngest {
                      a: AnnParams,
                      inFlightBatch: Option[Long] = None): AnnQuantizers = {
     import org.apache.hadoop.fs.{Path => HPath}
+    // a writer face like every other maintenance entry: a snapshot
+    // version tree is immutable — rebuilding "on" one would delete and
+    // swap its index tables in place
+    refuseSnapshotRoot(spark, st, "rebuildIndexes")
     // complete or roll back a previously crashed rebuild first — the
     // corpus read below must not race a half-swapped index set. As
     // the single writer this call also finishes a crashed CLAIMED

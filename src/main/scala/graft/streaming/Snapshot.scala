@@ -67,12 +67,21 @@ import graft.streaming.ContinuousIngest.IngestState
   *
   * Crash safety (export runs in the primary's single-writer
   * maintenance context — between streams, or the boundary slot):
-  * copies land in dot-hidden tmp dirs and rename in only after a
-  * length verification; the version tree renames in last; a crash
-  * anywhere leaves hidden tmps (swept at the next export) and
-  * possibly installed-but-unreferenced pool dirs (reused by the next
-  * export if still current, vacuumed otherwise). Nothing ever mutates
-  * an installed pool dir or version tree.
+  * copies land in dot-hidden tmp dirs and rename in only after each
+  * copy task verifies, executor-side, that the destination holds the
+  * source's exact length AND content md5 (the hash is computed on the
+  * bytes as they stream through, then checked against a read-back of
+  * what actually landed — a torn copy and a corrupted-but-same-length
+  * copy both fail the task, so nothing installs); the version tree
+  * renames in last; a crash anywhere leaves hidden tmps (swept at the
+  * next export) and possibly installed-but-unreferenced pool dirs
+  * (reused by the next export if still current, vacuumed otherwise).
+  * Nothing ever mutates an installed pool dir or version tree. The
+  * single-writer convention on one export root is additionally
+  * ENFORCED by a lock marker: a second concurrent export refuses
+  * loudly instead of racing version numbering, retention, and the tmp
+  * sweep (best-effort on filesystems without atomic exclusive create;
+  * a crashed holder's lock is cleared with [[breakExportLock]]).
   *
   * FULL BACKUPS ride the same machinery: `export(full = true)` ships
   * the complete primary state — dedup tables, takedown metadata
@@ -119,6 +128,10 @@ object Snapshot {
   private val VTreeTmpPrefix = ".vtree_tmp_"
   private val PoolTmpPrefix = ".pooltmp_"
   private val RestoreTmpPrefix = ".restore_tmp_"
+  /** Export-root lock marker (dot-prefixed: readers never list it).
+    * Package-visible so the spec can manufacture the contention
+    * window. */
+  private[graft] val ExportLockFile = ".export_lock"
   private val OpsCountKey = "n_takedown_ops"
   private val FullKey = "full"
   /** v-tree file naming the pool path of the backed-up bloom. */
@@ -159,7 +172,10 @@ object Snapshot {
     * [[ContinuousIngest.rebuildIndexes]] contract) — the source dirs
     * must be stable for the duration. Idempotent and incremental:
     * unchanged batch dirs are recognized by content stamp and never
-    * re-copied. `keepVersions` ≥ 1 bounds routine retention; a
+    * re-copied. One exporter per exportRoot is ENFORCED (a lock
+    * marker; a racing export refuses loudly — see
+    * [[breakExportLock]] for crashed-holder recovery).
+    * `keepVersions` ≥ 1 bounds routine retention; a
     * completed takedown on the primary overrides it and prunes every
     * pre-takedown version (see the object doc). `upToBatch` bounds
     * the shipped lineage — the streaming boundary slot passes the
@@ -180,6 +196,25 @@ object Snapshot {
         "fan-out is not supported; ship the same export root instead)")
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val exRoot = fs.makeQualified(new HPath(exportRoot))
+    // one exporter per export root: version numbering, retention and
+    // the tmp sweep all assume it. The lock makes that convention a
+    // contract — a racing export refuses by name instead of silently
+    // sweeping the first one's live tmps or double-claiming a version.
+    fs.mkdirs(exRoot)
+    val lock = acquireExportLock(fs, exRoot)
+    try {
+      exportLocked(spark, st, srcFs, fs, exRoot, includeDocs,
+        keepVersions, upToBatch, full)
+    } finally {
+      fs.delete(lock, false)
+      ()
+    }
+  }
+
+  private def exportLocked(spark: SparkSession, st: IngestState,
+                           srcFs: FileSystem, fs: FileSystem, exRoot: HPath,
+                           includeDocs: Boolean, keepVersions: Int,
+                           upToBatch: Long, full: Boolean): ExportResult = {
     val pool = new HPath(exRoot, "pool")
     fs.mkdirs(pool)
     sweepTmps(fs, exRoot)
@@ -320,19 +355,15 @@ object Snapshot {
     bloomRel.foreach(rel =>
       writeText(fs, new HPath(vtmp, BloomPointerFile), rel))
 
-    // ---- the copy itself: one Spark job, one task per file ---------
+    // ---- the copy itself: one Spark job, one task per file. Every
+    // task verifies ITS file (length + content md5, re-read from the
+    // destination) before returning — pool dirs are trusted forever
+    // after, and a torn or bit-flipped quantizer table would serve
+    // wrong answers as quietly as a torn segment. A failed task fails
+    // the job here, so tmps are retained and nothing installs; the
+    // driver does no per-file metadata calls (at millions of files a
+    // serial getFileStatus pass would gate the install for hours). --
     val (nFiles, nBytes) = copyFiles(spark, copies.toSeq)
-
-    // ---- verify EVERY copied file's length before anything installs
-    // (pool dirs are trusted forever after; the version tree's small
-    // copies gate the same way — a torn quantizer table would serve
-    // wrong answers as quietly as a torn segment) --------------------
-    copies.foreach { case (_, dst, len) =>
-      val got = fs.getFileStatus(new HPath(dst)).getLen
-      require(got == len,
-        s"Snapshot.export: copied $dst is ${got}B, source was ${len}B " +
-          "— copy torn; tmps retained for inspection, nothing installed")
-    }
     poolInstalls.foreach { case (tmp, target) =>
       fs.mkdirs(target.getParent)
       require(fs.rename(tmp, target),
@@ -430,14 +461,21 @@ object Snapshot {
   // ---- internals ----------------------------------------------------
 
   /** Content stamp of one source batch dir: md5 over the (file name,
-    * length) inventory of its data files. Spark embeds a fresh job
-    * UUID in every part filename, so any in-place rewrite (takedown
-    * swap, compaction) changes the stamp; `_`-files (markers,
-    * `_SUCCESS`) are excluded — they carry no row content. */
+    * length) inventory of EVERY non-hidden file — data parts AND
+    * `_`-prefixed markers. Spark embeds a fresh job UUID in every
+    * part filename, so any in-place rewrite (takedown swap,
+    * compaction) changes the stamp; markers are stamped too because
+    * planDir COPIES them into the pool dir — excluding them was a
+    * latent staleness channel (an in-place marker change without a
+    * data rewrite would have kept the old stamp, and re-exports would
+    * have served the stale marker forever). A marker whose bytes
+    * change without its length changing is still invisible to the
+    * stamp — batch-dir markers in this engine are create-once /
+    * delete-once (the stats fold retire), never edited in place. */
   private def dirStamp(dirName: String, files: Seq[(String, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(dirName.getBytes("UTF-8"))
-    files.filterNot(_._1.startsWith("_")).foreach { case (n, l) =>
+    files.foreach { case (n, l) =>
       md.update(0.toByte)
       md.update(n.getBytes("UTF-8"))
       md.update(l.toString.getBytes("UTF-8"))
@@ -558,23 +596,55 @@ object Snapshot {
         new HPath(tmp, src.getName).toString,
         fs.getFileStatus(src).getLen))
     }
+    // copy tasks verify length + content md5 executor-side (see
+    // copyFiles) — a torn or corrupted copy fails the job and the tmp
+    // is retained, nothing installed
     copyFiles(spark, copies.toSeq)
-    copies.foreach { case (_, dstFile, len) =>
-      val got = dstFs.getFileStatus(new HPath(dstFile)).getLen
-      require(got == len,
-        s"Snapshot.restore: copied $dstFile is ${got}B, source was " +
-          s"${len}B — copy torn; tmp retained, nothing installed")
-    }
     require(dstFs.rename(tmp, dst),
       s"Snapshot.restore: install rename $tmp -> $dst failed — tmp " +
         "retained, re-run")
     IngestState(dst.toString)
   }
 
+  /** Per-executor cache of the rebuilt Hadoop Configuration, keyed by
+    * the broadcast id that shipped its pairs: the maintained-index
+    * pool is many KB–MB files, and rebuilding a Configuration
+    * (hundreds of `set` calls) per FILE task was real overhead on
+    * exactly that shape. One rebuild per (executor, copy job); bounded
+    * by a clear at 64 entries (a Configuration is KBs — this is a
+    * leak stop, not a working set). */
+  private object ConfCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      Long, org.apache.hadoop.conf.Configuration]()
+    def get(id: Long,
+            pairs: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+      if (cache.size > 64) cache.clear()
+      cache.computeIfAbsent(id, _ => {
+        val c = new org.apache.hadoop.conf.Configuration()
+        pairs.foreach { case (k, v) => c.set(k, v) }
+        c
+      })
+    }
+  }
+
   /** Distributed file copy — one task per file, executor-side
     * FileSystem streams (the DistCp shape: shipping bandwidth scales
     * with the cluster, the driver only plans). The Hadoop conf rides
-    * a broadcast as plain pairs (Configuration is not serializable).
+    * a broadcast as plain pairs (Configuration is not serializable),
+    * rebuilt once per executor per job ([[ConfCache]]).
+    *
+    * Each task VERIFIES its own copy before returning: the md5 of the
+    * bytes that streamed through is compared against a read-back of
+    * what actually landed at the destination, and the landed length
+    * against the planned source length — so a torn copy (truncation,
+    * partial multipart artifact) and a corrupted-but-same-length copy
+    * (bit flips on a non-checksumming FS path) both fail the task, and
+    * the job, before anything installs. The read-back doubles the
+    * destination read, but it is the only check that covers the whole
+    * write path on filesystems without their own checksums, and it is
+    * task-local — verification cost scales with the cluster exactly
+    * like the copy itself. (What this cannot catch: a source that was
+    * already corrupt — there is no trusted source hash to compare to.)
     * Returns (files, bytes). */
   private def copyFiles(spark: SparkSession,
                         copies: Seq[(String, String, Long)]): (Long, Long) = {
@@ -586,20 +656,46 @@ object Snapshot {
       buf.toArray
     }
     val bc = spark.sparkContext.broadcast(entries)
+    val bcId = bc.id
     val slices = math.max(1, math.min(copies.size,
       spark.sparkContext.defaultParallelism * 2))
     val bytes = spark.sparkContext
-      .makeRDD(copies.map(c => (c._1, c._2)), slices)
-      .map { case (src, dst) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        bc.value.foreach { case (k, v) => conf.set(k, v) }
+      .makeRDD(copies, slices)
+      .map { case (src, dst, expectLen) =>
+        val conf = ConfCache.get(bcId, bc.value)
         val sp = new HPath(src)
         val dp = new HPath(dst)
+        val dstFs = dp.getFileSystem(conf)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](1 << 20)
         val in = sp.getFileSystem(conf).open(sp)
-        val out = dp.getFileSystem(conf).create(dp, true)
-        // copyBytes(close = true) closes both streams, also on error
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, true)
-        sp.getFileSystem(conf).getFileStatus(sp).getLen
+        try {
+          val out = dstFs.create(dp, true)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n) }
+              n = in.read(buf)
+            }
+          } finally out.close()
+        } finally in.close()
+        val srcMd5 = md.digest()
+        val got = dstFs.getFileStatus(dp).getLen
+        require(got == expectLen,
+          s"Snapshot copy torn: $dst is ${got}B, source $src was " +
+            s"${expectLen}B — nothing installed")
+        val md2 = java.security.MessageDigest.getInstance("MD5")
+        val back = dstFs.open(dp)
+        try {
+          var n = back.read(buf)
+          while (n >= 0) { if (n > 0) md2.update(buf, 0, n); n = back.read(buf) }
+        } finally back.close()
+        require(java.util.Arrays.equals(srcMd5, md2.digest()),
+          s"Snapshot copy corrupted: $dst read back with a different " +
+            s"content md5 than the bytes streamed from $src — " +
+            "same length, so a length check alone would have shipped " +
+            "it; nothing installed")
+        got
       }
       .fold(0L)(_ + _)
     (copies.size.toLong, bytes)
@@ -620,8 +716,12 @@ object Snapshot {
     p.getName.stripPrefix("v=").toLong
 
   /** The completed-takedown op count recorded in version `v`'s
-    * marker; 0 for a pre-field marker (never written by this code —
-    * defensive default that errs toward KEEPING the version). */
+    * marker; 0 for a field-less marker (never written by this code —
+    * defensive default that errs toward PRUNING: a version that
+    * cannot prove its takedown horizon classifies STALE the moment
+    * any takedown completes, because right-to-be-forgotten beats
+    * retention — keeping an unprovable version could pin purged
+    * content). */
   private def markerOpsCount(fs: FileSystem, exRoot: HPath, v: Long): Long = {
     val mk = new HPath(exRoot, s"v=$v/${ContinuousIngest.SnapshotMarkerFile}")
     new String(ContinuousIngest.readFileBytes(fs, mk), "UTF-8")
@@ -638,11 +738,51 @@ object Snapshot {
     ContinuousIngest.deletesLog(spark, st)
       .select("op_id").distinct().count()
 
+  /** Claim the export-root lock by exclusive create, or refuse by
+    * name. `create(overwrite = false)` is atomic on HDFS and
+    * local-posix; on filesystems without atomic exclusive create this
+    * degrades to best-effort — still catching every accidental
+    * steady-state overlap, which is the failure mode a convention
+    * can't. The lock records holder + time for the refusal message. */
+  private def acquireExportLock(fs: FileSystem, exRoot: HPath): HPath = {
+    val lock = new HPath(exRoot, ExportLockFile)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          val age =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime
+            catch { case _: Throwable => -1L }
+          sys.error(s"Snapshot.export: CONCURRENT EXPORT — $lock is " +
+            s"held (age ${age}ms): exports on one exportRoot are " +
+            "single-writer (version numbering, retention and the tmp " +
+            "sweep race otherwise). If the holder crashed, clear it " +
+            s"with Snapshot.breakExportLock and re-run. (${e.getMessage})")
+      }
+    try out.write(
+      (s"holder_uuid=${java.util.UUID.randomUUID()}\n" +
+        s"created_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+    finally out.close()
+    lock
+  }
+
+  /** Clear a CRASHED exporter's lock (the holder process is gone and
+    * its tmps will be swept by the next export). Unsafe while a live
+    * export runs against the root — that is the caller's call to
+    * make, which is why this is a separate, explicit face and never
+    * automatic. Returns whether a lock existed. */
+  def breakExportLock(spark: SparkSession, exportRoot: String): Boolean = {
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    fs.delete(new HPath(fs.makeQualified(new HPath(exportRoot)),
+      ExportLockFile), false)
+  }
+
   /** Sweep a crashed export's hidden tmps: version-tree tmps at the
     * root, copy tmps under every pool batch dir. Safe by naming —
     * nothing reads dot-prefixed dirs — and cheap (one listing per
-    * pool batch dir, which export lists anyway). Runs in the
-    * single-writer context, so no live export can be concurrent. */
+    * pool batch dir, which export lists anyway). Runs under the
+    * export lock, so no live export can be concurrent. */
   private def sweepTmps(fs: FileSystem, exRoot: HPath): Unit = {
     fs.listStatus(exRoot).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(VTreeTmpPrefix))

@@ -30,6 +30,50 @@ import org.apache.spark.sql.functions._
   *    vacuumed;
   *  - IMMUTABILITY: every writer face refuses a snapshot root loudly.
   */
+/** A destination FS that TRUNCATES every written file by one byte —
+  * the torn-copy window (a partial multipart artifact, a crashed
+  * close). `createOutputStreamWithMode` is the single funnel every
+  * RawLocalFileSystem create runs through, so the wrap applies
+  * exactly once per stream. */
+class TornFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("tornfs:///")
+  override protected def createOutputStreamWithMode(
+      f: org.apache.hadoop.fs.Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission): java.io.OutputStream = {
+    val out = super.createOutputStreamWithMode(f, append, permission)
+    new java.io.OutputStream {
+      private var held = -1
+      override def write(b: Int): Unit = {
+        if (held >= 0) out.write(held)
+        held = b & 0xff
+      }
+      override def flush(): Unit = out.flush()
+      override def close(): Unit = out.close() // held byte dropped
+    }
+  }
+}
+
+/** A destination FS that FLIPS one bit of the first byte but keeps
+  * the length — the corrupted-but-same-length window a length-only
+  * verification ships silently. */
+class FlipFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flipfs:///")
+  override protected def createOutputStreamWithMode(
+      f: org.apache.hadoop.fs.Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission): java.io.OutputStream = {
+    val out = super.createOutputStreamWithMode(f, append, permission)
+    new java.io.OutputStream {
+      private var first = true
+      override def write(b: Int): Unit = {
+        if (first) { out.write((b ^ 0x01) & 0xff); first = false }
+        else out.write(b)
+      }
+      override def flush(): Unit = out.flush()
+      override def close(): Unit = out.close()
+    }
+  }
+}
+
 class SnapshotSpec extends SparkSpec {
   import spark.implicits._
 
@@ -179,6 +223,9 @@ class SnapshotSpec extends SparkSpec {
     refusal(ContinuousIngest.processDeleteQueue(spark, purged))
     refusal(ContinuousIngest.compactState(spark, purged, upToBatch = 1L))
     refusal(ContinuousIngest.bootstrap(docs.where(!isNew), purged, P))
+    // rebuildIndexes deletes + swaps index tables in place — on a
+    // snapshot that would mutate an installed version tree
+    refusal(ContinuousIngest.rebuildIndexes(spark, purged, P.ann.get))
   }
 
   test("continuous face ships its own snapshots at the boundary slot, horizon-bounded to committed batches") {
@@ -328,6 +375,75 @@ class SnapshotSpec extends SparkSpec {
     val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
     assert(ContinuousIngest.annIvfPqMaintained(spark, rst, pSlim.ann.get,
       q, k = 3, nprobe = 4, rerank = 8, Some(quant)).count() > 0L)
+  }
+
+  test("export lock, torn/corrupted copy windows, marker-change staleness") {
+    val primary = freshDir("graft_snap_guard")
+    val st = IngestState(s"$primary/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    // ---- CONCURRENT EXPORT: a held lock refuses the second exporter
+    // by name (the manufactured window: the lock file IS what a live
+    // exporter holds for its whole run) --------------------------------
+    val ex = freshDir("graft_snap_lockex")
+    val exFs = new org.apache.hadoop.fs.Path(ex).getFileSystem(hconf)
+    val lockPath = new org.apache.hadoop.fs.Path(ex, Snapshot.ExportLockFile)
+    val lk = exFs.create(lockPath, false)
+    lk.write("holder_uuid=live-exporter\n".getBytes("UTF-8")); lk.close()
+    val raced = intercept[Throwable](Snapshot.export(spark, st, ex))
+    assert(msgs(raced).exists(_.contains("CONCURRENT EXPORT")),
+      msgs(raced).mkString(";"))
+    assert(Snapshot.versions(spark, ex).isEmpty) // nothing half-installed
+    // crashed-holder recovery: break the lock, export proceeds — and
+    // RELEASES its own lock on success (a second export also works)
+    assert(Snapshot.breakExportLock(spark, ex))
+    val r0 = Snapshot.export(spark, st, ex)
+    assert(r0.copiedPoolDirs === 10L)
+    assert(!exFs.exists(lockPath))
+    assert(Snapshot.export(spark, st, ex).copiedPoolDirs === 0L)
+
+    // ---- TORN COPY: a destination FS that truncates every written
+    // file by one byte must fail the copy TASK (length check) before
+    // anything installs — and release the lock for the retry ----------
+    hconf.set("fs.tornfs.impl", classOf[TornFs].getName)
+    hconf.set("fs.flipfs.impl", classOf[FlipFs].getName)
+    val tornRoot = s"tornfs:${freshDir("graft_snap_torn")}/ex"
+    val torn = intercept[Throwable](Snapshot.export(spark, st, tornRoot))
+    assert(msgs(torn).exists(_.contains("copy torn")), msgs(torn).mkString(";"))
+    assert(Snapshot.versions(spark, tornRoot).isEmpty)
+    val tornFs = new org.apache.hadoop.fs.Path(tornRoot).getFileSystem(hconf)
+    assert(!tornFs.exists(new org.apache.hadoop.fs.Path(tornRoot,
+      Snapshot.ExportLockFile)))
+
+    // ---- CORRUPTED-SAME-LENGTH COPY: a destination FS that flips one
+    // bit but keeps the length must fail the md5 read-back — the
+    // window a length-only verification ships silently ----------------
+    val flipRoot = s"flipfs:${freshDir("graft_snap_flip")}/ex"
+    val flip = intercept[Throwable](Snapshot.export(spark, st, flipRoot))
+    assert(msgs(flip).exists(_.contains("copy corrupted")),
+      msgs(flip).mkString(";"))
+    assert(Snapshot.versions(spark, flipRoot).isEmpty)
+
+    // ---- MARKER-CHANGE STALENESS: a batch-dir `_` marker appearing
+    // without a data rewrite must change the dir's content stamp (the
+    // pool copies markers, so the stamp must cover them) ---------------
+    val stFs = new org.apache.hadoop.fs.Path(st.root).getFileSystem(hconf)
+    val batchDir = stFs.listStatus(new org.apache.hadoop.fs.Path(st.ivfPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .head.getPath
+    val probe = stFs.create(
+      new org.apache.hadoop.fs.Path(batchDir, "_probe_marker"), false)
+    probe.write("m".getBytes("UTF-8")); probe.close()
+    val r2 = Snapshot.export(spark, st, ex)
+    assert(r2.copiedPoolDirs === 1L, "the marker-touched dir must re-ship")
+    // and the new pool dir carries the marker (it rode the copy)
+    val snap = Snapshot.state(spark, ex)
+    val shipped = ContinuousIngest.snapshotDirs(spark, snap.ivfPath).get._2
+      .collectFirst { case (sub, dir) if sub == batchDir.getName => dir }.get
+    assert(exFs.exists(new org.apache.hadoop.fs.Path(shipped, "_probe_marker")))
   }
 
   test("docs-carrying export serves the docs-store rerank and readTable(docs)") {
