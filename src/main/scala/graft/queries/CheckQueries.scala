@@ -242,6 +242,70 @@ object CheckQueries extends QueryPack {
         .otherwise(lit(missingTag)).as("violation"))
   }
 
+  /** The embeddings table as an ingestable ann corpus (unique text —
+    * no dedup drops, every vector reaches the index) — the shared
+    * fixture of the three snapshot checks. */
+  private def snapDocs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+
+  /** One PRISTINE ann-enabled primary per (JVM, sf dir), shared by the
+    * three snapshot checks: they all need the identical
+    * bootstrap + one-ingested-batch root, and building it (quantizer
+    * training + the full ingest pipeline) dominated their cold cost
+    * three times over. The serve check reads it directly (it never
+    * mutates the primary); the mutating checks (takedown, restore —
+    * both run deleteDocs) CLONE the tree first, a local file copy
+    * that is ~free next to a rebuild. Lives in a JVM-lifetime temp
+    * dir, deleted at exit; checks run on the local FS by
+    * construction (their roots come from createTempDirectory). */
+  private val snapPrimaryCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.streaming.ContinuousIngest.IngestParams)]()
+  private def snapPristine(s: SparkSession, d: String)
+      : (String, graft.streaming.ContinuousIngest.IngestParams) =
+    snapPrimaryCache.computeIfAbsent(d, _ => {
+      import graft.streaming.ContinuousIngest
+      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
+      val nAll = Tables.embeddingsCount(s, d)
+      val docs = snapDocs(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false,
+        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))))
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_pristine")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTreeQuietly(root)))
+      val st = IngestState(s"$root/state")
+      ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+      val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
+      ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+      (st.root, p)
+    })
+
+  private def deleteTreeQuietly(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    catch { case _: Throwable => () }
+  }
+
+  /** Local-FS tree copy for the mutating snapshot checks' clones. */
+  private def cloneTree(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val sp = Paths.get(src)
+    val dp = Paths.get(dst)
+    Files.walk(sp).forEach { p =>
+      val t = dp.resolve(sp.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t)
+        ()
+      }
+    }
+  }
+
   /** Checks whose full build is expensive and deterministic per
     * (JVM, sf dir) but whose entries predate the scratch-memo
     * convention: their violation rows are memoized at the MAP level
@@ -1732,21 +1796,14 @@ object CheckQueries extends QueryPack {
     //  3. writer faces refuse the snapshot root loudly.
     "check_snapshot_serve" -> ((s, d) => scratchTable(s, d, "snapshot_serve_viol") {
       import graft.streaming.{ContinuousIngest, Snapshot}
-      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
-      val nAll = Tables.embeddingsCount(s, d)
-      val docs = Tables.embeddings(s, d)
-        .select(col("vec_id").as("doc_id"),
-          concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
-      val isNew = pmod(col("doc_id"), lit(5)) === 0
-      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
-        nearDup = false,
-        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))))
+      import graft.streaming.ContinuousIngest.IngestState
+      val (stRoot, p) = snapPristine(s, d)
+      val docs = snapDocs(s, d)
       val root = java.nio.file.Files.createTempDirectory("graft_snapshot")
       try {
-        val st = IngestState(s"$root/state")
-        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
-        val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
-        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
+        // read-only against the shared pristine primary — exports and
+        // the refused writer call never mutate it
+        val st = IngestState(stRoot)
         val ex = s"$root/export"
         Snapshot.export(s, st, ex)
         val snap = Snapshot.state(s, ex)
@@ -1806,22 +1863,17 @@ object CheckQueries extends QueryPack {
     // behind a deleted manifest).
     "check_snapshot_takedown" -> ((s, d) => scratchTable(s, d, "snapshot_takedown_viol") {
       import graft.streaming.{ContinuousIngest, Snapshot}
-      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
-      val nAll = Tables.embeddingsCount(s, d)
-      val docs = Tables.embeddings(s, d)
-        .select(col("vec_id").as("doc_id"),
-          concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+      import graft.streaming.ContinuousIngest.IngestState
+      val (pristineRoot, p) = snapPristine(s, d)
+      val docs = snapDocs(s, d)
       val isNew = pmod(col("doc_id"), lit(5)) === 0
-      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
-        nearDup = false,
-        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))))
       val root = java.nio.file.Files.createTempDirectory("graft_snap_td")
       try {
         import s.implicits._
+        // deleteDocs mutates the primary — work on a CLONE of the
+        // shared pristine tree, never the pristine itself
+        cloneTree(pristineRoot, s"$root/state")
         val st = IngestState(s"$root/state")
-        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
-        val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
-        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
         val ex = s"$root/export"
         Snapshot.export(s, st, ex)
         val victim = docs.where(isNew).agg(min("doc_id")).head().getLong(0)
@@ -1856,22 +1908,17 @@ object CheckQueries extends QueryPack {
     // doc lands.
     "check_snapshot_restore" -> ((s, d) => scratchTable(s, d, "snapshot_restore_viol") {
       import graft.streaming.{ContinuousIngest, Snapshot}
-      import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
-      val nAll = Tables.embeddingsCount(s, d)
-      val docs = Tables.embeddings(s, d)
-        .select(col("vec_id").as("doc_id"),
-          concat(lit("v"), col("vec_id")).as("text"), col("embedding"))
+      import graft.streaming.ContinuousIngest.IngestState
+      val (pristineRoot, p) = snapPristine(s, d)
+      val docs = snapDocs(s, d)
       val isNew = pmod(col("doc_id"), lit(5)) === 0
-      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
-        nearDup = false,
-        ann = Some(AnnParams(nlist = Similarity.nlistFor(nAll))))
       val root = java.nio.file.Files.createTempDirectory("graft_snap_rst")
       try {
         import s.implicits._
+        // deleteDocs mutates the primary — clone the shared pristine
+        cloneTree(pristineRoot, s"$root/state")
         val st = IngestState(s"$root/state")
-        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
         val quant = ContinuousIngest.loadQuantizers(s, st, p.ann.get)
-        ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, p, Some(quant))
         val victim = docs.where(isNew).agg(min("doc_id")).head().getLong(0)
         ContinuousIngest.deleteDocs(s, st, Seq(victim).toDF("doc_id"))
         val ex = s"$root/backup"
