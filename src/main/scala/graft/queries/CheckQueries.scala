@@ -1785,6 +1785,109 @@ object CheckQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // Batch-rollback laws (ContinuousIngest.rollbackBatch — the
+    // poisoned-delivery incident-response face):
+    //  1. EXACT SCOPE: rollback(1) leaves the docs table holding
+    //     precisely bootstrap + batch-0 content — including the
+    //     bootstrap doc whose TEXT batch 1 re-delivered under a fresh
+    //     id (first-seen-wins: the dup was dropped at admission, so
+    //     it is not "in" batch 1 and the original must survive);
+    //  2. the purge count is the batch's admitted-survivor count;
+    //  3. the audit log holds exactly the rolled-back ids;
+    //  4. the incremental stats view equals a direct re-aggregation
+    //     of the purged docs table;
+    //  5. CORRECTED RE-DELIVERY: the rolled-back ids admit again
+    //     (their digests left the admit table with them);
+    //  6. REFUSALS are loud: the bootstrap refuses (a rebuild, not a
+    //     rollback), and a consolidated partition refuses (its rows
+    //     span every batch below the compaction horizon — rolling it
+    //     back by dir id would purge them all).
+    "check_batch_rollback" -> ((s, d) => scratchTable(s, d, "batch_rollback_viol") {
+      import graft.streaming.ContinuousIngest
+      import graft.streaming.ContinuousIngest.{IngestParams, IngestState}
+      val nAll = Tables.documentsCount(s, d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(concat(lit("v"), col("doc_id"))).as("text"))
+      val isNew = pmod(col("doc_id"), lit(5)) === 0          // streamed fifth
+      val b0 = isNew && pmod(col("doc_id"), lit(10)) === 0   // batch 0
+      val b1 = isNew && pmod(col("doc_id"), lit(10)) === 5   // batch 1 (poisoned)
+      val p = IngestParams(expectedDigests = math.max(1L, nAll), fpp = 0.05,
+        nearDup = false)
+      val root = java.nio.file.Files.createTempDirectory("graft_rollback")
+      try {
+        import s.implicits._
+        val st = IngestState(s"$root/state")
+        ContinuousIngest.bootstrap(docs.where(!isNew), st, p)
+        ContinuousIngest.ingestBatch(docs.where(b0), 0L, st, p)
+        // batch 1 ships its docs PLUS a duplicate of one bootstrap
+        // doc's text under a fresh id (dropped at admission)
+        val dupOfId = docs.where(!isNew).agg(min("doc_id")).head.getLong(0)
+        val n1 = ContinuousIngest.ingestBatch(
+          docs.where(b1).unionByName(
+            docs.where(col("doc_id") === dupOfId)
+              .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))),
+          1L, st, p).count()
+        val nRolled = ContinuousIngest.rollbackBatch(s, st, 1L)
+        val countViol =
+          if (nRolled == n1) Seq.empty[String]
+          else Seq(s"rollback_count got=$nRolled want=$n1")
+        val finalIds = ContinuousIngest.readTable(s, st.docsPath)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val wantIds = docs.where(!isNew || b0)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val scopeViol =
+          (if ((finalIds -- wantIds).isEmpty) Seq.empty[String]
+           else Seq("rollback_leak=" +
+             (finalIds -- wantIds).toSeq.sorted.take(5).mkString(","))) ++
+          (if ((wantIds -- finalIds).isEmpty) Seq.empty[String]
+           else Seq("rollback_overreach=" +
+             (wantIds -- finalIds).toSeq.sorted.take(5).mkString(",")))
+        val b1Ids = docs.where(b1).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+        val logIds = ContinuousIngest.deletesLog(s, st)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val logViol =
+          if (logIds == b1Ids) Seq.empty[String]
+          else Seq(s"rollback_log_n=${logIds.size}_want=${b1Ids.size}")
+        val statsViol = multisetDiffViolations(
+          ContinuousIngest.readStats(s, st),
+          ContinuousIngest.readTable(s, st.docsPath).agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("n_chars"),
+            coalesce(sum(size(split(col("text"), "\\s+")).cast("long")),
+              lit(0L)).as("n_ws_tokens")),
+          "rollback_stats_extra", "rollback_stats_missing")
+          .collect().map(_.getString(0)).toSeq
+        // corrected re-delivery: the SAME ids with fixed content admit
+        val corrected = docs.where(b1)
+          .select(col("doc_id"), md5(concat(lit("w"), col("doc_id"))).as("text"))
+        val nBack = ContinuousIngest.ingestBatch(corrected, 2L, st, p).count()
+        val readmitViol =
+          if (nBack == b1Ids.size.toLong) Seq.empty[String]
+          else Seq(s"rollback_readmit got=$nBack want=${b1Ids.size}")
+        // refusals: the bootstrap, and (post-compaction) a
+        // consolidated partition
+        val bootViol =
+          if (scala.util.Try(ContinuousIngest.rollbackBatch(s, st, -1L))
+              .isFailure) Seq.empty[String]
+          else Seq("rollback_bootstrap_not_refused")
+        ContinuousIngest.compactState(s, st, upToBatch = 2L,
+          targetRowsPerFile = 1000000L)
+        val consViol =
+          if (scala.util.Try(ContinuousIngest.rollbackBatch(s, st, 2L))
+              .isFailure) Seq.empty[String]
+          else Seq("rollback_consolidated_not_refused")
+        (countViol ++ scopeViol ++ logViol ++ statsViol ++ readmitViol ++
+          bootViol ++ consViol).toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Snapshot-shipping laws (Snapshot.export / .state — the serving
     // distribution tier):
     //  1. SERVE PARITY: the maintained exact-IVF, IVFADC-with-rerank

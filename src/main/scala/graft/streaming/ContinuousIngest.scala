@@ -2431,6 +2431,15 @@ object ContinuousIngest {
       s"compactTable: $tmp committed without a _SUCCESS marker " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs must stay " +
         "enabled for crash-safe compaction) — sources left untouched")
+    // stamp the output as a CONSOLIDATION (provenance-destroying)
+    // when it merges several partitions — or when any source was
+    // itself consolidated (a single-part migration rewrite must not
+    // launder a consolidated dir back into an attributable one). The
+    // marker lands in the tmp BEFORE any source is deleted, so every
+    // crash window either keeps the sources or installs a marked dir.
+    if (parts.length > 1 ||
+        parts.exists(p => fs.exists(new HPath(p, ConsolidatedMarker))))
+      fs.create(new HPath(tmp, ConsolidatedMarker), true).close()
     parts.foreach(p => fs.delete(p, true))
     require(fs.rename(tmp, new HPath(root, s"batch=$targetId")),
       s"compactTable: final rename $tmp failed — tmp retained (marked), " +
@@ -2440,6 +2449,18 @@ object ContinuousIngest {
 
   private val FoldedOpsManifest = "_GRAFT_FOLDED_OPS"
   private val FoldTmpPrefix = ".fold_tmp_batch="
+
+  /** Marker stamped INSIDE a `batch=` dir that [[compactTable]] built
+    * by consolidating several source partitions (written into the
+    * hidden tmp before any source is deleted, so it rides the same
+    * crash-safe swap as the data; propagated through later
+    * re-consolidations and migration rewrites). Provenance is
+    * partition-level in this engine — a consolidated dir's rows span
+    * every batch below the compaction horizon, so per-batch faces
+    * ([[rollbackBatch]]) must refuse it rather than attribute its
+    * rows to the dir's id. `_`-prefixed: invisible to parquet
+    * discovery, and the snapshot content stamp includes it. */
+  private[streaming] val ConsolidatedMarker = "_GRAFT_CONSOLIDATED"
 
   /** Fold completed takedowns' negative stats partials
     * (`stats_deltas/op=*`, see [[applyPendingDelete]]) into the stats
@@ -2829,6 +2850,99 @@ object ContinuousIngest {
       return 0L
     }
     applyPendingDelete(spark, st)
+  }
+
+  /** INCIDENT RESPONSE: purge every doc FIRST SEEN in ingest batch
+    * `batchId` — the "a poisoned delivery shipped in batch N" runbook
+    * face. Selection is the batch's own docs partition (one pruned
+    * partition read — [[ingestBatch]] admits a doc into `batch=<id>`
+    * exactly when it was first seen there, duplicates having been
+    * dropped against earlier state), and the purge is [[deleteDocs]]
+    * wholesale: every index/dedup table, audited under one op id,
+    * crash-safe, and propagated to snapshots/backups by the takedown
+    * staleness clock. Because the digests leave the admit table, a
+    * CORRECTED re-delivery of the same doc ids is admitted again —
+    * rollback never blocks the fix.
+    *
+    * What it does NOT do (same contract as [[deleteDocs]], stated
+    * here because "rollback" suggests more): it removes the batch's
+    * CONTENT; it does not undo admission decisions made while that
+    * content was present — a later doc dropped as a duplicate of a
+    * batch-`batchId` doc stays dropped until re-delivered.
+    *
+    * REFUSALS, all loud — attributing a consolidated partition's rows
+    * to its dir id would purge everything below the old compaction
+    * horizon:
+    *  - `batchId = -1`: the bootstrap is the root's founding
+    *    population; "rolling it back" is a rebuild — start a fresh
+    *    root.
+    *  - no `docs/batch=<id>` dir: the batch was never ingested, or
+    *    compaction already merged it away. Partition-level provenance
+    *    means THE ROLLBACK WINDOW IS THE COMPACTION HORIZON LAG —
+    *    size `compactEveryNBatches` × the batch cadence to cover the
+    *    incident-response window; past it, issue [[deleteDocs]] with
+    *    the delivery's doc ids from source lineage.
+    *  - the dir carries [[ConsolidatedMarker]] (stamped by every
+    *    consolidation since the marker discipline), or — legacy
+    *    defense for roots consolidated by pre-marker code — its
+    *    stats partition holds more than the single 1-row partial an
+    *    original append writes ([[foldStatsDeltas]] only ever touches
+    *    a partition compaction then merges, so >1 rows ⇔ merged).
+    *
+    * Single-writer maintenance context, like every writer face.
+    * Returns the number of docs purged (0 for an admitted-empty
+    * batch — every row was a duplicate). */
+  def rollbackBatch(spark: SparkSession, st: IngestState,
+                    batchId: Long): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    refuseSnapshotRoot(spark, st, "rollbackBatch")
+    require(batchId >= 0L,
+      s"rollbackBatch: batch=$batchId is the bootstrap — the root's " +
+        "founding population, not a delivery; rolling it back is a " +
+        "rebuild (start a fresh root from corrected sources)")
+    // a crashed compaction swap could HIDE the batch's real partition
+    // (or hide the consolidated dir this face must refuse) — resolve
+    // swaps before reading the layout, like every single-writer entry
+    recoverCompactionSwaps(spark, st)
+    val fs = fsFor(spark, st.docsPath)
+    val dir = new HPath(st.docsPath, s"batch=$batchId")
+    if (!fs.exists(dir))
+      sys.error(s"rollbackBatch: no docs/batch=$batchId under " +
+        s"${st.root} — the batch was never ingested, or compactState " +
+        "already consolidated it (provenance is partition-level; the " +
+        "rollback window is the compaction horizon lag). For a " +
+        "consolidated batch, issue deleteDocs with the delivery's doc " +
+        "ids from source lineage instead.")
+    require(!fs.exists(new HPath(dir, ConsolidatedMarker)),
+      s"rollbackBatch: docs/batch=$batchId is a CONSOLIDATED " +
+        "partition — its rows span every batch below the compaction " +
+        "horizon, not one delivery; rolling it back would purge them " +
+        "all. Issue deleteDocs with the delivery's doc ids from " +
+        "source lineage instead.")
+    // legacy roots: consolidations made before the marker discipline
+    // carry no marker — but an ORIGINAL append's stats partition holds
+    // exactly one 1-row partial, while a merged one holds one row per
+    // absorbed batch (stats folds only touch partitions compaction
+    // then merges, so they never inflate an original's count)
+    val statsDir = new HPath(st.statsPath, s"batch=$batchId")
+    val statsFs = fsFor(spark, st.statsPath)
+    // skip when the partition is absent or holds no data files (a
+    // crashed batch's half-written stats — the docs partition passed
+    // the marker check, and a consolidation cannot leave stats
+    // half-written: compaction completes stats before it returns)
+    if (statsFs.exists(statsDir) && statsFs.listStatus(statsDir)
+        .exists(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_"))) {
+      val nPartials = spark.read.parquet(statsDir.toString).count()
+      require(nPartials == 1L,
+        s"rollbackBatch: stats/batch=$batchId holds $nPartials partial " +
+          "rows — this partition is a consolidation from before the " +
+          "marker discipline, spanning several deliveries. Issue " +
+          "deleteDocs with the delivery's doc ids from source lineage " +
+          "instead.")
+    }
+    deleteDocs(spark, st,
+      spark.read.parquet(dir.toString).select("doc_id"))
   }
 
   /** Purge every state table of the committed pending tombstone set,

@@ -2328,6 +2328,73 @@ class ContinuousIngestSpec extends SparkSpec {
       "band keys hidden in a compaction swap survived the purge")
   }
 
+  /** rollbackBatch = the poisoned-delivery runbook face. The driver
+    * law (check_batch_rollback) pins scope/audit/stats/re-admission
+    * on a corpus-scale root; this spec pins the CLASSIFICATION
+    * mechanics the law can't cheaply: the dedup interplay (a batch's
+    * partition holds only its FIRST-SEEN docs), the missing-dir and
+    * consolidated-dir refusals, the consolidation marker surviving a
+    * crashed-swap recovery, and the legacy defense for consolidations
+    * stamped by pre-marker code (stats partial cardinality). */
+  test("rollbackBatch purges exactly the named batch; refuses bootstrap, merged-away, consolidated and legacy-consolidated partitions") {
+    val root = freshRoot()
+    val st = bootstrapped(s"$root/s")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
+    }
+    // batch 1 delivered {201 (exact dup of 102), 202 (near dup of
+    // 103), 203 (fresh)} — its partition holds only 203, so rollback
+    // purges exactly that: the duplicated ORIGINALS are untouched
+    assert(ContinuousIngest.rollbackBatch(spark, st, 1L) === 1L)
+    val ids = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(101L, 102L, 103L, 302L, 303L),
+      s"rollback scope wrong: $ids") // 301 was dropped as a near dup
+                                     // of 203 and stays dropped —
+                                     // rollback removes content, not
+                                     // past admission decisions
+    assert(ContinuousIngest.readTable(spark, st.digestsPath)
+      .where(col("doc_id") === 203L).count() === 0L)
+    // refusals: the bootstrap, and a batch id with no partition
+    val bootErr = intercept[Throwable](
+      ContinuousIngest.rollbackBatch(spark, st, -1L))
+    assert(bootErr.getMessage.contains("bootstrap"), bootErr.getMessage)
+    val missErr = intercept[Throwable](
+      ContinuousIngest.rollbackBatch(spark, st, 7L))
+    assert(missErr.getMessage.contains("never ingested") &&
+      missErr.getMessage.contains("deleteDocs"), missErr.getMessage)
+    // consolidate: batches -1..2 merge into one marked batch=2 dir
+    ContinuousIngest.compactState(spark, st, upToBatch = 2L,
+      targetRowsPerFile = 1000000L)
+    val docsDir = new java.io.File(st.docsPath)
+    assert(new java.io.File(docsDir, "batch=2/_GRAFT_CONSOLIDATED").exists(),
+      "consolidation marker not stamped")
+    // ...and the marker survives a crashed-swap recovery: hide the
+    // consolidated dir as a marked compaction tmp (the dir carries
+    // its _SUCCESS and marker with it) — rollback's own
+    // recoverCompactionSwaps must install it and then refuse
+    java.nio.file.Files.move(
+      new java.io.File(docsDir, "batch=2").toPath,
+      new java.io.File(docsDir, ".compact_tmp_batch=2").toPath)
+    val consErr = intercept[Throwable](
+      ContinuousIngest.rollbackBatch(spark, st, 2L))
+    assert(consErr.getMessage.contains("CONSOLIDATED"), consErr.getMessage)
+    assert(new java.io.File(docsDir, "batch=2").exists(),
+      "crashed swap not recovered before classification")
+    // a merged-away id now has no partition
+    val mergedErr = intercept[Throwable](
+      ContinuousIngest.rollbackBatch(spark, st, 0L))
+    assert(mergedErr.getMessage.contains("consolidated"), mergedErr.getMessage)
+    // legacy defense: a consolidation stamped by pre-marker code has
+    // no marker — the stats partition's partial cardinality (one row
+    // per absorbed batch) still refuses it
+    assert(new java.io.File(docsDir, "batch=2/_GRAFT_CONSOLIDATED").delete())
+    val legacyErr = intercept[Throwable](
+      ContinuousIngest.rollbackBatch(spark, st, 2L))
+    assert(legacyErr.getMessage.contains("marker discipline"),
+      legacyErr.getMessage)
+  }
+
   test("IngestState refuses a state root on a non-atomic-rename object store, by scheme") {
     val err = intercept[RuntimeException] { IngestState("s3a://bucket/state") }
     assert(err.getMessage.contains("rename") &&

@@ -226,6 +226,7 @@ class SnapshotSpec extends SparkSpec {
     // rebuildIndexes deletes + swaps index tables in place — on a
     // snapshot that would mutate an installed version tree
     refusal(ContinuousIngest.rebuildIndexes(spark, purged, P.ann.get))
+    refusal(ContinuousIngest.rollbackBatch(spark, purged, 0L))
   }
 
   test("continuous face ships its own snapshots at the boundary slot, horizon-bounded to committed batches") {
