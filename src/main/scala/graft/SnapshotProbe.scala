@@ -21,6 +21,13 @@ import graft.streaming.ContinuousIngest.{AnnParams, IngestParams, IngestState}
   *  - `backup_full_s`      first `full = true` backup (adds dedup
   *                         tables, takedown metadata, the bloom)
   *  - `restore_s`          point-in-time restore to a fresh root
+  *  - `verify_s`           checksum audit of the standing backup
+  *                         (verifyVersion: re-hash every shipped file
+  *                         against its _GRAFT_SUMS entry)
+  *  - `resume_s`           a SECOND restore that adopts the first
+  *                         one's tree as a crashed tmp — all files
+  *                         reuse by hash, so this is the pure
+  *                         re-verify floor of a resumed restore
   *  - `serve_snapshot_s`   one IVFADC query batch answered from the
   *                         snapshot (sanity: the shipped tree serves)
   *
@@ -73,6 +80,16 @@ object SnapshotProbe {
       val (rf, tFull) = timed(Snapshot.export(spark, st, bk, full = true))
       val (_, tRestore) = timed(
         Snapshot.restore(spark, bk, s"$root/restored"))
+      val (nViol, tVerify) = timed(
+        Snapshot.verifyVersion(spark, bk).count())
+      // resume floor: re-shape the completed restore into a crashed
+      // attempt's tmp and restore again — every file re-verifies by
+      // recorded hash and reuses in place (no source read, no write)
+      java.nio.file.Files.move(
+        java.nio.file.Path.of(s"$root/restored"),
+        java.nio.file.Path.of(s"$root/.restore_tmp_resumed_probe"))
+      val (_, tResume) = timed(
+        Snapshot.restore(spark, bk, s"$root/resumed"))
       val snap = Snapshot.state(spark, ex)
       val q = corpusOf(spark.range(0L, 100L * 1997L, 1997L).toDF("id"))
       val (nAns, tServe) = timed(
@@ -87,6 +104,8 @@ object SnapshotProbe {
         s""","backup_full_s":${f(tFull)},"full_dirs":${rf.copiedPoolDirs}""" +
         s""","full_bytes":${rf.copiedBytes}""" +
         s""","restore_s":${f(tRestore)}""" +
+        s""","verify_s":${f(tVerify)},"verify_findings":$nViol""" +
+        s""","resume_s":${f(tResume)}""" +
         s""","serve_snapshot_s":${f(tServe)},"serve_rows":$nAns}""")
     } finally {
       import java.nio.file.{Files, Path}

@@ -1896,7 +1896,10 @@ object CheckQueries extends QueryPack {
     //     snapshot multiset-identically to the primary root;
     //  2. INCREMENTALITY: an unchanged re-export copies ZERO pool
     //     dirs (content stamps recognize every dir);
-    //  3. writer faces refuse the snapshot root loudly.
+    //  3. writer faces refuse the snapshot root loudly;
+    //  4. the persisted-checksum audit is clean on a fresh export
+    //     (verifyVersion re-hashes every shipped file against its
+    //     copy-time _GRAFT_SUMS entry — zero findings).
     "check_snapshot_serve" -> ((s, d) => scratchTable(s, d, "snapshot_serve_viol") {
       import graft.streaming.{ContinuousIngest, Snapshot}
       import graft.streaming.ContinuousIngest.IngestState
@@ -1935,6 +1938,8 @@ object CheckQueries extends QueryPack {
         val incViol =
           if (r2.copiedPoolDirs == 0L) Seq.empty[String]
           else Seq(s"snap_recopy dirs=${r2.copiedPoolDirs}")
+        val sumsViol = Snapshot.verifyVersion(s, ex)
+          .collect().map(v => s"snap_audit_${v.getString(0)}").toSeq
         val refuseViol =
           try {
             ContinuousIngest.deleteDocs(s, snap,
@@ -1948,7 +1953,8 @@ object CheckQueries extends QueryPack {
           }
         import s.implicits._
         (exactViol.unionByName(adcViol).unionByName(fltViol)
-          .collect().map(_.getString(0)).toSeq ++ incViol ++ refuseViol)
+          .collect().map(_.getString(0)).toSeq ++ incViol ++ sumsViol ++
+          refuseViol)
           .toDF("violation")
       } finally {
         import java.nio.file.{Files, Path}

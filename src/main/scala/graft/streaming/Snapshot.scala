@@ -77,6 +77,14 @@ import graft.streaming.ContinuousIngest.IngestState
   * next export) and possibly installed-but-unreferenced pool dirs
   * (reused by the next export if still current, vacuumed otherwise).
   * Nothing ever mutates an installed pool dir or version tree. The
+  * per-file hashes PERSIST as each installed dir's `_GRAFT_SUMS`
+  * manifest (written while the dir is still a hidden tmp), closing
+  * the one window copy-time verification can't: POST-INSTALL rot.
+  * [[verifyVersion]] re-hashes a standing tree against them on a
+  * schedule (distributed, one task per file), and [[restore]]'s copy
+  * tasks compare every streamed source against its recorded hash —
+  * a backup that rotted on disk fails the restore loudly instead of
+  * materializing a corrupt primary. The
   * single-writer convention on one export root is additionally
   * ENFORCED by a lock marker: a second concurrent export refuses
   * loudly instead of racing version numbering, retention, and the tmp
@@ -128,6 +136,15 @@ object Snapshot {
   private val VTreeTmpPrefix = ".vtree_tmp_"
   private val PoolTmpPrefix = ".pooltmp_"
   private val RestoreTmpPrefix = ".restore_tmp_"
+  /** Per-dir checksum manifest written beside every batch of copied
+    * files (one line per file: `name\tlength\tmd5`), into the hidden
+    * tmp BEFORE it installs — so it is immutable with the dir it
+    * describes. This is what lets a pool dir be RE-verified after
+    * install ([[verifyVersion]]: bit rot on a long-lived serving
+    * tree) and lets [[restore]]'s copy tasks catch a corrupted SOURCE
+    * (the one failure copy-time verification cannot see). `_`-prefixed:
+    * invisible to parquet discovery; excluded from restore's copy-back. */
+  private[graft] val SumsFile = "_GRAFT_SUMS"
   /** Export-root lock marker (dot-prefixed: readers never list it).
     * Package-visible so the spec can manufacture the contention
     * window. */
@@ -229,8 +246,7 @@ object Snapshot {
 
     // ---- plan: stamp every source subdir, split copied/skipped -----
     // (manifest entries are planned for EVERY live dir either way)
-    val copies = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Long)] // (srcFile, dstFile, srcLen)
+    val copies = scala.collection.mutable.ArrayBuffer.empty[CopyEntry]
     // pool tmp dir -> final dir
     val poolInstalls = scala.collection.mutable.ArrayBuffer
       .empty[(HPath, HPath)]
@@ -250,8 +266,8 @@ object Snapshot {
           s"$PoolTmpPrefix${stamp}_${java.util.UUID.randomUUID().toString.take(8)}")
         fs.mkdirs(tmp)
         files.foreach { case (name, len) =>
-          copies += ((new HPath(srcDir, name).toString,
-            new HPath(tmp, name).toString, len))
+          copies += CopyEntry(new HPath(srcDir, name).toString,
+            new HPath(tmp, name).toString, len)
         }
         poolInstalls += ((tmp, target))
       }
@@ -302,9 +318,9 @@ object Snapshot {
           val tmp = new HPath(target.getParent,
             s"$PoolTmpPrefix${stamp}_${java.util.UUID.randomUUID().toString.take(8)}")
           fs.mkdirs(tmp)
-          copies += ((bloomSrc.toString,
+          copies += CopyEntry(bloomSrc.toString,
             new HPath(tmp, bloomSrc.getName).toString,
-            srcFs.getFileStatus(bloomSrc).getLen))
+            srcFs.getFileStatus(bloomSrc).getLen)
           poolInstalls += ((tmp, target))
         }
         Some(s"$rel/${bloomSrc.getName}")
@@ -324,8 +340,8 @@ object Snapshot {
         fs.mkdirs(dst)
         srcFs.listStatus(src).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
-          .foreach(f => copies += ((f.getPath.toString,
-            new HPath(dst, f.getPath.getName).toString, f.getLen)))
+          .foreach(f => copies += CopyEntry(f.getPath.toString,
+            new HPath(dst, f.getPath.getName).toString, f.getLen))
       }
     }
     // exported batch tables: manifest + root-level marker files
@@ -340,8 +356,8 @@ object Snapshot {
       srcFs.listStatus(src).toSeq
         .filter(f => f.isFile && f.getPath.getName.startsWith("_") &&
           f.getPath.getName != "_SUCCESS")
-        .foreach(f => copies += ((f.getPath.toString,
-          new HPath(dst, f.getPath.getName).toString, f.getLen)))
+        .foreach(f => copies += CopyEntry(f.getPath.toString,
+          new HPath(dst, f.getPath.getName).toString, f.getLen))
     }
     if (!includeDocs && !full) {
       // index-only snapshot: no docs table at all. Stamp the slim
@@ -357,13 +373,20 @@ object Snapshot {
 
     // ---- the copy itself: one Spark job, one task per file. Every
     // task verifies ITS file (length + content md5, re-read from the
-    // destination) before returning — pool dirs are trusted forever
-    // after, and a torn or bit-flipped quantizer table would serve
-    // wrong answers as quietly as a torn segment. A failed task fails
-    // the job here, so tmps are retained and nothing installs; the
-    // driver does no per-file metadata calls (at millions of files a
-    // serial getFileStatus pass would gate the install for hours). --
-    val (nFiles, nBytes) = copyFiles(spark, copies.toSeq)
+    // destination) before returning — a torn or bit-flipped quantizer
+    // table would serve wrong answers as quietly as a torn segment. A
+    // failed task fails the job here, so tmps are retained and nothing
+    // installs; the driver does no per-file metadata calls (at
+    // millions of files a serial getFileStatus pass would gate the
+    // install for hours). The per-file hashes then PERSIST as each
+    // installed dir's _GRAFT_SUMS (written while the dirs are still
+    // hidden tmps), so "trusted forever after" becomes "re-verifiable
+    // forever after": verifyVersion re-hashes a standing tree against
+    // them, and restore's copy tasks catch post-install source rot. --
+    val copyResults = copyFiles(spark, copies.toSeq)
+    val (nFiles, nBytes) =
+      (copyResults.size.toLong, copyResults.map(_._2).sum)
+    writeSums(fs, copyResults)
     poolInstalls.foreach { case (tmp, target) =>
       fs.mkdirs(target.getParent)
       require(fs.rename(tmp, target),
@@ -434,6 +457,33 @@ object Snapshot {
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     listVersionDirs(fs, fs.makeQualified(new HPath(exportRoot)))
       .map(versionOf).sorted
+  }
+
+  /** The export root's CATALOG: one row per complete version, from
+    * its marker — `(version, created_ms, source, full, n_takedown_ops,
+    * tables)`. What an operator pins retention/serving decisions on
+    * without walking the tree; metadata-cost (one marker read per
+    * version — versions are bounded by `keepVersions`, never by
+    * corpus size). */
+  def info(spark: SparkSession, exportRoot: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val exRoot = fs.makeQualified(new HPath(exportRoot))
+    listVersionDirs(fs, exRoot).map(versionOf).sorted.map { v =>
+      val fields = new String(ContinuousIngest.readFileBytes(fs,
+          new HPath(exRoot, s"v=$v/${ContinuousIngest.SnapshotMarkerFile}")),
+          "UTF-8")
+        .split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
+        .toMap
+      (v,
+        fields.get("created_ms").map(_.toLong).getOrElse(-1L),
+        fields.getOrElse("source", ""),
+        fields.get(FullKey).contains("true"),
+        fields.get(OpsCountKey).map(_.toLong).getOrElse(0L),
+        fields.getOrElse("tables", ""))
+    }.toDF("version", "created_ms", "source", "full", "n_takedown_ops",
+      "tables")
   }
 
   /** An [[IngestState]] rooted at snapshot `version` (default: the
@@ -514,8 +564,13 @@ object Snapshot {
     * back to physical partitions, small dirs and table markers
     * verbatim, the bloom into place — then the whole tree installs by
     * ONE rename (hidden tmp beside `newRoot`), so a crashed restore
-    * leaves only a hidden tmp (swept by the next restore to the same
-    * target) and `newRoot` either exists completely or not at all.
+    * leaves only a hidden tmp and `newRoot` either exists completely
+    * or not at all. The next restore to the same target ADOPTS that
+    * tmp and RESUMES: completed files re-verify against their
+    * recorded [[SumsFile]] hash and are reused in place (hash-only
+    * read — a 100 TB restore that died at 90% pays for the missing
+    * 10% plus a re-verify, not a second full copy); partial, stale,
+    * or different-version leftovers are overwritten or dropped.
     * `newRoot` must not exist — restores never merge into live state.
     *
     * What a restored root is: a primary equivalent for every batch
@@ -553,38 +608,81 @@ object Snapshot {
         "merge into live state; pick a fresh root (or delete the old " +
         "one deliberately)")
     dstFs.mkdirs(dst.getParent)
-    // sweep THIS target's crashed prior attempts only (other restores
-    // may legitimately run beside ours under the same parent)
-    dstFs.listStatus(dst.getParent).toSeq
+    // RESUME a crashed prior attempt for THIS target instead of
+    // restarting it: adopt the newest hidden tmp (older attempts are
+    // swept; other targets' restores under the same parent are left
+    // alone). Every adopted file whose recorded hash still matches is
+    // reused in place by the copy task — a hash-only destination
+    // read, no source read, no rewrite — so a 100 TB restore that
+    // died at 90% pays for the missing 10% plus a re-verify, not a
+    // second full copy. Adopted files the new plan does not name (an
+    // earlier attempt at a DIFFERENT version) are dropped below, so
+    // nothing ever rides into the restored root unplanned.
+    val priorTmps = dstFs.listStatus(dst.getParent).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(s"$RestoreTmpPrefix${dst.getName}_"))
-      .foreach(s => dstFs.delete(s.getPath, true))
-    val tmp = new HPath(dst.getParent,
-      s"$RestoreTmpPrefix${dst.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val copies = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Long)]
+      .sortBy(_.getModificationTime)
+    priorTmps.dropRight(1).foreach(s => dstFs.delete(s.getPath, true))
+    val adopted = priorTmps.lastOption.map(_.getPath)
+    val tmp = adopted.getOrElse(new HPath(dst.getParent,
+      s"$RestoreTmpPrefix${dst.getName}_${java.util.UUID.randomUUID().toString.take(8)}"))
+    val copies = scala.collection.mutable.ArrayBuffer.empty[CopyEntry]
+    /** Plan one dir's files back, carrying each file's copy-time md5
+      * from the dir's [[SumsFile]] when recorded (the copy task then
+      * catches an artifact that rotted after install — the one window
+      * copy-time verification can't see); the sums manifest itself
+      * describes the snapshot dir, not the primary, and never rides
+      * back. */
+    def planBack(srcDir: HPath, outFor: String => HPath,
+                 keep: String => Boolean = _ => true): Unit = {
+      val sums = readSums(fs, srcDir)
+      val files = fs.listStatus(srcDir)
+        .filter(f => f.isFile && f.getPath.getName != SumsFile &&
+          keep(f.getPath.getName))
+      if (sums.nonEmpty) {
+        // a summed dir is immutable and COMPLETE by contract — a
+        // listed file gone missing would silently restore a primary
+        // with a hole in a partition, and an unlisted data file would
+        // restore rows nobody shipped; both refuse by name (run
+        // verifyVersion for the full damage report)
+        val names = files.map(_.getPath.getName).toSet
+        val missing = sums.keySet -- names
+        require(missing.isEmpty,
+          s"Snapshot.restore: $srcDir lost files its $SumsFile " +
+            s"recorded (${missing.toSeq.sorted.take(3).mkString(", ")}" +
+            s"${if (missing.size > 3) ", …" else ""}) — the backup is " +
+            "damaged; run verifyVersion for the full report and " +
+            "restore from another replica")
+        val unlisted = names -- sums.keySet
+        require(unlisted.isEmpty,
+          s"Snapshot.restore: $srcDir holds files no $SumsFile line " +
+            s"accounts for (${unlisted.toSeq.sorted.take(3).mkString(", ")}" +
+            s"${if (unlisted.size > 3) ", …" else ""}) — an immutable " +
+            "pool dir was tampered with; run verifyVersion and restore " +
+            "from another replica")
+      }
+      files.foreach { f =>
+        val name = f.getPath.getName
+        copies += CopyEntry(f.getPath.toString, outFor(name).toString,
+          f.getLen, sums.get(name).map(_._2))
+      }
+    }
     fs.listStatus(vRoot).toSeq.filter(_.isDirectory).foreach { td =>
       val tableName = td.getPath.getName
       val outTable = new HPath(tmp, tableName)
       ContinuousIngest.snapshotDirs(spark, td.getPath.toString) match {
         case Some((_, entries)) =>
           entries.foreach { case (sub, poolDir) =>
-            fs.listStatus(new HPath(poolDir)).filter(_.isFile).foreach(f =>
-              copies += ((f.getPath.toString,
-                new HPath(outTable, s"$sub/${f.getPath.getName}").toString,
-                f.getLen)))
+            planBack(new HPath(poolDir),
+              name => new HPath(outTable, s"$sub/$name"))
           }
           // table-root markers beside the manifest (docs-slim,
           // digests-v2, ann-config) ride back verbatim
-          fs.listStatus(td.getPath).filter(f => f.isFile &&
-              f.getPath.getName != ContinuousIngest.SnapshotDirsFile)
-            .foreach(f => copies += ((f.getPath.toString,
-              new HPath(outTable, f.getPath.getName).toString, f.getLen)))
+          planBack(td.getPath, name => new HPath(outTable, name),
+            keep = _ != ContinuousIngest.SnapshotDirsFile)
         case None =>
           // small physical dir (quantizers, drift base): verbatim
-          fs.listStatus(td.getPath).filter(_.isFile)
-            .foreach(f => copies += ((f.getPath.toString,
-              new HPath(outTable, f.getPath.getName).toString, f.getLen)))
+          planBack(td.getPath, name => new HPath(outTable, name))
       }
     }
     val bloomPtr = new HPath(vRoot, BloomPointerFile)
@@ -592,18 +690,194 @@ object Snapshot {
       val rel = new String(ContinuousIngest.readFileBytes(fs, bloomPtr),
         "UTF-8").trim
       val src = new HPath(exRoot, rel)
-      copies += ((src.toString,
+      copies += CopyEntry(src.toString,
         new HPath(tmp, src.getName).toString,
-        fs.getFileStatus(src).getLen))
+        fs.getFileStatus(src).getLen,
+        readSums(fs, src.getParent).get(src.getName).map(_._2))
+    }
+    // drop adopted leftovers the plan does not name — then the tmp is
+    // exactly (planned files ∪ reusable completed copies). Emptied
+    // dirs go too, bottom-up: a leftover `batch=` dir with no files
+    // (a different-version attempt's table layout) would otherwise
+    // ride the install rename and read as a phantom partition to the
+    // dir-name-based parity guards (copyFiles recreates any parent a
+    // planned file needs)
+    adopted.foreach { t =>
+      val planned = copies.map(_.dst).toSet
+      def sweepUnplanned(p: HPath): Boolean = { // returns "now empty"
+        val children = dstFs.listStatus(p)
+        var remaining = children.length
+        children.foreach { s =>
+          val gone =
+            if (s.isDirectory) {
+              val empty = sweepUnplanned(s.getPath)
+              // recursive: "empty" means no VISIBLE children survived
+              // the sweep — hidden checksum sidecars may remain and
+              // must not keep the phantom dir alive
+              if (empty) dstFs.delete(s.getPath, true)
+              empty
+            } else if (!planned.contains(s.getPath.toString)) {
+              dstFs.delete(s.getPath, false); true
+            } else false
+          if (gone) remaining -= 1
+        }
+        remaining == 0
+      }
+      sweepUnplanned(t)
+      ()
     }
     // copy tasks verify length + content md5 executor-side (see
     // copyFiles) — a torn or corrupted copy fails the job and the tmp
-    // is retained, nothing installed
+    // is retained, nothing installed; files whose pool dir recorded a
+    // copy-time md5 are ALSO verified against it, so post-install rot
+    // in the backup itself fails the restore loudly instead of
+    // materializing a corrupt primary (an adopted attempt's completed
+    // files re-verify by the same hash and are reused in place)
     copyFiles(spark, copies.toSeq)
     require(dstFs.rename(tmp, dst),
       s"Snapshot.restore: install rename $tmp -> $dst failed — tmp " +
         "retained, re-run")
     IngestState(dst.toString)
+  }
+
+  /** Names this exporter writes DRIVER-SIDE into version trees (never
+    * through [[copyFiles]], so never listed in a [[SumsFile]]). */
+  private val DriverWrittenFiles = Set(
+    ContinuousIngest.SnapshotDirsFile, ContinuousIngest.DocsSlimMarker,
+    ContinuousIngest.SnapshotMarkerFile, BloomPointerFile, SumsFile)
+
+  /** Re-verify a STANDING snapshot version's bytes against the
+    * copy-time checksums each dir's [[SumsFile]] persisted — the
+    * failure mode copy-time verification cannot cover: an artifact
+    * that rots AFTER install (bit flips on a non-checksumming FS
+    * path, operator damage, a torn manual sync into the export
+    * tree). The re-hash is one Spark task per file, the driver only
+    * plans from dir listings — the DistCp shape again, so a serving
+    * fleet can run this on a schedule against a 100 TB tree and the
+    * wall-time scales with the cluster, not the corpus.
+    *
+    * Returns violation rows (empty = clean):
+    *  - `md5=<path>` / `length=<path>` — content changed since
+    *    copy-time verification (`unreadable=<path>` when the FS
+    *    itself refuses the read — its own checksum layer catching the
+    *    same rot, or a dead sector; one bad file never aborts the
+    *    remaining sweep);
+    *  - `missing=<path>` — listed in the dir's sums, gone from disk;
+    *  - `missing_dir=<dir>` — a manifest-referenced pool dir is gone
+    *    (retention/vacuum never prunes a dir a surviving version
+    *    references, so this is external damage);
+    *  - `unlisted=<path>` — a data file no sums line accounts for, in
+    *    a dir that is immutable by contract;
+    *  - `sums_missing=<dir>` — shipped before the checksum
+    *    discipline; unverifiable (the next content change re-ships
+    *    the dir stamped, or re-export with a bumped stamp).
+    * Read-only: safe against a LIVE export root (versions and pool
+    * dirs are immutable once installed; a concurrent export only adds
+    * dirs this walk never visits — though its retention may PRUNE the
+    * version under verification, in which case the walk fails loudly
+    * on the vanished dir and never reports a stale clean; re-run on a
+    * surviving version). */
+  def verifyVersion(spark: SparkSession, exportRoot: String,
+                    version: Long = -1L): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val exRoot = fs.makeQualified(new HPath(exportRoot))
+    val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
+    val v =
+      if (version >= 0L) {
+        require(vs.contains(version),
+          s"Snapshot.verifyVersion: no complete version $version at " +
+            s"$exportRoot (have: ${vs.mkString(", ")})")
+        version
+      } else vs.lastOption.getOrElse(sys.error(
+        s"Snapshot.verifyVersion: no complete snapshot at $exportRoot"))
+    val vRoot = new HPath(exRoot, s"v=$v")
+    // every dir whose files rode copyFiles: manifest-referenced pool
+    // dirs, the version tree's physical dirs (quantizers, markers),
+    // and the bloom's pool dir
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[HPath]
+    val viol = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(vRoot).toSeq.filter(_.isDirectory).foreach { td =>
+      ContinuousIngest.snapshotDirs(spark, td.getPath.toString) match {
+        case Some((_, entries)) =>
+          entries.foreach { case (_, poolDir) =>
+            val p = new HPath(poolDir)
+            if (fs.exists(p)) dirs += p else viol += s"missing_dir=$p"
+          }
+          dirs += td.getPath // table-root markers ride copyFiles too
+        case None => dirs += td.getPath
+      }
+    }
+    val bloomPtr = new HPath(vRoot, BloomPointerFile)
+    if (fs.exists(bloomPtr))
+      dirs += new HPath(exRoot, new String(
+        ContinuousIngest.readFileBytes(fs, bloomPtr), "UTF-8").trim).getParent
+    val toHash = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String)] // (path, expectLen, expectMd5)
+    dirs.distinct.foreach { d =>
+      val sums = readSums(fs, d)
+      val present = fs.listStatus(d).toSeq
+        .filter(f => f.isFile && !DriverWrittenFiles(f.getPath.getName))
+        .map(f => f.getPath.getName -> f.getLen).toMap
+      if (sums.isEmpty) {
+        // a dir can legitimately carry only driver-written files (an
+        // index-only version's docs dir holds just the slim marker) —
+        // only DATA files without checksums are a finding
+        if (present.nonEmpty) viol += s"sums_missing=$d"
+      } else {
+        sums.foreach { case (name, (len, md5)) =>
+          present.get(name) match {
+            case None => viol += s"missing=${new HPath(d, name)}"
+            case Some(gotLen) if gotLen != len =>
+              viol += s"length=${new HPath(d, name)} got=$gotLen want=$len"
+            case Some(_) =>
+              toHash += ((new HPath(d, name).toString, len, md5))
+          }
+        }
+        (present.keySet -- sums.keySet).foreach(n =>
+          viol += s"unlisted=${new HPath(d, n)}")
+      }
+    }
+    val hashed: Seq[String] =
+      if (toHash.isEmpty) Nil
+      else {
+        val entries = {
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+          buf.toArray
+        }
+        val bc = spark.sparkContext.broadcast(entries)
+        val bcId = bc.id
+        val slices = math.max(1, math.min(toHash.size,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.makeRDD(toHash.toSeq, slices)
+          .flatMap { case (path, _, want) =>
+            val conf = ConfCache.get(bcId, bc.value)
+            val p = new HPath(path)
+            // an audit ENUMERATES damage — a read that dies (a
+            // checksumming FS throwing on its own rotted block, a bad
+            // disk sector) is itself a finding, never an abort of the
+            // remaining sweep
+            try {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val buf = new Array[Byte](1 << 20)
+              val in = p.getFileSystem(conf).open(p)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+              val got = md.digest().map("%02x".format(_)).mkString
+              if (got == want) Nil else Seq(s"md5=$path got=$got want=$want")
+            } catch {
+              case e: Throwable =>
+                Seq(s"unreadable=$path ${e.getClass.getSimpleName}: " +
+                  s"${Option(e.getMessage).getOrElse("").take(120)}")
+            }
+          }
+          .collect().toSeq
+      }
+    (viol.toSeq ++ hashed).toDF("violation")
   }
 
   /** Per-executor cache of the rebuilt Hadoop Configuration, keyed by
@@ -627,6 +901,13 @@ object Snapshot {
     }
   }
 
+  /** One planned file copy: `expectMd5` is the STORED content hash
+    * when the source is itself a verified snapshot artifact (restore
+    * reading a pool dir's [[SumsFile]]) — the only way to catch a
+    * source that rotted AFTER its own copy-time verification. */
+  private case class CopyEntry(src: String, dst: String, expectLen: Long,
+                               expectMd5: Option[String] = None)
+
   /** Distributed file copy — one task per file, executor-side
     * FileSystem streams (the DistCp shape: shipping bandwidth scales
     * with the cluster, the driver only plans). The Hadoop conf rides
@@ -643,12 +924,15 @@ object Snapshot {
     * destination read, but it is the only check that covers the whole
     * write path on filesystems without their own checksums, and it is
     * task-local — verification cost scales with the cluster exactly
-    * like the copy itself. (What this cannot catch: a source that was
-    * already corrupt — there is no trusted source hash to compare to.)
-    * Returns (files, bytes). */
+    * like the copy itself. A source that was already corrupt is caught
+    * exactly when a trusted hash exists: entries carrying `expectMd5`
+    * (restores reading [[SumsFile]]-verified pool dirs) compare the
+    * streamed bytes against it and fail loudly on rot.
+    * Returns one (dst, length, md5-hex) per file — the caller
+    * persists these as the installed dirs' [[SumsFile]] manifests. */
   private def copyFiles(spark: SparkSession,
-                        copies: Seq[(String, String, Long)]): (Long, Long) = {
-    if (copies.isEmpty) return (0L, 0L)
+                        copies: Seq[CopyEntry]): Seq[(String, Long, String)] = {
+    if (copies.isEmpty) return Nil
     val entries = {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -659,15 +943,37 @@ object Snapshot {
     val bcId = bc.id
     val slices = math.max(1, math.min(copies.size,
       spark.sparkContext.defaultParallelism * 2))
-    val bytes = spark.sparkContext
+    spark.sparkContext
       .makeRDD(copies, slices)
-      .map { case (src, dst, expectLen) =>
+      .map { case CopyEntry(src, dst, expectLen, expectMd5) =>
         val conf = ConfCache.get(bcId, bc.value)
         val sp = new HPath(src)
         val dp = new HPath(dst)
         val dstFs = dp.getFileSystem(conf)
-        val md = java.security.MessageDigest.getInstance("MD5")
         val buf = new Array[Byte](1 << 20)
+        def hashOf(p: HPath): String = {
+          val h = java.security.MessageDigest.getInstance("MD5")
+          val s = dstFs.open(p)
+          try {
+            var n = s.read(buf)
+            while (n >= 0) { if (n > 0) h.update(buf, 0, n); n = s.read(buf) }
+          } finally s.close()
+          h.digest().map("%02x".format(_)).mkString
+        }
+        // RESUME: a destination already holding the RECORDED bytes (an
+        // adopted crashed-restore tmp) is reused in place — one
+        // hash-only destination read, no source read, no rewrite. Only
+        // a recorded hash qualifies; anything partial, stale or
+        // unreadable falls through to a plain overwrite-copy.
+        val reusable = expectMd5.exists { want =>
+          try dstFs.exists(dp) &&
+            dstFs.getFileStatus(dp).getLen == expectLen &&
+            hashOf(dp) == want
+          catch { case _: Throwable => false }
+        }
+        if (reusable) (dst, expectLen, expectMd5.get)
+        else {
+        val md = java.security.MessageDigest.getInstance("MD5")
         val in = sp.getFileSystem(conf).open(sp)
         try {
           val out = dstFs.create(dp, true)
@@ -680,25 +986,52 @@ object Snapshot {
           } finally out.close()
         } finally in.close()
         val srcMd5 = md.digest()
+        val srcHex = srcMd5.map("%02x".format(_)).mkString
+        expectMd5.foreach(want => require(want == srcHex,
+          s"Snapshot SOURCE corrupted: $src streamed with content md5 " +
+            s"$srcHex but its pool dir's $SumsFile recorded $want at " +
+            "copy-time verification — the artifact rotted after " +
+            "install; nothing installed (restore from another replica " +
+            "or re-export)"))
         val got = dstFs.getFileStatus(dp).getLen
         require(got == expectLen,
           s"Snapshot copy torn: $dst is ${got}B, source $src was " +
             s"${expectLen}B — nothing installed")
-        val md2 = java.security.MessageDigest.getInstance("MD5")
-        val back = dstFs.open(dp)
-        try {
-          var n = back.read(buf)
-          while (n >= 0) { if (n > 0) md2.update(buf, 0, n); n = back.read(buf) }
-        } finally back.close()
-        require(java.util.Arrays.equals(srcMd5, md2.digest()),
+        require(srcHex == hashOf(dp),
           s"Snapshot copy corrupted: $dst read back with a different " +
             s"content md5 than the bytes streamed from $src — " +
             "same length, so a length check alone would have shipped " +
             "it; nothing installed")
-        got
+        (dst, got, srcHex)
+        }
       }
-      .fold(0L)(_ + _)
-    (copies.size.toLong, bytes)
+      .collect().toSeq
+  }
+
+  /** Write each destination dir's [[SumsFile]] from one copy job's
+    * results — into the still-hidden tmp dirs, BEFORE any install
+    * rename, so the manifest is immutable with the dir it describes. */
+  private def writeSums(fs: FileSystem,
+                        results: Seq[(String, Long, String)]): Unit =
+    results.groupBy { case (dst, _, _) => new HPath(dst).getParent }
+      .foreach { case (dir, files) =>
+        val text = files.map { case (dst, len, md5) =>
+          s"${new HPath(dst).getName}\t$len\t$md5" }.sorted.mkString("\n")
+        writeText(fs, new HPath(dir, SumsFile), text)
+      }
+
+  /** Parse one dir's [[SumsFile]]: name -> (length, md5). Empty when
+    * absent (a dir written before the checksum discipline). */
+  private def readSums(fs: FileSystem,
+                       dir: HPath): Map[String, (Long, String)] = {
+    val p = new HPath(dir, SumsFile)
+    if (!fs.exists(p)) Map.empty
+    else new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val Array(n, len, md5) = l.split("\t", 3)
+        n -> (len.toLong, md5)
+      }.toMap
   }
 
   /** Complete (marker-carrying) `v=<n>` dirs. A marker-less `v=` dir

@@ -447,6 +447,157 @@ class SnapshotSpec extends SparkSpec {
     assert(exFs.exists(new org.apache.hadoop.fs.Path(shipped, "_probe_marker")))
   }
 
+  test("persisted checksums: verifyVersion re-verifies a standing tree; restore refuses post-install rot") {
+    val root = freshDir("graft_snap_sums")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val ex = s"$root/backup"
+    val r = Snapshot.export(spark, st, ex, includeDocs = true, full = true)
+
+    // the catalog face reads the marker back: one full version
+    val inf = Snapshot.info(spark, ex).collect()
+    assert(inf.length === 1 && inf.head.getLong(0) === r.version &&
+      inf.head.getBoolean(3) &&
+      inf.head.getAs[String]("tables").contains("docs"), inf.mkString(";"))
+
+    // clean tree: zero violations; every pool dir carries its sums
+    assert(Snapshot.verifyVersion(spark, ex).count() === 0L)
+    def subdirs(f: java.io.File) =
+      Option(f.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    val poolDirs = subdirs(new java.io.File(s"$ex/pool"))
+      .flatMap(subdirs).flatMap(subdirs)
+      .filter(_.getName.startsWith("snapv="))
+    assert(poolDirs.length >= 4)
+    assert(poolDirs.forall(d =>
+      new java.io.File(d, "_GRAFT_SUMS").exists()),
+      "every installed pool dir must carry its checksum manifest")
+    // ...and a clean restore neither refuses nor ships the manifests
+    Snapshot.restore(spark, ex, s"$root/restored", r.version)
+    assert(!java.nio.file.Files.walk(
+        java.nio.file.Path.of(s"$root/restored"))
+        .anyMatch(_.getFileName.toString == "_GRAFT_SUMS"),
+      "the sums describe snapshot dirs, not the primary — they must " +
+        "not ride a restore")
+
+    // manufacture POST-INSTALL rot, one window per pool dir so the
+    // findings don't mask each other: a same-length bit flip, a
+    // truncation, a vanished listed file, and a stray unlisted file
+    def partsOf(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val damaged = poolDirs.filter(partsOf(_).nonEmpty).take(4)
+    assert(damaged.length === 4)
+    val flipTarget = partsOf(damaged(0)).head
+    val raf = new java.io.RandomAccessFile(flipTarget, "rw")
+    try {
+      raf.seek(flipTarget.length() / 2)
+      val b = raf.read()
+      raf.seek(flipTarget.length() / 2)
+      raf.write(b ^ 0x01)
+    } finally raf.close()
+    val truncTarget = partsOf(damaged(1)).head
+    val raf2 = new java.io.RandomAccessFile(truncTarget, "rw")
+    try raf2.setLength(truncTarget.length() - 1) finally raf2.close()
+    val goneTarget = partsOf(damaged(2)).head
+    assert(goneTarget.delete())
+    java.nio.file.Files.write(
+      damaged(3).toPath.resolve("part-stray.parquet"), Array[Byte](1, 2, 3))
+
+    val found = Snapshot.verifyVersion(spark, ex, r.version)
+      .collect().map(_.getString(0)).sorted
+    assert(found.length === 4, found.mkString(";"))
+    // the flip reads as md5= on a raw FS; on the checksummed local FS
+    // Hadoop's own crc layer throws first and the audit reports the
+    // same file as unreadable= — either way, one finding, no abort
+    assert(found.count(v => v.startsWith("md5=") ||
+      v.startsWith("unreadable=")) === 1, found.mkString(";"))
+    assert(found.count(_.startsWith("length=")) === 1, found.mkString(";"))
+    assert(found.count(_.startsWith("missing=")) === 1, found.mkString(";"))
+    assert(found.count(_.startsWith("unlisted=")) === 1, found.mkString(";"))
+
+    // a rotted backup refuses to restore (the flip is caught by the
+    // recorded hash — the window copy-time verification can't see)
+    val rotErr = intercept[Throwable](
+      Snapshot.restore(spark, ex, s"$root/rotted", r.version))
+    assert(msgs(rotErr).exists(m => m.contains("SOURCE corrupted") ||
+        m.contains("lost files") || m.contains("no _GRAFT_SUMS line")),
+      msgs(rotErr).mkString(";"))
+    assert(!new java.io.File(s"$root/rotted").exists())
+  }
+
+  test("restore RESUMES a crashed attempt: completed files re-verify by recorded hash and are reused in place") {
+    val root = freshDir("graft_snap_resume")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val ex = s"$root/backup"
+    val r = Snapshot.export(spark, st, ex, includeDocs = true, full = true)
+    // manufacture the crash window: a COMPLETE tmp that never got its
+    // install rename (a real crash can also leave a partial tree —
+    // strictly easier: unplanned files drop, partial files recopy)
+    def walkFiles(dir: String): Seq[java.nio.file.Path] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(java.nio.file.Path.of(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          // LocalFileSystem's hidden .crc sidecars are Hadoop's own
+          // bookkeeping, managed outside the restore plan
+          !p.getFileName.toString.startsWith("."))
+        .forEach(p => buf += p)
+      buf.toSeq
+    }
+    Snapshot.restore(spark, ex, s"$root/seed", r.version)
+    val tmpName = s".restore_tmp_resumed_${java.util.UUID.randomUUID().toString.take(8)}"
+    java.nio.file.Files.move(
+      java.nio.file.Path.of(s"$root/seed"), java.nio.file.Path.of(s"$root/$tmpName"))
+    // plus one stray from "a different version" and one torn partial
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$root/$tmpName/docs/batch=0/part-stale.parquet"),
+      Array[Byte](9, 9))
+    // ...and a whole unplanned partition (a different-version attempt)
+    // — its file AND its emptied dir must both go, or the restored
+    // root would carry a phantom batch= dir the parity guards see
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(s"$root/$tmpName/docs/batch=9"))
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$root/$tmpName/docs/batch=9/part-old.parquet"),
+      Array[Byte](8, 8))
+    val adoptables = walkFiles(s"$root/$tmpName")
+      .filter(!_.getFileName.toString.startsWith("part-stale"))
+    assert(adoptables.nonEmpty)
+    val torn = adoptables.maxBy(p => java.nio.file.Files.size(p))
+    val raf = new java.io.RandomAccessFile(torn.toFile, "rw")
+    try raf.setLength(java.nio.file.Files.size(torn) - 1) finally raf.close()
+    // pin the adopted files' mtimes old — a REUSED file keeps its
+    // mtime, a rewritten one gets a fresh one
+    val oldMs = (System.currentTimeMillis() - 3600L * 1000L) / 1000L * 1000L
+    adoptables.foreach(p => assert(p.toFile.setLastModified(oldMs)))
+    val rst = Snapshot.restore(spark, ex, s"$root/resumed", r.version)
+    // parity with the primary (the resumed tree is complete + correct)
+    Seq(st.docsPath -> rst.docsPath, st.digestsPath -> rst.digestsPath,
+        st.ivfPackedPath -> rst.ivfPackedPath).foreach { case (a, b) =>
+      val l = ContinuousIngest.readTable(spark, a)
+      val r2 = ContinuousIngest.readTable(spark, b)
+      assert(l.exceptAll(r2).isEmpty && r2.exceptAll(l).isEmpty, a)
+    }
+    // the stray never rode in; the torn file was recopied; everything
+    // else was REUSED in place (old mtimes survived)
+    val restored = walkFiles(s"$root/resumed")
+    assert(!restored.exists(_.getFileName.toString == "part-stale.parquet"))
+    assert(!new java.io.File(s"$root/resumed/docs/batch=9").exists(),
+      "an emptied unplanned partition dir must not ride the install")
+    val tornName = torn.getFileName.toString
+    val reused = restored.filter(p => p.getFileName.toString != tornName)
+    assert(reused.nonEmpty)
+    assert(reused.forall(p => p.toFile.lastModified() == oldMs),
+      "an intact adopted file was rewritten instead of reused: " +
+        reused.filter(_.toFile.lastModified() != oldMs).take(3).mkString(", "))
+    assert(restored.find(_.getFileName.toString == tornName)
+      .exists(_.toFile.lastModified() != oldMs),
+      "the torn partial must have been recopied")
+  }
+
   test("docs-carrying export serves the docs-store rerank and readTable(docs)") {
     val primary = freshDir("graft_snap_docs_src")
     val ex = freshDir("graft_snap_docs_ex")
