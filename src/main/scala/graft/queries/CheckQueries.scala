@@ -1964,6 +1964,63 @@ object CheckQueries extends QueryPack {
         catch { case _: Throwable => () }
       }
     }),
+    // Snapshot replication laws (Snapshot.sync — the off-site /
+    // serving-region replica tier):
+    //  1. REPLICA PARITY: the maintained exact-IVF face answers from a
+    //     synced replica multiset-identically to the primary;
+    //  2. the replica is checksum-auditable (the sums manifests ship
+    //     verbatim): verifyVersion reports zero findings;
+    //  3. IDEMPOTENCE: a re-sync ships zero versions and zero pool
+    //     dirs (content-addressed increments);
+    //  4. a replica-seeded CHAIN sync (replica -> tertiary) also
+    //     serves identically — a replica is a full-fidelity source.
+    "check_snapshot_sync" -> ((s, d) => scratchTable(s, d, "snapshot_sync_viol") {
+      import graft.streaming.{ContinuousIngest, Snapshot}
+      import graft.streaming.ContinuousIngest.IngestState
+      val (stRoot, p) = snapPristine(s, d)
+      val docs = snapDocs(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snapsync")
+      try {
+        val st = IngestState(stRoot)
+        val ex = s"$root/export"
+        Snapshot.export(s, st, ex)
+        val rep = s"$root/replica"
+        val s0 = Snapshot.sync(s, ex, rep)
+        val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        val parityViol = multisetDiffViolations(
+          ContinuousIngest.annIvfMaintained(s, Snapshot.state(s, rep),
+            p.ann.get, q, k = 3, nprobe = 4),
+          ContinuousIngest.annIvfMaintained(s, st, p.ann.get, q,
+            k = 3, nprobe = 4),
+          "sync_ivf_extra", "sync_ivf_missing")
+          .collect().map(_.getString(0)).toSeq
+        val auditViol = Snapshot.verifyVersion(s, rep)
+          .collect().map(v => s"sync_audit_${v.getString(0)}").toSeq
+        val s1 = Snapshot.sync(s, ex, rep)
+        val idemViol =
+          if (s1.copiedVersions.isEmpty && s1.copiedPoolDirs == 0L)
+            Seq.empty[String]
+          else Seq(s"sync_recopy versions=${s1.copiedVersions.size} " +
+            s"dirs=${s1.copiedPoolDirs}")
+        val ter = s"$root/tertiary"
+        Snapshot.sync(s, rep, ter)
+        val chainViol = multisetDiffViolations(
+          ContinuousIngest.annIvfMaintained(s, Snapshot.state(s, ter),
+            p.ann.get, q, k = 3, nprobe = 4),
+          ContinuousIngest.annIvfMaintained(s, st, p.ann.get, q,
+            k = 3, nprobe = 4),
+          "sync_chain_extra", "sync_chain_missing")
+          .collect().map(_.getString(0)).toSeq
+        import s.implicits._
+        (parityViol ++ auditViol ++ idemViol ++ chainViol).toDF("violation")
+      } finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        catch { case _: Throwable => () }
+      }
+    }),
     // Snapshot takedown-propagation law: a completed primary takedown
     // makes every pre-takedown snapshot STALE — the next export must
     // prune them ALL (right-to-be-forgotten overrides keepVersions),

@@ -166,6 +166,18 @@ object Snapshot {
                                 prunedVersions: Seq[Long],
                                 vacuumedPoolDirs: Long)
 
+  /** What a [[sync]] did — mirror seams of [[ExportResult]]:
+    * `copiedVersions` are the versions newly installed at the
+    * replica, `prunedVersions` the replica versions the source no
+    * longer has (retention/takedown propagation). */
+  final case class SyncResult(copiedVersions: Seq[Long],
+                              copiedPoolDirs: Long,
+                              skippedPoolDirs: Long,
+                              copiedFiles: Long,
+                              copiedBytes: Long,
+                              prunedVersions: Seq[Long],
+                              vacuumedPoolDirs: Long)
+
   /** Streaming-face export schedule ([[ContinuousIngest.IngestParams.export]]):
     * every `everyNBatches` micro-batches, [[ContinuousIngest.start]]'s
     * boundary slot — the same single-writer context the takedown
@@ -416,8 +428,15 @@ object Snapshot {
     pruned.foreach(v => fs.delete(new HPath(exRoot, s"v=$v"), true))
 
     // ---- pool vacuum: anything no surviving manifest references ----
-    val kept = listVersionDirs(fs, exRoot).map(versionOf)
-    val referenced: Set[String] = kept.flatMap { v =>
+    val vacuumed = vacuumPool(fs, exRoot)
+    ExportResult(version, poolInstalls.size.toLong, skipped, nFiles,
+      nBytes, pruned, vacuumed)
+  }
+
+  /** Pool rel paths referenced by the COMPLETE versions at `exRoot`
+    * (manifest lines + bloom pointers). */
+  private def referencedPoolDirs(fs: FileSystem, exRoot: HPath): Set[String] =
+    listVersionDirs(fs, exRoot).map(versionOf).flatMap { v =>
       val vRoot = new HPath(exRoot, s"v=$v")
       val fromManifests =
         fs.listStatus(vRoot).toSeq.filter(_.isDirectory).flatMap { td =>
@@ -434,6 +453,12 @@ object Snapshot {
           "UTF-8").trim).map(p => p.substring(0, p.lastIndexOf('/')))
       fromManifests ++ fromBloom
     }.toSet
+
+  /** Delete pool dirs no surviving version references; returns the
+    * count (the GC half of retention — runs under the export lock). */
+  private def vacuumPool(fs: FileSystem, exRoot: HPath): Long = {
+    val referenced = referencedPoolDirs(fs, exRoot)
+    val pool = new HPath(exRoot, "pool")
     var vacuumed = 0L
     if (fs.exists(pool)) fs.listStatus(pool).filter(_.isDirectory).foreach { td =>
       fs.listStatus(td.getPath).filter(_.isDirectory).foreach { bd =>
@@ -448,8 +473,7 @@ object Snapshot {
         }
       }
     }
-    ExportResult(version, poolInstalls.size.toLong, skipped, nFiles,
-      nBytes, pruned, vacuumed)
+    vacuumed
   }
 
   /** All COMPLETE snapshot versions at `exportRoot`, ascending. */
@@ -506,6 +530,185 @@ object Snapshot {
         s"Snapshot.state: no complete snapshot at $exportRoot — " +
           "run Snapshot.export first"))
     IngestState(new HPath(exRoot, s"v=$v").toString)
+  }
+
+  /** REPLICATE an export root to another filesystem/region — the
+    * "restore from another replica" the damage-refusal messages point
+    * at, and the off-site leg of a backup story (an export root and
+    * its replica fail independently). A replica is a byte-level
+    * mirror of the source's COMPLETE versions, maintained
+    * incrementally and verifiably:
+    *
+    *  - CONTENT-ADDRESSED INCREMENTALITY for free: pool dirs are
+    *    keyed by their content stamp in the PATH, so "already at the
+    *    replica" is one existence check and an unchanged dir never
+    *    re-ships — same property the source's own re-exports use.
+    *  - HASH-VERIFIED IN FLIGHT: every data file ships with its
+    *    recorded [[SumsFile]] md5 as the expected source hash, so a
+    *    source that rotted since its copy-time verification fails the
+    *    sync loudly instead of propagating the rot to the replica
+    *    (the sums manifests themselves ship verbatim, so the replica
+    *    is [[verifyVersion]]-auditable and can seed further syncs).
+    *  - TAKEDOWN PROPAGATION: replica versions the source no longer
+    *    has were pruned there (retention, or right-to-be-forgotten
+    *    staleness) — they prune at the replica too, and the replica
+    *    pool is vacuumed, so a purge reaches every synced copy on the
+    *    next sync cadence. This is why a replica must be a REPLICA:
+    *    a destination that diverged (a version number the source
+    *    never had above its max, or a common version whose marker
+    *    differs) refuses loudly rather than risk deleting someone
+    *    else's exports.
+    *
+    * Crash-safe by the export discipline (pool tmps + version tmps
+    * install by rename, swept under the DESTINATION's export lock —
+    * sync and export on one root are the same single-writer domain).
+    * Versions install ascending, so a crash leaves a clean prefix.
+    * Syncing FROM a live source is safe the way serving is: versions
+    * and pool dirs are immutable; a source export running concurrently
+    * only adds versions this sync doesn't see, and a source RETENTION
+    * pass can at worst prune a version mid-copy — the sync fails
+    * loudly on the vanished file and the retry converges. */
+  def sync(spark: SparkSession, srcRoot: String,
+           dstRoot: String): SyncResult = {
+    val srcFs = ContinuousIngest.fsFor(spark, srcRoot)
+    val srcEx = srcFs.makeQualified(new HPath(srcRoot))
+    require(srcFs.exists(srcEx) && (srcFs.exists(new HPath(srcEx, "pool")) ||
+        listVersionDirs(srcFs, srcEx).nonEmpty),
+      s"Snapshot.sync: $srcRoot is not an export root (no pool/ and no " +
+        "complete v=<n> dirs) — sync replicates EXPORT roots; ship a " +
+        "primary with Snapshot.export first")
+    val fs = ContinuousIngest.fsFor(spark, dstRoot)
+    val dstEx = fs.makeQualified(new HPath(dstRoot))
+    fs.mkdirs(dstEx)
+    val lock = acquireExportLock(fs, dstEx)
+    try syncLocked(spark, srcFs, srcEx, fs, dstEx)
+    finally {
+      fs.delete(lock, false)
+      ()
+    }
+  }
+
+  private def syncLocked(spark: SparkSession, srcFs: FileSystem,
+                         srcEx: HPath, fs: FileSystem,
+                         dstEx: HPath): SyncResult = {
+    sweepTmps(fs, dstEx)
+    fs.mkdirs(new HPath(dstEx, "pool"))
+    val srcVs = listVersionDirs(srcFs, srcEx).map(versionOf).sorted
+    val dstVs = listVersionDirs(fs, dstEx).map(versionOf).sorted
+    // replica identity: every common version must be THE SAME version
+    // (markers byte-equal), and the replica must not have versions
+    // above the source's max (those could only come from a different
+    // exporter — deleting them would destroy someone else's exports)
+    def markerBytes(f: FileSystem, ex: HPath, v: Long): Seq[Byte] =
+      ContinuousIngest.readFileBytes(f,
+        new HPath(ex, s"v=$v/${ContinuousIngest.SnapshotMarkerFile}")).toSeq
+    dstVs.toSet.intersect(srcVs.toSet).foreach { v =>
+      require(markerBytes(srcFs, srcEx, v) == markerBytes(fs, dstEx, v),
+        s"Snapshot.sync: $dstEx/v=$v exists with a DIFFERENT marker " +
+          s"than the source's v=$v — the destination is not a replica " +
+          "of this source; pick an empty or matching replica root")
+    }
+    if (srcVs.nonEmpty)
+      dstVs.filter(_ > srcVs.max).headOption.foreach(v => sys.error(
+        s"Snapshot.sync: $dstEx/v=$v is AHEAD of the source (max " +
+          s"${srcVs.max}) — the destination diverged (a different " +
+          "source exported here); refusing to prune it"))
+    // a source with NO complete versions is a crashed/half-initialized
+    // export root, not evidence the replica's versions were pruned —
+    // propagating "nothing" would destroy the replica
+    require(srcVs.nonEmpty || dstVs.isEmpty,
+      s"Snapshot.sync: $srcEx has no complete versions but the " +
+        s"replica holds ${dstVs.mkString(", ")} — refusing to prune a " +
+        "non-empty replica from an empty source (finish an export " +
+        "there first, or pick the right source root)")
+    // ---- plan: missing pool dirs for the missing versions ----------
+    val missingVs = srcVs.filterNot(dstVs.contains)
+    val copies = scala.collection.mutable.ArrayBuffer.empty[CopyEntry]
+    val poolInstalls = scala.collection.mutable.ArrayBuffer
+      .empty[(HPath, HPath)]
+    var skipped = 0L
+    val plannedPool = scala.collection.mutable.Set.empty[String]
+    def planPoolDir(rel: String): Unit = {
+      if (plannedPool.contains(rel)) return
+      plannedPool += rel
+      val target = new HPath(dstEx, rel)
+      if (fs.exists(target)) { skipped += 1; return }
+      val srcDir = new HPath(srcEx, rel)
+      val sums = readSums(srcFs, srcDir)
+      val stamp = rel.substring(rel.lastIndexOf("snapv=s") + 7)
+      val tmp = new HPath(target.getParent,
+        s"$PoolTmpPrefix${stamp}_${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(tmp)
+      srcFs.listStatus(srcDir).filter(_.isFile).foreach { f =>
+        val name = f.getPath.getName
+        copies += CopyEntry(f.getPath.toString,
+          new HPath(tmp, name).toString, f.getLen,
+          // the sums file itself has no recorded hash; data files do
+          if (name == SumsFile) None else sums.get(name).map(_._2))
+      }
+      poolInstalls += ((tmp, target))
+    }
+    def referencedBy(v: Long): Seq[String] = {
+      val vRoot = new HPath(srcEx, s"v=$v")
+      val fromManifests =
+        srcFs.listStatus(vRoot).toSeq.filter(_.isDirectory).flatMap { td =>
+          val mf = new HPath(td.getPath, ContinuousIngest.SnapshotDirsFile)
+          if (!srcFs.exists(mf)) Nil
+          else new String(ContinuousIngest.readFileBytes(srcFs, mf), "UTF-8")
+            .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(_.split("\t", 2)(1))
+        }
+      val bloomPtr = new HPath(vRoot, BloomPointerFile)
+      val fromBloom =
+        if (!srcFs.exists(bloomPtr)) Nil
+        else Seq(new String(ContinuousIngest.readFileBytes(srcFs, bloomPtr),
+          "UTF-8").trim).map(p => p.substring(0, p.lastIndexOf('/')))
+      fromManifests ++ fromBloom
+    }
+    missingVs.foreach(v => referencedBy(v).foreach(planPoolDir))
+    // ---- plan: the missing version trees (hidden tmps, renamed in
+    // ascending order AFTER the pool lands) ---------------------------
+    val vtreeInstalls = missingVs.map { v =>
+      val vRoot = new HPath(srcEx, s"v=$v")
+      val vtmp = new HPath(dstEx,
+        s"$VTreeTmpPrefix${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(vtmp)
+      def planTreeFiles(dir: HPath, out: HPath): Unit = {
+        val sums = readSums(srcFs, dir)
+        srcFs.listStatus(dir).foreach { s =>
+          if (s.isDirectory)
+            planTreeFiles(s.getPath, new HPath(out, s.getPath.getName))
+          else {
+            val name = s.getPath.getName
+            copies += CopyEntry(s.getPath.toString,
+              new HPath(out, name).toString, s.getLen,
+              if (name == SumsFile) None else sums.get(name).map(_._2))
+          }
+        }
+      }
+      planTreeFiles(vRoot, vtmp)
+      (v, vtmp)
+    }
+    // ---- ship, then install: pool first (content), trees after
+    // (references) — a crash leaves reusable pool dirs, never a
+    // version referencing missing content ------------------------------
+    val results = copyFiles(spark, copies.toSeq)
+    val (nFiles, nBytes) = (results.size.toLong, results.map(_._2).sum)
+    poolInstalls.foreach { case (tmp, target) =>
+      fs.mkdirs(target.getParent)
+      require(fs.rename(tmp, target),
+        s"Snapshot.sync: pool install rename $tmp -> $target failed")
+    }
+    vtreeInstalls.foreach { case (v, vtmp) =>
+      require(fs.rename(vtmp, new HPath(dstEx, s"v=$v")),
+        s"Snapshot.sync: version install rename $vtmp failed")
+    }
+    // ---- prune what the source no longer has, then vacuum ----------
+    val pruned = dstVs.filterNot(srcVs.contains)
+    pruned.foreach(v => fs.delete(new HPath(dstEx, s"v=$v"), true))
+    val vacuumed = vacuumPool(fs, dstEx)
+    SyncResult(missingVs, poolInstalls.size.toLong, skipped, nFiles,
+      nBytes, pruned, vacuumed)
   }
 
   // ---- internals ----------------------------------------------------

@@ -598,6 +598,99 @@ class SnapshotSpec extends SparkSpec {
       "the torn partial must have been recopied")
   }
 
+  test("sync replicates an export root: content-addressed increments, takedown pruning propagates, divergence and rot refuse") {
+    val root = freshDir("graft_snap_sync")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val ex = s"$root/ex"
+    val rep = s"$root/replica"
+    Snapshot.export(spark, st, ex) // v0
+    val s0 = Snapshot.sync(spark, ex, rep)
+    assert(s0.copiedVersions === Seq(0L) && s0.copiedPoolDirs === 10L &&
+      s0.prunedVersions.isEmpty, s0.toString)
+    // the replica serves byte-identically and audits clean (the sums
+    // manifests shipped verbatim, so it can seed further syncs)
+    val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    assert(rows(ContinuousIngest.annIvfMaintained(spark,
+        Snapshot.state(spark, rep), P.ann.get, q, k = 3, nprobe = 4)) ===
+      rows(ContinuousIngest.annIvfMaintained(spark, st, P.ann.get,
+        q, k = 3, nprobe = 4)))
+    assert(Snapshot.verifyVersion(spark, rep).count() === 0L)
+    // idempotent re-sync: nothing ships, nothing prunes
+    val s1 = Snapshot.sync(spark, ex, rep)
+    assert(s1.copiedVersions.isEmpty && s1.copiedPoolDirs === 0L &&
+      s1.prunedVersions.isEmpty, s1.toString)
+    // takedown propagation: purge at the primary -> export (prunes the
+    // stale source versions) -> sync (replica prunes them too, vacuums
+    // their pool dirs, and the purged id is gone from its index)
+    val victim = docs.where(isNew).agg(min("doc_id")).head.getLong(0)
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(victim).toDF("doc_id")) === 1L)
+    val r1 = Snapshot.export(spark, st, ex)
+    val s2 = Snapshot.sync(spark, ex, rep)
+    assert(s2.copiedVersions === Seq(r1.version) &&
+      s2.prunedVersions === Seq(0L) && s2.vacuumedPoolDirs > 0L,
+      s2.toString)
+    assert(Similarity.ivfUnpack(ContinuousIngest.readTable(spark,
+        Snapshot.state(spark, rep).ivfPackedPath))
+      .where(col("nn_id") === lit(victim)).count() === 0L)
+    // refusal: an empty source never prunes a non-empty replica
+    val emptyEx = freshDir("graft_snap_sync_empty")
+    new java.io.File(s"$emptyEx/pool").mkdirs()
+    val emptyErr = intercept[Throwable](Snapshot.sync(spark, emptyEx, rep))
+    assert(msgs(emptyErr).exists(_.contains("no complete versions")),
+      msgs(emptyErr).mkString(";"))
+    // refusal: a replica AHEAD of the source diverged
+    val ahead = new java.io.File(s"$rep/v=99")
+    assert(ahead.mkdir())
+    java.nio.file.Files.write(
+      new java.io.File(ahead, "_GRAFT_SNAPSHOT").toPath,
+      "version=99\n".getBytes("UTF-8"))
+    val aheadErr = intercept[Throwable](Snapshot.sync(spark, ex, rep))
+    assert(msgs(aheadErr).exists(_.contains("AHEAD")),
+      msgs(aheadErr).mkString(";"))
+    import java.util.Comparator
+    java.nio.file.Files.walk(ahead.toPath)
+      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    // refusal: a common version with a different marker is not ours
+    val mk = new java.io.File(s"$rep/v=${r1.version}/_GRAFT_SNAPSHOT")
+    java.nio.file.Files.write(mk.toPath, "version=tampered\n".getBytes("UTF-8"))
+    // out-of-band write: drop the local-FS crc sidecar so the read
+    // reaches the marker compare instead of the crc layer
+    new java.io.File(mk.getParent, s".${mk.getName}.crc").delete()
+    val diffErr = intercept[Throwable](Snapshot.sync(spark, ex, rep))
+    assert(msgs(diffErr).exists(_.contains("DIFFERENT marker")),
+      msgs(diffErr).mkString(";"))
+    // refusal: source rot is caught in flight by the recorded hash —
+    // a fresh replica never receives the corrupted artifact
+    def subdirs(f: java.io.File) =
+      Option(f.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    val srcPart = subdirs(new java.io.File(s"$ex/pool"))
+      .flatMap(subdirs).flatMap(subdirs)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val raf = new java.io.RandomAccessFile(srcPart, "rw")
+    try {
+      raf.seek(srcPart.length() / 2)
+      val b = raf.read()
+      raf.seek(srcPart.length() / 2)
+      raf.write(b ^ 0x01)
+    } finally raf.close()
+    // drop the local-FS crc sidecar so the read reaches our own hash
+    // gate (on a non-checksumming FS there is no sidecar; either layer
+    // refusing is a pass, silence is the failure)
+    new java.io.File(srcPart.getParent,
+      s".${srcPart.getName}.crc").delete()
+    val rotErr = intercept[Throwable](
+      Snapshot.sync(spark, ex, s"$root/replica2"))
+    assert(msgs(rotErr).exists(m => m.contains("SOURCE corrupted") ||
+        m.contains("Checksum")), msgs(rotErr).mkString(";"))
+    assert(Snapshot.versions(spark, s"$root/replica2").isEmpty)
+  }
+
   test("docs-carrying export serves the docs-store rerank and readTable(docs)") {
     val primary = freshDir("graft_snap_docs_src")
     val ex = freshDir("graft_snap_docs_ex")
