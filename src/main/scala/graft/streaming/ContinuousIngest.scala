@@ -87,24 +87,38 @@ object ContinuousIngest {
     Set("s3", "s3a", "s3n", "gs", "swift", "oss", "cos", "cosn",
       "wasb", "wasbs")
 
-  /** On-disk state layout rooted at `root` (any Hadoop-visible path
-    * whose rename is atomic — constructing a state on a raw object
-    * store is refused loudly, see [[NonAtomicRenameSchemes]]). */
-  final case class IngestState(root: String) {
+  /** Refuse a root on a scheme whose rename is copy+delete — the ONE
+    * shared guard for every tree this lifecycle installs by rename:
+    * the primary state root ([[IngestState]]) and the snapshot tier's
+    * export/replica/restore roots ([[Snapshot]]), whose pool installs,
+    * version installs, and exclusive-create export lock all assume
+    * rename atomicity (and atomic `create(overwrite=false)`, which
+    * these stores also lack). Checked on the PATH STRING, before any
+    * FileSystem is even loaded — the refusal must not depend on an
+    * object-store connector being on the classpath. */
+  private[streaming] def refuseNonAtomicRename(root: String,
+                                               what: String): Unit =
     Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .filter(NonAtomicRenameSchemes.contains)
       .foreach { s =>
-        sys.error(s"IngestState root '$root' is on '$s:', an object " +
+        sys.error(s"$what '$root' is on '$s:', an object " +
           "store whose rename is copy+delete, not atomic: every " +
           "crash-safe install in this lifecycle (marked-tmp partition " +
           "swaps, takedown-queue publishes, the bloom and fold-manifest " +
-          "installs) relies on 'published means complete', which a " +
-          "non-atomic rename breaks — a concurrent reader can observe " +
-          "a half-renamed artifact. Put the state root on a " +
+          "installs, the snapshot tier's pool/version installs and its " +
+          "exclusive-create lock) relies on 'published means complete', " +
+          "which a non-atomic rename breaks — a concurrent reader can " +
+          "observe a half-renamed artifact. Put the root on a " +
           "rename-atomic filesystem (HDFS, a POSIX mount, ADLS " +
           "Gen2/abfs) or front the store with one.")
       }
+
+  /** On-disk state layout rooted at `root` (any Hadoop-visible path
+    * whose rename is atomic — constructing a state on a raw object
+    * store is refused loudly, see [[NonAtomicRenameSchemes]]). */
+  final case class IngestState(root: String) {
+    refuseNonAtomicRename(root, "IngestState root")
     val docsPath: String = s"$root/docs"
     val digestsPath: String = s"$root/digests"
     val keysPath: String = s"$root/keys"
@@ -2921,9 +2935,14 @@ object ContinuousIngest {
         "source lineage instead.")
     // legacy roots: consolidations made before the marker discipline
     // carry no marker — but an ORIGINAL append's stats partition holds
-    // exactly one 1-row partial, while a merged one holds one row per
-    // absorbed batch (stats folds only touch partitions compaction
-    // then merges, so they never inflate an original's count)
+    // exactly one NON-NEGATIVE 1-row partial, while a merged one holds
+    // one per absorbed batch. Count only the non-negative rows:
+    // foldStatsDeltas can land strictly-negative takedown partials in
+    // the max committed stats partition even when the docs-side
+    // compaction was a single-partition no-op (a fully-purged earlier
+    // dir leaves one docs partition, unmarked) — counting those rows
+    // misdiagnosed a genuine single-delivery batch as a pre-marker
+    // consolidation and spuriously refused its rollback.
     val statsDir = new HPath(st.statsPath, s"batch=$batchId")
     val statsFs = fsFor(spark, st.statsPath)
     // skip when the partition is absent or holds no data files (a
@@ -2933,16 +2952,59 @@ object ContinuousIngest {
     if (statsFs.exists(statsDir) && statsFs.listStatus(statsDir)
         .exists(f => f.isFile && !f.getPath.getName.startsWith(".") &&
           !f.getPath.getName.startsWith("_"))) {
-      val nPartials = spark.read.parquet(statsDir.toString).count()
+      val nPartials = spark.read.parquet(statsDir.toString)
+        .where(col("n_docs") >= 0).count()
       require(nPartials == 1L,
-        s"rollbackBatch: stats/batch=$batchId holds $nPartials partial " +
-          "rows — this partition is a consolidation from before the " +
-          "marker discipline, spanning several deliveries. Issue " +
-          "deleteDocs with the delivery's doc ids from source lineage " +
-          "instead.")
+        s"rollbackBatch: stats/batch=$batchId holds $nPartials " +
+          "original (non-negative) partial rows — this partition is a " +
+          "consolidation from before the marker discipline, spanning " +
+          "several deliveries. Issue deleteDocs with the delivery's " +
+          "doc ids from source lineage instead.")
     }
     deleteDocs(spark, st,
       spark.read.parquet(dir.toString).select("doc_id"))
+  }
+
+  /** Introspect the ROLLBACK WINDOW: which deliveries [[rollbackBatch]]
+    * can still undo, and where the compaction horizon sits — so an
+    * operator sizes `compactEveryNBatches` against the
+    * incident-response window from MEASUREMENT instead of from
+    * rollbackBatch's refusal message. One metadata-cost row
+    * (dir listings + marker existence checks, no data read):
+    *  - `oldest_rollbackable` / `newest_batch` — the id range of
+    *    standing per-delivery docs partitions (`batch=` dirs ≥ 0
+    *    without [[ConsolidatedMarker]]); null when every delivery has
+    *    been consolidated away;
+    *  - `n_rollbackable` — how many such partitions stand;
+    *  - `compaction_horizon` — the highest CONSOLIDATED partition id
+    *    (every delivery at or below it is past the window); null
+    *    before the first consolidation.
+    * Read-only by design: it does NOT resolve crashed compaction
+    * swaps (that is a writer's entry step — [[rollbackBatch]] itself
+    * does it), so a dir hidden by a mid-crash swap shows up only
+    * after the next writer face runs recovery. Pre-marker legacy
+    * consolidations are invisible to the marker check here;
+    * [[rollbackBatch]]'s stats-cardinality defense still refuses them
+    * individually. */
+  def rollbackWindow(spark: SparkSession, st: IngestState): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import spark.implicits._
+    val fs = fsFor(spark, st.docsPath)
+    val root = new HPath(st.docsPath)
+    val dirs =
+      if (!fs.exists(root)) Seq.empty[(Long, Boolean)]
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong,
+          fs.exists(new HPath(s.getPath, ConsolidatedMarker))))
+        .filter(_._1 >= 0L)
+    val rollbackable = dirs.collect { case (id, false) => id }
+    val horizon = dirs.collect { case (id, true) => id }
+      .sorted.lastOption
+    Seq((rollbackable.sorted.headOption, rollbackable.sorted.lastOption,
+      rollbackable.size.toLong, horizon))
+      .toDF("oldest_rollbackable", "newest_batch", "n_rollbackable",
+        "compaction_horizon")
   }
 
   /** Purge every state table of the committed pending tombstone set,
@@ -3652,6 +3714,27 @@ object ContinuousIngest {
             Snapshot.export(b.sparkSession, st, ep.exportRoot,
               includeDocs = ep.includeDocs, keepVersions = ep.keepVersions,
               upToBatch = id - 1, full = ep.full)
+          // scheduled audit AFTER any export due this batch, so the
+          // just-shipped version is audited too: re-hash the newest
+          // standing version against its persisted checksums. Findings
+          // fail the batch LOUDLY — post-install rot in the
+          // serving/backup tier is an incident, not a log line (see
+          // ExportPolicy.auditEveryNBatches). Skips silently only when
+          // nothing was ever exported (no version to audit yet).
+          if (ep.auditEveryNBatches > 0 && id > 0 &&
+              id % ep.auditEveryNBatches == 0 &&
+              Snapshot.versions(b.sparkSession, ep.exportRoot).nonEmpty) {
+            val findings = Snapshot.verifyVersion(b.sparkSession,
+              ep.exportRoot).collect()
+            require(findings.isEmpty,
+              s"scheduled snapshot audit FAILED on ${ep.exportRoot} " +
+                s"(newest version, ${findings.length} finding(s)): " +
+                findings.take(5).map(_.getString(0)).mkString("; ") +
+                (if (findings.length > 5) "; …" else "") +
+                " — the export tree rotted post-install; restore the " +
+                "damaged dirs from a replica (Snapshot.sync) or " +
+                "re-export, then restart the stream")
+          }
         }
         ingestBatch(b, id, st, p, quant); () }
       .option("checkpointLocation", st.checkpointPath)

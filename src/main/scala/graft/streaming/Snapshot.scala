@@ -90,6 +90,16 @@ import graft.streaming.ContinuousIngest.IngestState
   * loudly instead of racing version numbering, retention, and the tmp
   * sweep (best-effort on filesystems without atomic exclusive create;
   * a crashed holder's lock is cleared with [[breakExportLock]]).
+  * WHOLE-TREE READS are protected the other way around: [[restore]]
+  * and [[sync]]'s source side hold a READ PIN for the duration of
+  * their read, and a concurrent export honors it by deferring ALL
+  * pruning and vacuuming to the next unpinned export — a scheduled
+  * in-stream export can never delete the version tree or pool dirs a
+  * multi-hour 100 TB restore is streaming (the serving faces stay
+  * pin-free: they read one immutable version inside the
+  * `keepVersions` grace window). A read that would START mid-export
+  * refuses loudly instead; a crashed reader's pin is cleared with
+  * [[breakReadPins]], never by age.
   *
   * FULL BACKUPS ride the same machinery: `export(full = true)` ships
   * the complete primary state — dedup tables, takedown metadata
@@ -149,6 +159,23 @@ object Snapshot {
     * Package-visible so the spec can manufacture the contention
     * window. */
   private[graft] val ExportLockFile = ".export_lock"
+  /** Read-pin marker prefix (dot-prefixed, uuid-suffixed — one per
+    * live whole-tree reader). A pin makes an export's retention pass
+    * DEFER all pruning and pool vacuuming: [[restore]] and [[sync]]'s
+    * source side hold one for the duration of their read, so a
+    * scheduled export can never delete the version tree or pool dirs
+    * a multi-hour read is streaming. Serving faces ([[state]]) stay
+    * pin-free — they read one immutable version and the
+    * `keepVersions` grace window is their protection. */
+  private[graft] val ReadPinPrefix = ".read_pin_"
+  /** Export-root identity (a UUID file at the root, stamped by the
+    * first [[export]] and ADOPTED by replicas on their first [[sync]])
+    * — what lets sync prove "this destination is MY replica" before
+    * pruning anything, closing the hole where a mistyped `dstRoot`
+    * pointing at an unrelated root whose versions all sat below the
+    * source's max passed every marker check and was silently
+    * pruned. */
+  private[graft] val RootIdFile = "_GRAFT_ROOT_ID"
   private val OpsCountKey = "n_takedown_ops"
   private val FullKey = "full"
   /** v-tree file naming the pool path of the backed-up bloom. */
@@ -157,26 +184,32 @@ object Snapshot {
   /** What an export did — the spec seams: `copiedPoolDirs` pins
     * incrementality (an unchanged re-export copies zero),
     * `prunedVersions` pins retention + takedown staleness,
-    * `vacuumedPoolDirs` pins the pool GC. */
+    * `vacuumedPoolDirs` pins the pool GC. `retentionDeferred` is true
+    * when live READ PINS (a restore or sync streaming this root —
+    * see [[breakReadPins]]) made this export skip pruning and
+    * vacuuming entirely; the next unpinned export catches up. */
   final case class ExportResult(version: Long,
                                 copiedPoolDirs: Long,
                                 skippedPoolDirs: Long,
                                 copiedFiles: Long,
                                 copiedBytes: Long,
                                 prunedVersions: Seq[Long],
-                                vacuumedPoolDirs: Long)
+                                vacuumedPoolDirs: Long,
+                                retentionDeferred: Boolean = false)
 
   /** What a [[sync]] did — mirror seams of [[ExportResult]]:
     * `copiedVersions` are the versions newly installed at the
     * replica, `prunedVersions` the replica versions the source no
-    * longer has (retention/takedown propagation). */
+    * longer has (retention/takedown propagation); `retentionDeferred`
+    * as in [[ExportResult]], for pins held on the REPLICA root. */
   final case class SyncResult(copiedVersions: Seq[Long],
                               copiedPoolDirs: Long,
                               skippedPoolDirs: Long,
                               copiedFiles: Long,
                               copiedBytes: Long,
                               prunedVersions: Seq[Long],
-                              vacuumedPoolDirs: Long)
+                              vacuumedPoolDirs: Long,
+                              retentionDeferred: Boolean = false)
 
   /** Streaming-face export schedule ([[ContinuousIngest.IngestParams.export]]):
     * every `everyNBatches` micro-batches, [[ContinuousIngest.start]]'s
@@ -190,11 +223,24 @@ object Snapshot {
   /** `full = true` schedules restorable BACKUPS instead of serving
     * snapshots — same cadence, same horizon rule (the backup captures
     * committed state; the bloom rides over-approximately, see
-    * [[export]]). */
+    * [[export]]).
+    *
+    * `auditEveryNBatches` > 0 additionally schedules [[verifyVersion]]
+    * against the export root's NEWEST version from the same boundary
+    * slot (after any export due that batch, so a just-shipped version
+    * is audited too): the persisted-checksum re-hash that catches
+    * POST-INSTALL rot on a months-lived serving tree — an audit that
+    * only exists as an operator's cron job catches nothing. Findings
+    * FAIL THE BATCH loudly (the stream stops, findings named): rot in
+    * the serving/backup tier is an incident, and the alternative — a
+    * callback nobody wired — is how audits rot too. Default 0 (off);
+    * the audit is distributed (one task per file) but it re-reads the
+    * newest version's bytes, so size the cadence like compaction's. */
   final case class ExportPolicy(exportRoot: String, everyNBatches: Int,
                                 keepVersions: Int = 3,
                                 includeDocs: Boolean = false,
-                                full: Boolean = false)
+                                full: Boolean = false,
+                                auditEveryNBatches: Int = 0)
 
   /** Export one consistent snapshot of `st` to `exportRoot`. Must run
     * in the primary's single-writer maintenance context (the
@@ -217,6 +263,12 @@ object Snapshot {
              upToBatch: Long = Long.MaxValue,
              full: Boolean = false): ExportResult = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
+    // same rename-atomicity contract as the primary state root — the
+    // pool/version installs and the exclusive-create lock are exactly
+    // the "published means complete" discipline IngestState refuses
+    // object stores for (checked before any FileSystem loads)
+    ContinuousIngest.refuseNonAtomicRename(exportRoot,
+      "Snapshot.export exportRoot")
     val srcFs = ContinuousIngest.fsFor(spark, st.root)
     require(!srcFs.exists(new HPath(st.root,
         ContinuousIngest.SnapshotMarkerFile)),
@@ -246,6 +298,7 @@ object Snapshot {
                            upToBatch: Long, full: Boolean): ExportResult = {
     val pool = new HPath(exRoot, "pool")
     fs.mkdirs(pool)
+    ensureRootId(fs, exRoot)
     sweepTmps(fs, exRoot)
 
     val annRoot = srcFs.exists(new HPath(st.centroidsPath))
@@ -419,18 +472,33 @@ object Snapshot {
       s"Snapshot.export: version install rename $vtmp -> $vDir failed")
 
     // ---- retention: takedown staleness first, then keepVersions ----
-    val survivors = listVersionDirs(fs, exRoot).map(versionOf).sorted
-    val stale = survivors.filter(v => v != version &&
-      markerOpsCount(fs, exRoot, v) < nOps)
-    val routine = survivors.filterNot(stale.contains)
-      .sorted(Ordering[Long].reverse).drop(keepVersions)
-    val pruned = (stale ++ routine).distinct.sorted
-    pruned.foreach(v => fs.delete(new HPath(exRoot, s"v=$v"), true))
+    // …unless a READ PIN is live: a restore or sync is streaming this
+    // root's version trees and pool dirs RIGHT NOW, and pruning or
+    // vacuuming under it would kill a multi-hour read at N%. The
+    // export still installs its new version (pins never block
+    // shipping); ALL deletion — including takedown staleness — defers
+    // to the next unpinned export. Pins are bounded-duration reads
+    // released in a finally, so the deferral is a cadence delay, not
+    // a retention hole; a crashed holder's pin is cleared explicitly
+    // with [[breakReadPins]], mirroring the export lock's contract.
+    val pinned = listReadPins(fs, exRoot).nonEmpty
+    val pruned =
+      if (pinned) Nil
+      else {
+        val survivors = listVersionDirs(fs, exRoot).map(versionOf).sorted
+        val stale = survivors.filter(v => v != version &&
+          markerOpsCount(fs, exRoot, v) < nOps)
+        val routine = survivors.filterNot(stale.contains)
+          .sorted(Ordering[Long].reverse).drop(keepVersions)
+        val p = (stale ++ routine).distinct.sorted
+        p.foreach(v => fs.delete(new HPath(exRoot, s"v=$v"), true))
+        p
+      }
 
     // ---- pool vacuum: anything no surviving manifest references ----
-    val vacuumed = vacuumPool(fs, exRoot)
+    val vacuumed = if (pinned) 0L else vacuumPool(fs, exRoot)
     ExportResult(version, poolInstalls.size.toLong, skipped, nFiles,
-      nBytes, pruned, vacuumed)
+      nBytes, pruned, vacuumed, retentionDeferred = pinned)
   }
 
   /** Pool rel paths referenced by the COMPLETE versions at `exRoot`
@@ -563,13 +631,22 @@ object Snapshot {
     * install by rename, swept under the DESTINATION's export lock —
     * sync and export on one root are the same single-writer domain).
     * Versions install ascending, so a crash leaves a clean prefix.
-    * Syncing FROM a live source is safe the way serving is: versions
-    * and pool dirs are immutable; a source export running concurrently
-    * only adds versions this sync doesn't see, and a source RETENTION
-    * pass can at worst prune a version mid-copy — the sync fails
-    * loudly on the vanished file and the retry converges. */
+    * Syncing FROM a live source is safe by the READ PIN it holds on
+    * the source for the read's duration: versions and pool dirs are
+    * immutable, a source export running concurrently only adds
+    * versions this sync doesn't see, and the pin makes that export
+    * DEFER its retention prune/vacuum — the dirs this sync is
+    * streaming cannot vanish under it (a sync STARTING while the
+    * source is mid-export refuses loudly instead; see
+    * [[breakReadPins]] for crashed holders). */
   def sync(spark: SparkSession, srcRoot: String,
            dstRoot: String): SyncResult = {
+    // both sides live by the rename-atomic install contract: the
+    // replica installs pool/version trees by rename under an
+    // exclusive-create lock, and the source's own installs were only
+    // sound on a rename-atomic store to begin with
+    ContinuousIngest.refuseNonAtomicRename(srcRoot, "Snapshot.sync srcRoot")
+    ContinuousIngest.refuseNonAtomicRename(dstRoot, "Snapshot.sync dstRoot")
     val srcFs = ContinuousIngest.fsFor(spark, srcRoot)
     val srcEx = srcFs.makeQualified(new HPath(srcRoot))
     require(srcFs.exists(srcEx) && (srcFs.exists(new HPath(srcEx, "pool")) ||
@@ -580,10 +657,21 @@ object Snapshot {
     val fs = ContinuousIngest.fsFor(spark, dstRoot)
     val dstEx = fs.makeQualified(new HPath(dstRoot))
     fs.mkdirs(dstEx)
-    val lock = acquireExportLock(fs, dstEx)
-    try syncLocked(spark, srcFs, srcEx, fs, dstEx)
-    finally {
-      fs.delete(lock, false)
+    // pin the SOURCE for the read's duration: a scheduled export on
+    // the source root can no longer prune/vacuum the version trees
+    // and pool dirs this sync is streaming (it defers retention and
+    // ships on); released in the finally, crashed holders cleared
+    // with [[breakReadPins]]
+    val srcPin = acquireReadPin(srcFs, srcEx, s"sync->$dstRoot")
+    try {
+      val lock = acquireExportLock(fs, dstEx)
+      try syncLocked(spark, srcFs, srcEx, fs, dstEx)
+      finally {
+        fs.delete(lock, false)
+        ()
+      }
+    } finally {
+      srcFs.delete(srcPin, false)
       ()
     }
   }
@@ -593,6 +681,24 @@ object Snapshot {
                          dstEx: HPath): SyncResult = {
     sweepTmps(fs, dstEx)
     fs.mkdirs(new HPath(dstEx, "pool"))
+    // lineage identity FIRST — the one check that holds even when the
+    // version sets share nothing: a destination that belongs to a
+    // different export lineage (its own exports, or a replica of a
+    // different source) refuses by id before any marker comparison,
+    // closing the hole where a mistyped dstRoot whose versions all
+    // sat below the source's max passed every common-version and
+    // AHEAD check and was then silently pruned. A destination with NO
+    // id (empty dir, or a replica synced before ids existed) adopts
+    // the source's id below, after every divergence check passes.
+    val srcId = readRootId(srcFs, srcEx)
+    val dstId = readRootId(fs, dstEx)
+    for (a <- srcId; b <- dstId)
+      require(a == b,
+        s"Snapshot.sync: $dstEx carries root id $b but the source " +
+          s"$srcEx is $a — the destination is (a replica of) a " +
+          "DIFFERENT export root; syncing would prune its versions. " +
+          "Pick an empty replica root, or the replica that was synced " +
+          "from this source.")
     val srcVs = listVersionDirs(srcFs, srcEx).map(versionOf).sorted
     val dstVs = listVersionDirs(fs, dstEx).map(versionOf).sorted
     // replica identity: every common version must be THE SAME version
@@ -703,12 +809,26 @@ object Snapshot {
       require(fs.rename(vtmp, new HPath(dstEx, s"v=$v")),
         s"Snapshot.sync: version install rename $vtmp failed")
     }
+    // every divergence check passed and the replica now mirrors the
+    // source — adopt (or re-assert) the source's lineage identity so
+    // later syncs from elsewhere, and onward chain hops, can prove it
+    srcId.filter(_ => dstId.isEmpty)
+      .foreach(id => writeText(fs, new HPath(dstEx, RootIdFile), id))
     // ---- prune what the source no longer has, then vacuum ----------
-    val pruned = dstVs.filterNot(srcVs.contains)
-    pruned.foreach(v => fs.delete(new HPath(dstEx, s"v=$v"), true))
-    val vacuumed = vacuumPool(fs, dstEx)
+    // (deferred while a READ PIN is live on the replica — a restore
+    // streaming FROM this replica must not lose its version tree;
+    // same contract as exportLocked's retention pass)
+    val dstPinned = listReadPins(fs, dstEx).nonEmpty
+    val pruned =
+      if (dstPinned) Nil
+      else {
+        val p = dstVs.filterNot(srcVs.contains)
+        p.foreach(v => fs.delete(new HPath(dstEx, s"v=$v"), true))
+        p
+      }
+    val vacuumed = if (dstPinned) 0L else vacuumPool(fs, dstEx)
     SyncResult(missingVs, poolInstalls.size.toLong, skipped, nFiles,
-      nBytes, pruned, vacuumed)
+      nBytes, pruned, vacuumed, retentionDeferred = dstPinned)
   }
 
   // ---- internals ----------------------------------------------------
@@ -786,8 +906,22 @@ object Snapshot {
     * layer), or continue with explicit `ingestBatch` ids. */
   def restore(spark: SparkSession, exportRoot: String, newRoot: String,
               version: Long = -1L): IngestState = {
+    // newRoot becomes a primary (IngestState would refuse it anyway —
+    // but AFTER the full copy; refuse before a byte ships), and the
+    // backup side's tmp-adoption/rename install needs atomicity too
+    ContinuousIngest.refuseNonAtomicRename(exportRoot,
+      "Snapshot.restore exportRoot")
+    ContinuousIngest.refuseNonAtomicRename(newRoot,
+      "Snapshot.restore newRoot")
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val exRoot = fs.makeQualified(new HPath(exportRoot))
+    // pin the backup root for the read's duration: a scheduled export
+    // can no longer prune the version tree or vacuum the pool dirs a
+    // multi-hour restore is streaming (it defers retention instead);
+    // released in the finally, crashed holders cleared with
+    // [[breakReadPins]]
+    val pin = acquireReadPin(fs, exRoot, s"restore->$newRoot")
+    try {
     val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
     val v =
       if (version >= 0L) {
@@ -821,9 +955,19 @@ object Snapshot {
     // second full copy. Adopted files the new plan does not name (an
     // earlier attempt at a DIFFERENT version) are dropped below, so
     // nothing ever rides into the restored root unplanned.
+    // strict-suffix match — the full target name followed by exactly
+    // the 8-hex-char attempt uuid. A prefix match would make targets
+    // whose names prefix each other collide: a restore of `restored`
+    // would adopt (and then sweep) the crashed tmp of a sibling
+    // `restored_2` under the same parent, destroying ITS resume
+    // progress even though the dropped-unplanned sweep keeps the
+    // result correct.
+    val tmpName = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(s"$RestoreTmpPrefix${dst.getName}_") +
+        "[0-9a-f]{8}")
     val priorTmps = dstFs.listStatus(dst.getParent).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(s"$RestoreTmpPrefix${dst.getName}_"))
+        tmpName.matcher(s.getPath.getName).matches())
       .sortBy(_.getModificationTime)
     priorTmps.dropRight(1).foreach(s => dstFs.delete(s.getPath, true))
     val adopted = priorTmps.lastOption.map(_.getPath)
@@ -941,10 +1085,21 @@ object Snapshot {
       s"Snapshot.restore: install rename $tmp -> $dst failed — tmp " +
         "retained, re-run")
     IngestState(dst.toString)
+    } finally {
+      fs.delete(pin, false)
+      ()
+    }
   }
 
-  /** Names this exporter writes DRIVER-SIDE into version trees (never
-    * through [[copyFiles]], so never listed in a [[SumsFile]]). */
+  /** Names this exporter CAN write driver-side into version trees
+    * (outside [[copyFiles]], so outside the dir's [[SumsFile]]).
+    * NOT an always-driver-written set: [[ContinuousIngest.DocsSlimMarker]]
+    * is driver-written on an index-only export but rides copyFiles —
+    * and therefore lands in the sums — when a FULL/docs export ships
+    * a float-once primary's docs dir (the marker is a `_` file at the
+    * primary docs root like any other). [[verifyVersion]] must treat
+    * the two sides symmetrically: a name in this set is skipped only
+    * when the dir's sums do NOT list it. */
   private val DriverWrittenFiles = Set(
     ContinuousIngest.SnapshotDirsFile, ContinuousIngest.DocsSlimMarker,
     ContinuousIngest.SnapshotMarkerFile, BloomPointerFile, SumsFile)
@@ -1019,8 +1174,14 @@ object Snapshot {
       .empty[(String, Long, String)] // (path, expectLen, expectMd5)
     dirs.distinct.foreach { d =>
       val sums = readSums(fs, d)
+      // symmetric with the sums side: a DriverWrittenFiles name is
+      // invisible ONLY when the sums do not list it — a slim primary's
+      // docs-slim marker rides copyFiles on a full export and IS
+      // summed, and filtering it out here reported every healthy
+      // slim-root backup (and its replicas) as permanently missing it
       val present = fs.listStatus(d).toSeq
-        .filter(f => f.isFile && !DriverWrittenFiles(f.getPath.getName))
+        .filter(f => f.isFile && (sums.contains(f.getPath.getName) ||
+          !DriverWrittenFiles(f.getPath.getName)))
         .map(f => f.getPath.getName -> f.getLen).toMap
       if (sums.isEmpty) {
         // a dir can legitimately carry only driver-written files (an
@@ -1087,21 +1248,30 @@ object Snapshot {
     * the broadcast id that shipped its pairs: the maintained-index
     * pool is many KB–MB files, and rebuilding a Configuration
     * (hundreds of `set` calls) per FILE task was real overhead on
-    * exactly that shape. One rebuild per (executor, copy job); bounded
-    * by a clear at 64 entries (a Configuration is KBs — this is a
-    * leak stop, not a working set). */
+    * exactly that shape. One rebuild per (executor, copy job); an LRU
+    * of 8 (a Configuration is KBs — a leak stop, not a working set)
+    * whose eviction can never hit a LIVE job's entry: the previous
+    * clear-at-64 wholesale flush could evict mid-job and force one
+    * extra rebuild per surviving task. */
   private object ConfCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      Long, org.apache.hadoop.conf.Configuration]()
-    def get(id: Long,
-            pairs: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
-      if (cache.size > 64) cache.clear()
-      cache.computeIfAbsent(id, _ => {
-        val c = new org.apache.hadoop.conf.Configuration()
-        pairs.foreach { case (k, v) => c.set(k, v) }
-        c
-      })
+    private val cache = new java.util.LinkedHashMap[
+        Long, org.apache.hadoop.conf.Configuration](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, org.apache.hadoop.conf.Configuration])
+        : Boolean = size() > 8
     }
+    def get(id: Long,
+            pairs: Array[(String, String)]): org.apache.hadoop.conf.Configuration =
+      cache.synchronized {
+        val hit = cache.get(id)
+        if (hit != null) hit
+        else {
+          val c = new org.apache.hadoop.conf.Configuration()
+          pairs.foreach { case (k, v) => c.set(k, v) }
+          cache.put(id, c)
+          c
+        }
+      }
   }
 
   /** One planned file copy: `expectMd5` is the STORED content hash
@@ -1127,7 +1297,13 @@ object Snapshot {
     * destination read, but it is the only check that covers the whole
     * write path on filesystems without their own checksums, and it is
     * task-local — verification cost scales with the cluster exactly
-    * like the copy itself. A source that was already corrupt is caught
+    * like the copy itself. (Known cost-shape note: on a destination
+    * FS that exposes comparable composite checksums — HDFS
+    * `getFileChecksum` with matching block/bytes-per-crc — the
+    * read-back could become a metadata call, the DistCp trick; not
+    * wired here because the local test FS returns none and an
+    * untestable fast path in the one routine that guards every
+    * install is a bad trade.) A source that was already corrupt is caught
     * exactly when a trusted hash exists: entries carrying `expectMd5`
     * (restores reading [[SumsFile]]-verified pool dirs) compare the
     * streamed bytes against it and fail loudly on rot.
@@ -1313,6 +1489,76 @@ object Snapshot {
     fs.delete(new HPath(fs.makeQualified(new HPath(exportRoot)),
       ExportLockFile), false)
   }
+
+  /** Take a READ PIN on an export root for the duration of a
+    * whole-tree read (restore; sync's source side). Protocol, matched
+    * against the exporter's: (1) the pin lands first (a uuid-named
+    * marker — pins never contend with each other); (2) THEN the
+    * export lock is checked — if an export/sync holds the root right
+    * now, this reader cannot know whether that writer's retention
+    * pass already ran its pin check, so it releases the pin and
+    * refuses loudly (re-run when the export completes). An export
+    * that STARTS after the pin landed always sees it: the retention
+    * pass lists pins under the export lock, after the pin's create
+    * completed. The pin carries holder info for the refusal message a
+    * deferred-retention operator reads. */
+  private def acquireReadPin(fs: FileSystem, exRoot: HPath,
+                             purpose: String): HPath = {
+    val pin = new HPath(exRoot,
+      s"$ReadPinPrefix${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(pin, false)
+    try out.write((s"purpose=$purpose\n" +
+      s"created_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(new HPath(exRoot, ExportLockFile))) {
+      fs.delete(pin, false)
+      sys.error(s"Snapshot: $exRoot is mid-export (its " +
+        s"$ExportLockFile is held) — a whole-tree read starting now " +
+        "could race that export's retention pass; re-run when the " +
+        "export completes (a crashed holder's lock is cleared with " +
+        "Snapshot.breakExportLock)")
+    }
+    pin
+  }
+
+  /** Live read pins at an export root (listed by the exporter's
+    * retention pass, under its lock). */
+  private def listReadPins(fs: FileSystem, exRoot: HPath): Seq[HPath] =
+    if (!fs.exists(exRoot)) Nil
+    else fs.listStatus(exRoot).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ReadPinPrefix))
+      .map(_.getPath)
+
+  /** Clear CRASHED readers' pins (each pin's holder died without its
+    * finally). Like [[breakExportLock]]: explicit and never automatic
+    * — a pin is the only thing standing between a live 100 TB restore
+    * and an export's retention pass, so expiring pins by age would
+    * trade a loud deferral for a silent kill. Returns the number
+    * cleared. */
+  def breakReadPins(spark: SparkSession, exportRoot: String): Int = {
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val pins = listReadPins(fs, fs.makeQualified(new HPath(exportRoot)))
+    pins.foreach(p => fs.delete(p, false))
+    pins.size
+  }
+
+  /** The root's identity UUID; None on a root never exported by
+    * id-stamping code (and never synced from one). */
+  private def readRootId(fs: FileSystem, exRoot: HPath): Option[String] = {
+    val p = new HPath(exRoot, RootIdFile)
+    if (!fs.exists(p)) None
+    else Some(new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
+      .trim).filter(_.nonEmpty)
+  }
+
+  /** Stamp the root's identity on first export (idempotent; runs
+    * under the export lock, so no create race). */
+  private def ensureRootId(fs: FileSystem, exRoot: HPath): String =
+    readRootId(fs, exRoot).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      writeText(fs, new HPath(exRoot, RootIdFile), id)
+      id
+    }
 
   /** Sweep a crashed export's hidden tmps: version-tree tmps at the
     * root, copy tmps under every pool batch dir. Safe by naming —

@@ -2395,6 +2395,108 @@ class ContinuousIngestSpec extends SparkSpec {
       legacyErr.getMessage)
   }
 
+  test("rollbackBatch's legacy defense counts only ORIGINAL (non-negative) stats partials; rollbackWindow reports the window at metadata cost") {
+    val root = freshRoot()
+    val st = bootstrapped(s"$root/s")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
+    }
+    // BEFORE any compaction: batches 0..2 stand, no horizon yet
+    val w0 = ContinuousIngest.rollbackWindow(spark, st).collect().head
+    assert(w0.getLong(0) === 0L && w0.getLong(1) === 2L &&
+      w0.getLong(2) === 3L && w0.isNullAt(3), w0.toString)
+    // manufacture the fold outcome the r18 ADVICE flagged: a
+    // strictly-negative takedown partial folded into an ORIGINAL
+    // batch's stats partition (foldStatsDeltas targets the max
+    // committed stats partition even when the docs-side compaction is
+    // a single-partition no-op, so the docs dir stays unmarked) —
+    // counting ALL rows misdiagnosed this genuine single delivery as
+    // a pre-marker consolidation and refused its rollback
+    Seq((-1L, -40L, -8L)).toDF("n_docs", "n_chars", "n_ws_tokens")
+      .coalesce(1).write.mode("append").parquet(s"${st.statsPath}/batch=2")
+    // batch 2 delivered {301 (dropped near dup), 302, 303}: its
+    // partition holds exactly the two survivors — rollback proceeds
+    assert(ContinuousIngest.rollbackBatch(spark, st, 2L) === 2L)
+    val ids = ContinuousIngest.readTable(spark, st.docsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(302L) && !ids.contains(303L), ids.toString)
+    // ...while a GENUINE pre-marker consolidation (>1 non-negative
+    // originals) still refuses: append a second positive partial
+    Seq((1L, 40L, 8L)).toDF("n_docs", "n_chars", "n_ws_tokens")
+      .coalesce(1).write.mode("append").parquet(s"${st.statsPath}/batch=1")
+    val legacyErr = intercept[Throwable](
+      ContinuousIngest.rollbackBatch(spark, st, 1L))
+    assert(legacyErr.getMessage.contains("marker discipline"),
+      legacyErr.getMessage)
+    // consolidate everything -> the window is closed, horizon visible
+    ContinuousIngest.compactState(spark, st, upToBatch = 2L,
+      targetRowsPerFile = 1000000L)
+    val w1 = ContinuousIngest.rollbackWindow(spark, st).collect().head
+    assert(w1.isNullAt(0) && w1.isNullAt(1) && w1.getLong(2) === 0L &&
+      w1.getLong(3) === 2L, w1.toString)
+    // a fresh delivery reopens it above the horizon
+    ContinuousIngest.ingestBatch(
+      Seq(401L -> text(20)).toDF("doc_id", "text"), 3L, st, P)
+    val w2 = ContinuousIngest.rollbackWindow(spark, st).collect().head
+    assert(w2.getLong(0) === 3L && w2.getLong(1) === 3L &&
+      w2.getLong(2) === 1L && w2.getLong(3) === 2L, w2.toString)
+  }
+
+  test("scheduled in-stream snapshot audit: a clean tree streams on; manufactured rot fails the batch loudly, before ingest") {
+    import graft.streaming.Snapshot
+    val root = freshRoot()
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    val ex = s"$root/export"
+    val pa = P.copy(export = Some(Snapshot.ExportPolicy(ex,
+      everyNBatches = 1, full = true, auditEveryNBatches = 1)))
+    val st = IngestState(s"$root/s")
+    ContinuousIngest.bootstrap(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), st, pa)
+    // clean path: exports at ids 1,2 each followed by a green audit —
+    // the stream drains to completion
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      st, pa).awaitTermination()
+    assert(Snapshot.versions(spark, ex).nonEmpty)
+    // manufacture POST-INSTALL rot in a pool file the newest version
+    // references (same-length bit flip; drop the local-FS crc sidecar
+    // so the read reaches our own hash gate)
+    val rotTarget = java.nio.file.Files.walk(
+        java.nio.file.Path.of(s"$ex/pool"))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get().toFile
+    val raf = new java.io.RandomAccessFile(rotTarget, "rw")
+    try {
+      raf.seek(rotTarget.length() / 2)
+      val b = raf.read()
+      raf.seek(rotTarget.length() / 2)
+      raf.write(b ^ 0x01)
+    } finally raf.close()
+    new java.io.File(rotTarget.getParent,
+      s".${rotTarget.getName}.crc").delete()
+    // a new delivery arrives; the boundary slot's audit catches the
+    // rot FROM THE STREAM LOOP and fails the batch by name, before
+    // the batch ingests
+    Seq(401L -> text(20)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/in/chunk_3")
+    val err = intercept[Throwable](
+      ContinuousIngest.start(
+        Bounded.fileStream(spark, s"$root/in/chunk_*",
+          schemaDDL = "doc_id BIGINT, text STRING"),
+        st, pa).awaitTermination())
+    assert(msgs(err).exists(_.contains("snapshot audit FAILED")),
+      msgs(err).mkString(";"))
+    assert(ContinuousIngest.readTable(spark, st.docsPath)
+      .where(col("doc_id") === 401L).count() === 0L,
+      "the poisoned-tier batch must not have ingested")
+  }
+
   test("IngestState refuses a state root on a non-atomic-rename object store, by scheme") {
     val err = intercept[RuntimeException] { IngestState("s3a://bucket/state") }
     assert(err.getMessage.contains("rename") &&

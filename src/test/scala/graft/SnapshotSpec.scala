@@ -353,6 +353,16 @@ class SnapshotSpec extends SparkSpec {
     assert(ContinuousIngest.docsSlim(spark, st))
     val ex = s"$root/backup"
     Snapshot.export(spark, st, ex, full = true)
+    // audit regression (r18 ADVICE): on a full export of a SLIM root
+    // the docs-slim marker rides copyFiles (it is a `_` file at the
+    // primary docs root) and IS summed — verifyVersion must treat the
+    // sums and present sides symmetrically, not report the marker of
+    // every healthy slim-root backup as permanently missing
+    assert(Snapshot.verifyVersion(spark, ex).count() === 0L)
+    // ...and a replica of that backup (sums ship verbatim) audits
+    // clean too
+    Snapshot.sync(spark, ex, s"$root/slimrep")
+    assert(Snapshot.verifyVersion(spark, s"$root/slimrep").count() === 0L)
     val rst = Snapshot.restore(spark, ex, s"$root/restored")
     // the layout marker rode the round trip — a continuation caller
     // with the slim params is admitted, a fat caller refused
@@ -713,5 +723,174 @@ class SnapshotSpec extends SparkSpec {
     // the docs table itself round-trips (content, not just answers)
     assert(rows(ContinuousIngest.readTable(spark, snap.docsPath)) ===
       rows(ContinuousIngest.readTable(spark, st.docsPath)))
+  }
+
+  private def pinsAt(ex: String): Seq[String] =
+    Option(new java.io.File(ex).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(".read_pin_")).toSeq
+
+  test("read pins: a pinned export root defers ALL pruning/vacuuming; restore and sync pin their source and release it; a mid-export read refuses") {
+    val root = freshDir("graft_snap_pins")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val ex = s"$root/ex"
+    Snapshot.export(spark, st, ex) // v0
+    // make v0 maximally prunable: STALE by takedown (right-to-be-
+    // forgotten normally overrides keepVersions) AND beyond retention
+    val victim = docs.where(isNew).agg(min("doc_id")).head.getLong(0)
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(victim).toDF("doc_id")) === 1L)
+    // a live reader's pin (what restore/sync hold for their read)
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$ex/.read_pin_manual"),
+      "purpose=test\n".getBytes("UTF-8"))
+    val poolBefore = poolDirCount(ex)
+    val r1 = Snapshot.export(spark, st, ex, keepVersions = 1)
+    // the export SHIPPED (pins never block shipping) but deleted
+    // NOTHING — the pinned reader's version tree and pool dirs stand
+    assert(r1.retentionDeferred, r1.toString)
+    assert(r1.prunedVersions.isEmpty && r1.vacuumedPoolDirs === 0L,
+      r1.toString)
+    assert(Snapshot.versions(spark, ex) === Seq(0L, r1.version))
+    assert(poolDirCount(ex) >= poolBefore)
+    // the pinned version still SERVES (nothing under it vanished)
+    assert(ContinuousIngest.readTable(spark,
+      Snapshot.state(spark, ex, version = 0L).ivfPath).count() > 0L)
+    // pin released (the crashed-holder face) -> the next export
+    // catches up: staleness + retention prune v0 AND r1.version
+    // (itself pre-cut at keepVersions=1 relative to the newest)
+    assert(Snapshot.breakReadPins(spark, ex) === 1)
+    val r2 = Snapshot.export(spark, st, ex, keepVersions = 1)
+    assert(!r2.retentionDeferred)
+    assert(r2.prunedVersions === Seq(0L, r1.version), r2.toString)
+    assert(Snapshot.versions(spark, ex) === Seq(r2.version))
+    assert(r2.vacuumedPoolDirs > 0L)
+
+    // restore/sync HYGIENE: both pin their source for the read and
+    // release it in a finally — no pin outlives the call
+    val bk = s"$root/backup"
+    Snapshot.export(spark, st, bk, full = true)
+    Snapshot.restore(spark, bk, s"$root/restored")
+    assert(pinsAt(bk).isEmpty, pinsAt(bk).mkString(","))
+    Snapshot.sync(spark, bk, s"$root/replica")
+    assert(pinsAt(bk).isEmpty, pinsAt(bk).mkString(","))
+
+    // a whole-tree read STARTING mid-export cannot know whether the
+    // running exporter's retention pass already checked pins — it
+    // refuses loudly and leaves no pin behind
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$bk/.export_lock"),
+      "holder_uuid=test\n".getBytes("UTF-8"))
+    val rstErr = intercept[Throwable](
+      Snapshot.restore(spark, bk, s"$root/restored2"))
+    assert(msgs(rstErr).exists(_.contains("mid-export")),
+      msgs(rstErr).mkString(";"))
+    val syncErr = intercept[Throwable](
+      Snapshot.sync(spark, bk, s"$root/replica2"))
+    assert(msgs(syncErr).exists(_.contains("mid-export")),
+      msgs(syncErr).mkString(";"))
+    assert(pinsAt(bk).isEmpty, pinsAt(bk).mkString(","))
+    assert(Snapshot.breakExportLock(spark, bk))
+    Snapshot.restore(spark, bk, s"$root/restored2")
+    assert(pinsAt(bk).isEmpty)
+  }
+
+  test("sync lineage identity: a destination from a DIFFERENT export root refuses before any prune — even when every version-set check passes") {
+    val root = freshDir("graft_snap_lineage")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val exA = s"$root/exA"
+    val exB = s"$root/exB"
+    Snapshot.export(spark, st, exA) // A: v0
+    // B: three exports at keepVersions=1 -> holds ONLY v2
+    (1 to 3).foreach(_ =>
+      Snapshot.export(spark, st, exB, keepVersions = 1))
+    assert(Snapshot.versions(spark, exB) === Seq(2L))
+    // replica of A adopts A's lineage id on first sync
+    val rep = s"$root/rep"
+    Snapshot.sync(spark, exA, rep)
+    def idOf(ex: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(s"$ex/_GRAFT_ROOT_ID")), "UTF-8").trim
+    assert(idOf(rep) === idOf(exA))
+    assert(idOf(exA) !== idOf(exB))
+    // the r18 hole: rep holds only v0 — a version B LACKS, BELOW B's
+    // max. No common version (no marker compare fires), nothing is
+    // AHEAD: every pre-identity check passes, and the old code would
+    // have pruned rep's v0 and vacuumed its pool. The lineage id
+    // refuses by name instead, and the replica is untouched.
+    val err = intercept[Throwable](Snapshot.sync(spark, exB, rep))
+    assert(msgs(err).exists(_.contains("DIFFERENT export root")),
+      msgs(err).mkString(";"))
+    assert(Snapshot.versions(spark, rep) === Seq(0L))
+    assert(poolDirCount(rep) > 0)
+    // chain hop carries the identity onward (ter adopts from rep)
+    val ter = s"$root/ter"
+    Snapshot.sync(spark, rep, ter)
+    assert(idOf(ter) === idOf(exA))
+  }
+
+  test("restore-tmp adoption matches the FULL target name (strict uuid suffix): a sibling target's crashed tmp is never adopted or destroyed") {
+    val root = freshDir("graft_snap_sibling")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val bk = s"$root/backup"
+    val r = Snapshot.export(spark, st, bk, full = true)
+    // manufacture the SIBLING's crashed attempt: target `restored_2`,
+    // whose name the old prefix match (`restored` + "_") collided with
+    Snapshot.restore(spark, bk, s"$root/seed", r.version)
+    val sibTmp = s"$root/.restore_tmp_restored_2_cafe0123"
+    java.nio.file.Files.move(java.nio.file.Path.of(s"$root/seed"),
+      java.nio.file.Path.of(sibTmp))
+    def fileCount(dir: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Path.of(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    val sibFiles = fileCount(sibTmp)
+    assert(sibFiles > 0L)
+    // restoring `restored` must neither adopt nor sweep the sibling's
+    // resume progress — and still produce a correct root itself
+    val rst = Snapshot.restore(spark, bk, s"$root/restored", r.version)
+    assert(new java.io.File(sibTmp).isDirectory &&
+      fileCount(sibTmp) === sibFiles,
+      "the sibling target's crashed tmp was adopted/destroyed")
+    val l = ContinuousIngest.readTable(spark, st.docsPath)
+    val r2 = ContinuousIngest.readTable(spark, rst.docsPath)
+    assert(l.exceptAll(r2).isEmpty && r2.exceptAll(l).isEmpty)
+    // ...and the sibling's own restore ADOPTS its tmp (strict match
+    // still finds the right one: resume, not recopy)
+    val oldMs = (System.currentTimeMillis() - 3600L * 1000L) / 1000L * 1000L
+    java.nio.file.Files.walk(java.nio.file.Path.of(sibTmp))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .forEach(p => assert(p.toFile.setLastModified(oldMs)))
+    Snapshot.restore(spark, bk, s"$root/restored_2", r.version)
+    val reused = java.nio.file.Files.walk(
+        java.nio.file.Path.of(s"$root/restored_2"))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(reused.nonEmpty && reused.forall(_.toFile.lastModified() == oldMs),
+      "the sibling's resume progress was not reused")
+  }
+
+  test("snapshot roots refuse non-atomic-rename object stores, by scheme, before any byte ships") {
+    val root = freshDir("graft_snap_scheme")
+    val st = IngestState(s"$root/state") // never written — guard fires first
+    def schemeRefusal(f: => Any): Unit = {
+      val e = intercept[Throwable](f)
+      assert(msgs(e).exists(m => m.contains("s3a") && m.contains("rename")),
+        msgs(e).mkString(";"))
+    }
+    schemeRefusal(Snapshot.export(spark, st, "s3a://bucket/ex"))
+    schemeRefusal(Snapshot.sync(spark, "s3a://bucket/ex", s"$root/rep"))
+    schemeRefusal(Snapshot.sync(spark, s"$root/ex", "s3a://bucket/rep"))
+    schemeRefusal(Snapshot.restore(spark, "s3a://bucket/ex", s"$root/new"))
+    schemeRefusal(Snapshot.restore(spark, s"$root/ex", "s3a://bucket/new"))
   }
 }
