@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   * at most ONE sweep, so the min across sweeps rejects it; and
   * `bench_out.json` keeps every per-sweep value plus per-sweep
   * totals, so a poisoned sweep is VISIBLE in the artifact instead of
-  * inferred from git archaeology.
+  * inferred from git archaeology. The CAUSE rides too (r18 verdict
+  * item): `sweep_env` records wall-clock + `/proc/loadavg` at each
+  * sweep start and at the end, and the stdout line carries the
+  * 1-minute values as `"load":[...]` — a noisy round's adjudication
+  * reads its evidence straight from the artifact.
   *
   * Output: the FULL result (per-query seconds at ns precision,
   * errors) goes to `bench_out.json`; stdout gets ONE compact JSON
@@ -89,10 +93,23 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       t
     }
+    // the noise EVIDENCE rides the artifact (r18 verdict: two rounds
+    // of box-load adjudication had to reconstruct the cause from git
+    // archaeology and controls — record it at the source instead):
+    // wall-clock + /proc/loadavg before each sweep and after the last
+    def loadavg(): Seq[Double] =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty[Double] }
+    val sweepEnv = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Double])]
     // three interleaved full sweeps (see the protocol scaladoc)
     val sweeps: IndexedSeq[Map[String, Double]] = (1 to 3).map { _ =>
+      sweepEnv += ((System.currentTimeMillis(), loadavg()))
       named.map { case (name, fn) => name -> once(name, fn) }.toMap
     }
+    sweepEnv += ((System.currentTimeMillis(), loadavg()))
     val results: Seq[(String, Seq[Double])] =
       named.map { case (name, _) => (name, sweeps.map(_(name))) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
@@ -124,12 +141,19 @@ object Bench {
         named.map { case (k, _) => "\"" + k + "\":" + m(k) }
           .mkString("{", ",", "}"))
       .mkString("[", ",", "]")
+    // sweep_env: one {t_ms, load:[1m,5m,15m]} per sweep START plus a
+    // final one at the end — the box-contention evidence a poisoned
+    // sweep's adjudication reads straight from the artifact
+    val sweepEnvJson = sweepEnv.map { case (t, l) =>
+      s"""{"t_ms":$t,"load":${l.mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
     // "errors" lists queries whose execution threw (timings for those
     // are meaningless and excluded from the totals)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","main_sec":$mainTotal,""" +
       s""""checks_sec":$checksTotal,"checks_cold_sec":$checksCold,""" +
       s""""runs":3,"protocol":"interleaved_sweeps","errors":$errs,"agg":"min",""" +
-      s""""sweep_totals":$sweepTotals,"queries":$qs,"sweeps":$sweepsJson,"sf":"$sfDir"}"""
+      s""""sweep_totals":$sweepTotals,"sweep_env":$sweepEnvJson,""" +
+      s""""queries":$qs,"sweeps":$sweepsJson,"sf":"$sfDir"}"""
     // full-fidelity JSON to a file (survives any stdout framing)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
@@ -161,9 +185,15 @@ object Bench {
       val qsCompact = mainQ.map { case (k, v) => "\"" + k + "\":" + rd(v.min, decimals) }
         .mkString("{", ",", "}")
       val unitPart = if (withUnit) """"unit":"sec",""" else ""
+      // 1-min loadavg at each sweep start + end: the contention
+      // evidence, compact (~30 chars), riding just before the
+      // headline scalars so a tail-window clip never eats it
+      val loadCompact = sweepEnv.map(_._2.headOption.getOrElse(-1.0))
+        .map(rd(_, 1)).mkString("[", ",", "]")
       s"""{"metric":"total","queries":$qsCompact,${errsPart}$unitPart""" +
         s""""agg":"min","runs":3,"protocol":"interleaved_sweeps",""" +
         s""""sweep_totals":$sweepTotalsCompact,"sf":"$sfName",""" +
+        s""""load":$loadCompact,""" +
         s""""main_sec":${rd(mainTotal, 2)},"checks_sec":${rd(checksTotal, 2)},""" +
         s""""checks_cold_sec":${rd(checksCold, 2)},"value":${rd(total, 2)}}"""
     }

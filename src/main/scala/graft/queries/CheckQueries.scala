@@ -282,6 +282,26 @@ object CheckQueries extends QueryPack {
       (st.root, p)
     })
 
+  /** One shared EXPORT of the pristine primary per (JVM, sf dir): the
+    * serve check reads it and re-exports it (both idempotent on the
+    * shared root — exports only add versions), the sync check reads
+    * it as its SOURCE (sync never mutates a source beyond its
+    * released read pin). Building a second identical export for the
+    * sync law roughly doubled the snapshot checks' cold cost for no
+    * added coverage (the r18 "bound checks_cold_sec" item). */
+  private val snapExportCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapExport(s: SparkSession, d: String): String =
+    snapExportCache.computeIfAbsent(d, _ => {
+      import graft.streaming.{ContinuousIngest, Snapshot}
+      val (stRoot, _) = snapPristine(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_snap_export")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTreeQuietly(root)))
+      val ex = s"$root/export"
+      Snapshot.export(s, ContinuousIngest.IngestState(stRoot), ex)
+      ex
+    })
+
   private def deleteTreeQuietly(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
@@ -1905,13 +1925,13 @@ object CheckQueries extends QueryPack {
       import graft.streaming.ContinuousIngest.IngestState
       val (stRoot, p) = snapPristine(s, d)
       val docs = snapDocs(s, d)
-      val root = java.nio.file.Files.createTempDirectory("graft_snapshot")
-      try {
+      locally {
         // read-only against the shared pristine primary — exports and
-        // the refused writer call never mutate it
+        // the refused writer call never mutate it; the export root is
+        // the SHARED one (re-exporting it below only adds a version,
+        // which the sync check's source reads are indifferent to)
         val st = IngestState(stRoot)
-        val ex = s"$root/export"
-        Snapshot.export(s, st, ex)
+        val ex = snapExport(s, d)
         val snap = Snapshot.state(s, ex)
         val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
         val exactViol = multisetDiffViolations(
@@ -1956,12 +1976,6 @@ object CheckQueries extends QueryPack {
           .collect().map(_.getString(0)).toSeq ++ incViol ++ sumsViol ++
           refuseViol)
           .toDF("violation")
-      } finally {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        catch { case _: Throwable => () }
       }
     }),
     // Snapshot replication laws (Snapshot.sync — the off-site /
@@ -1982,8 +1996,10 @@ object CheckQueries extends QueryPack {
       val root = java.nio.file.Files.createTempDirectory("graft_snapsync")
       try {
         val st = IngestState(stRoot)
-        val ex = s"$root/export"
-        Snapshot.export(s, st, ex)
+        // the SOURCE is the shared export of the pristine primary
+        // (sync reads it and releases its pin — never mutates it);
+        // only the replica/tertiary roots are this check's own scratch
+        val ex = snapExport(s, d)
         val rep = s"$root/replica"
         val s0 = Snapshot.sync(s, ex, rep)
         val q = docs.where(pmod(col("doc_id"), lit(7)) === 0)
