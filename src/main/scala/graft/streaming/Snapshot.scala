@@ -727,6 +727,12 @@ object Snapshot {
         s"replica holds ${dstVs.mkString(", ")} — refusing to prune a " +
         "non-empty replica from an empty source (finish an export " +
         "there first, or pick the right source root)")
+    // every divergence check passed — adopt the source's lineage
+    // identity NOW, before any install: a sync that crashes mid-copy
+    // must not leave a replica holding this source's versions but no
+    // id (the unprotected window the id exists to close)
+    srcId.filter(_ => dstId.isEmpty)
+      .foreach(id => writeText(fs, new HPath(dstEx, RootIdFile), id))
     // ---- plan: missing pool dirs for the missing versions ----------
     val missingVs = srcVs.filterNot(dstVs.contains)
     val copies = scala.collection.mutable.ArrayBuffer.empty[CopyEntry]
@@ -809,11 +815,6 @@ object Snapshot {
       require(fs.rename(vtmp, new HPath(dstEx, s"v=$v")),
         s"Snapshot.sync: version install rename $vtmp failed")
     }
-    // every divergence check passed and the replica now mirrors the
-    // source — adopt (or re-assert) the source's lineage identity so
-    // later syncs from elsewhere, and onward chain hops, can prove it
-    srcId.filter(_ => dstId.isEmpty)
-      .foreach(id => writeText(fs, new HPath(dstEx, RootIdFile), id))
     // ---- prune what the source no longer has, then vacuum ----------
     // (deferred while a READ PIN is live on the replica — a restore
     // streaming FROM this replica must not lose its version tree;
@@ -1528,6 +1529,28 @@ object Snapshot {
     else fs.listStatus(exRoot).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(ReadPinPrefix))
       .map(_.getPath)
+
+  /** The live read pins at `exportRoot`, one row per pin:
+    * `(pin, purpose, created_ms, age_ms)` — what an operator checks
+    * when an export reports `retentionDeferred` before deciding
+    * whether the holder is a live read (wait for it) or a crashed one
+    * ([[breakReadPins]]). Metadata cost: one listing + one small read
+    * per pin. */
+  def readPins(spark: SparkSession, exportRoot: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val now = System.currentTimeMillis()
+    listReadPins(fs, fs.makeQualified(new HPath(exportRoot))).map { p =>
+      val fields = new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
+        .split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
+        .toMap
+      val created = fields.get("created_ms").flatMap(s =>
+        scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+      (p.getName, fields.getOrElse("purpose", ""), created,
+        if (created > 0) now - created else -1L)
+    }.toDF("pin", "purpose", "created_ms", "age_ms")
+  }
 
   /** Clear CRASHED readers' pins (each pin's holder died without its
     * finally). Like [[breakExportLock]]: explicit and never automatic

@@ -745,7 +745,12 @@ class SnapshotSpec extends SparkSpec {
     // a live reader's pin (what restore/sync hold for their read)
     java.nio.file.Files.write(
       java.nio.file.Path.of(s"$ex/.read_pin_manual"),
-      "purpose=test\n".getBytes("UTF-8"))
+      "purpose=test\ncreated_ms=123\n".getBytes("UTF-8"))
+    // the operator-facing catalog names the holder (the thing checked
+    // before deciding wait-vs-breakReadPins on a deferred export)
+    val pinRows = Snapshot.readPins(spark, ex).collect()
+    assert(pinRows.length === 1 && pinRows.head.getString(1) === "test" &&
+      pinRows.head.getLong(2) === 123L, pinRows.mkString(";"))
     val poolBefore = poolDirCount(ex)
     val r1 = Snapshot.export(spark, st, ex, keepVersions = 1)
     // the export SHIPPED (pins never block shipping) but deleted
