@@ -3710,10 +3710,33 @@ object ContinuousIngest {
         // possibly half-appended partitions must never enter a
         // snapshot (Snapshot.export's upToBatch contract)
         p.export.foreach { ep =>
-          if (ep.everyNBatches > 0 && id > 0 && id % ep.everyNBatches == 0)
-            Snapshot.export(b.sparkSession, st, ep.exportRoot,
+          if (ep.everyNBatches > 0 && id > 0 && id % ep.everyNBatches == 0) {
+            val r = Snapshot.export(b.sparkSession, st, ep.exportRoot,
               includeDocs = ep.includeDocs, keepVersions = ep.keepVersions,
               upToBatch = id - 1, full = ep.full)
+            // deferral must be VISIBLE in the unattended path: a
+            // legitimate pin is a restore/sync in flight (fine — the
+            // next unpinned export catches up), but a CRASHED holder's
+            // pin would otherwise suspend retention AND takedown
+            // staleness propagation silently forever. Warn with the
+            // holder catalog every deferred export; the operator
+            // decides wait-vs-breakReadPins from the ages (the stream
+            // itself never breaks a pin — killing a live 100 TB
+            // restore is worse than a delayed prune, and the pin
+            // contract says explicit, never automatic).
+            if (r.retentionDeferred) {
+              val pins = Snapshot.readPins(b.sparkSession, ep.exportRoot)
+                .collect()
+                .map(p => s"${p.getString(0)} (${p.getString(1)}, " +
+                  s"age ${p.getLong(3)}ms)")
+              Console.err.println(s"[graft] WARNING: scheduled export " +
+                s"to ${ep.exportRoot} at batch $id shipped v=${r.version} " +
+                "but DEFERRED all retention pruning/vacuuming to live " +
+                s"read pins: ${pins.mkString("; ")}. Takedown-staleness " +
+                "propagation is suspended until the pins release; if a " +
+                "holder crashed, clear it with Snapshot.breakReadPins.")
+            }
+          }
           // scheduled audit AFTER any export due this batch, so the
           // just-shipped version is audited too: re-hash the newest
           // standing version against its persisted checksums. Findings

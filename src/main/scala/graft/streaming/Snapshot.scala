@@ -727,12 +727,29 @@ object Snapshot {
         s"replica holds ${dstVs.mkString(", ")} — refusing to prune a " +
         "non-empty replica from an empty source (finish an export " +
         "there first, or pick the right source root)")
+    // an ID-LESS destination must PROVE replica-ness before anything
+    // can be pruned or adopted: either it is empty (a fresh replica
+    // root) or it shares a marker-verified common version with the
+    // source (the byte-equal markers above are the proof). Without
+    // this, a pre-identity export root mistyped as dstRoot — no id,
+    // no common versions, everything below the source's max — passed
+    // every check, was pruned, AND then adopted the wrong source's
+    // id, laundering the destruction the id exists to prevent.
+    require(dstId.nonEmpty || dstVs.isEmpty ||
+        dstVs.toSet.intersect(srcVs.toSet).nonEmpty,
+      s"Snapshot.sync: $dstEx carries no lineage id and shares no " +
+        s"version with the source (replica: ${dstVs.mkString(", ")}; " +
+        s"source: ${srcVs.mkString(", ")}) — cannot prove it is a " +
+        "replica of this source; syncing would prune its versions. If " +
+        "it IS a legacy replica that lagged past the source's " +
+        "retention, delete its versions deliberately (or re-seed an " +
+        "empty root); otherwise fix dstRoot.")
     // every divergence check passed — adopt the source's lineage
     // identity NOW, before any install: a sync that crashes mid-copy
     // must not leave a replica holding this source's versions but no
     // id (the unprotected window the id exists to close)
     srcId.filter(_ => dstId.isEmpty)
-      .foreach(id => writeText(fs, new HPath(dstEx, RootIdFile), id))
+      .foreach(id => writeRootId(fs, dstEx, id))
     // ---- plan: missing pool dirs for the missing versions ----------
     val missingVs = srcVs.filterNot(dstVs.contains)
     val copies = scala.collection.mutable.ArrayBuffer.empty[CopyEntry]
@@ -916,6 +933,13 @@ object Snapshot {
       "Snapshot.restore newRoot")
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val exRoot = fs.makeQualified(new HPath(exportRoot))
+    // existence BEFORE pinning: the pin's create would otherwise
+    // materialize a mistyped exportRoot's whole parent tree as a
+    // plausible-looking empty dir (fs.create makes parents) — a typo
+    // must fail with no side effects
+    require(fs.exists(exRoot),
+      s"Snapshot.restore: $exportRoot does not exist — not an export " +
+        "root (check the path)")
     // pin the backup root for the read's duration: a scheduled export
     // can no longer prune the version tree or vacuum the pool dirs a
     // multi-hour restore is streaming (it defers retention instead);
@@ -1250,29 +1274,34 @@ object Snapshot {
     * pool is many KB–MB files, and rebuilding a Configuration
     * (hundreds of `set` calls) per FILE task was real overhead on
     * exactly that shape. One rebuild per (executor, copy job); an LRU
-    * of 8 (a Configuration is KBs — a leak stop, not a working set)
-    * whose eviction can never hit a LIVE job's entry: the previous
-    * clear-at-64 wholesale flush could evict mid-job and force one
-    * extra rebuild per surviving task. */
+    * of 32 (a Configuration is KBs — a leak stop, not a working set)
+    * that evicts one stale entry at a time instead of the previous
+    * clear-at-64 wholesale flush, so a live job loses its entry only
+    * past 32 SIMULTANEOUS copy jobs on one executor — and even then
+    * pays one rebuild, not a flush of everyone's. */
   private object ConfCache {
     private val cache = new java.util.LinkedHashMap[
-        Long, org.apache.hadoop.conf.Configuration](16, 0.75f, true) {
+        Long, org.apache.hadoop.conf.Configuration](48, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Long, org.apache.hadoop.conf.Configuration])
-        : Boolean = size() > 8
+        : Boolean = size() > 32
     }
     def get(id: Long,
-            pairs: Array[(String, String)]): org.apache.hadoop.conf.Configuration =
-      cache.synchronized {
-        val hit = cache.get(id)
-        if (hit != null) hit
-        else {
-          val c = new org.apache.hadoop.conf.Configuration()
-          pairs.foreach { case (k, v) => c.set(k, v) }
-          cache.put(id, c)
-          c
-        }
+            pairs: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+      val hit = cache.synchronized(cache.get(id))
+      if (hit != null) hit
+      else {
+        // build OUTSIDE the lock: the rebuild is hundreds of `set`
+        // calls, and holding the map lock across it would serialize
+        // unrelated jobs' cache HITS behind one job's build. A racing
+        // duplicate build is harmless (last put wins; both configs
+        // are equivalent).
+        val c = new org.apache.hadoop.conf.Configuration()
+        pairs.foreach { case (k, v) => c.set(k, v) }
+        cache.synchronized { cache.put(id, c) }
+        c
       }
+    }
   }
 
   /** One planned file copy: `expectMd5` is the STORED content hash
@@ -1540,15 +1569,20 @@ object Snapshot {
     import spark.implicits._
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val now = System.currentTimeMillis()
-    listReadPins(fs, fs.makeQualified(new HPath(exportRoot))).map { p =>
-      val fields = new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
-        .split("\n").map(_.trim).filter(_.contains("="))
-        .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
-        .toMap
-      val created = fields.get("created_ms").flatMap(s =>
-        scala.util.Try(s.toLong).toOption).getOrElse(-1L)
-      (p.getName, fields.getOrElse("purpose", ""), created,
-        if (created > 0) now - created else -1L)
+    // a pin released between the listing and its read (a live reader
+    // finishing — exactly the moment operators run this) is skipped,
+    // not an abort: the catalog reports what still holds
+    listReadPins(fs, fs.makeQualified(new HPath(exportRoot))).flatMap { p =>
+      scala.util.Try {
+        val fields = new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
+          .split("\n").map(_.trim).filter(_.contains("="))
+          .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
+          .toMap
+        val created = fields.get("created_ms").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+        (p.getName, fields.getOrElse("purpose", ""), created,
+          if (created > 0) now - created else -1L)
+      }.toOption
     }.toDF("pin", "purpose", "created_ms", "age_ms")
   }
 
@@ -1574,12 +1608,29 @@ object Snapshot {
       .trim).filter(_.nonEmpty)
   }
 
+  /** Install the root's identity ATOMICALLY (hidden tmp + rename —
+    * the module's own "published means complete" rule): a crash
+    * mid-write must not leave a truncated id that permanently refuses
+    * every future sync against the root's true source, because no
+    * break-face clears a wrong id. */
+  private def writeRootId(fs: FileSystem, exRoot: HPath, id: String): Unit = {
+    val tmp = new HPath(exRoot,
+      s".root_id_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    writeText(fs, tmp, id)
+    // a torn earlier write can leave an EMPTY id file (readRootId
+    // treats it as absent) — clear it so the rename lands; callers
+    // hold the root's export lock, so nothing races this
+    fs.delete(new HPath(exRoot, RootIdFile), false)
+    require(fs.rename(tmp, new HPath(exRoot, RootIdFile)),
+      s"Snapshot: root-id install rename $tmp failed")
+  }
+
   /** Stamp the root's identity on first export (idempotent; runs
     * under the export lock, so no create race). */
   private def ensureRootId(fs: FileSystem, exRoot: HPath): String =
     readRootId(fs, exRoot).getOrElse {
       val id = java.util.UUID.randomUUID().toString
-      writeText(fs, new HPath(exRoot, RootIdFile), id)
+      writeRootId(fs, exRoot, id)
       id
     }
 
@@ -1592,6 +1643,11 @@ object Snapshot {
     fs.listStatus(exRoot).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(VTreeTmpPrefix))
       .foreach(s => fs.delete(s.getPath, true))
+    // a crash between a root-id tmp's write and its rename leaves the
+    // hidden tmp FILE at the root — swept like every other tmp
+    fs.listStatus(exRoot).filter(s => s.isFile &&
+        s.getPath.getName.startsWith(".root_id_tmp_"))
+      .foreach(s => fs.delete(s.getPath, false))
     val pool = new HPath(exRoot, "pool")
     if (fs.exists(pool))
       fs.listStatus(pool).filter(_.isDirectory).foreach { td =>

@@ -837,6 +837,22 @@ class SnapshotSpec extends SparkSpec {
     val ter = s"$root/ter"
     Snapshot.sync(spark, rep, ter)
     assert(idOf(ter) === idOf(exA))
+    // an ID-LESS destination (a pre-identity replica) must PROVE
+    // replica-ness: with no common version the sync refuses rather
+    // than prune-and-adopt (the laundering path the review flagged) —
+    // while a shared marker-verified version readmits it and restores
+    // the id
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(s"$rep/_GRAFT_ROOT_ID"))
+    // out-of-band delete: drop the local-FS crc sidecar too, so the
+    // re-adopted id below reads through Hadoop's checksum layer
+    new java.io.File(s"$rep/._GRAFT_ROOT_ID.crc").delete()
+    val noProof = intercept[Throwable](Snapshot.sync(spark, exB, rep))
+    assert(msgs(noProof).exists(_.contains("cannot prove")),
+      msgs(noProof).mkString(";"))
+    assert(Snapshot.versions(spark, rep) === Seq(0L))
+    Snapshot.sync(spark, exA, rep) // common v0, markers byte-equal
+    assert(idOf(rep) === idOf(exA))
   }
 
   test("restore-tmp adoption matches the FULL target name (strict uuid suffix): a sibling target's crashed tmp is never adopted or destroyed") {
@@ -897,5 +913,14 @@ class SnapshotSpec extends SparkSpec {
     schemeRefusal(Snapshot.sync(spark, s"$root/ex", "s3a://bucket/rep"))
     schemeRefusal(Snapshot.restore(spark, "s3a://bucket/ex", s"$root/new"))
     schemeRefusal(Snapshot.restore(spark, s"$root/ex", "s3a://bucket/new"))
+    // a mistyped exportRoot fails with NO side effects: the existence
+    // check runs before the read pin, whose create would otherwise
+    // materialize the typo'd path as a plausible empty dir
+    val typoErr = intercept[Throwable](
+      Snapshot.restore(spark, s"$root/backups_exprot", s"$root/new2"))
+    assert(msgs(typoErr).exists(_.contains("does not exist")),
+      msgs(typoErr).mkString(";"))
+    assert(!new java.io.File(s"$root/backups_exprot").exists(),
+      "the typo'd export root was materialized by the pin's create")
   }
 }
