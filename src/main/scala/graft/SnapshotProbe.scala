@@ -85,9 +85,11 @@ object SnapshotProbe {
       // resume floor: re-shape the completed restore into a crashed
       // attempt's tmp and restore again — every file re-verifies by
       // recorded hash and reuses in place (no source read, no write)
+      // the tmp must match restore's STRICT adoption name — the full
+      // target name plus exactly 8 hex chars (the attempt-uuid shape)
       java.nio.file.Files.move(
         java.nio.file.Path.of(s"$root/restored"),
-        java.nio.file.Path.of(s"$root/.restore_tmp_resumed_probe"))
+        java.nio.file.Path.of(s"$root/.restore_tmp_resumed_0000abcd"))
       val (_, tResume) = timed(
         Snapshot.restore(spark, bk, s"$root/resumed"))
       val snap = Snapshot.state(spark, ex)
