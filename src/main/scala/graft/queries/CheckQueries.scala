@@ -288,7 +288,17 @@ object CheckQueries extends QueryPack {
     * it as its SOURCE (sync never mutates a source beyond its
     * released read pin). Building a second identical export for the
     * sync law roughly doubled the snapshot checks' cold cost for no
-    * added coverage (the r18 "bound checks_cold_sec" item). */
+    * added coverage (the r18 "bound checks_cold_sec" item).
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: sharing is safe because checks
+    * run strictly one-at-a-time (Verify/TimeQuery iterate the map;
+    * nothing here spawns concurrent checks). The serve check's
+    * re-export MUTATES this root under its export lock, so if checks
+    * ever ran concurrently, the sync check's source read pin would
+    * meet that lock and refuse loudly — a spurious check failure, not
+    * corruption (the lock/pin protocol holds either way). Introducing
+    * concurrent check execution means giving the serve check its own
+    * export root (or serializing on this one). */
   private val snapExportCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def snapExport(s: SparkSession, d: String): String =

@@ -2995,8 +2995,13 @@ object ContinuousIngest {
       if (!fs.exists(root)) Seq.empty[(Long, Boolean)]
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .map(s => (s.getPath.getName.stripPrefix("batch=").toLong,
-          fs.exists(new HPath(s.getPath, ConsolidatedMarker))))
+        // tolerant parse: this is an operator-facing READER, and a
+        // stray non-numeric `batch=` dir (external tooling, manual
+        // debris) must not break introspection wholesale — the
+        // writer-side call sites keep assuming their own layout
+        .flatMap(s => scala.util.Try(
+          (s.getPath.getName.stripPrefix("batch=").toLong,
+            fs.exists(new HPath(s.getPath, ConsolidatedMarker)))).toOption)
         .filter(_._1 >= 0L)
     val rollbackable = dirs.collect { case (id, false) => id }
     val horizon = dirs.collect { case (id, true) => id }
@@ -3716,47 +3721,61 @@ object ContinuousIngest {
               upToBatch = id - 1, full = ep.full)
             // deferral must be VISIBLE in the unattended path: a
             // legitimate pin is a restore/sync in flight (fine — the
-            // next unpinned export catches up), but a CRASHED holder's
-            // pin would otherwise suspend retention AND takedown
-            // staleness propagation silently forever. Warn with the
-            // holder catalog every deferred export; the operator
-            // decides wait-vs-breakReadPins from the ages (the stream
-            // itself never breaks a pin — killing a live 100 TB
-            // restore is worse than a delayed prune, and the pin
-            // contract says explicit, never automatic).
+            // next unblocked export catches up, and version-scoped
+            // pins only ever defer the versions a read streams), but
+            // a CRASHED holder's pin would otherwise suspend those
+            // versions' retention silently forever. The deferral is
+            // PERSISTED at the export root (Snapshot.deferrals — the
+            // queryable streak an alarm reads); the stderr warning
+            // rides along for an attended driver. The operator
+            // decides wait-vs-breakReadPins(name) from the catalog
+            // (the stream itself never breaks a pin — killing a live
+            // 100 TB restore is worse than a delayed prune, and the
+            // pin contract says explicit, never automatic).
             if (r.retentionDeferred) {
               val pins = Snapshot.readPins(b.sparkSession, ep.exportRoot)
                 .collect()
                 .map(p => s"${p.getString(0)} (${p.getString(1)}, " +
-                  s"age ${p.getLong(3)}ms)")
+                  s"age ${p.getLong(3)}ms, versions=${p.getString(4)})")
               Console.err.println(s"[graft] WARNING: scheduled export " +
                 s"to ${ep.exportRoot} at batch $id shipped v=${r.version} " +
-                "but DEFERRED all retention pruning/vacuuming to live " +
-                s"read pins: ${pins.mkString("; ")}. Takedown-staleness " +
-                "propagation is suspended until the pins release; if a " +
-                "holder crashed, clear it with Snapshot.breakReadPins.")
+                "but live read pins DEFERRED part of its retention " +
+                s"pruning/vacuuming: ${pins.mkString("; ")}. The streak " +
+                "is persisted (Snapshot.deferrals); if a holder " +
+                "crashed, clear its pin by name with " +
+                "Snapshot.breakReadPins.")
             }
           }
-          // scheduled audit AFTER any export due this batch, so the
-          // just-shipped version is audited too: re-hash the newest
-          // standing version against its persisted checksums. Findings
+          // scheduled audit AFTER any export due this batch, so a
+          // just-shipped version enters the rotation immediately:
+          // re-hash ONE standing version against its persisted
+          // checksums, ROTATING by firing index — always-newest left
+          // the keepVersions-1 older versions (and the pool dirs only
+          // THEY reference, e.g. pre-compaction stamps) unaudited
+          // forever, rot there surfacing only at restore time. Firing
+          // k audits versions(k % n): same per-firing cost, the whole
+          // standing tree covered every n firings, deterministic on
+          // the batch id so a replay audits the same version. Findings
           // fail the batch LOUDLY — post-install rot in the
           // serving/backup tier is an incident, not a log line (see
           // ExportPolicy.auditEveryNBatches). Skips silently only when
           // nothing was ever exported (no version to audit yet).
           if (ep.auditEveryNBatches > 0 && id > 0 &&
-              id % ep.auditEveryNBatches == 0 &&
-              Snapshot.versions(b.sparkSession, ep.exportRoot).nonEmpty) {
-            val findings = Snapshot.verifyVersion(b.sparkSession,
-              ep.exportRoot).collect()
-            require(findings.isEmpty,
-              s"scheduled snapshot audit FAILED on ${ep.exportRoot} " +
-                s"(newest version, ${findings.length} finding(s)): " +
-                findings.take(5).map(_.getString(0)).mkString("; ") +
-                (if (findings.length > 5) "; …" else "") +
-                " — the export tree rotted post-install; restore the " +
-                "damaged dirs from a replica (Snapshot.sync) or " +
-                "re-export, then restart the stream")
+              id % ep.auditEveryNBatches == 0) {
+            val vs = Snapshot.versions(b.sparkSession, ep.exportRoot)
+            if (vs.nonEmpty) {
+              val v = vs(((id / ep.auditEveryNBatches) % vs.length).toInt)
+              val findings = Snapshot.verifyVersion(b.sparkSession,
+                ep.exportRoot, v).collect()
+              require(findings.isEmpty,
+                s"scheduled snapshot audit FAILED on ${ep.exportRoot} " +
+                  s"v=$v (${findings.length} finding(s)): " +
+                  findings.take(5).map(_.getString(0)).mkString("; ") +
+                  (if (findings.length > 5) "; …" else "") +
+                  " — the export tree rotted post-install; restore the " +
+                  "damaged dirs from a replica (Snapshot.sync) or " +
+                  "re-export, then restart the stream")
+            }
           }
         }
         ingestBatch(b, id, st, p, quant); () }

@@ -90,16 +90,21 @@ import graft.streaming.ContinuousIngest.IngestState
   * loudly instead of racing version numbering, retention, and the tmp
   * sweep (best-effort on filesystems without atomic exclusive create;
   * a crashed holder's lock is cleared with [[breakExportLock]]).
-  * WHOLE-TREE READS are protected the other way around: [[restore]]
-  * and [[sync]]'s source side hold a READ PIN for the duration of
-  * their read, and a concurrent export honors it by deferring ALL
-  * pruning and vacuuming to the next unpinned export — a scheduled
-  * in-stream export can never delete the version tree or pool dirs a
-  * multi-hour 100 TB restore is streaming (the serving faces stay
-  * pin-free: they read one immutable version inside the
+  * WHOLE-TREE READS are protected the other way around: [[restore]],
+  * [[sync]]'s source side and [[verifyVersion]] hold a READ PIN for
+  * the duration of their read, scoped to the VERSIONS the read
+  * streams, and a concurrent export honors it by deferring exactly
+  * those versions' pruning (their surviving manifests keep their pool
+  * dirs out of the vacuum) while pruning and vacuuming everything
+  * else on schedule — a scheduled in-stream export can never delete
+  * what a multi-hour 100 TB restore is streaming, AND a busy root
+  * with overlapping replica syncs still propagates
+  * right-to-be-forgotten staleness on every export (the serving
+  * faces stay pin-free: they read one immutable version inside the
   * `keepVersions` grace window). A read that would START mid-export
-  * refuses loudly instead; a crashed reader's pin is cleared with
-  * [[breakReadPins]], never by age.
+  * refuses loudly instead; a crashed reader's pin is cleared BY NAME
+  * with [[breakReadPins]], never by age; every deferred pass is
+  * persisted at the root until retention catches up ([[deferrals]]).
   *
   * FULL BACKUPS ride the same machinery: `export(full = true)` ships
   * the complete primary state — dedup tables, takedown metadata
@@ -160,14 +165,26 @@ object Snapshot {
     * window. */
   private[graft] val ExportLockFile = ".export_lock"
   /** Read-pin marker prefix (dot-prefixed, uuid-suffixed — one per
-    * live whole-tree reader). A pin makes an export's retention pass
-    * DEFER all pruning and pool vacuuming: [[restore]] and [[sync]]'s
-    * source side hold one for the duration of their read, so a
-    * scheduled export can never delete the version tree or pool dirs
-    * a multi-hour read is streaming. Serving faces ([[state]]) stay
-    * pin-free — they read one immutable version and the
-    * `keepVersions` grace window is their protection. */
+    * live whole-tree reader). A pin is VERSION-SCOPED: it records the
+    * version set its read streams (`versions=` line), and an export's
+    * retention pass defers pruning exactly those versions — whose
+    * surviving manifests in turn keep every pool dir the read touches
+    * out of the vacuum — while everything else prunes on schedule, so
+    * N replicas syncing on a cadence can never suspend takedown
+    * propagation root-wide. A pin WITHOUT a scope (just-acquired,
+    * manual, or legacy) defers everything. [[restore]], [[sync]]'s
+    * source side and [[verifyVersion]] hold one for the duration of
+    * their read, so a scheduled export can never delete the version
+    * tree or pool dirs a multi-hour read is streaming. Serving faces
+    * ([[state]]) stay pin-free — they read one immutable version and
+    * the `keepVersions` grace window is their protection. */
   private[graft] val ReadPinPrefix = ".read_pin_"
+  /** Retention-deferral evidence (dot-prefixed dir): one small file
+    * per deferred retention pass, cleared by the first pass that runs
+    * unblocked — [[deferrals]] reads it, so "retention has been
+    * deferred for K consecutive exports" is a queryable fact riding
+    * the export root, not a stderr line on a headless driver. */
+  private[graft] val DeferralsDir = ".deferrals"
   /** Export-root identity (a UUID file at the root, stamped by the
     * first [[export]] and ADOPTED by replicas on their first [[sync]])
     * — what lets sync prove "this destination is MY replica" before
@@ -186,8 +203,11 @@ object Snapshot {
     * `prunedVersions` pins retention + takedown staleness,
     * `vacuumedPoolDirs` pins the pool GC. `retentionDeferred` is true
     * when live READ PINS (a restore or sync streaming this root —
-    * see [[breakReadPins]]) made this export skip pruning and
-    * vacuuming entirely; the next unpinned export catches up. */
+    * see [[breakReadPins]]) blocked SOMETHING: a pinned version a
+    * prune candidate covers, or — under a broad, unscoped pin —
+    * anything at all. Unpinned candidates pruned and the pool
+    * vacuumed regardless; the deferral is persisted ([[deferrals]])
+    * and the next unblocked pass catches up. */
   final case class ExportResult(version: Long,
                                 copiedPoolDirs: Long,
                                 skippedPoolDirs: Long,
@@ -226,16 +246,21 @@ object Snapshot {
     * [[export]]).
     *
     * `auditEveryNBatches` > 0 additionally schedules [[verifyVersion]]
-    * against the export root's NEWEST version from the same boundary
-    * slot (after any export due that batch, so a just-shipped version
-    * is audited too): the persisted-checksum re-hash that catches
-    * POST-INSTALL rot on a months-lived serving tree — an audit that
-    * only exists as an operator's cron job catches nothing. Findings
-    * FAIL THE BATCH loudly (the stream stops, findings named): rot in
-    * the serving/backup tier is an incident, and the alternative — a
+    * from the same boundary slot (after any export due that batch, so
+    * a just-shipped version enters the rotation immediately),
+    * ROTATING through the standing versions by firing index — firing
+    * k audits `versions(k % n)`, so the WHOLE tree (older kept
+    * versions and the pool dirs only they reference included) is
+    * covered every n firings at one version's cost per firing:
+    * the persisted-checksum re-hash that catches POST-INSTALL rot on
+    * a months-lived serving tree — an audit that only exists as an
+    * operator's cron job catches nothing. Findings FAIL THE BATCH
+    * loudly (the stream stops, findings named): rot in the
+    * serving/backup tier is an incident, and the alternative — a
     * callback nobody wired — is how audits rot too. Default 0 (off);
-    * the audit is distributed (one task per file) but it re-reads the
-    * newest version's bytes, so size the cadence like compaction's. */
+    * the audit is distributed (one task per file) but it re-reads one
+    * version's bytes per firing, so size the cadence like
+    * compaction's. */
   final case class ExportPolicy(exportRoot: String, everyNBatches: Int,
                                 keepVersions: Int = 3,
                                 includeDocs: Boolean = false,
@@ -472,33 +497,49 @@ object Snapshot {
       s"Snapshot.export: version install rename $vtmp -> $vDir failed")
 
     // ---- retention: takedown staleness first, then keepVersions ----
-    // …unless a READ PIN is live: a restore or sync is streaming this
-    // root's version trees and pool dirs RIGHT NOW, and pruning or
-    // vacuuming under it would kill a multi-hour read at N%. The
-    // export still installs its new version (pins never block
-    // shipping); ALL deletion — including takedown staleness — defers
-    // to the next unpinned export. Pins are bounded-duration reads
-    // released in a finally, so the deferral is a cadence delay, not
-    // a retention hole; a crashed holder's pin is cleared explicitly
-    // with [[breakReadPins]], mirroring the export lock's contract.
-    val pinned = listReadPins(fs, exRoot).nonEmpty
-    val pruned =
-      if (pinned) Nil
-      else {
-        val survivors = listVersionDirs(fs, exRoot).map(versionOf).sorted
-        val stale = survivors.filter(v => v != version &&
-          markerOpsCount(fs, exRoot, v) < nOps)
-        val routine = survivors.filterNot(stale.contains)
-          .sorted(Ordering[Long].reverse).drop(keepVersions)
-        val p = (stale ++ routine).distinct.sorted
-        p.foreach(v => fs.delete(new HPath(exRoot, s"v=$v"), true))
-        p
-      }
+    // …minus whatever live READ PINS cover: each pin records the
+    // VERSION SET its read streams (restore: the one restored version;
+    // sync: the versions it is copying), so retention prunes every
+    // candidate NO pin references — takedown-staleness propagation
+    // proceeds for unpinned versions while reads stream — and defers
+    // only the pinned ones to the next export. The pool vacuum runs
+    // whenever every pin is version-scoped: a pinned version survives
+    // its prune, so its manifests keep every pool dir its reader
+    // streams referenced (readers only ever read through a complete
+    // version's manifests — an UNreferenced pool dir is unreachable to
+    // them by construction). A pin WITHOUT a version scope (a manual
+    // pin protecting an out-of-band whole-tree copy, or one created
+    // before its holder narrowed it) defers everything, the
+    // conservative pre-scoping contract. Pins are bounded-duration
+    // reads released in a finally; a crashed holder's pin is cleared
+    // explicitly with [[breakReadPins]], mirroring the export lock's
+    // contract. Every deferral is PERSISTED (see [[deferrals]]) and
+    // the log is cleared by the first pass that runs unblocked, so
+    // "K consecutive deferred exports" is queryable, not a stderr
+    // line nobody reads on a headless driver.
+    val (pins, scope) = livePinScope(fs, exRoot)
+    val survivors = listVersionDirs(fs, exRoot).map(versionOf).sorted
+    val stale = survivors.filter(v => v != version &&
+      markerOpsCount(fs, exRoot, v) < nOps)
+    val routine = survivors.filterNot(stale.contains)
+      .sorted(Ordering[Long].reverse).drop(keepVersions)
+    val want = (stale ++ routine).distinct.sorted
+    val (blocked, pruned) = scope match {
+      case None => (want, Nil) // an unscoped pin is live: defer all
+      case Some(pv) => want.partition(pv.contains)
+    }
+    pruned.foreach(v => fs.delete(new HPath(exRoot, s"v=$v"), true))
 
     // ---- pool vacuum: anything no surviving manifest references ----
-    val vacuumed = if (pinned) 0L else vacuumPool(fs, exRoot)
+    val vacuumed =
+      if (scope.isEmpty) 0L else vacuumPool(fs, exRoot)
+    val deferred = blocked.nonEmpty ||
+      (scope.isEmpty && (want.nonEmpty ||
+        vacuumPool(fs, exRoot, dryRun = true) > 0L))
+    if (deferred) logDeferral(fs, exRoot, "export", version, blocked, pins)
+    else clearDeferrals(fs, exRoot)
     ExportResult(version, poolInstalls.size.toLong, skipped, nFiles,
-      nBytes, pruned, vacuumed, retentionDeferred = pinned)
+      nBytes, pruned, vacuumed, retentionDeferred = deferred)
   }
 
   /** Pool rel paths referenced by the COMPLETE versions at `exRoot`
@@ -523,8 +564,11 @@ object Snapshot {
     }.toSet
 
   /** Delete pool dirs no surviving version references; returns the
-    * count (the GC half of retention — runs under the export lock). */
-  private def vacuumPool(fs: FileSystem, exRoot: HPath): Long = {
+    * count (the GC half of retention — runs under the export lock).
+    * `dryRun` only counts — what an UNscoped read pin's deferral
+    * check needs (listings, no deletes). */
+  private def vacuumPool(fs: FileSystem, exRoot: HPath,
+                         dryRun: Boolean = false): Long = {
     val referenced = referencedPoolDirs(fs, exRoot)
     val pool = new HPath(exRoot, "pool")
     var vacuumed = 0L
@@ -535,7 +579,7 @@ object Snapshot {
           val rel = s"pool/${td.getPath.getName}/${bd.getPath.getName}/" +
             vd.getPath.getName
           if (!referenced.contains(rel)) {
-            fs.delete(vd.getPath, true)
+            if (!dryRun) fs.delete(vd.getPath, true)
             vacuumed += 1
           }
         }
@@ -638,9 +682,21 @@ object Snapshot {
     * DEFER its retention prune/vacuum — the dirs this sync is
     * streaming cannot vanish under it (a sync STARTING while the
     * source is mid-export refuses loudly instead; see
-    * [[breakReadPins]] for crashed holders). */
+    * [[breakReadPins]] for crashed holders). The pin is VERSION-
+    * SCOPED: once the missing set is planned, the pin is narrowed to
+    * exactly those versions, so a concurrent source export prunes and
+    * vacuums everything else on schedule (takedown propagation never
+    * waits on replica cadence).
+    *
+    * `pin = false` skips the source pin — the explicit opt-out for a
+    * source mounted READ-ONLY at this consumer (a common DR posture:
+    * pin creation needs a write). Safe ONLY when no exporter can run
+    * against that root for the read's duration — with no pin, a
+    * concurrent export's retention can delete the versions this sync
+    * is streaming mid-read. The mid-export refusal (export-lock
+    * check) still applies either way. */
   def sync(spark: SparkSession, srcRoot: String,
-           dstRoot: String): SyncResult = {
+           dstRoot: String, pin: Boolean = true): SyncResult = {
     // both sides live by the rename-atomic install contract: the
     // replica installs pool/version trees by rename under an
     // exclusive-create lock, and the source's own installs were only
@@ -659,26 +715,38 @@ object Snapshot {
     fs.mkdirs(dstEx)
     // pin the SOURCE for the read's duration: a scheduled export on
     // the source root can no longer prune/vacuum the version trees
-    // and pool dirs this sync is streaming (it defers retention and
-    // ships on); released in the finally, crashed holders cleared
-    // with [[breakReadPins]]
-    val srcPin = acquireReadPin(srcFs, srcEx, s"sync->$dstRoot")
+    // and pool dirs this sync is streaming (it defers only what the
+    // pin covers and ships on); acquired broad, narrowed to the
+    // missing-version set once planned, released in the finally;
+    // crashed holders cleared with [[breakReadPins]]. The holder is a
+    // mutable ref because narrowing replaces the pin file (create-new-
+    // then-delete-old — no unpinned window) and the finally must
+    // release whichever pin is CURRENT.
+    val srcPin = new java.util.concurrent.atomic.AtomicReference[HPath](
+      if (pin) acquireReadPin(srcFs, srcEx, s"sync->$dstRoot") else null)
+    // the mid-export refusal holds even unpinned: a read starting now
+    // cannot know whether the running exporter's retention already ran
+    if (!pin && srcFs.exists(new HPath(srcEx, ExportLockFile)))
+      sys.error(s"Snapshot.sync: $srcEx is mid-export (its " +
+        s"$ExportLockFile is held) — re-run when the export completes " +
+        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
     try {
       val lock = acquireExportLock(fs, dstEx)
-      try syncLocked(spark, srcFs, srcEx, fs, dstEx)
+      try syncLocked(spark, srcFs, srcEx, fs, dstEx, srcPin)
       finally {
         fs.delete(lock, false)
         ()
       }
     } finally {
-      srcFs.delete(srcPin, false)
+      Option(srcPin.get).foreach(p => srcFs.delete(p, false))
       ()
     }
   }
 
   private def syncLocked(spark: SparkSession, srcFs: FileSystem,
-                         srcEx: HPath, fs: FileSystem,
-                         dstEx: HPath): SyncResult = {
+                         srcEx: HPath, fs: FileSystem, dstEx: HPath,
+                         srcPin: java.util.concurrent.atomic.AtomicReference[HPath])
+    : SyncResult = {
     sweepTmps(fs, dstEx)
     fs.mkdirs(new HPath(dstEx, "pool"))
     // lineage identity FIRST — the one check that holds even when the
@@ -744,6 +812,25 @@ object Snapshot {
         "it IS a legacy replica that lagged past the source's " +
         "retention, delete its versions deliberately (or re-seed an " +
         "empty root); otherwise fix dstRoot.")
+    // the MIRROR case: an ID-LESS SOURCE (a legacy root never
+    // re-exported by id-stamping code) against an id-carrying
+    // destination. The id equality check above is vacuous with no
+    // source id, so the same proof is required of the destination —
+    // empty, or a marker-verified common version — before anything
+    // prunes. Without it, syncing a legacy source onto a mistyped
+    // id-carrying replica OF A DIFFERENT ROOT whose versions all sat
+    // below the source's max and shared nothing passed every check
+    // and silently pruned it: exactly the destruction the id was
+    // introduced to close, reopened through the legacy side.
+    require(srcId.nonEmpty || dstId.isEmpty || dstVs.isEmpty ||
+        dstVs.toSet.intersect(srcVs.toSet).nonEmpty,
+      s"Snapshot.sync: the source $srcEx carries no lineage id but " +
+        s"the destination $dstEx does (id ${dstId.getOrElse("")}), and " +
+        s"they share no version (replica: ${dstVs.mkString(", ")}; " +
+        s"source: ${srcVs.mkString(", ")}) — cannot prove the " +
+        "destination is this source's replica; syncing would prune its " +
+        "versions. Re-export the source once (stamping its id) and " +
+        "sync from that, or fix dstRoot.")
     // every divergence check passed — adopt the source's lineage
     // identity NOW, before any install: a sync that crashes mid-copy
     // must not leave a replica holding this source's versions but no
@@ -752,6 +839,14 @@ object Snapshot {
       .foreach(id => writeRootId(fs, dstEx, id))
     // ---- plan: missing pool dirs for the missing versions ----------
     val missingVs = srcVs.filterNot(dstVs.contains)
+    // the read set is now known — narrow the source pin to exactly the
+    // versions this sync streams (their trees + the pool dirs their
+    // manifests reference, which survive with them), so a concurrent
+    // source export prunes/vacuums everything else on schedule. The
+    // common-version marker reads above ran under the broad pin.
+    Option(srcPin.get).foreach(old =>
+      srcPin.set(narrowReadPin(srcFs, srcEx, old,
+        s"sync->$dstEx", missingVs)))
     val copies = scala.collection.mutable.ArrayBuffer.empty[CopyEntry]
     val poolInstalls = scala.collection.mutable.ArrayBuffer
       .empty[(HPath, HPath)]
@@ -833,20 +928,27 @@ object Snapshot {
         s"Snapshot.sync: version install rename $vtmp failed")
     }
     // ---- prune what the source no longer has, then vacuum ----------
-    // (deferred while a READ PIN is live on the replica — a restore
+    // (minus what live READ PINS on the replica cover — a restore
     // streaming FROM this replica must not lose its version tree;
-    // same contract as exportLocked's retention pass)
-    val dstPinned = listReadPins(fs, dstEx).nonEmpty
-    val pruned =
-      if (dstPinned) Nil
-      else {
-        val p = dstVs.filterNot(srcVs.contains)
-        p.foreach(v => fs.delete(new HPath(dstEx, s"v=$v"), true))
-        p
-      }
-    val vacuumed = if (dstPinned) 0L else vacuumPool(fs, dstEx)
+    // same version-scoped contract, deferral log and unscoped-pin
+    // conservatism as exportLocked's retention pass)
+    val (dstPins, dstScope) = livePinScope(fs, dstEx)
+    val want = dstVs.filterNot(srcVs.contains)
+    val (blocked, pruned) = dstScope match {
+      case None => (want, Nil)
+      case Some(pv) => want.partition(pv.contains)
+    }
+    pruned.foreach(v => fs.delete(new HPath(dstEx, s"v=$v"), true))
+    val vacuumed = if (dstScope.isEmpty) 0L else vacuumPool(fs, dstEx)
+    val deferred = blocked.nonEmpty ||
+      (dstScope.isEmpty && (want.nonEmpty ||
+        vacuumPool(fs, dstEx, dryRun = true) > 0L))
+    if (deferred)
+      logDeferral(fs, dstEx, "sync",
+        missingVs.lastOption.getOrElse(-1L), blocked, dstPins)
+    else clearDeferrals(fs, dstEx)
     SyncResult(missingVs, poolInstalls.size.toLong, skipped, nFiles,
-      nBytes, pruned, vacuumed, retentionDeferred = dstPinned)
+      nBytes, pruned, vacuumed, retentionDeferred = deferred)
   }
 
   // ---- internals ----------------------------------------------------
@@ -922,8 +1024,15 @@ object Snapshot {
     * checkpoint and let re-delivery converge (already-ingested docs
     * drop as exact dups — the dedup engine IS the idempotence
     * layer), or continue with explicit `ingestBatch` ids. */
+  /** `pin = false` skips the read pin on `exportRoot` — the explicit
+    * opt-out for a backup mounted READ-ONLY at this consumer (pin
+    * creation needs a write, and a read-only DR mount is a deliberate
+    * posture). Safe ONLY when no exporter can run against that root
+    * for the read's duration: with no pin, a concurrent export's
+    * retention can prune the version this restore is streaming
+    * mid-copy. The mid-export refusal still applies either way. */
   def restore(spark: SparkSession, exportRoot: String, newRoot: String,
-              version: Long = -1L): IngestState = {
+              version: Long = -1L, pin: Boolean = true): IngestState = {
     // newRoot becomes a primary (IngestState would refuse it anyway —
     // but AFTER the full copy; refuse before a byte ships), and the
     // backup side's tmp-adoption/rename install needs atomicity too
@@ -942,10 +1051,15 @@ object Snapshot {
         "root (check the path)")
     // pin the backup root for the read's duration: a scheduled export
     // can no longer prune the version tree or vacuum the pool dirs a
-    // multi-hour restore is streaming (it defers retention instead);
-    // released in the finally, crashed holders cleared with
-    // [[breakReadPins]]
-    val pin = acquireReadPin(fs, exRoot, s"restore->$newRoot")
+    // multi-hour restore is streaming (it defers exactly the pinned
+    // version instead, once narrowed below); released in the finally,
+    // crashed holders cleared with [[breakReadPins]]
+    val pinRef = new java.util.concurrent.atomic.AtomicReference[HPath](
+      if (pin) acquireReadPin(fs, exRoot, s"restore->$newRoot") else null)
+    if (!pin && fs.exists(new HPath(exRoot, ExportLockFile)))
+      sys.error(s"Snapshot.restore: $exRoot is mid-export (its " +
+        s"$ExportLockFile is held) — re-run when the export completes " +
+        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
     try {
     val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
     val v =
@@ -956,6 +1070,13 @@ object Snapshot {
         version
       } else vs.lastOption.getOrElse(sys.error(
         s"Snapshot.restore: no complete snapshot at $exportRoot"))
+    // the read set is known — narrow the pin to exactly this version
+    // (its tree + the pool dirs its manifests reference, which survive
+    // with it): a concurrent export prunes and vacuums everything else
+    // on schedule while this restore streams
+    Option(pinRef.get).foreach(old =>
+      pinRef.set(narrowReadPin(fs, exRoot, old,
+        s"restore->$newRoot", Seq(v))))
     val vRoot = new HPath(exRoot, s"v=$v")
     val marker = new String(ContinuousIngest.readFileBytes(fs,
       new HPath(vRoot, ContinuousIngest.SnapshotMarkerFile)), "UTF-8")
@@ -1111,7 +1232,7 @@ object Snapshot {
         "retained, re-run")
     IngestState(dst.toString)
     } finally {
-      fs.delete(pin, false)
+      Option(pinRef.get).foreach(p => fs.delete(p, false))
       ()
     }
   }
@@ -1154,17 +1275,29 @@ object Snapshot {
     *  - `sums_missing=<dir>` — shipped before the checksum
     *    discipline; unverifiable (the next content change re-ships
     *    the dir stamped, or re-export with a bumped stamp).
-    * Read-only: safe against a LIVE export root (versions and pool
-    * dirs are immutable once installed; a concurrent export only adds
-    * dirs this walk never visits — though its retention may PRUNE the
-    * version under verification, in which case the walk fails loudly
-    * on the vanished dir and never reports a stale clean; re-run on a
-    * surviving version). */
+    * The walk holds a READ PIN scoped to the audited version, like
+    * every other whole-tree read: an export starting mid-audit defers
+    * pruning THIS version (everything else prunes on schedule), so a
+    * retention pass can never race the walk into spurious
+    * `missing_dir`/vanished findings — and an audit starting
+    * mid-export refuses loudly instead of guessing. `pin = false` is
+    * the read-only-mount opt-out, same contract as [[restore]]'s. */
   def verifyVersion(spark: SparkSession, exportRoot: String,
-                    version: Long = -1L): org.apache.spark.sql.DataFrame = {
+                    version: Long = -1L,
+                    pin: Boolean = true): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val exRoot = fs.makeQualified(new HPath(exportRoot))
+    require(fs.exists(exRoot),
+      s"Snapshot.verifyVersion: $exportRoot does not exist — not an " +
+        "export root (check the path)")
+    val pinRef = new java.util.concurrent.atomic.AtomicReference[HPath](
+      if (pin) acquireReadPin(fs, exRoot, s"verifyVersion") else null)
+    if (!pin && fs.exists(new HPath(exRoot, ExportLockFile)))
+      sys.error(s"Snapshot.verifyVersion: $exRoot is mid-export (its " +
+        s"$ExportLockFile is held) — re-run when the export completes " +
+        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
+    try {
     val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
     val v =
       if (version >= 0L) {
@@ -1174,6 +1307,8 @@ object Snapshot {
         version
       } else vs.lastOption.getOrElse(sys.error(
         s"Snapshot.verifyVersion: no complete snapshot at $exportRoot"))
+    Option(pinRef.get).foreach(old =>
+      pinRef.set(narrowReadPin(fs, exRoot, old, "verifyVersion", Seq(v))))
     val vRoot = new HPath(exRoot, s"v=$v")
     // every dir whose files rode copyFiles: manifest-referenced pool
     // dirs, the version tree's physical dirs (quantizers, markers),
@@ -1267,6 +1402,10 @@ object Snapshot {
           .collect().toSeq
       }
     (viol.toSeq ++ hashed).toDF("violation")
+    } finally {
+      Option(pinRef.get).foreach(p => fs.delete(p, false))
+      ()
+    }
   }
 
   /** Per-executor cache of the rebuilt Hadoop Configuration, keyed by
@@ -1521,22 +1660,43 @@ object Snapshot {
   }
 
   /** Take a READ PIN on an export root for the duration of a
-    * whole-tree read (restore; sync's source side). Protocol, matched
-    * against the exporter's: (1) the pin lands first (a uuid-named
-    * marker — pins never contend with each other); (2) THEN the
+    * whole-tree read (restore; sync's source side; verifyVersion's
+    * walk). Protocol, matched against the exporter's: (1) the pin
+    * lands first (a uuid-named marker — pins never contend with each
+    * other: the FULL uuid rides the name, so a collision is
+    * astronomically impossible rather than merely unlikely and the
+    * exclusive create never aborts a read spuriously); (2) THEN the
     * export lock is checked — if an export/sync holds the root right
     * now, this reader cannot know whether that writer's retention
     * pass already ran its pin check, so it releases the pin and
     * refuses loudly (re-run when the export completes). An export
     * that STARTS after the pin landed always sees it: the retention
     * pass lists pins under the export lock, after the pin's create
-    * completed. The pin carries holder info for the refusal message a
-    * deferred-retention operator reads. */
+    * completed. The pin carries holder info for the catalog a
+    * deferred-retention operator reads ([[readPins]]).
+    *
+    * A fresh pin is BROAD (no `versions=` line — retention defers
+    * everything); the caller narrows it with [[narrowReadPin]] the
+    * moment its read set is known. A pin create that FAILS (the
+    * common cause: the root is a read-only mount at this consumer)
+    * refuses with the `pin = false` opt-out named — never silently,
+    * because an unpinned read against a root an exporter CAN write is
+    * exactly the race the pin closes. */
   private def acquireReadPin(fs: FileSystem, exRoot: HPath,
                              purpose: String): HPath = {
     val pin = new HPath(exRoot,
-      s"$ReadPinPrefix${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(pin, false)
+      s"$ReadPinPrefix${java.util.UUID.randomUUID()}")
+    val out =
+      try fs.create(pin, false)
+      catch {
+        case e: java.io.IOException =>
+          sys.error(s"Snapshot: cannot create a read pin at $exRoot " +
+            s"(${e.getMessage}) — whole-tree reads pin their source so " +
+            "a concurrent export's retention cannot delete what they " +
+            "stream. If this root is a READ-ONLY mount where no " +
+            "exporter can possibly run, re-run with pin = false; " +
+            "otherwise fix write access to the root.")
+      }
     try out.write((s"purpose=$purpose\n" +
       s"created_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
     finally out.close()
@@ -1551,6 +1711,69 @@ object Snapshot {
     pin
   }
 
+  /** Replace a broad pin with one scoped to `versions` — create the
+    * scoped pin FIRST, then delete the broad one, so no instant exists
+    * with the read unpinned (retention honors the UNION of live pins).
+    * No export-lock re-check: the caller already passed it at acquire
+    * time, and any export that started since sees whichever of the two
+    * pins is live. Returns the new pin (the caller's finally releases
+    * it). */
+  private def narrowReadPin(fs: FileSystem, exRoot: HPath, broad: HPath,
+                            purpose: String, versions: Seq[Long]): HPath = {
+    val pin = new HPath(exRoot,
+      s"$ReadPinPrefix${java.util.UUID.randomUUID()}")
+    val out = fs.create(pin, false)
+    try out.write((s"purpose=$purpose\n" +
+      s"created_ms=${System.currentTimeMillis()}\n" +
+      s"versions=${versions.sorted.mkString(",")}\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(broad, false)
+    pin
+  }
+
+  /** Live pins and the version set they cover. Scope `None` = at
+    * least one pin is BROAD (no parseable `versions=` line: a
+    * just-acquired pin its holder hasn't narrowed yet, a manual pin
+    * an operator dropped to protect an out-of-band whole-tree copy,
+    * or a pre-scoping legacy pin) — retention must defer everything,
+    * the conservative contract. `Some(set)` = the union of every
+    * pin's scope (empty set when nothing is pinned).
+    *
+    * A pin that VANISHES between the listing and its read is either a
+    * reader finishing (pins nothing) or a reader NARROWING — the
+    * replacement pin exists (create-new-then-delete-old) but may
+    * postdate our listing, so the only sound response is a FRESH
+    * listing, retried until a pass reads cleanly. The retry is
+    * bounded; persistent churn degrades to broad (defer-all), never
+    * the other way. */
+  private def livePinScope(fs: FileSystem, exRoot: HPath)
+    : (Seq[HPath], Option[Set[Long]]) = {
+    var last: (Seq[HPath], Option[Set[Long]]) = (Nil, Some(Set.empty[Long]))
+    var attempt = 0
+    var retry = true
+    while (retry && attempt < 5) {
+      attempt += 1
+      retry = false
+      val pins = listReadPins(fs, exRoot)
+      val scopes: Seq[Option[Set[Long]]] = pins.map { p =>
+        try {
+          new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
+            .split("\n").map(_.trim).find(_.startsWith("versions="))
+            .map(_.stripPrefix("versions=").split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet)
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            retry = true; None // re-list; broad if the churn persists
+          case scala.util.control.NonFatal(_) => None // unreadable: broad
+        }
+      }
+      last = (pins,
+        if (scopes.contains(None)) None
+        else Some(scopes.flatten.foldLeft(Set.empty[Long])(_ ++ _)))
+    }
+    last
+  }
+
   /** Live read pins at an export root (listed by the exporter's
     * retention pass, under its lock). */
   private def listReadPins(fs: FileSystem, exRoot: HPath): Seq[HPath] =
@@ -1560,11 +1783,14 @@ object Snapshot {
       .map(_.getPath)
 
   /** The live read pins at `exportRoot`, one row per pin:
-    * `(pin, purpose, created_ms, age_ms)` — what an operator checks
-    * when an export reports `retentionDeferred` before deciding
-    * whether the holder is a live read (wait for it) or a crashed one
-    * ([[breakReadPins]]). Metadata cost: one listing + one small read
-    * per pin. */
+    * `(pin, purpose, created_ms, age_ms, versions)` — what an
+    * operator checks when an export reports `retentionDeferred`
+    * before deciding whether the holder is a live read (wait for it)
+    * or a crashed one ([[breakReadPins]], by the `pin` name).
+    * `versions` is the comma-joined version scope the pin protects;
+    * `"*"` for a broad pin (defers everything — see
+    * [[livePinScope]]'s cases). Metadata cost: one listing +
+    * one small read per pin. */
   def readPins(spark: SparkSession, exportRoot: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
@@ -1581,22 +1807,119 @@ object Snapshot {
         val created = fields.get("created_ms").flatMap(s =>
           scala.util.Try(s.toLong).toOption).getOrElse(-1L)
         (p.getName, fields.getOrElse("purpose", ""), created,
-          if (created > 0) now - created else -1L)
+          if (created > 0) now - created else -1L,
+          fields.getOrElse("versions", "*"))
       }.toOption
-    }.toDF("pin", "purpose", "created_ms", "age_ms")
+    }.toDF("pin", "purpose", "created_ms", "age_ms", "versions")
   }
 
-  /** Clear CRASHED readers' pins (each pin's holder died without its
-    * finally). Like [[breakExportLock]]: explicit and never automatic
-    * — a pin is the only thing standing between a live 100 TB restore
-    * and an export's retention pass, so expiring pins by age would
-    * trade a loud deferral for a silent kill. Returns the number
-    * cleared. */
-  def breakReadPins(spark: SparkSession, exportRoot: String): Int = {
+  /** Clear NAMED crashed readers' pins (names as [[readPins]] lists
+    * them — each named pin's holder died without its finally). Like
+    * [[breakExportLock]]: explicit and never automatic — a pin is the
+    * only thing standing between a live 100 TB restore and an
+    * export's retention pass, so expiring pins by age would trade a
+    * loud deferral for a silent kill. Named for the same reason: the
+    * operator clearing one crashed holder must not also clear the
+    * LIVE restore pinned beside it (use [[breakAllReadPins]] only
+    * when every holder is provably gone). Returns how many of the
+    * named pins existed and were cleared. */
+  def breakReadPins(spark: SparkSession, exportRoot: String,
+                    pins: Seq[String]): Int = {
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val exRoot = fs.makeQualified(new HPath(exportRoot))
+    pins.count { name =>
+      require(name.startsWith(ReadPinPrefix),
+        s"Snapshot.breakReadPins: '$name' is not a read-pin name " +
+          s"(they start with $ReadPinPrefix — copy it from readPins)")
+      fs.delete(new HPath(exRoot, name), false)
+    }
+  }
+
+  /** Clear EVERY read pin at the root — including a live reader's,
+    * which kills its protection mid-stream. Only for a root where
+    * every holder is provably gone; prefer [[breakReadPins]] with the
+    * crashed holder's name. Returns the number cleared. */
+  def breakAllReadPins(spark: SparkSession, exportRoot: String): Int = {
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val pins = listReadPins(fs, fs.makeQualified(new HPath(exportRoot)))
     pins.foreach(p => fs.delete(p, false))
     pins.size
+  }
+
+  /** The CURRENT consecutive retention-deferral streak at
+    * `exportRoot`, one row per deferred pass, oldest first:
+    * `(created_ms, face, version, blocked_versions, pins)` — `face`
+    * is `export` or `sync`, `version` the version that pass shipped
+    * (the newest synced version for sync; -1 when it shipped
+    * nothing), `blocked_versions` the comma-joined prune candidates
+    * live pins blocked (empty = only the pool vacuum was deferred,
+    * under a broad pin), `pins` the pin catalog snapshot that blocked
+    * it. The log is written by every deferred pass and CLEARED by the
+    * first pass whose retention runs unblocked — so a non-empty
+    * result IS the live streak ("retention has been deferred for K
+    * consecutive exports"), the queryable alarm input a stderr
+    * warning on a headless driver can never be. Empty = retention is
+    * current. */
+  def deferrals(spark: SparkSession, exportRoot: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = ContinuousIngest.fsFor(spark, exportRoot)
+    val dir = new HPath(fs.makeQualified(new HPath(exportRoot)), DeferralsDir)
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(Long, String, Long, String, String)]
+      else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { f =>
+        scala.util.Try {
+          val fields = new String(
+              ContinuousIngest.readFileBytes(fs, f.getPath), "UTF-8")
+            .split("\n").map(_.trim).filter(_.contains("="))
+            .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
+            .toMap
+          (fields.get("created_ms").flatMap(s =>
+              scala.util.Try(s.toLong).toOption).getOrElse(-1L),
+            fields.getOrElse("face", ""),
+            fields.get("version").flatMap(s =>
+              scala.util.Try(s.toLong).toOption).getOrElse(-1L),
+            fields.getOrElse("blocked_versions", ""),
+            fields.getOrElse("pins", ""))
+        }.toOption
+      }.sortBy(_._1)
+    rows.toDF("created_ms", "face", "version", "blocked_versions", "pins")
+  }
+
+  /** Persist one deferred retention pass (runs under the root's
+    * export lock): one small file, so "deferred again" is an append
+    * and never a read-modify-write. The pin snapshot rides along —
+    * when the operator finally looks, the holder that caused a
+    * week-old deferral may be long gone from [[readPins]]. */
+  private def logDeferral(fs: FileSystem, exRoot: HPath, face: String,
+                          version: Long, blocked: Seq[Long],
+                          pins: Seq[HPath]): Unit = {
+    val dir = new HPath(exRoot, DeferralsDir)
+    fs.mkdirs(dir)
+    val pinDesc = pins.map { p =>
+      val fields =
+        try new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
+          .split("\n").map(_.trim).filter(_.contains("="))
+          .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
+          .toMap
+        catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+      s"${p.getName}(${fields.getOrElse("purpose", "?")}," +
+        s"versions=${fields.getOrElse("versions", "*")})"
+    }.mkString("; ")
+    val now = System.currentTimeMillis()
+    writeText(fs, new HPath(dir,
+      s"def_${now}_${java.util.UUID.randomUUID().toString.take(8)}"),
+      Seq(s"created_ms=$now",
+        s"face=$face",
+        s"version=$version",
+        s"blocked_versions=${blocked.mkString(",")}",
+        s"pins=$pinDesc").mkString("\n"))
+  }
+
+  /** Close the streak: the first retention pass that runs unblocked
+    * deletes the whole log (see [[deferrals]]). */
+  private def clearDeferrals(fs: FileSystem, exRoot: HPath): Unit = {
+    fs.delete(new HPath(exRoot, DeferralsDir), true)
+    ()
   }
 
   /** The root's identity UUID; None on a root never exported by

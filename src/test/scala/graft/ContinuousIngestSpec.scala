@@ -2401,10 +2401,17 @@ class ContinuousIngestSpec extends SparkSpec {
     chunks.zipWithIndex.foreach { case (rows, i) =>
       ContinuousIngest.ingestBatch(rows.toDF("doc_id", "text"), i.toLong, st, P)
     }
+    // a stray non-numeric `batch=` dir (external tooling, manual
+    // debris) must not break the read-only introspection face — the
+    // tolerant parse drops it
+    assert(new java.io.File(s"${st.docsPath}/batch=debris").mkdirs())
     // BEFORE any compaction: batches 0..2 stand, no horizon yet
     val w0 = ContinuousIngest.rollbackWindow(spark, st).collect().head
     assert(w0.getLong(0) === 0L && w0.getLong(1) === 2L &&
       w0.getLong(2) === 3L && w0.isNullAt(3), w0.toString)
+    // (writer faces assume their own layout — clear the debris before
+    // exercising them below)
+    assert(new java.io.File(s"${st.docsPath}/batch=debris").delete())
     // manufacture the fold outcome the r18 ADVICE flagged: a
     // strictly-negative takedown partial folded into an ORIGINAL
     // batch's stats partition (foldStatsDeltas targets the max
@@ -2463,13 +2470,17 @@ class ContinuousIngestSpec extends SparkSpec {
         schemaDDL = "doc_id BIGINT, text STRING"),
       st, pa).awaitTermination()
     assert(Snapshot.versions(spark, ex).nonEmpty)
-    // manufacture POST-INSTALL rot in a pool file the newest version
-    // references (same-length bit flip; drop the local-FS crc sidecar
-    // so the read reaches our own hash gate)
+    // manufacture POST-INSTALL rot in a pool file v0 references (the
+    // version the NEXT audit firing rotates to: firing k audits
+    // versions(k % n), and the next delivery is batch id 3 against 3
+    // standing versions — index 0). batch=0's dirs are in v0's
+    // manifests. Same-length bit flip; drop the local-FS crc sidecar
+    // so the read reaches our own hash gate.
     val rotTarget = java.nio.file.Files.walk(
         java.nio.file.Path.of(s"$ex/pool"))
       .filter(p => java.nio.file.Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
+        p.getFileName.toString.endsWith(".parquet") &&
+        p.toString.contains("/batch=0/"))
       .findFirst().get().toFile
     val raf = new java.io.RandomAccessFile(rotTarget, "rw")
     try {
@@ -2495,6 +2506,73 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(ContinuousIngest.readTable(spark, st.docsPath)
       .where(col("doc_id") === 401L).count() === 0L,
       "the poisoned-tier batch must not have ingested")
+  }
+
+  test("scheduled audit ROTATES: rot in a pool dir only an OLDER version references (invisible to a newest-only audit forever) is caught within keepVersions firings") {
+    import graft.streaming.Snapshot
+    val root = freshRoot()
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/chunk_$i")
+      Thread.sleep(5)
+    }
+    val ex = s"$root/export"
+    // compaction at id 2 consolidates batches <= 1 BEFORE that
+    // batch's export, so v0 (shipped at id 1, horizon 0) references
+    // ORIGINAL batch-dir stamps v1 no longer does — the real-world
+    // shape of "older kept versions and the pool dirs only they
+    // reference", which the always-newest audit left unauditable for
+    // their whole keepVersions lifetime
+    val pa = P.copy(compactEveryNBatches = 2,
+      export = Some(Snapshot.ExportPolicy(ex, everyNBatches = 1,
+        keepVersions = 10, full = true, auditEveryNBatches = 1)))
+    val st = IngestState(s"$root/s")
+    ContinuousIngest.bootstrap(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), st, pa)
+    ContinuousIngest.start(
+      Bounded.fileStream(spark, s"$root/in/chunk_*",
+        schemaDDL = "doc_id BIGINT, text STRING"),
+      st, pa).awaitTermination()
+    assert(Snapshot.versions(spark, ex) === Seq(0L, 1L))
+    // a pool dir v0's manifests reference and v1's do not
+    def rels(v: Long): Set[String] =
+      Seq("docs", "digests", "keys", "stats").flatMap { t =>
+        val f = java.nio.file.Path.of(s"$ex/v=$v/$t/_GRAFT_DIRS")
+        if (!java.nio.file.Files.exists(f)) Set.empty[String]
+        else java.nio.file.Files.readString(f).split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty).map(_.split("\t")(1)).toSet
+      }.toSet
+    val v0only = rels(0L) -- rels(1L)
+    assert(v0only.nonEmpty, "compaction left no v0-exclusive pool dir")
+    val rotTarget = v0only.toSeq.sorted.iterator
+      .flatMap(r => Option(new java.io.File(s"$ex/$r").listFiles())
+        .getOrElse(Array.empty).toSeq)
+      .find(_.getName.endsWith(".parquet")).get
+    val raf = new java.io.RandomAccessFile(rotTarget, "rw")
+    try {
+      raf.seek(rotTarget.length() / 2)
+      val b = raf.read()
+      raf.seek(rotTarget.length() / 2)
+      raf.write(b ^ 0x01)
+    } finally raf.close()
+    new java.io.File(rotTarget.getParent,
+      s".${rotTarget.getName}.crc").delete()
+    // the rot is INVISIBLE to the newest version — the pre-rotation
+    // audit would have reported this tree clean forever
+    assert(Snapshot.verifyVersion(spark, ex, 1L).count() === 0L)
+    assert(Snapshot.verifyVersion(spark, ex, 0L).count() > 0L)
+    // next delivery: batch id 3 exports v2, and firing 3 against 3
+    // standing versions rotates to index 0 — v0's rot fails the batch
+    // by name, within one firing here (within keepVersions in general)
+    Seq(401L -> text(20)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/in/chunk_3")
+    val err = intercept[Throwable](
+      ContinuousIngest.start(
+        Bounded.fileStream(spark, s"$root/in/chunk_*",
+          schemaDDL = "doc_id BIGINT, text STRING"),
+        st, pa).awaitTermination())
+    assert(msgs(err).exists(m => m.contains("snapshot audit FAILED") &&
+      m.contains("v=0")), msgs(err).mkString(";"))
   }
 
   test("IngestState refuses a state root on a non-atomic-rename object store, by scheme") {

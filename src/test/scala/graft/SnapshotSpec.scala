@@ -766,7 +766,7 @@ class SnapshotSpec extends SparkSpec {
     // pin released (the crashed-holder face) -> the next export
     // catches up: staleness + retention prune v0 AND r1.version
     // (itself pre-cut at keepVersions=1 relative to the newest)
-    assert(Snapshot.breakReadPins(spark, ex) === 1)
+    assert(Snapshot.breakReadPins(spark, ex, Seq(".read_pin_manual")) === 1)
     val r2 = Snapshot.export(spark, st, ex, keepVersions = 1)
     assert(!r2.retentionDeferred)
     assert(r2.prunedVersions === Seq(0L, r1.version), r2.toString)
@@ -922,5 +922,215 @@ class SnapshotSpec extends SparkSpec {
       msgs(typoErr).mkString(";"))
     assert(!new java.io.File(s"$root/backups_exprot").exists(),
       "the typo'd export root was materialized by the pin's create")
+  }
+
+  private def writePin(ex: String, name: String, lines: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$ex/.read_pin_$name"),
+      lines.getBytes("UTF-8"))
+
+  test("version-scoped read pins: an export racing a pinned read prunes UNPINNED stale versions (takedown propagates) while the pinned version survives; the deferral streak persists and clears") {
+    val root = freshDir("graft_snap_vscope")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val ex = s"$root/ex"
+    Snapshot.export(spark, st, ex, full = true) // v0
+    Snapshot.export(spark, st, ex, full = true) // v1
+    // a reader streams v0 (what a restore's narrowed pin records)
+    writePin(ex, "live", "purpose=restore-sim\ncreated_ms=1\nversions=0\n")
+    val pinRows = Snapshot.readPins(spark, ex).collect()
+    assert(pinRows.length === 1 && pinRows.head.getString(4) === "0",
+      pinRows.mkString(";"))
+    // a takedown completes: v0 AND v1 are now stale (right-to-be-
+    // forgotten beats keepVersions)
+    val victim = docs.where(isNew).agg(min("doc_id")).head.getLong(0)
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(victim).toDF("doc_id")) === 1L)
+    val r2 = Snapshot.export(spark, st, ex, full = true) // v2
+    // the UNPINNED stale version pruned — takedown propagated while
+    // the read streams; only the pinned one deferred
+    assert(r2.prunedVersions === Seq(1L), r2.toString)
+    assert(r2.retentionDeferred, r2.toString)
+    assert(Snapshot.versions(spark, ex) === Seq(0L, r2.version))
+    // the pinned version still SERVES (its tree and pool dirs stand)
+    assert(ContinuousIngest.readTable(spark,
+      Snapshot.state(spark, ex, version = 0L).docsPath).count() > 0L)
+    // the deferral is PERSISTED: one streak row naming the blocked
+    // version and the pin that blocked it
+    val d1 = Snapshot.deferrals(spark, ex).collect()
+    assert(d1.length === 1 && d1.head.getString(1) === "export" &&
+      d1.head.getString(3) === "0" &&
+      d1.head.getString(4).contains("restore-sim"), d1.mkString(";"))
+    val r3 = Snapshot.export(spark, st, ex, full = true)
+    assert(r3.retentionDeferred && r3.prunedVersions.isEmpty, r3.toString)
+    assert(Snapshot.deferrals(spark, ex).count() === 2L, "streak grows")
+    // the reader finishes: the next export prunes the stale pinned
+    // version, vacuums its now-orphaned pre-takedown pool dirs, and
+    // CLOSES the streak
+    assert(Snapshot.breakReadPins(spark, ex,
+      Seq(pinRows.head.getString(0))) === 1)
+    val r4 = Snapshot.export(spark, st, ex, full = true)
+    assert(!r4.retentionDeferred && r4.prunedVersions === Seq(0L),
+      r4.toString)
+    assert(r4.vacuumedPoolDirs > 0L, r4.toString)
+    assert(Snapshot.deferrals(spark, ex).count() === 0L, "streak closed")
+    // a pin whose scope no prune candidate touches defers NOTHING:
+    // the warning/streak fires only when a pinned version blocks
+    writePin(ex, "newer", s"purpose=sim\ncreated_ms=1\n" +
+      s"versions=${r4.version}\n")
+    val r5 = Snapshot.export(spark, st, ex, full = true,
+      keepVersions = 3)
+    assert(!r5.retentionDeferred, r5.toString)
+    assert(r5.prunedVersions === Seq(r2.version), r5.toString)
+    assert(Snapshot.deferrals(spark, ex).count() === 0L)
+    assert(Snapshot.breakReadPins(spark, ex,
+      Seq(s".read_pin_newer")) === 1)
+
+    // the REAL readers wire the scope: poll the pin while restore and
+    // sync stream a backup and observe the narrowed versions= line
+    val bk = s"$root/bk"
+    Snapshot.export(spark, st, bk, full = true) // v0 only
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def polled(body: => Unit): Set[String] = {
+      seen.clear()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val poller = new Thread(() => {
+        while (!done.get) pinsAt(bk).foreach { n =>
+          try seen.add(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Path.of(s"$bk/$n")), "UTF-8"))
+          catch { case _: Throwable => () }
+        }
+      })
+      poller.start()
+      try body finally { done.set(true); poller.join() }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    val seenRestore = polled(
+      Snapshot.restore(spark, bk, s"$root/restored_poll"))
+    assert(seenRestore.exists(_.contains("versions=0")),
+      s"restore never narrowed its pin: ${seenRestore.mkString("|")}")
+    val seenSync = polled(Snapshot.sync(spark, bk, s"$root/rep_poll"))
+    assert(seenSync.exists(_.contains("versions=0")),
+      s"sync never narrowed its pin: ${seenSync.mkString("|")}")
+    assert(pinsAt(bk).isEmpty, "a pin outlived its read")
+  }
+
+  test("breakReadPins is NAMED: clearing the crashed pin leaves the live reader's pin — and its deferral protection — intact") {
+    val root = freshDir("graft_snap_breaknamed")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val ex = s"$root/ex"
+    Snapshot.export(spark, st, ex, full = true) // v0
+    // a LIVE reader streams v0; a CRASHED holder left a broad pin
+    writePin(ex, "live", "purpose=restore-live\ncreated_ms=1\nversions=0\n")
+    writePin(ex, "crashed", "purpose=restore-crashed\ncreated_ms=1\n")
+    val victim = docs.where(isNew).agg(min("doc_id")).head.getLong(0)
+    assert(ContinuousIngest.deleteDocs(spark, st,
+      Seq(victim).toDF("doc_id")) === 1L)
+    // the broad crashed pin defers EVERYTHING (no scope to trust)
+    val r1 = Snapshot.export(spark, st, ex, full = true)
+    assert(r1.retentionDeferred && r1.prunedVersions.isEmpty, r1.toString)
+    // clear the crashed holder BY NAME: the live pin survives…
+    assert(Snapshot.breakReadPins(spark, ex,
+      Seq(".read_pin_crashed")) === 1)
+    val left = Snapshot.readPins(spark, ex).collect()
+    assert(left.length === 1 && left.head.getString(1) === "restore-live",
+      left.mkString(";"))
+    // …and so does its protection: the stale pinned v0 still defers
+    val r2 = Snapshot.export(spark, st, ex, full = true)
+    assert(r2.retentionDeferred && r2.prunedVersions.isEmpty &&
+      Snapshot.versions(spark, ex).contains(0L), r2.toString)
+    // a non-pin name refuses (no silent deletion of arbitrary files)
+    val nameErr = intercept[Throwable](
+      Snapshot.breakReadPins(spark, ex, Seq("_GRAFT_ROOT_ID")))
+    assert(msgs(nameErr).exists(_.contains("not a read-pin name")),
+      msgs(nameErr).mkString(";"))
+    // the explicit clear-all face takes the rest
+    assert(Snapshot.breakAllReadPins(spark, ex) === 1)
+    assert(Snapshot.readPins(spark, ex).count() === 0L)
+  }
+
+  test("read-only backup mount: restore/sync/verifyVersion refuse loudly naming the pin = false opt-out, which then reads without writing the source") {
+    val root = freshDir("graft_snap_romount")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val bk = s"$root/backup"
+    val r = Snapshot.export(spark, st, bk, full = true)
+    import scala.sys.process._
+    // chattr +i: immutable dir — even root cannot create the pin file
+    // (the closest a local spec gets to a read-only DR mount)
+    assume(scala.util.Try(Seq("chattr", "+i", bk).!).getOrElse(1) == 0,
+      "chattr +i unsupported here")
+    try {
+      def refusesNamingOptOut(f: => Any): Unit = {
+        val e = intercept[Throwable](f)
+        assert(msgs(e).exists(m => m.contains("read pin") &&
+          m.contains("pin = false")), msgs(e).mkString(";"))
+      }
+      refusesNamingOptOut(Snapshot.restore(spark, bk, s"$root/r1"))
+      refusesNamingOptOut(Snapshot.sync(spark, bk, s"$root/rep"))
+      refusesNamingOptOut(Snapshot.verifyVersion(spark, bk))
+      // the documented opt-out reads the immutable root end to end
+      val rst = Snapshot.restore(spark, bk, s"$root/r1",
+        version = r.version, pin = false)
+      val l = ContinuousIngest.readTable(spark, st.docsPath)
+      val g = ContinuousIngest.readTable(spark, rst.docsPath)
+      assert(l.exceptAll(g).isEmpty && g.exceptAll(l).isEmpty)
+      Snapshot.sync(spark, bk, s"$root/rep", pin = false)
+      assert(Snapshot.versions(spark, s"$root/rep") === Seq(r.version))
+      assert(Snapshot.verifyVersion(spark, bk, pin = false).count() === 0L)
+    } finally {
+      assert(Seq("chattr", "-i", bk).! == 0)
+    }
+    // …and with the lock held, even pin = false refuses (mid-export)
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$bk/.export_lock"),
+      "holder_uuid=test\n".getBytes("UTF-8"))
+    val lockErr = intercept[Throwable](
+      Snapshot.restore(spark, bk, s"$root/r2", pin = false))
+    assert(msgs(lockErr).exists(_.contains("mid-export")),
+      msgs(lockErr).mkString(";"))
+    assert(Snapshot.breakExportLock(spark, bk))
+  }
+
+  test("sync refuses an ID-LESS legacy source against an id-carrying destination without common-version proof (the lineage guard's mirror case)") {
+    val root = freshDir("graft_snap_legacy_src")
+    val st = IngestState(s"$root/state")
+    ContinuousIngest.bootstrap(docs.where(!isNew), st, P)
+    val quant = ContinuousIngest.loadQuantizers(spark, st, P.ann.get)
+    ContinuousIngest.ingestBatch(docs.where(isNew), 0L, st, P, Some(quant))
+    val exA = s"$root/exA"
+    val exB = s"$root/exB"
+    Snapshot.export(spark, st, exA) // A: v0
+    val rep = s"$root/rep"
+    Snapshot.sync(spark, exA, rep) // rep: v0 + A's id
+    // B: a LEGACY root (no id) holding only v2 — rep's v0 sits below
+    // B's max and they share nothing, so every pre-identity check
+    // passes and the source-id equality check is vacuous: the exact
+    // mirror of the mistyped-dstRoot destruction the id closed
+    (1 to 3).foreach(_ => Snapshot.export(spark, st, exB, keepVersions = 1))
+    assert(Snapshot.versions(spark, exB) === Seq(2L))
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(s"$exB/_GRAFT_ROOT_ID"))
+    new java.io.File(s"$exB/._GRAFT_ROOT_ID.crc").delete()
+    val err = intercept[Throwable](Snapshot.sync(spark, exB, rep))
+    assert(msgs(err).exists(m => m.contains("carries no lineage id") &&
+      m.contains("cannot prove")), msgs(err).mkString(";"))
+    assert(Snapshot.versions(spark, rep) === Seq(0L), "replica pruned")
+    assert(poolDirCount(rep) > 0)
+    // a marker-verified common version IS the proof: the same legacy
+    // treatment of A (strip its id) syncs into its own replica fine
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(s"$exA/_GRAFT_ROOT_ID"))
+    new java.io.File(s"$exA/._GRAFT_ROOT_ID.crc").delete()
+    Snapshot.sync(spark, exA, rep)
+    assert(Snapshot.versions(spark, rep) === Seq(0L))
   }
 }
