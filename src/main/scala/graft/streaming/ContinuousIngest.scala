@@ -2998,10 +2998,15 @@ object ContinuousIngest {
         // tolerant parse: this is an operator-facing READER, and a
         // stray non-numeric `batch=` dir (external tooling, manual
         // debris) must not break introspection wholesale — the
-        // writer-side call sites keep assuming their own layout
+        // writer-side call sites keep assuming their own layout. The
+        // Try scopes to the NAME parse only: an fs.exists I/O error is
+        // a real failure and must propagate, not silently drop the
+        // batch from the window (an undercounted window would size
+        // compactEveryNBatches from wrong measurement)
         .flatMap(s => scala.util.Try(
-          (s.getPath.getName.stripPrefix("batch=").toLong,
-            fs.exists(new HPath(s.getPath, ConsolidatedMarker)))).toOption)
+            s.getPath.getName.stripPrefix("batch=").toLong).toOption
+          .map(id => (id,
+            fs.exists(new HPath(s.getPath, ConsolidatedMarker)))))
         .filter(_._1 >= 0L)
     val rollbackable = dirs.collect { case (id, false) => id }
     val horizon = dirs.collect { case (id, true) => id }
@@ -3749,22 +3754,36 @@ object ContinuousIngest {
           // scheduled audit AFTER any export due this batch, so a
           // just-shipped version enters the rotation immediately:
           // re-hash ONE standing version against its persisted
-          // checksums, ROTATING by firing index — always-newest left
-          // the keepVersions-1 older versions (and the pool dirs only
-          // THEY reference, e.g. pre-compaction stamps) unaudited
-          // forever, rot there surfacing only at restore time. Firing
-          // k audits versions(k % n): same per-firing cost, the whole
-          // standing tree covered every n firings, deterministic on
-          // the batch id so a replay audits the same version. Findings
-          // fail the batch LOUDLY — post-install rot in the
-          // serving/backup tier is an incident, not a log line (see
+          // checksums, ROTATING by VERSION-NUMBER residue — always-
+          // newest left the keepVersions-1 older versions (and the
+          // pool dirs only THEY reference, e.g. pre-compaction
+          // stamps) unaudited forever, rot there surfacing only at
+          // restore time. Firing k audits the standing version v with
+          // v ≡ k (mod n): at steady state the n standing versions
+          // are consecutive numbers — one per residue — and each
+          // version's n-firing lifetime contains exactly one matching
+          // firing, so EVERY version is audited exactly once in its
+          // lifetime at one version's cost per firing. Indexing the
+          // list positionally (vs(k % n)) would ALIAS with the
+          // sliding window: a window shifting d versions per firing
+          // skips entire residue classes whenever gcd(d+1, n) > 1 —
+          // e.g. keepVersions=2 at equal cadence audits every even
+          // version twice and every odd one never. A staleness-pruned
+          // window can leave a residue empty; the positional fallback
+          // keeps that firing auditing something rather than nothing.
+          // Deterministic on the batch id, so a replay audits the
+          // same version. Findings fail the batch LOUDLY —
+          // post-install rot in the serving/backup tier is an
+          // incident, not a log line (see
           // ExportPolicy.auditEveryNBatches). Skips silently only when
           // nothing was ever exported (no version to audit yet).
           if (ep.auditEveryNBatches > 0 && id > 0 &&
               id % ep.auditEveryNBatches == 0) {
             val vs = Snapshot.versions(b.sparkSession, ep.exportRoot)
             if (vs.nonEmpty) {
-              val v = vs(((id / ep.auditEveryNBatches) % vs.length).toInt)
+              val n = vs.length
+              val r = (id / ep.auditEveryNBatches) % n
+              val v = vs.filter(_ % n == r).lastOption.getOrElse(vs(r.toInt))
               val findings = Snapshot.verifyVersion(b.sparkSession,
                 ep.exportRoot, v).collect()
               require(findings.isEmpty,

@@ -517,29 +517,46 @@ object Snapshot {
     // the log is cleared by the first pass that runs unblocked, so
     // "K consecutive deferred exports" is queryable, not a stderr
     // line nobody reads on a headless driver.
-    val (pins, scope) = livePinScope(fs, exRoot)
     val survivors = listVersionDirs(fs, exRoot).map(versionOf).sorted
     val stale = survivors.filter(v => v != version &&
       markerOpsCount(fs, exRoot, v) < nOps)
     val routine = survivors.filterNot(stale.contains)
       .sorted(Ordering[Long].reverse).drop(keepVersions)
     val want = (stale ++ routine).distinct.sorted
+    val (pruned, vacuumed, deferred) =
+      retentionPass(fs, exRoot, "export", version, want)
+    ExportResult(version, poolInstalls.size.toLong, skipped, nFiles,
+      nBytes, pruned, vacuumed, retentionDeferred = deferred)
+  }
+
+  /** The SHARED retention pass (export's and sync's, under the root's
+    * export lock): prune the `want` candidates minus whatever live
+    * read pins cover, vacuum the pool, and keep the deferral streak
+    * ([[deferrals]]) honest — persisted when a pin blocked something,
+    * cleared by the first pass that runs unblocked. An UNscoped pin
+    * (manual/pre-narrowing — see [[livePinScope]]) defers everything;
+    * version-scoped pins defer exactly their versions, whose
+    * surviving manifests in turn keep every pool dir their readers
+    * stream out of the vacuum. Returns (pruned, vacuumedPoolDirs,
+    * deferred). */
+  private def retentionPass(fs: FileSystem, exRoot: HPath, face: String,
+                            shippedVersion: Long,
+                            want: Seq[Long]): (Seq[Long], Long, Boolean) = {
+    val (pins, scope) = livePinScope(fs, exRoot)
     val (blocked, pruned) = scope match {
       case None => (want, Nil) // an unscoped pin is live: defer all
       case Some(pv) => want.partition(pv.contains)
     }
     pruned.foreach(v => fs.delete(new HPath(exRoot, s"v=$v"), true))
-
-    // ---- pool vacuum: anything no surviving manifest references ----
-    val vacuumed =
-      if (scope.isEmpty) 0L else vacuumPool(fs, exRoot)
+    // pool vacuum: anything no surviving manifest references
+    val vacuumed = if (scope.isEmpty) 0L else vacuumPool(fs, exRoot)
     val deferred = blocked.nonEmpty ||
       (scope.isEmpty && (want.nonEmpty ||
         vacuumPool(fs, exRoot, dryRun = true) > 0L))
-    if (deferred) logDeferral(fs, exRoot, "export", version, blocked, pins)
+    if (deferred)
+      logDeferral(fs, exRoot, face, shippedVersion, blocked, pins)
     else clearDeferrals(fs, exRoot)
-    ExportResult(version, poolInstalls.size.toLong, skipped, nFiles,
-      nBytes, pruned, vacuumed, retentionDeferred = deferred)
+    (pruned, vacuumed, deferred)
   }
 
   /** Pool rel paths referenced by the COMPLETE versions at `exRoot`
@@ -724,12 +741,7 @@ object Snapshot {
     // release whichever pin is CURRENT.
     val srcPin = new java.util.concurrent.atomic.AtomicReference[HPath](
       if (pin) acquireReadPin(srcFs, srcEx, s"sync->$dstRoot") else null)
-    // the mid-export refusal holds even unpinned: a read starting now
-    // cannot know whether the running exporter's retention already ran
-    if (!pin && srcFs.exists(new HPath(srcEx, ExportLockFile)))
-      sys.error(s"Snapshot.sync: $srcEx is mid-export (its " +
-        s"$ExportLockFile is held) — re-run when the export completes " +
-        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
+    if (!pin) refuseMidExportUnpinned(srcFs, srcEx, "sync")
     try {
       val lock = acquireExportLock(fs, dstEx)
       try syncLocked(spark, srcFs, srcEx, fs, dstEx, srcPin)
@@ -930,23 +942,11 @@ object Snapshot {
     // ---- prune what the source no longer has, then vacuum ----------
     // (minus what live READ PINS on the replica cover — a restore
     // streaming FROM this replica must not lose its version tree;
-    // same version-scoped contract, deferral log and unscoped-pin
-    // conservatism as exportLocked's retention pass)
-    val (dstPins, dstScope) = livePinScope(fs, dstEx)
-    val want = dstVs.filterNot(srcVs.contains)
-    val (blocked, pruned) = dstScope match {
-      case None => (want, Nil)
-      case Some(pv) => want.partition(pv.contains)
-    }
-    pruned.foreach(v => fs.delete(new HPath(dstEx, s"v=$v"), true))
-    val vacuumed = if (dstScope.isEmpty) 0L else vacuumPool(fs, dstEx)
-    val deferred = blocked.nonEmpty ||
-      (dstScope.isEmpty && (want.nonEmpty ||
-        vacuumPool(fs, dstEx, dryRun = true) > 0L))
-    if (deferred)
-      logDeferral(fs, dstEx, "sync",
-        missingVs.lastOption.getOrElse(-1L), blocked, dstPins)
-    else clearDeferrals(fs, dstEx)
+    // the shared retention pass: same version-scoped contract,
+    // deferral streak and unscoped-pin conservatism as export's)
+    val (pruned, vacuumed, deferred) = retentionPass(fs, dstEx, "sync",
+      missingVs.lastOption.getOrElse(-1L),
+      dstVs.filterNot(srcVs.contains))
     SyncResult(missingVs, poolInstalls.size.toLong, skipped, nFiles,
       nBytes, pruned, vacuumed, retentionDeferred = deferred)
   }
@@ -1056,10 +1056,7 @@ object Snapshot {
     // crashed holders cleared with [[breakReadPins]]
     val pinRef = new java.util.concurrent.atomic.AtomicReference[HPath](
       if (pin) acquireReadPin(fs, exRoot, s"restore->$newRoot") else null)
-    if (!pin && fs.exists(new HPath(exRoot, ExportLockFile)))
-      sys.error(s"Snapshot.restore: $exRoot is mid-export (its " +
-        s"$ExportLockFile is held) — re-run when the export completes " +
-        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
+    if (!pin) refuseMidExportUnpinned(fs, exRoot, "restore")
     try {
     val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
     val v =
@@ -1293,10 +1290,7 @@ object Snapshot {
         "export root (check the path)")
     val pinRef = new java.util.concurrent.atomic.AtomicReference[HPath](
       if (pin) acquireReadPin(fs, exRoot, s"verifyVersion") else null)
-    if (!pin && fs.exists(new HPath(exRoot, ExportLockFile)))
-      sys.error(s"Snapshot.verifyVersion: $exRoot is mid-export (its " +
-        s"$ExportLockFile is held) — re-run when the export completes " +
-        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
+    if (!pin) refuseMidExportUnpinned(fs, exRoot, "verifyVersion")
     try {
     val vs = listVersionDirs(fs, exRoot).map(versionOf).sorted
     val v =
@@ -1711,6 +1705,18 @@ object Snapshot {
     pin
   }
 
+  /** The `pin = false` variant of the mid-export refusal the pin
+    * protocol performs at acquire time: an unpinned whole-tree read
+    * starting now cannot know whether the running exporter's
+    * retention pass already ran its pin check, so it refuses the same
+    * way a pinned one would. */
+  private def refuseMidExportUnpinned(fs: FileSystem, exRoot: HPath,
+                                      face: String): Unit =
+    if (fs.exists(new HPath(exRoot, ExportLockFile)))
+      sys.error(s"Snapshot.$face: $exRoot is mid-export (its " +
+        s"$ExportLockFile is held) — re-run when the export completes " +
+        "(a crashed holder's lock is cleared with Snapshot.breakExportLock)")
+
   /** Replace a broad pin with one scoped to `versions` — create the
     * scoped pin FIRST, then delete the broad one, so no instant exists
     * with the read unpinned (retention honors the UNION of live pins).
@@ -1731,13 +1737,28 @@ object Snapshot {
     pin
   }
 
-  /** Live pins and the version set they cover. Scope `None` = at
-    * least one pin is BROAD (no parseable `versions=` line: a
-    * just-acquired pin its holder hasn't narrowed yet, a manual pin
-    * an operator dropped to protect an out-of-band whole-tree copy,
-    * or a pre-scoping legacy pin) — retention must defer everything,
-    * the conservative contract. `Some(set)` = the union of every
-    * pin's scope (empty set when nothing is pinned).
+  /** Parse one marker/pin/deferral file's `key=value` lines — the ONE
+    * parser every small-file face shares (pins, the deferral log). */
+  private def parseKv(text: String): Map[String, String] =
+    text.split("\n").toSeq.map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
+      .toMap
+
+  /** One pin's version scope from its parsed fields: `None` = BROAD
+    * (no `versions=` line, or an unparseable one — defer
+    * everything). */
+  private def pinScopeOf(fields: Map[String, String]): Option[Set[Long]] =
+    fields.get("versions").flatMap(s => scala.util.Try(
+      s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSet).toOption)
+
+  /** Live pins (with their parsed fields) and the version set they
+    * cover. Scope `None` = at least one pin is BROAD (no parseable
+    * `versions=` line: a just-acquired pin its holder hasn't narrowed
+    * yet, a manual pin an operator dropped to protect an out-of-band
+    * whole-tree copy, or a pre-scoping legacy pin) — retention must
+    * defer everything, the conservative contract. `Some(set)` = the
+    * union of every pin's scope (empty set when nothing is pinned).
     *
     * A pin that VANISHES between the listing and its read is either a
     * reader finishing (pins nothing) or a reader NARROWING — the
@@ -1747,27 +1768,29 @@ object Snapshot {
     * bounded; persistent churn degrades to broad (defer-all), never
     * the other way. */
   private def livePinScope(fs: FileSystem, exRoot: HPath)
-    : (Seq[HPath], Option[Set[Long]]) = {
-    var last: (Seq[HPath], Option[Set[Long]]) = (Nil, Some(Set.empty[Long]))
+    : (Seq[(HPath, Map[String, String])], Option[Set[Long]]) = {
+    var last: (Seq[(HPath, Map[String, String])], Option[Set[Long]]) =
+      (Nil, Some(Set.empty[Long]))
     var attempt = 0
     var retry = true
     while (retry && attempt < 5) {
       attempt += 1
       retry = false
-      val pins = listReadPins(fs, exRoot)
-      val scopes: Seq[Option[Set[Long]]] = pins.map { p =>
+      val pins = listReadPins(fs, exRoot).map { p =>
         try {
-          new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
-            .split("\n").map(_.trim).find(_.startsWith("versions="))
-            .map(_.stripPrefix("versions=").split(",").toSeq
-              .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet)
+          val fields = parseKv(
+            new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8"))
+          (p, fields, pinScopeOf(fields))
         } catch {
           case _: java.io.FileNotFoundException =>
-            retry = true; None // re-list; broad if the churn persists
-          case scala.util.control.NonFatal(_) => None // unreadable: broad
+            retry = true // re-list; broad if the churn persists
+            (p, Map.empty[String, String], Option.empty[Set[Long]])
+          case scala.util.control.NonFatal(_) =>
+            (p, Map.empty[String, String], Option.empty[Set[Long]])
         }
       }
-      last = (pins,
+      val scopes = pins.map(_._3)
+      last = (pins.map(t => (t._1, t._2)),
         if (scopes.contains(None)) None
         else Some(scopes.flatten.foldLeft(Set.empty[Long])(_ ++ _)))
     }
@@ -1800,10 +1823,8 @@ object Snapshot {
     // not an abort: the catalog reports what still holds
     listReadPins(fs, fs.makeQualified(new HPath(exportRoot))).flatMap { p =>
       scala.util.Try {
-        val fields = new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
-          .split("\n").map(_.trim).filter(_.contains("="))
-          .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
-          .toMap
+        val fields = parseKv(
+          new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8"))
         val created = fields.get("created_ms").flatMap(s =>
           scala.util.Try(s.toLong).toOption).getOrElse(-1L)
         (p.getName, fields.getOrElse("purpose", ""), created,
@@ -1828,9 +1849,14 @@ object Snapshot {
     val fs = ContinuousIngest.fsFor(spark, exportRoot)
     val exRoot = fs.makeQualified(new HPath(exportRoot))
     pins.count { name =>
-      require(name.startsWith(ReadPinPrefix),
+      // the slash check keeps this a PIN face: '.read_pin_x/../<file>'
+      // passes the prefix check but path-normalizes outside the pin
+      // namespace — deleting arbitrary root files through the one
+      // face documented as safe to aim at crashed readers
+      require(name.startsWith(ReadPinPrefix) && !name.contains("/") &&
+          !name.contains("\\"),
         s"Snapshot.breakReadPins: '$name' is not a read-pin name " +
-          s"(they start with $ReadPinPrefix — copy it from readPins)")
+          s"(a bare $ReadPinPrefix* file name — copy it from readPins)")
       fs.delete(new HPath(exRoot, name), false)
     }
   }
@@ -1868,11 +1894,8 @@ object Snapshot {
       if (!fs.exists(dir)) Seq.empty[(Long, String, Long, String, String)]
       else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { f =>
         scala.util.Try {
-          val fields = new String(
-              ContinuousIngest.readFileBytes(fs, f.getPath), "UTF-8")
-            .split("\n").map(_.trim).filter(_.contains("="))
-            .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
-            .toMap
+          val fields = parseKv(new String(
+            ContinuousIngest.readFileBytes(fs, f.getPath), "UTF-8"))
           (fields.get("created_ms").flatMap(s =>
               scala.util.Try(s.toLong).toOption).getOrElse(-1L),
             fields.getOrElse("face", ""),
@@ -1888,20 +1911,16 @@ object Snapshot {
   /** Persist one deferred retention pass (runs under the root's
     * export lock): one small file, so "deferred again" is an append
     * and never a read-modify-write. The pin snapshot rides along —
-    * when the operator finally looks, the holder that caused a
-    * week-old deferral may be long gone from [[readPins]]. */
+    * already parsed by the [[livePinScope]] read that decided the
+    * deferral, never re-read — because when the operator finally
+    * looks, the holder that caused a week-old deferral may be long
+    * gone from [[readPins]]. */
   private def logDeferral(fs: FileSystem, exRoot: HPath, face: String,
                           version: Long, blocked: Seq[Long],
-                          pins: Seq[HPath]): Unit = {
+                          pins: Seq[(HPath, Map[String, String])]): Unit = {
     val dir = new HPath(exRoot, DeferralsDir)
     fs.mkdirs(dir)
-    val pinDesc = pins.map { p =>
-      val fields =
-        try new String(ContinuousIngest.readFileBytes(fs, p), "UTF-8")
-          .split("\n").map(_.trim).filter(_.contains("="))
-          .map { l => val Array(k, rest) = l.split("=", 2); k -> rest }
-          .toMap
-        catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    val pinDesc = pins.map { case (p, fields) =>
       s"${p.getName}(${fields.getOrElse("purpose", "?")}," +
         s"versions=${fields.getOrElse("versions", "*")})"
     }.mkString("; ")

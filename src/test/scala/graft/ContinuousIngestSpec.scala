@@ -2471,11 +2471,12 @@ class ContinuousIngestSpec extends SparkSpec {
       st, pa).awaitTermination()
     assert(Snapshot.versions(spark, ex).nonEmpty)
     // manufacture POST-INSTALL rot in a pool file v0 references (the
-    // version the NEXT audit firing rotates to: firing k audits
-    // versions(k % n), and the next delivery is batch id 3 against 3
-    // standing versions — index 0). batch=0's dirs are in v0's
-    // manifests. Same-length bit flip; drop the local-FS crc sidecar
-    // so the read reaches our own hash gate.
+    // version the NEXT audit firing rotates to: firing k audits the
+    // standing version ≡ k mod n, and the next delivery is batch id 3
+    // against standing versions [0,1,2] — residue 0 picks v0).
+    // batch=0's dirs are in v0's manifests. Same-length bit flip;
+    // drop the local-FS crc sidecar so the read reaches our own hash
+    // gate.
     val rotTarget = java.nio.file.Files.walk(
         java.nio.file.Path.of(s"$ex/pool"))
       .filter(p => java.nio.file.Files.isRegularFile(p) &&
@@ -2561,9 +2562,11 @@ class ContinuousIngestSpec extends SparkSpec {
     // audit would have reported this tree clean forever
     assert(Snapshot.verifyVersion(spark, ex, 1L).count() === 0L)
     assert(Snapshot.verifyVersion(spark, ex, 0L).count() > 0L)
-    // next delivery: batch id 3 exports v2, and firing 3 against 3
-    // standing versions rotates to index 0 — v0's rot fails the batch
-    // by name, within one firing here (within keepVersions in general)
+    // next delivery: batch id 3 exports v2, and firing 3 against
+    // standing versions [0,1,2] picks the version ≡ 3 (mod 3) — v0 —
+    // so v0's rot fails the batch by name, within one firing here
+    // (within keepVersions firings in general: residue rotation
+    // audits every standing version once per lifetime)
     Seq(401L -> text(20)).toDF("doc_id", "text").coalesce(1)
       .write.parquet(s"$root/in/chunk_3")
     val err = intercept[Throwable](

@@ -1045,11 +1045,21 @@ class SnapshotSpec extends SparkSpec {
     val r2 = Snapshot.export(spark, st, ex, full = true)
     assert(r2.retentionDeferred && r2.prunedVersions.isEmpty &&
       Snapshot.versions(spark, ex).contains(0L), r2.toString)
-    // a non-pin name refuses (no silent deletion of arbitrary files)
+    // a non-pin name refuses (no silent deletion of arbitrary files)…
     val nameErr = intercept[Throwable](
       Snapshot.breakReadPins(spark, ex, Seq("_GRAFT_ROOT_ID")))
     assert(msgs(nameErr).exists(_.contains("not a read-pin name")),
       msgs(nameErr).mkString(";"))
+    // …and so does a pin-prefixed TRAVERSAL (".read_pin_x/../<file>"
+    // passes a prefix-only check but path-normalizes outside the pin
+    // namespace)
+    val travErr = intercept[Throwable](
+      Snapshot.breakReadPins(spark, ex,
+        Seq(".read_pin_x/../_GRAFT_ROOT_ID")))
+    assert(msgs(travErr).exists(_.contains("not a read-pin name")),
+      msgs(travErr).mkString(";"))
+    assert(new java.io.File(s"$ex/_GRAFT_ROOT_ID").exists(),
+      "a traversal name deleted a root file")
     // the explicit clear-all face takes the rest
     assert(Snapshot.breakAllReadPins(spark, ex) === 1)
     assert(Snapshot.readPins(spark, ex).count() === 0L)
