@@ -34,6 +34,8 @@ object Native {
         exprs => MinDistSq(exprs(0), exprs(1), exprs(2)), "internal")
       reg.createOrReplaceTempFunction("graft_word_ngrams",
         exprs => WordNgrams(exprs(0), exprs(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_token_segments",
+        exprs => TokenSegments(exprs(0), exprs(1)), "internal")
       reg.createOrReplaceTempFunction("graft_top_dot",
         exprs => TopDot(exprs(0), exprs(1), exprs(2)), "internal")
       reg.createOrReplaceTempFunction("graft_zorder",
@@ -94,6 +96,19 @@ object Native {
   def wordNgramsNative(tokens: Column, n: Int): Column = {
     register(SparkSession.active)
     call_function("graft_word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Non-overlapping n-token segments (space-joined, ragged tail kept)
+    * of a token array — one tight loop per row. Replaces the
+    * interpreted `transform(sequence, i -> array_join(slice(toks,...)))`
+    * formulation, whose lambda re-evaluated the FULL tokenization
+    * subexpression per output segment (O(segments · tokens) regex
+    * splits per document — quadratic in doc length). Same output:
+    * ceil(m/n) segments, segment i = tokens[i·n .. min((i+1)·n, m))
+    * joined by one space; empty array for empty input. */
+  def tokenSegmentsNative(tokens: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_token_segments", tokens, org.apache.spark.sql.functions.lit(n))
   }
 
   /** PQ asymmetric-distance (ADC) score: Σⱼ lut[j·ksub + codes[j]]
@@ -589,6 +604,64 @@ case class WordNgrams(left: Expression, right: Expression)
     val ref = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
     nullSafeCodeGen(ctx, ev, (arr, _) =>
       s"${ev.value} = $ref.doGrams($arr);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** graft_token_segments(tokens, n) → array<string>: non-overlapping
+  * n-token segments in document order, space-joined, ragged tail kept
+  * (segment i = tokens[i·n .. min((i+1)·n, m)); ceil(m/n) segments;
+  * empty input → empty array). Output is value-identical to
+  * `transform(sequence(0, ceil(m/n)-1), i -> array_join(slice(toks,
+  * i·n+1, n), " "))` — the boilerplate-scrub segmentation — but runs
+  * as ONE compiled loop per row (WordNgrams pattern) instead of an
+  * interpreted lambda that re-derives its token-array subexpression
+  * per segment. */
+case class TokenSegments(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match { case ArrayType(StringType, _) => true; case _ => false }
+    val okR = right.foldable && right.dataType == IntegerType
+    if (okL && okR) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_token_segments expects (array<string>, int literal), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_segments"
+
+  @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
+  @transient private lazy val sep =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def doSegs(arrAny: Any): ArrayData = {
+    val arr = arrAny.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m <= 0 || n <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val k = (m + n - 1) / n
+      val out = new Array[Any](k)
+      var i = 0
+      while (i < k) {
+        val start = i * n
+        val len = math.min(n, m - start)
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+        var j = 0
+        while (j < len) { parts(j) = arr.getUTF8String(start + j); j += 1 }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = doSegs(a)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSegments", this, classOf[TokenSegments].getName)
+    nullSafeCodeGen(ctx, ev, (arr, _) =>
+      s"${ev.value} = $ref.doSegs($arr);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

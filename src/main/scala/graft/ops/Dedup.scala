@@ -210,6 +210,26 @@ object Dedup {
   private def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
+  /** Exploded distinct shingle rows CARRYING the doc's shingle-set
+    * size: `id, sz, sh` (cached — both sides of the pair self-join
+    * read it; the session clearCache between queries reclaims it).
+    * `sz` rides each row from the pre-explode projection, so the pair
+    * verifiers need NO separate per-doc size aggregation and NO
+    * size joins after the pair groupBy — `min(sz)` inside the pair
+    * aggregate recovers the (constant within group) value for free
+    * via map-side partial aggregation. Cost: +8 bytes per exploded
+    * row in the self-join shuffle; saves one groupBy shuffle plus two
+    * post-aggregation joins per verifier. */
+  private def sizedShingleRows(docs0: DataFrame, textCol: String,
+                               idCol: String, n: Int): DataFrame =
+    spread(docs0)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("_sh"))
+      // cast: size() is int32, the old count(lit(1)) sizes were int64 —
+      // the driver's schema gate treats that as a mismatch
+      .select(col("id"), size(col("_sh")).cast("long").as("sz"),
+        explode(col("_sh")).as("sh"))
+      .cache()
+
   /** Per-document duplicated-text fraction at n-gram granularity —
     * the exact-substring-dedup signal (à la "Deduplicating Training
     * Data Makes Language Models Better", Lee et al. 2022) reduced to
@@ -248,15 +268,12 @@ object Dedup {
     * Set-similarity join via shingle equi-join (no cross join). */
   def ngramJaccardPairs(docs0: DataFrame, n: Int, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val docs = spread(docs0)
-    val rows = shingleRows(docs, textCol, idCol, n).cache()
-    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val rows = sizedShingleRows(docs0, textCol, idCol, n)
     val pairs = rows.as("l").join(rows.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("l.sz")).as("na"), min(col("r.sz")).as("nb"))
     pairs
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
       .withColumn("jac", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jac") >= minJaccard)
@@ -283,15 +300,12 @@ object Dedup {
     * two verifiers share one cached shingle table when run together. */
   def ngramContainmentPairs(docs0: DataFrame, n: Int, minContainment: Double,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val docs = spread(docs0)
-    val rows = shingleRows(docs, textCol, idCol, n).cache()
-    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val rows = sizedShingleRows(docs0, textCol, idCol, n)
     val pairs = rows.as("l").join(rows.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("l.sz")).as("na"), min(col("r.sz")).as("nb"))
     pairs
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
       .withColumn("cont", col("inter").cast("double") /
         least(col("na"), col("nb")).cast("double"))
       .where(col("cont") >= minContainment)
@@ -595,21 +609,28 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      // `_chg` rides the propagation row (new lbl < old lbl ⟺ a
+      // neighbor label undercut ours) so the convergence probe below
+      // is a filter over the checkpointed round — NOT the old
+      // next⋈labels equi-join, which re-shuffled O(V) rows every
+      // round just to recompute a bit each row already knows
       val prop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("_chg"))
       // shortcut: follow one pointer hop (labels only ever decrease,
       // so lbl(lbl) <= lbl — taking it is always sound)
       val stepped = if (!shortcut) prop else prop.as("x")
         .join(prop.select(col("id").as("lid"), col("lbl").as("lbl2")).as("y"),
           col("x.lbl") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("lbl2"), col("x.lbl")).as("lbl"))
+          coalesce(col("lbl2"), col("x.lbl")).as("lbl"),
+          (col("x._chg") ||
+            coalesce(col("lbl2"), col("x.lbl")) < col("x.lbl")).as("_chg"))
       val next = stepped.localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.lbl") < col("o.lbl")).limit(1).count()
-      labels = next
+      // bounded driver scalar over the just-cached round — no join
+      val changed = next.where(col("_chg")).limit(1).count()
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0L
       iter += 1
     }

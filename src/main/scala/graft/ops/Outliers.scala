@@ -45,10 +45,15 @@ object Outliers {
     */
   def neighborCounts(points0: DataFrame, d: Double): DataFrame = {
     // single-file scans are one task — fan the pair-generation out
-    // (the reference's explicit repartition(L), HWK_1/G029HW1.py:148)
-    val points = points0.repartition(
-      points0.sparkSession.sparkContext.defaultParallelism)
-    val bucketed = points
+    // (the reference's explicit repartition(L), HWK_1/G029HW1.py:148).
+    // NOT cached, deliberately (r20 A/B): caching the bucketed points
+    // to spare the 3× upstream recompute made every variant unstable
+    // (4.7 s stable uncached vs 11–68 s cached — the cached blocks
+    // compete with the ~30M-row pair join's execution memory and the
+    // eviction/recompute thrash dwarfs the saved scans); the upstream
+    // projection is a cheap pruned scan + one per-id window.
+    val bucketed = points0
+      .repartition(points0.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bi", floor(col("x") / lit(d)))
       .withColumn("bj", floor(col("y") / lit(d)))
     val rhs = bucketed.select(col("bi"), col("bj"), col("id").as("id2"),
@@ -68,8 +73,16 @@ object Outliers {
       .select(col("id"), col("x"), col("y"), col("off.same").as("same"),
         (col("bi") + col("off.di")).as("bi"),
         (col("bj") + col("off.dj")).as("bj"))
+    // SHUFFLE_HASH, pinned: the planner's size estimates here put the
+    // 5×-exploded probe under the broadcast threshold and built a
+    // multi-million-row broadcast hash relation (r20 A/B: stable-ish
+    // uncached, catastrophically GC-bound once the inputs were
+    // cached). Hash-partitioning both sides on the cell key is the
+    // shape that survives any scale — no driver-sized build, no
+    // per-key sort (SMJ would re-sort the dense cells), AQE splits a
+    // skewed cell at runtime.
     val pairs = probe
-      .join(rhs, Seq("bi", "bj"))
+      .join(rhs.hint("shuffle_hash"), Seq("bi", "bj"))
       .where((!col("same") || col("id") < col("id2")) &&
         distSqCol(col("x"), col("y"), col("x2"), col("y2")) <= lit(d * d))
     // scatter each surviving pair to both endpoints, count, then +1
@@ -78,7 +91,7 @@ object Outliers {
       .select(explode(array(col("id"), col("id2"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("npairs"))
-    points.select(col("id"))
+    bucketed.select(col("id"))
       .join(counts, Seq("id"), "left")
       .select(col("id"), (coalesce(col("npairs"), lit(0L)) + 1L).as("cnt"))
   }

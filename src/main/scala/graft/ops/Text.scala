@@ -141,15 +141,24 @@ object Text {
   /** Junk filter verdict: `doc_id, keep, reason` — first failing rule
     * wins ('too_short' | 'too_numeric' | 'ok'). */
   def junkFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val c = col(textCol)
+    val reason = junkReason(col(textCol))
+    docs.select(col("doc_id"), (reason === "ok").as("keep"), reason.as("reason"))
+  }
+
+  private def junkReason(c: Column): Column = {
     val nTok = tokenCount(c)
     val digitRatio = (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double") /
       greatest(length(c), lit(1)).cast("double")
-    val reason = when(nTok < 5, lit("too_short"))
+    when(nTok < 5, lit("too_short"))
       .when(digitRatio > 0.3, lit("too_numeric"))
       .otherwise(lit("ok"))
-    docs.select(col("doc_id"), (reason === "ok").as("keep"), reason.as("reason"))
   }
+
+  /** The keep-side of [[junkFilter]] as a row-wise PREDICATE — callers
+    * that only need the surviving docs filter in place instead of
+    * joining back against the verdict table (same rows, no self-join:
+    * the verdict is a pure function of the row). */
+  def junkKeep(c: Column): Column = junkReason(c) === "ok"
 
   /** Non-overlapping n-token segments of a text column, in document
     * order — the segmentation unit for [[boilerplateScrub]] on data
@@ -160,12 +169,16 @@ object Text {
     * DESCEND in Spark, not produce nothing — hence the guard). */
   def tokenSegments(c: Column, n: Int): Column = {
     require(n > 0, "segment size must be positive")
-    val toks = tokens(c)
-    val nSegs = ceil(size(toks).cast("double") / n).cast("int")
-    when(size(toks) > 0,
-      transform(sequence(lit(0), nSegs - 1),
-        i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // codegen'd single pass (graft.functions.TokenSegments). The
+    // previous `transform(sequence, i -> array_join(slice(toks,...)))`
+    // lambda re-evaluated the FULL `tokens(c)` subexpression per
+    // segment (higher-order lambdas are interpreted and hoist
+    // nothing), i.e. O(segments · tokens) regex splits per document —
+    // quadratic in doc length and the dominant cost of every
+    // boilerplate-segmentation query. Output values are identical
+    // (ceil(m/n) space-joined segments, ragged tail kept; empty/null
+    // text explodes to no rows either way).
+    graft.functions.Native.tokenSegmentsNative(tokens(c), n)
   }
 
   /** Segment-level boilerplate removal (the CCNet / RefinedWeb line
@@ -193,7 +206,13 @@ object Text {
   def boilerplateScrub(docs: DataFrame, segments: Column, minDocs: Int,
                        idCol: String = "doc_id"): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would flag every segment")
+    // cached: the exploded segment table feeds BOTH the boilerplate
+    // count and the join-back/reassembly below — without the cache the
+    // segmentation explode runs twice from parquet (same cache
+    // contract as the Dedup shingle tables: the session clears caches
+    // between queries)
     val seg = docs.select(col(idCol).as("doc_id"), posexplode(segments).as(Seq("idx", "seg")))
+      .cache()
     val boiler = seg.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs)
@@ -293,13 +312,22 @@ object Text {
     val chars = filter(split(lower(col("text")), ""), ch => ch =!= lit(""))
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.Native.wordNgramsNative(chars, n)).as("g"))
-    val cnts = grams.groupBy("g").agg(count(lit(1)).as("cf"))
-    grams.join(cnts, "g")
+    // pre-aggregate the occurrence stream to (doc, gram) COUNTS before
+    // anything reshuffles it: char n-grams repeat heavily within a doc
+    // ("aggregate before you shuffle"), and the raw formulation
+    // shuffled every occurrence twice (once into the gram join, once
+    // into the per-doc agg). All downstream arithmetic recovers the
+    // occurrence-level numbers exactly from the (c, cf) pairs:
+    // n_tri = Σc, sum_freq = Σ c·cf, min_freq = min cf (occurrences of
+    // one gram share its cf), n_rare = Σ c·[cf ≤ rareMax].
+    val perDoc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val cnts = perDoc.groupBy("g").agg(sum(col("c")).as("cf"))
+    perDoc.join(cnts, "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"),
-        sum(col("cf")).as("sum_freq"),
+      .agg(sum(col("c")).as("n_tri"),
+        sum(col("c") * col("cf")).as("sum_freq"),
         min(col("cf")).as("min_freq"),
-        sum(when(col("cf") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+        sum(when(col("cf") <= rareMax, col("c")).otherwise(0L)).as("n_rare"))
       .withColumn("rare_ratio",
         round(col("n_rare").cast("double") / col("n_tri").cast("double"), 6))
   }

@@ -51,9 +51,11 @@ object DocQueries extends QueryPack {
     * queries. */
   private def funnelClean(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val quality = docs.join(
-      Text.junkFilter(docs).where(col("keep")).select("doc_id"), Seq("doc_id"))
-      .cache()
+    // junkFilter's verdict is a pure row-wise function of the doc, so
+    // the keep-side is a FILTER, not a docs⋈verdict self-join (the
+    // join re-scanned documents and shuffled both sides on doc_id for
+    // rows that were already in hand); same rows by construction
+    val quality = docs.where(Text.junkKeep(col("text"))).cache()
     val dedup = quality
       .withColumn("_rk", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
@@ -252,7 +254,10 @@ object DocQueries extends QueryPack {
         val b0 = batchOf(0)
         // bootstrap trains quantizers and writes five state tables from
         // this frame — cache the (window-function) dedup once instead
-        // of recomputing it per pass
+        // of recomputing it per pass. Kept as the narrow-window +
+        // broadcast-semi-join formulation: an in-place full-row window
+        // filter drags text+embedding through the digest shuffle (r20
+        // A/B: measured slower).
         val boot = b0.join(Dedup.exactDupFlags(b0).where(!col("is_dup"))
           .select("doc_id"), Seq("doc_id"), "left_semi").cache()
         ContinuousIngest.bootstrap(boot, st, p)

@@ -58,7 +58,11 @@ object Tables {
     * lineitem has duplicate (l_orderkey, l_linenumber) pairs, so the
     * natural key is deduplicated with a per-key window (partitioned —
     * no global sort; ties have identical coords so the surviving row
-    * set is deterministic). */
+    * set is deterministic). Kept as the window formulation
+    * deliberately: a `min(struct(x, y))` groupBy is plan-equivalent
+    * on paper but a struct aggregation buffer forces SortAggregate
+    * (no hash agg), which the r20 A/B measured ~2× slower than the
+    * WindowGroupLimit-pruned window. */
   def pointsWithId(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = lineitem(s, d).select(

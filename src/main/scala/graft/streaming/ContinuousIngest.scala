@@ -1006,16 +1006,18 @@ object ContinuousIngest {
     * packed-segment table (plus the raw embeddings in docs), not in
     * three tables. At corpus scale the float column dominates index
     * bytes, so this halves index storage (3× corpus floats → 2×
-    * counting docs). The full assignment (with `vb`) is staged in a
-    * HIDDEN `.assign_tmp_batch=<id>` dir (invisible to partition
-    * discovery) so (a) the assignment computes once, (b)
-    * [[Similarity.ivfPack]]'s per-list count pass reads a STORED,
-    * column-prunable table (its cheap formulation), and (c) the
-    * visible batch dir is written exactly once, slim — there is never
-    * a fat→slim rewrite window on the live table. The stage is
-    * deleted on success; a crash leaves only the hidden dir, which
-    * the batch replay overwrites (and [[compactState]] sweeps).
-    * Readers that need floats take them from the packed table
+    * counting docs). The full assignment (with `vb`) is computed once
+    * and pinned via an eager localCheckpoint consumed by the pack and
+    * slim-assignment writers, so (a) the assignment computes once,
+    * (b) the visible batch dir is written exactly once, slim — there
+    * is never a fat→slim rewrite window on the live table. (It used
+    * to round-trip through a hidden `.assign_tmp_batch=<id>` parquet
+    * stage; the stage bought no durability — a crash anywhere in the
+    * batch re-delivers the whole batch — so the r20 optimization
+    * round replaced the write + re-reads with storage-pinned blocks
+    * that are released before return. [[compactState]] still sweeps
+    * any legacy stage dirs from crashed pre-r20 appends.) Readers
+    * that need floats take them from the packed table
     * ([[Similarity.ivfUnpack]] is exact) — [[annIvfPqMaintained]]'s
     * rerank store is the docs table.
     *
@@ -1033,37 +1035,45 @@ object ContinuousIngest {
         s"'${a.vecCol}' — every batch must carry it (columns: " +
         s"${batch.columns.mkString(", ")})")
     val spark = batch.sparkSession
-    val stage = s"${st.ivfPath}/.assign_tmp_batch=$batchId"
-    Similarity.ivfAssign(batch, q.cents, idCol = "doc_id", vecCol = a.vecCol)
-      .write.mode("overwrite").parquet(stage)
-    // four independent derivations — packed floats + slim assignment
-    // from the staged assign, codes + semantic cells from the batch —
-    // each one Spark action on its own output dir; the group runs
-    // concurrently (see [[inParallel]]: replay covers any completed
-    // subset, so only the stage-before-derivations order is
-    // load-bearing)
-    inParallel(Seq(
-      () => Similarity.ivfPack(spark.read.parquet(stage),
-          dim = q.cents.head.length)
-        .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/batch=$batchId"),
-      () => spark.read.parquet(stage).select("nn_id", "list")
-        .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId"),
-      // slim here too: codes_arr is codes widened to ints (a law-audit
-      // convenience on the one-shot face) — 4·m bytes of pure
-      // redundancy per vector in a table whose point is m-byte codes.
-      // The maintained table keeps codes (scoring) + rerr (the ADC
-      // error bound, a monitoring signal floats can't be re-derived
-      // from without a full re-encode).
-      () => Similarity.pqEncode(batch, q.books, idCol = "doc_id",
-          vecCol = a.vecCol)
-        .drop("codes_arr")
-        .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId"),
-      () => (q.semTree match {
-        case Some(t) => routedSemAssign(batch, t, a)
-        case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
-          idCol = "doc_id", vecCol = a.vecCol)
-      }).write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")))
-    fsFor(spark, stage).delete(new org.apache.hadoop.fs.Path(stage), true)
+    // the assignment is computed ONCE and pinned in executor storage
+    // (eager localCheckpoint), then consumed by two of the four
+    // derivations below. It used to round-trip through a hidden
+    // parquet stage dir; the stage bought nothing durable (it was
+    // deleted before return, and a crash anywhere in this batch
+    // re-delivers the WHOLE batch, which overwrites every derivation)
+    // — so the disk write + four re-reads were pure overhead (r20,
+    // guide §5: localCheckpoint for a non-durable intermediate). The
+    // blocks are released before return; they never outlive the batch.
+    val assigned = Similarity.ivfAssign(batch, q.cents,
+      idCol = "doc_id", vecCol = a.vecCol).localCheckpoint()
+    try {
+      // four independent derivations — packed floats + slim assignment
+      // from the pinned assign, codes + semantic cells from the batch —
+      // each one Spark action on its own output dir; the group runs
+      // concurrently (see [[inParallel]]: replay covers any completed
+      // subset, so only the assign-before-derivations order is
+      // load-bearing)
+      inParallel(Seq(
+        () => Similarity.ivfPack(assigned, dim = q.cents.head.length)
+          .write.mode("overwrite").parquet(s"${st.ivfPackedPath}/batch=$batchId"),
+        () => assigned.select("nn_id", "list")
+          .write.mode("overwrite").parquet(s"${st.ivfPath}/batch=$batchId"),
+        // slim here too: codes_arr is codes widened to ints (a law-audit
+        // convenience on the one-shot face) — 4·m bytes of pure
+        // redundancy per vector in a table whose point is m-byte codes.
+        // The maintained table keeps codes (scoring) + rerr (the ADC
+        // error bound, a monitoring signal floats can't be re-derived
+        // from without a full re-encode).
+        () => Similarity.pqEncode(batch, q.books, idCol = "doc_id",
+            vecCol = a.vecCol)
+          .drop("codes_arr")
+          .write.mode("overwrite").parquet(s"${st.pqPath}/batch=$batchId"),
+        () => (q.semTree match {
+          case Some(t) => routedSemAssign(batch, t, a)
+          case None => Similarity.semanticAssign(batch, q.semCents, a.nAssign,
+            idCol = "doc_id", vecCol = a.vecCol)
+        }).write.mode("overwrite").parquet(s"${st.semPath}/batch=$batchId")))
+    } finally assigned.unpersist()
     // pack-once for the ADC face too: the batch's (nn_id, list,
     // codes) join — two STORED, column-pruned batch partitions, so
     // neither the assignment nor the encode recomputes — packed into
@@ -1964,6 +1974,12 @@ object ContinuousIngest {
     // clean; ingestBatch is the single-writer context)
     recoverCompactionSwaps(spark, st)
     requireLayoutMatch(spark, st, p)
+    // within-batch exact dedup: the flags window runs over NARROW
+    // (doc_id, digest) rows (column pruning) and the semi-join back
+    // broadcasts the small verdict side — measured FASTER than an
+    // in-place full-row window filter, which drags the text column
+    // through the digest shuffle+sort (r20 A/B: the "one shuffle"
+    // rewrite shuffled ~30× more bytes and lost)
     val local = batch.join(
       Dedup.exactDupFlags(batch).where(!col("is_dup")).select("doc_id"),
       Seq("doc_id"), "left_semi")
