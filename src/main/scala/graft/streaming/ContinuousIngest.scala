@@ -1007,16 +1007,18 @@ object ContinuousIngest {
     * three tables. At corpus scale the float column dominates index
     * bytes, so this halves index storage (3× corpus floats → 2×
     * counting docs). The full assignment (with `vb`) is computed once
-    * and pinned via an eager localCheckpoint consumed by the pack and
-    * slim-assignment writers, so (a) the assignment computes once,
+    * and pinned via an eagerly-materialized cache consumed by the
+    * pack and slim-assignment writers, so (a) the assignment computes
+    * once (modulo a safe eviction-recompute),
     * (b) the visible batch dir is written exactly once, slim — there
     * is never a fat→slim rewrite window on the live table. (It used
     * to round-trip through a hidden `.assign_tmp_batch=<id>` parquet
     * stage; the stage bought no durability — a crash anywhere in the
     * batch re-delivers the whole batch — so the r20 optimization
-    * round replaced the write + re-reads with storage-pinned blocks
-    * that are released before return. [[compactState]] still sweeps
-    * any legacy stage dirs from crashed pre-r20 appends.) Readers
+    * round replaced the write + re-reads with cache-pinned blocks
+    * that are unpersisted before return. [[compactState]] still
+    * sweeps any legacy stage dirs from crashed pre-r20 appends.)
+    * Readers
     * that need floats take them from the packed table
     * ([[Similarity.ivfUnpack]] is exact) — [[annIvfPqMaintained]]'s
     * rerank store is the docs table.
@@ -1036,16 +1038,22 @@ object ContinuousIngest {
         s"${batch.columns.mkString(", ")})")
     val spark = batch.sparkSession
     // the assignment is computed ONCE and pinned in executor storage
-    // (eager localCheckpoint), then consumed by two of the four
+    // (cache + eager materialize), then consumed by two of the four
     // derivations below. It used to round-trip through a hidden
     // parquet stage dir; the stage bought nothing durable (it was
     // deleted before return, and a crash anywhere in this batch
     // re-delivers the WHOLE batch, which overwrites every derivation)
-    // — so the disk write + four re-reads were pure overhead (r20,
-    // guide §5: localCheckpoint for a non-durable intermediate). The
-    // blocks are released before return; they never outlive the batch.
+    // — so the disk write + re-reads were pure overhead. cache, NOT
+    // localCheckpoint: Dataset.unpersist frees cached blocks
+    // deterministically, while localCheckpoint blocks wait for the
+    // ContextCleaner's periodic GC — a long-lived stream would
+    // accumulate batch-sized block sets between GCs. Eviction under
+    // memory pressure only costs a recompute (ivfAssign is
+    // deterministic from the batch + the fixed centroid literal; it
+    // reads no mutable state, so a recompute mid-batch is safe).
     val assigned = Similarity.ivfAssign(batch, q.cents,
-      idCol = "doc_id", vecCol = a.vecCol).localCheckpoint()
+      idCol = "doc_id", vecCol = a.vecCol).cache()
+    assigned.count()
     try {
       // four independent derivations — packed floats + slim assignment
       // from the pinned assign, codes + semantic cells from the batch —
